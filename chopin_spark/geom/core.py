@@ -1,0 +1,140 @@
+"""Vectorized planar geometry operations (numpy).
+
+Replaces the reference's GEOS/GDAL calls (sf/terra) with exact planar
+math. Zones, grid cells, and raster tiles in this engine are
+axis-aligned rectangles (quadtree admin hierarchy, FIXTURES.md §2), for
+which every operation here is exact; general single-ring polygons are
+supported via ray-cast PIP, shoelace area, and Sutherland–Hodgman
+rectangle clipping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Ray-cast point-in-polygon, vectorized over points.
+
+    Half-open on edges in the same way for every caller (a point on a
+    shared boundary lands in exactly one polygon of a partition) — the
+    engine's fix for the reference's boundary-drop caveat
+    (/root/reference/tests/testthat/test-scale_process.R:320-322).
+    ring: (n, 2) closed or open.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    r = np.asarray(ring, dtype=np.float64)
+    if (r[0] == r[-1]).all():
+        r = r[:-1]
+    x0, y0 = r[:, 0], r[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for i in range(len(x0)):
+        cond = (y0[i] > py) != (y1[i] > py)
+        denom = y1[i] - y0[i]
+        if denom == 0:
+            continue
+        xint = x0[i] + (py - y0[i]) * (x1[i] - x0[i]) / denom
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def points_in_rect(
+    px: np.ndarray, py: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> np.ndarray:
+    """Half-open rect membership [xmin, xmax) × [ymin, ymax) —
+    assignment to a partition of rects is a function, never a relation."""
+    return (px >= xmin) & (px < xmax) & (py >= ymin) & (py < ymax)
+
+
+def polygon_area(ring: np.ndarray) -> float:
+    r = np.asarray(ring, dtype=np.float64)
+    if (r[0] == r[-1]).all():
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def polygon_perimeter(ring: np.ndarray) -> float:
+    r = np.asarray(ring, dtype=np.float64)
+    if not (r[0] == r[-1]).all():
+        r = np.vstack([r, r[:1]])
+    d = np.diff(r, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def polsby_popper(ring: np.ndarray) -> float:
+    """Compactness 4πA/P² — the reference's merged-cell shape test with
+    0.3 warning threshold (/root/reference/R/gridding.R:739-760)."""
+    p = polygon_perimeter(ring)
+    return 0.0 if p == 0 else 4.0 * np.pi * polygon_area(ring) / (p * p)
+
+
+def clip_polygon_rect(
+    ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of a single ring by an axis-aligned rect.
+
+    Used for polygon-overlay area weights (summarize_aw,
+    /root/reference/R/processing.R:799-811) where one side is a
+    rect (zone / grid cell / tile)."""
+    poly = np.asarray(ring, dtype=np.float64)
+    if (poly[0] == poly[-1]).all():
+        poly = poly[:-1]
+
+    def clip_edge(pts, inside_fn, intersect_fn):
+        if len(pts) == 0:
+            return pts
+        out = []
+        prev = pts[-1]
+        prev_in = inside_fn(prev)
+        for cur in pts:
+            cur_in = inside_fn(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect_fn(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(intersect_fn(prev, cur))
+            prev, prev_in = cur, cur_in
+        return np.array(out) if out else np.empty((0, 2))
+
+    def x_cut(bound):
+        def fn(p, c):
+            t = (bound - p[0]) / (c[0] - p[0])
+            return np.array([bound, p[1] + t * (c[1] - p[1])])
+
+        return fn
+
+    def y_cut(bound):
+        def fn(p, c):
+            t = (bound - p[1]) / (c[1] - p[1])
+            return np.array([p[0] + t * (c[0] - p[0]), bound])
+
+        return fn
+
+    poly = clip_edge(poly, lambda p: p[0] >= xmin, x_cut(xmin))
+    poly = clip_edge(poly, lambda p: p[0] <= xmax, x_cut(xmax))
+    poly = clip_edge(poly, lambda p: p[1] >= ymin, y_cut(ymin))
+    poly = clip_edge(poly, lambda p: p[1] <= ymax, y_cut(ymax))
+    return poly
+
+
+def rect_intersection_area(
+    a: tuple[float, float, float, float], b: tuple[float, float, float, float]
+) -> float:
+    w = min(a[2], b[2]) - max(a[0], b[0])
+    h = min(a[3], b[3]) - max(a[1], b[1])
+    return max(w, 0.0) * max(h, 0.0)
+
+
+def pad_rect(
+    xmin: float, ymin: float, xmax: float, ymax: float, pad: float
+) -> tuple[float, float, float, float]:
+    """Square-cap mitre buffer of a rectangle == bbox expansion (exact).
+
+    Mirrors par_pad_grid's `st_buffer(..., endCapStyle='SQUARE',
+    joinStyle='MITRE')` on grid cells
+    (/root/reference/R/gridding.R:192-198)."""
+    return xmin - pad, ymin - pad, xmax + pad, ymax + pad

@@ -1,0 +1,33 @@
+"""Query registry: every driver-checkable query registers here.
+
+Each entry pairs a Spark callable `(spark, sf_dir) -> DataFrame` with an
+equivalent DuckDB oracle SQL string (or None for non-SQL-expressible
+operators, which get the driver's weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict:
+    from chopin_spark.queries import relational, spatial  # noqa: F401
+
+    for mod in ("zonal", "textops", "dedup", "simsearch", "runners"):
+        try:
+            __import__(f"chopin_spark.queries.{mod}")
+        except ImportError:
+            pass
+    return QUERIES

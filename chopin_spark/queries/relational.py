@@ -1,0 +1,132 @@
+"""Relational-operator coverage queries (SURVEY.md §2.5 cross-reference):
+projection, filter, equi-join, semi-join, hash-agg, distinct, window,
+sort/top-k, string + date functions — all stock DataFrame ops that
+Catalyst pushes down / reorders / codegens."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan→filter→hash-agg; partial+final agg automatic
+    (map-side combine), filter + 6-column pruning reach the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TOPCUST_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       COUNT(o.o_orderkey) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 4) AS total_spent
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 50
+"""
+
+
+@register("top_customers", _TOPCUST_ORACLE)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + top-k. nation (25 rows) broadcast explicitly;
+    orders⋈customer shuffles on the key; TakeOrderedAndProject for the
+    top-k (no global sort materialization)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        )
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(50)
+    )
+
+
+_ST_ORACLE = """
+SELECT event_type,
+       date_trunc('hour', ts) AS ts_hour,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("summarize_st_hourly", _ST_ORACLE)
+def summarize_st_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 summarize_st temporal branch
+    (/root/reference/R/processing.R:1158-1202): tumbling time floor via
+    date_trunc + groupBy over numeric columns — chopin's only temporal
+    operator, golden hourly-floor semantics from its tests
+    (/root/reference/tests/testthat/test-processing.R:768-801)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("ts_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_SEMI_ORACLE = """
+SELECT p.p_brand, COUNT(*) AS n_parts
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+GROUP BY p.p_brand
+"""
+
+
+@register("semi_join_parts", _SEMI_ORACLE)
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the reference's subset-by-geometry `x[y, ]`
+    pattern, /root/reference/R/check.R:357-395, in relational form)."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

@@ -1,0 +1,141 @@
+"""Spatial partitioning / cell-assignment queries (SURVEY.md §2.1).
+
+Coordinates derive deterministically from integer ids (sqlexpr LCG), so
+every query is oracle-checkable in DuckDB with the identical SQL text.
+All cell math is JVM-side column arithmetic — zero UDFs, full codegen,
+pushdown-friendly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark import sqlexpr as sx
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+
+# regular grid used across queries: 8×6 cells over the working extent
+NX, NY = 8, 6
+_DOC_X = sx.x_expr("doc_id")
+_DOC_Y = sx.y_expr("doc_id")
+_EVT_X = sx.x_expr("event_id")
+_EVT_Y = sx.y_expr("event_id")
+
+
+_GRID_ORACLE = f"""
+SELECT {sx.grid_cell_expr(_DOC_X, _DOC_Y, NX, NY)} AS cgridid,
+       COUNT(*) AS n_pages,
+       {sx.round4('AVG(CAST(n_chars AS DOUBLE))')} AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("par_make_grid_assign", _GRID_ORACLE)
+def par_make_grid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 par_make_grid (/root/reference/R/gridding.R:337-367): regular
+    nx×ny grid assignment as pure column math + hash-agg per cell.
+    Empty cells never appear — chopin's nonempty-cell filter
+    (/root/reference/R/gridding.R:574-577) is free under groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr(sx.grid_cell_expr(_DOC_X, _DOC_Y, NX, NY)).alias("cgridid"),
+            F.col("n_chars").cast("double").alias("n_chars"),
+        )
+        .groupBy("cgridid")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+_QUAD_ORACLE = f"""
+SELECT {sx.quad_cell_expr(_EVT_X, _EVT_Y, 4)} AS quad_cell,
+       COUNT(*) AS n_events,
+       {sx.round4('SUM(value)')} AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("quad_cell_rollup", _QUAD_ORACLE)
+def quad_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 par_make_dggrid analog (/root/reference/R/gridding.R:1020-1049):
+    hierarchical quadtree cell id at level 4 (parent = child >> bits),
+    aggregated per cell."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(sx.quad_cell_expr(_EVT_X, _EVT_Y, 4)).alias("quad_cell"),
+            "value",
+        )
+        .groupBy("quad_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_HEX_SIZE = 40_000.0
+_HEX_ORACLE = f"""
+SELECT {sx.hex_cell_expr(_DOC_X, _DOC_Y, _HEX_SIZE)} AS hex_cell,
+       COUNT(*) AS n_pages
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("hex_cell_count", _HEX_ORACLE)
+def hex_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 par_make_h3 analog (/root/reference/R/gridding.R:910-982):
+    per-point hexagon assignment (axial + cube rounding) replaces
+    polygon coverage entirely; pure column math."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr(sx.hex_cell_expr(_DOC_X, _DOC_Y, _HEX_SIZE)).alias("hex_cell")
+        )
+        .groupBy("hex_cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+# Quantile grid (P4): ntile per axis on deterministic coordinates.
+_QSTEPS = 4
+_QUANT_ORACLE = f"""
+WITH pts AS (
+  SELECT doc_id, {_DOC_X} AS x, {_DOC_Y} AS y FROM documents
+), cut AS (
+  SELECT doc_id,
+         NTILE({_QSTEPS}) OVER (ORDER BY x, doc_id) AS qx,
+         NTILE({_QSTEPS}) OVER (ORDER BY y, doc_id) AS qy
+  FROM pts
+)
+SELECT (qy - 1) * {_QSTEPS} + (qx - 1) AS cgridid, COUNT(*) AS n_pages
+FROM cut GROUP BY 1
+"""
+
+
+@register("par_cut_coords_quantile", _QUANT_ORACLE)
+def par_cut_coords_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 par_def_q + par_cut_coords
+    (/root/reference/R/gridding.R:414-502): quantile partitioning via
+    ntile per axis — steps² cells, near-equal population by
+    construction. Deterministic tie-break on doc_id."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id", F.expr(_DOC_X).alias("x"), F.expr(_DOC_Y).alias("y")
+    )
+    wx = W.orderBy("x", "doc_id")
+    wy = W.orderBy("y", "doc_id")
+    cut = pts.select(
+        ((F.ntile(_QSTEPS).over(wy) - 1) * _QSTEPS + (F.ntile(_QSTEPS).over(wx) - 1)
+         ).alias("cgridid")
+    )
+    return cut.groupBy("cgridid").agg(F.count(F.lit(1)).alias("n_pages"))

@@ -1,0 +1,121 @@
+"""Shared SQL expression templates — single source of truth for the
+deterministic math that both the Spark engine and the DuckDB oracle
+evaluate.
+
+Every oracle-checked spatial query derives planar coordinates from an
+integer id column with pure 64-bit LCG arithmetic, then assigns cells
+with floor math.  Because the *same SQL text* runs in Spark SQL (via
+``F.expr``) and in DuckDB, the doubles are bit-identical and the
+driver's value-hash comparison holds without tolerance.
+
+Cell membership is half-open by construction (``floor``), so assignment
+is a function — this fixes the reference's known boundary-drop case
+(/root/reference/tests/testthat/test-scale_process.R:320-322 — "omits
+2 points which are exactly on the boundary").
+"""
+
+from __future__ import annotations
+
+from chopin_spark import EXTENT
+
+# LCG multipliers (Knuth / glibc); id * MULT stays far below 2^63 for any
+# realistic key range after the first mod.
+_MX, _MY = 2654435761, 1103515245
+_MOD = 1_000_003  # prime → coordinates never land exactly on xmax/ymax
+
+
+def x_expr(id_col: str, extent=EXTENT) -> str:
+    """Deterministic x coordinate in [xmin, xmax) from an integer id."""
+    xmin, _, xmax, _ = extent
+    return (
+        f"({xmin!r} + ({xmax - xmin!r}) * "
+        f"(CAST((({id_col} * {_MX}) % {_MOD}) AS DOUBLE) / {_MOD}.0))"
+    )
+
+
+def y_expr(id_col: str, extent=EXTENT) -> str:
+    _, ymin, _, ymax = extent
+    return (
+        f"({ymin!r} + ({ymax - ymin!r}) * "
+        f"(CAST((({id_col} * {_MY} + 12345) % {_MOD}) AS DOUBLE) / {_MOD}.0))"
+    )
+
+
+def grid_ix_expr(x: str, nx: int, extent=EXTENT) -> str:
+    """Regular-grid column index: half-open floor membership.
+
+    Mirrors chopin's par_make_grid cell assignment
+    (/root/reference/R/gridding.R:337-367) as pure column math — no
+    geometry objects, no UDF, fully codegen'd and pushdown-friendly.
+    """
+    xmin, _, xmax, _ = extent
+    w = (xmax - xmin) / nx
+    return f"CAST(FLOOR(({x} - {xmin!r}) / {w!r}) AS BIGINT)"
+
+
+def grid_iy_expr(y: str, ny: int, extent=EXTENT) -> str:
+    _, ymin, _, ymax = extent
+    h = (ymax - ymin) / ny
+    return f"CAST(FLOOR(({y} - {ymin!r}) / {h!r}) AS BIGINT)"
+
+
+def grid_cell_expr(x: str, y: str, nx: int, ny: int, extent=EXTENT) -> str:
+    """cgridid = iy * nx + ix (row-major, 0-based)."""
+    return f"({grid_iy_expr(y, ny, extent)} * {nx} + {grid_ix_expr(x, nx, extent)})"
+
+
+def quad_cell_expr(x: str, y: str, level: int, extent=EXTENT) -> str:
+    """Hierarchical quadtree cell id at `level` (2^level × 2^level grid).
+
+    Parent cell at level L-1 = (ix>>1, iy>>1): the S2/quadkey-style
+    prefix hierarchy used for multi-resolution pruning (role of
+    par_make_dggrid, /root/reference/R/gridding.R:1020-1049).
+    """
+    n = 1 << level
+    return grid_cell_expr(x, y, n, n, extent)
+
+
+def hex_qr_exprs(x: str, y: str, size: float) -> tuple[str, str]:
+    """Pointy-top axial hex coordinates (q, r) for hex cell of `size`.
+
+    Cube-rounding uses FLOOR(v + 0.5) (half-up) — identical semantics in
+    Spark SQL and DuckDB, unlike ROUND.  This is the planar stand-in for
+    H3 hexagon partitioning (par_make_h3,
+    /root/reference/R/gridding.R:910-982): per-*point* cell assignment
+    replaces polygon coverage entirely.
+    """
+    fq = f"((0.5773502691896258 * {x} - 0.3333333333333333 * {y}) / {size!r})"
+    fr = f"((0.6666666666666666 * {y}) / {size!r})"
+    return fq, fr
+
+
+def hex_cell_expr(x: str, y: str, size: float) -> str:
+    """Single-expression hex cell id: cube-round (q, r) then pack.
+
+    rx = round(q), rz = round(r), ry = round(-q-r); the axis with the
+    largest rounding error is recomputed from the other two so
+    rx+ry+rz == 0 exactly.  Packed id = (rq + 2^20) * 2^21 + (rr + 2^20).
+    """
+    fq, fr = hex_qr_exprs(x, y, size)
+    fs = f"(-({fq}) - ({fr}))"
+    rq, rr, rs = (f"FLOOR({e} + 0.5)" for e in (fq, fr, fs))
+    dq, dr, ds = (
+        f"ABS({r} - ({e}))" for r, e in ((rq, fq), (rr, fr), (rs, fs))
+    )
+    # resolve rounding: if dq largest → rq = -rr-rs; elif dr largest → rr = -rq-rs
+    q_fixed = f"(CASE WHEN {dq} > {dr} AND {dq} > {ds} THEN -({rr}) - ({rs}) ELSE {rq} END)"
+    r_fixed = (
+        f"(CASE WHEN {dr} > {dq} AND {dr} >= {ds} THEN -({rq}) - ({rs}) ELSE {rr} END)"
+    )
+    return (
+        f"(CAST({q_fixed} + 1048576 AS BIGINT) * 2097152 "
+        f"+ CAST({r_fixed} + 1048576 AS BIGINT))"
+    )
+
+
+def round4(expr: str) -> str:
+    """Defensive rounding applied to every double aggregate in BOTH the
+    Spark query and the oracle SQL, so partial-sum ordering differences
+    (non-associative fp addition across partitions) cannot flip the
+    driver's value hash."""
+    return f"ROUND({expr}, 4)"

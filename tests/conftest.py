@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from chopin_spark.session import get_session
+
+    s = get_session(master="local[8]", app_name="chopin-tests",
+                    shuffle_partitions=8)
+    yield s
+    s.stop()
