@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric is total wall seconds over the query set (lower is
+better); per-query seconds are reported individually. Every query runs
+through a full action (count of the result) so the measured time covers
+scan -> shuffle -> agg/join -> collect-to-count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from chopin_spark.session import get_session
+
+    spark = get_session(master=f"local[{cpus}]", app_name="chopin-bench")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch JIT.
+    next(iter(queries.values()))(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(per_query.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
