@@ -22,12 +22,10 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def load_all() -> dict:
-    from chopin_spark.queries import relational, spatial  # noqa: F401
+_MODULES = ("relational", "spatial", "hierarchy")
 
-    for mod in ("zonal", "textops", "dedup", "simsearch", "runners"):
-        try:
-            __import__(f"chopin_spark.queries.{mod}")
-        except ImportError:
-            pass
+
+def load_all() -> dict:
+    for mod in _MODULES:
+        __import__(f"chopin_spark.queries.{mod}")
     return QUERIES
