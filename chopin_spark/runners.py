@@ -1,0 +1,219 @@
+"""Parallel runners (SURVEY.md §2.2) — chopin's physical execution
+operators re-expressed as single Spark stages.
+
+chopin's runner contract (par_grid, /root/reference/R/scale_process.R:99-232):
+for each grid cell, crop the *keyed* side to the original cell (each row
+exactly once) and the *context* side to the padded cell (rows duplicated
+near borders), run an arbitrary two-input function per cell, union the
+results. The padding guarantees partitioned == unpartitioned for any
+function whose reach is ≤ pad — the package's headline equality contract
+(/root/reference/README.md:463-468).
+
+Here the whole runner is ONE cogrouped applyInPandas stage: the shuffle
++ Arrow batch transfer replaces chopin's per-task process spawn and
+per-task GDAL re-read. Error handling preserves chopin's semantics
+(/root/reference/R/scale_process.R:209-219): errors drop the cell's
+rows, or with debug=True emit (cgridid, error_message) rows.
+"""
+
+from __future__ import annotations
+
+import traceback
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chopin_spark.grid import RectGrid
+
+ERROR_COL = "error_message"
+
+
+def _with_error_col(schema: str) -> str:
+    return f"{schema}, {ERROR_COL} string"
+
+
+def _empty_like(schema_cols: list[str]) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype="object") for c in schema_cols})
+
+
+def par_grid(
+    keyed: DataFrame,
+    context: DataFrame,
+    grid: RectGrid,
+    fun: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema: str,
+    debug: bool = False,
+) -> DataFrame:
+    """R1 par_grid (/root/reference/R/scale_process.R:99-232) as a
+    cogrouped-map stage.
+
+    `keyed` rows are assigned to exactly one cell (original window);
+    `context` rows to every cell whose padded twin contains them
+    (chopin's pad_y switch — which side is padded — is expressed by
+    argument position: pass the padded side as `context`).
+    `fun(keyed_pdf, context_pdf) -> pdf` runs once per cell on Arrow
+    batches. Result cells are unioned by the stage itself (chopin's
+    `collapse::rowbind(fill=TRUE)` disappears).
+    """
+    k = grid.assign_core(keyed)
+    c = grid.assign_padded(context).drop("is_core")
+
+    out_schema = _with_error_col(schema) if debug else schema
+    # column names of the declared schema, in order
+    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+
+    def runner(key, kpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if kpdf.empty:
+            return _empty_like(schema_cols)
+        try:
+            res = fun(
+                kpdf.drop(columns=["cgridid"]), cpdf.drop(columns=["cgridid"])
+            )
+            if res is None:
+                return _empty_like(schema_cols)
+            if "cgridid" in schema_cols and "cgridid" not in res.columns:
+                res = res.assign(cgridid=key[0])
+            if debug:
+                res = res.assign(**{ERROR_COL: None})
+            return res.reindex(columns=schema_cols)
+        except Exception:
+            if not debug:
+                return _empty_like(schema_cols)  # chopin: NULL → dropped
+            row = {col: [None] for col in schema_cols}
+            if "cgridid" in schema_cols:
+                row["cgridid"] = [key[0]]
+            row[ERROR_COL] = [traceback.format_exc(limit=1).splitlines()[-1]]
+            return pd.DataFrame(row)
+
+    return (
+        k.groupBy("cgridid")
+        .cogroup(c.groupBy("cgridid"))
+        .applyInPandas(runner, out_schema)
+    )
+
+
+def par_grid_map(
+    df: DataFrame,
+    grid: RectGrid,
+    fun: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    padded: bool = True,
+    debug: bool = False,
+) -> DataFrame:
+    """Single-table grouped-map runner: the cell sees its padded
+    neighborhood (rows carry `is_core`); `fun` computes on all rows and
+    is responsible for emitting results only for core rows (the
+    dedup-free padded-execution pattern, SURVEY.md §4 'boundary
+    correctness via padding')."""
+    a = (
+        grid.assign_padded(df)
+        if padded
+        else grid.assign_core(df).withColumn("is_core", F.lit(True))
+    )
+    out_schema = _with_error_col(schema) if debug else schema
+    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+
+    def runner(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            res = fun(pdf.drop(columns=["cgridid"]))
+            if res is None:
+                return _empty_like(schema_cols)
+            if "cgridid" in schema_cols and "cgridid" not in res.columns:
+                res = res.assign(cgridid=key[0])
+            if debug:
+                res = res.assign(**{ERROR_COL: None})
+            return res.reindex(columns=schema_cols)
+        except Exception:
+            if not debug:
+                return _empty_like(schema_cols)
+            row = {col: [None] for col in schema_cols}
+            if "cgridid" in schema_cols:
+                row["cgridid"] = [key[0]]
+            row[ERROR_COL] = [traceback.format_exc(limit=1).splitlines()[-1]]
+            return pd.DataFrame(row)
+
+    return a.groupBy("cgridid").applyInPandas(runner, out_schema)
+
+
+def par_hierarchy(
+    keyed: DataFrame,
+    fun: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    region_col: str,
+    length_left: int | None = None,
+    debug: bool = False,
+) -> DataFrame:
+    """R2 par_hierarchy (/root/reference/R/scale_process.R:375-596):
+    partition key = the hierarchical region id or its left prefix
+    (`substr(vec_regions_id, 1, length_left)`, :460-462). One grouped-map
+    stage on the prefix — the reference's per-prefix whole-input re-read
+    becomes a hash shuffle."""
+    key = (
+        F.substring(F.col(region_col), 1, length_left)
+        if length_left
+        else F.col(region_col)
+    )
+    df = keyed.withColumn("_hkey", key)
+    out_schema = _with_error_col(schema) if debug else schema
+    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+
+    def runner(k, pdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            res = fun(pdf.drop(columns=["_hkey"]))
+            if res is None:
+                return _empty_like(schema_cols)
+            if "hkey" in schema_cols and "hkey" not in res.columns:
+                res = res.assign(hkey=k[0])
+            if debug:
+                res = res.assign(**{ERROR_COL: None})
+            return res.reindex(columns=schema_cols)
+        except Exception:
+            if not debug:
+                return _empty_like(schema_cols)
+            row = {col: [None] for col in schema_cols}
+            if "hkey" in schema_cols:
+                row["hkey"] = [k[0]]
+            row[ERROR_COL] = [traceback.format_exc(limit=1).splitlines()[-1]]
+            return pd.DataFrame(row)
+
+    return df.groupBy("_hkey").applyInPandas(runner, out_schema)
+
+
+def par_multirasters(
+    rasters: DataFrame,
+    fun: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    raster_col: str = "raster_id",
+    debug: bool = True,
+) -> DataFrame:
+    """R3 par_multirasters (/root/reference/R/scale_process.R:686-787):
+    one task per raster id over a tile table partitioned by raster_id;
+    the provenance column `base_raster` (:764) is the group key; a
+    failing raster contributes one error row and the job proceeds
+    (:766-775 — row-count contract n_zones × n_files + 1 error row per
+    corrupt file, tests/testthat/test-scale_process.R:1230-1234,:1324)."""
+    out_schema = f"base_raster string, {schema}"
+    if debug:
+        out_schema = _with_error_col(out_schema)
+    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+
+    def runner(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            res = fun(pdf)
+            if res is None:
+                return _empty_like(schema_cols)
+            res = res.assign(base_raster=key[0])
+            if debug:
+                res = res.assign(**{ERROR_COL: None})
+            return res.reindex(columns=schema_cols)
+        except Exception:
+            if not debug:
+                return _empty_like(schema_cols)
+            row = {col: [None] for col in schema_cols}
+            row["base_raster"] = [key[0]]
+            row[ERROR_COL] = [traceback.format_exc(limit=1).splitlines()[-1]]
+            return pd.DataFrame(row)
+
+    return rasters.groupBy(raster_col).applyInPandas(runner, out_schema)

@@ -1,0 +1,152 @@
+"""Grid-builder tests (SURVEY.md §2.1) — structural invariants from the
+reference's own suite: steps² quantile cells, exactly-equal balanced
+clusters, half-open boundary determinism, merge_grid component caps."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from chopin_spark import EXTENT
+from chopin_spark.grid import (
+    RectGrid,
+    balanced_assign,
+    grid_from_extent_of,
+    make_regular_grid,
+    merge_grid,
+    quantile_grid,
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = np.random.default_rng(42)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "x": rng.uniform(EXTENT[0], EXTENT[2], n),
+            "y": rng.uniform(EXTENT[1], EXTENT[3], n),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_assign_core_is_a_function(spark, points):
+    df, pdf = points
+    g = make_regular_grid(8, 6, pad=30_000.0)
+    out = g.assign_core(df)
+    assert out.count() == len(pdf)  # exactly one cell per point
+    # matches numpy floor math
+    got = {r["id"]: r["cgridid"] for r in out.collect()}
+    ix = np.floor(pdf.x / 100_000).astype(int)
+    iy = np.floor(pdf.y / 100_000).astype(int)
+    want = iy * 8 + ix
+    assert all(got[i] == want[k] for k, i in enumerate(pdf.id))
+
+
+def test_boundary_points_assigned_exactly_once(spark):
+    # points exactly on shared cell edges — the reference's known
+    # boundary-drop case (test-scale_process.R:320-322) must not recur
+    pdf = pd.DataFrame(
+        {
+            "id": [0, 1, 2, 3],
+            "x": [100_000.0, 200_000.0, 0.0, 400_000.0],
+            "y": [100_000.0, 0.0, 300_000.0, 300_000.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    g = make_regular_grid(8, 6)
+    out = g.assign_core(df).collect()
+    assert len(out) == 4
+    ids = {r["id"]: r["cgridid"] for r in out}
+    assert ids[0] == 1 * 8 + 1  # half-open: edge belongs to upper cell
+    assert ids[1] == 2
+    assert ids[2] == 3 * 8 + 0
+
+
+def test_assign_padded_membership_and_core_flag(spark, points):
+    df, pdf = points
+    pad = 30_000.0
+    g = make_regular_grid(8, 6, pad=pad)
+    out = g.assign_padded(df).collect()
+    # every point is core in exactly one cell
+    core = [r for r in out if r["is_core"]]
+    assert len(core) == len(pdf)
+    # brute-force oracle: membership in padded rect
+    n_expected = 0
+    for _, p in pdf.iterrows():
+        for iy in range(6):
+            for ix in range(8):
+                if (
+                    ix * 1e5 - pad <= p.x < (ix + 1) * 1e5 + pad
+                    and iy * 1e5 - pad <= p.y < (iy + 1) * 1e5 + pad
+                ):
+                    n_expected += 1
+    assert len(out) == n_expected
+
+
+def test_quantile_grid_steps_squared_and_balance(spark, points):
+    df, pdf = points
+    g = quantile_grid(df, steps=4)
+    assert g.nx == 4 and g.ny == 4  # steps² cells (test-gridding.R:313-316)
+    counts = (
+        g.assign_core(df).groupBy("cgridid").count().collect()
+    )
+    assert len(counts) == 16
+    vals = [r["count"] for r in counts]
+    # exact quantile breaks -> near-equal occupancy per axis slab
+    assert max(vals) < 2.2 * min(vals)
+
+
+def test_grid_from_extent_covers_max_point(spark):
+    pdf = pd.DataFrame({"id": [0, 1], "x": [10.0, 90.0], "y": [5.0, 45.0]})
+    df = spark.createDataFrame(pdf)
+    g = grid_from_extent_of(df, 4, 4)
+    out = g.assign_core(df).collect()
+    assert {r["cgridid"] for r in out} == {0, 15}
+
+
+def test_balanced_assign_exact_equal_sizes(spark, points):
+    df, _ = points
+    out = balanced_assign(df, k=8, id_col="id")
+    counts = [r["count"] for r in out.groupBy("cgridid").count().collect()]
+    assert len(counts) == 8
+    assert all(c == 500 for c in counts)  # 4000/8, test-gridding.R:254
+
+
+def test_merge_grid_caps_and_labels():
+    # 4×3 grid; cells 0..3 tiny, rest big
+    counts = {i: (2 if i < 4 else 100) for i in range(12)}
+    remap, pp = merge_grid(counts, nx=4, ny=3, grid_min_features=10, merge_max=4)
+    assert remap[0] == remap[1] == remap[2] == remap[3] == "0_1_2_3"
+    assert all(remap[i] == str(i) for i in range(4, 12))
+    (label, ppv) = pp[0]
+    # 1×4 strip of unit cells: A=4, P=10 → 4π·4/100
+    assert label == "0_1_2_3"
+    assert abs(ppv - 4 * np.pi * 4 / 100) < 1e-12
+    # chopin warns below 0.3 (R/gridding.R:739-760) — strip is non-compact
+    assert ppv < 0.55
+
+
+def test_merge_grid_merge_max_chunking():
+    counts = {i: 1 for i in range(8)}  # all tiny, 4×2 grid, one component
+    remap, _ = merge_grid(counts, nx=4, ny=2, grid_min_features=5, merge_max=3)
+    sizes = {}
+    for lbl in remap.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    assert max(sizes.values()) <= 3
+    assert sum(sizes.values()) == 8
+
+
+def test_irregular_breaks_when_chain(spark):
+    g = RectGrid(
+        np.array([0.0, 10.0, 50.0, 100.0]), np.array([0.0, 30.0, 100.0]),
+    )
+    pdf = pd.DataFrame(
+        {"id": [0, 1, 2], "x": [5.0, 49.0, 99.0], "y": [10.0, 10.0, 50.0]}
+    )
+    out = g.assign_core(spark.createDataFrame(pdf)).collect()
+    got = {r["id"]: r["cgridid"] for r in out}
+    assert got == {0: 0, 1: 1, 2: 3 + 2}
