@@ -1,0 +1,161 @@
+"""Distance-join queries (C4, kNN/nearest rows of SURVEY.md §2.5).
+
+POI side = the `part` table projected to deterministic LCG points
+(pid = p_partkey); fact side = `documents`. DuckDB oracles brute-force
+the pair space (fine at sf0.01); the Spark plans are the cell-index
+equi-joins from chopin_spark.vector that replace O(n·m) enumeration at
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark import sqlexpr as sx
+from chopin_spark.grid import make_regular_grid
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+from chopin_spark.vector import knn_join, nearest_join, summarize_sedc
+
+_DX = sx.x_expr("doc_id")
+_DY = sx.y_expr("doc_id")
+_PX = sx.x_expr("p_partkey")
+_PY = sx.y_expr("p_partkey")
+
+_RADIUS = 60_000.0
+_BW = 40_000.0  # sedc bandwidth; threshold = 2*bw (chopin default)
+
+
+def _docs_pts(spark, sf_dir):
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.expr(_DX).alias("x"),
+        F.expr(_DY).alias("y"),
+    )
+
+
+def _poi_pts(spark, sf_dir):
+    return load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.expr(_PX).alias("x"),
+        F.expr(_PY).alias("y"),
+    )
+
+
+_NEAREST_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+p AS (
+  SELECT p_partkey AS pid, {_PX} AS px, {_PY} AS py FROM part
+),
+pairs AS (
+  SELECT doc_id, pid,
+         SQRT((x - px) * (x - px) + (y - py) * (y - py)) AS dist
+  FROM d CROSS JOIN p
+),
+r AS (
+  SELECT doc_id, pid, dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, pid) AS rn
+  FROM pairs
+)
+SELECT doc_id, pid AS nn_pid, ROUND(dist, 4) AS nn_dist
+FROM r WHERE rn = 1
+"""
+
+
+@register("nearest_poi", _NEAREST_ORACLE)
+def nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest join (terra::nearest via par_grid,
+    /root/reference/README.md:1065-1118): cell-index candidates + exact
+    fallback for sparse neighborhoods — exact at every grid size, unlike
+    the reference's pad-bounded approximation
+    (/root/reference/R/scale_process.R:14-22)."""
+    g = make_regular_grid(8, 6, pad=_RADIUS)
+    out = nearest_join(
+        _docs_pts(spark, sf_dir), _poi_pts(spark, sf_dir), g,
+        "doc_id", "pid", _RADIUS,
+    )
+    return out.select(
+        "doc_id",
+        F.col("nn_id").alias("nn_pid"),
+        F.round("nn_dist", 4).alias("nn_dist"),
+    )
+
+
+_KNN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+p AS (
+  SELECT p_partkey AS pid, {_PX} AS px, {_PY} AS py FROM part
+),
+pairs AS (
+  SELECT doc_id, pid,
+         SQRT((x - px) * (x - px) + (y - py) * (y - py)) AS dist
+  FROM d CROSS JOIN p
+),
+r AS (
+  SELECT doc_id, pid, dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, pid) AS rn
+  FROM pairs
+)
+SELECT doc_id, rn AS rank, pid AS nn_pid, ROUND(dist, 4) AS nn_dist
+FROM r WHERE rn <= 3
+"""
+
+
+@register("knn3_poi", _KNN_ORACLE)
+def knn3_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN (k=3) join via padded cell candidates + fallback."""
+    g = make_regular_grid(8, 6, pad=_RADIUS)
+    out = knn_join(
+        _docs_pts(spark, sf_dir), _poi_pts(spark, sf_dir), g,
+        "doc_id", "pid", _RADIUS, k=3,
+    )
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("nn_id").alias("nn_pid"),
+        F.round("nn_dist", 4).alias("nn_dist"),
+    )
+
+
+_SEDC_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(n_chars AS DOUBLE) AS n_chars, {_DX} AS x, {_DY} AS y
+  FROM documents
+),
+p AS (
+  SELECT p_partkey AS pid, {_PX} AS px, {_PY} AS py FROM part
+),
+pairs AS (
+  SELECT pid, n_chars,
+         SQRT((x - px) * (x - px) + (y - py) * (y - py)) AS dist
+  FROM d CROSS JOIN p
+)
+SELECT pid AS p_partkey,
+       ROUND(SUM(EXP(-3.0 * dist / {_BW!r}) * n_chars), 4) AS n_chars_sedc,
+       COUNT(*) AS n_within
+FROM pairs
+WHERE dist <= {2.0 * _BW!r}
+GROUP BY 1
+"""
+
+
+@register("summarize_sedc_poi", _SEDC_ORACLE)
+def summarize_sedc_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 summarize_sedc (/root/reference/R/processing.R:604-696):
+    distance-band join + sum(exp(-3d/bw)·value) per source with the
+    `_sedc` suffix; threshold = 2·bandwidth. The reference's dense
+    distance matrix (:666-674) becomes a cell-index range join."""
+    g = make_regular_grid(8, 6, pad=2.0 * _BW)
+    out = summarize_sedc(
+        _poi_pts(spark, sf_dir), _docs_pts(spark, sf_dir), g,
+        "pid", ["n_chars"], bandwidth=_BW,
+    )
+    return out.select(
+        F.col("pid").alias("p_partkey"), "n_chars_sedc", "n_within"
+    )

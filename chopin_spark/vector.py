@@ -1,0 +1,177 @@
+"""Vector–vector distance operators (SURVEY.md §2.3, C4 + the kNN row
+of §2.5): range joins and nearest/kNN joins on planar points.
+
+The reference materializes a full pairwise distance matrix
+(`terra::nearby` + `terra::distance(pairwise)`,
+/root/reference/R/processing.R:663-674) — O(n·m) memory, driver-bound.
+Here every pair enumeration is a **cell-index equi-join**: one side is
+assigned to its core cell, the other exploded to the cells whose padded
+twin (pad = search radius) contains it; candidate pairs shuffle on
+`cgridid` and are refined by the exact Euclidean predicate. A pair at
+distance ≤ r is guaranteed to co-occur in the target's core cell
+(Chebyshev ≤ Euclidean), and exactly once (the core cell is unique) —
+so the join is exact and dedup-free at any grid size.
+
+Nearest/kNN add a **fallback stage**: rows whose local minimum exceeds
+the search radius (or with < k in-radius candidates) cannot trust the
+padded neighborhood — exactly the reference's documented sparse-target
+caveat (/root/reference/R/scale_process.R:14-22) — and are re-resolved
+against the (broadcast) full context. The result is exact at every
+grid size, not just "close".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chopin_spark.grid import RectGrid
+
+
+def _dist(x1, y1, x2, y2):
+    dx, dy = F.col(x1) - F.col(x2), F.col(y1) - F.col(y2)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def _prep(
+    keyed: DataFrame, context: DataFrame, grid: RectGrid,
+    keyed_cols: list[str], context_cols: list[str],
+) -> DataFrame:
+    """Candidate pairs: keyed ⋈ context on cgridid, distance attached."""
+    k = grid.assign_core(keyed.select(*keyed_cols, grid.x_col, grid.y_col))
+    c = (
+        grid.assign_padded(context)
+        .drop("is_core")
+        .select(
+            "cgridid",
+            *[F.col(col).alias(f"c_{col}") for col in context_cols],
+            F.col(grid.x_col).alias("_cx"),
+            F.col(grid.y_col).alias("_cy"),
+        )
+    )
+    return k.join(c, "cgridid").withColumn(
+        "_d", _dist(grid.x_col, grid.y_col, "_cx", "_cy")
+    )
+
+
+def nearest_join(
+    keyed: DataFrame, context: DataFrame, grid: RectGrid,
+    keyed_id: str, context_id: str, radius: float,
+) -> DataFrame:
+    """Exact nearest-neighbor join (terra::nearest under par_grid,
+    /root/reference/README.md:1065-1118). Ties broken by context id —
+    deterministic, partition-count-independent. Returns
+    (keyed_id, nn_id, nn_dist). grid.pad must equal `radius`.
+    """
+    pairs = _prep(keyed, context, grid, [keyed_id], [context_id])
+    best = (
+        pairs.groupBy(keyed_id)
+        .agg(F.min(F.struct(F.col("_d"), F.col(f"c_{context_id}"))).alias("m"))
+        .select(
+            keyed_id,
+            F.col("m").getField(f"c_{context_id}").alias("nn_id"),
+            F.col("m").getField("_d").alias("nn_dist"),
+        )
+    )
+    found = best.filter(F.col("nn_dist") <= radius)
+    # fallback: no in-radius candidate → exact global resolve against the
+    # broadcast context (tiny miss set; at extreme scale swap in ring
+    # expansion on the cell index)
+    misses = keyed.join(found.select(keyed_id), keyed_id, "left_anti")
+    ctx = F.broadcast(
+        context.select(
+            F.col(context_id).alias("_fid"),
+            F.col(grid.x_col).alias("_cx"),
+            F.col(grid.y_col).alias("_cy"),
+        )
+    )
+    fb = (
+        misses.crossJoin(ctx)
+        .withColumn("_d", _dist(grid.x_col, grid.y_col, "_cx", "_cy"))
+        .groupBy(keyed_id)
+        .agg(F.min(F.struct(F.col("_d"), F.col("_fid"))).alias("m"))
+        .select(
+            keyed_id,
+            F.col("m").getField("_fid").alias("nn_id"),
+            F.col("m").getField("_d").alias("nn_dist"),
+        )
+    )
+    return found.unionByName(fb)
+
+
+def knn_join(
+    keyed: DataFrame, context: DataFrame, grid: RectGrid,
+    keyed_id: str, context_id: str, radius: float, k: int,
+) -> DataFrame:
+    """Exact k-nearest-neighbors join. A row's local top-k is global iff
+    it found ≥ k candidates and its k-th distance ≤ radius; the rest go
+    through the exact fallback. Returns (keyed_id, rank, nn_id, nn_dist).
+    """
+    w = Window.partitionBy(keyed_id).orderBy("_d", f"c_{context_id}")
+    ranked = (
+        _prep(keyed, context, grid, [keyed_id], [context_id])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    stats = ranked.groupBy(keyed_id).agg(
+        F.max("_d").alias("_kth"), F.count(F.lit(1)).alias("_nc")
+    )
+    valid = stats.filter(
+        (F.col("_nc") == k) & (F.col("_kth") <= radius)
+    ).select(keyed_id)
+    found = ranked.join(valid, keyed_id, "left_semi").select(
+        keyed_id,
+        "rank",
+        F.col(f"c_{context_id}").alias("nn_id"),
+        F.col("_d").alias("nn_dist"),
+    )
+    misses = keyed.join(valid, keyed_id, "left_anti")
+    ctx = F.broadcast(
+        context.select(
+            F.col(context_id).alias("_fid"),
+            F.col(grid.x_col).alias("_cx"),
+            F.col(grid.y_col).alias("_cy"),
+        )
+    )
+    wf = Window.partitionBy(keyed_id).orderBy("_d", "_fid")
+    fb = (
+        misses.crossJoin(ctx)
+        .withColumn("_d", _dist(grid.x_col, grid.y_col, "_cx", "_cy"))
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            keyed_id, "rank",
+            F.col("_fid").alias("nn_id"), F.col("_d").alias("nn_dist"),
+        )
+    )
+    return found.unionByName(fb)
+
+
+def summarize_sedc(
+    sources: DataFrame, targets: DataFrame, grid: RectGrid,
+    source_id: str, value_cols: list[str],
+    bandwidth: float, threshold: float | None = None,
+) -> DataFrame:
+    """C4 summarize_sedc (/root/reference/R/processing.R:604-696):
+    distance-band range join + exponentially-decayed sum
+    `sum(exp(-3·d/bandwidth) · value)` per source, `_sedc`-suffixed
+    columns (:682-690); default threshold = 2·bandwidth (:624). The
+    reference's dense n×m distance matrix becomes the cell-index range
+    join; sources with no in-band target drop out (inner-join
+    semantics). grid.pad must equal the threshold.
+    """
+    threshold = 2.0 * bandwidth if threshold is None else threshold
+    # targets (the big fact side) stay exactly-once in their core cell;
+    # the small source side is the one exploded to padded cells — the
+    # explode factor lands on the dimension, not the 100 TB table.
+    pairs = _prep(targets, sources, grid, value_cols, [source_id]).filter(
+        F.col("_d") <= threshold
+    )
+    wcol = F.exp(F.lit(-3.0) * F.col("_d") / bandwidth)
+    aggs = [
+        F.round(F.sum(wcol * F.col(v)), 4).alias(f"{v}_sedc")
+        for v in value_cols
+    ] + [F.count(F.lit(1)).alias("n_within")]
+    return pairs.groupBy(
+        F.col(f"c_{source_id}").alias(source_id)
+    ).agg(*aggs)
