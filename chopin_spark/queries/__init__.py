@@ -22,7 +22,7 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-_MODULES = ("relational", "spatial", "hierarchy", "vector")
+_MODULES = ("relational", "spatial", "hierarchy", "vector", "zonal")
 
 
 def load_all() -> dict:

@@ -1,0 +1,274 @@
+"""Zonal-statistics queries (SURVEY.md §2.3 C1–C3 + §2.2 R3).
+
+Raster pixels are integer LCG functions of (pixel index, raster id), so
+the DuckDB oracles regenerate the raster from `generate_series` and the
+comparison is exact: all sums are bigint (associative — immune to
+partition ordering), kernel weights are quantized to integers, and the
+only doubles are final divisions + ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark import sqlexpr as sx, zones as Z
+from chopin_spark.kernels import kernel_sql, quantize_sql
+from chopin_spark.queries import register
+from chopin_spark.raster import (
+    NPX, NPY, PH, PW, V_MOD, V_MX, V_MY, V_SEED,
+    corrupt_raster_ids, extract_at, raster_tiles_df,
+)
+from chopin_spark.tables import load
+
+# pixel-center coordinate expressions (shared SQL text)
+_PCX = f"((i + 0.5) * {PW!r})"
+_PCY = f"((j + 0.5) * {PH!r})"
+
+_PX_GRID = (
+    f"SELECT i, j FROM generate_series(0, {NPX - 1}) s(i), "
+    f"generate_series(0, {NPY - 1}) t(j)"
+)
+
+
+# --- C1 extract_at over admin zones ---------------------------------------
+
+_TRACTS_ORACLE = f"""
+WITH px AS ({_PX_GRID})
+SELECT 'r0' AS raster_id,
+       {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
+       ROUND(CAST(SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS DOUBLE)
+             / COUNT(*), 4) AS mean_val,
+       COUNT(*) AS n_pixels
+FROM px
+GROUP BY 1, 2
+"""
+
+
+@register("extract_at_tracts", _TRACTS_ORACLE)
+def extract_at_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 extract_at, polygon branch
+    (/root/reference/R/processing.R:148-228): zonal mean of raster r0
+    over the 256 tracts. Tile⋈zone candidates via index arithmetic
+    (broadcast, equi-join on tile_id); per-(tile,zone) integer partial
+    sums in an Arrow UDF; final sum/sum — partial+final aggregation,
+    the plan that holds at 100 TB."""
+    tiles = raster_tiles_df(spark, n_rasters=1)
+    rects = Z.zones_df(spark).select(
+        "zone_id", "xmin", "ymin", "xmax", "ymax"
+    )
+    return extract_at(tiles, rects, rect_id="zone_id").select(
+        "raster_id", "zone_id", "mean_val", "n_pixels"
+    )
+
+
+# --- C1 extract_at over point buffers --------------------------------------
+
+_RADIUS = 20_000.0
+_POIX = sx.x_expr("p_partkey")
+_POIY = sx.y_expr("p_partkey")
+
+_BUF_ORACLE = f"""
+WITH poi AS (
+  SELECT p_partkey, {_POIX} AS px, {_POIY} AS py FROM part
+),
+ii AS (
+  SELECT p_partkey, px, py,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR((px - {_RADIUS!r}) / {PW!r}) AS BIGINT) - 1),
+           LEAST({NPX - 1}, CAST(FLOOR((px + {_RADIUS!r}) / {PW!r}) AS BIGINT) + 1)
+         )) AS i
+  FROM poi
+),
+jj AS (
+  SELECT p_partkey, px, py, i,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR((py - {_RADIUS!r}) / {PH!r}) AS BIGINT) - 1),
+           LEAST({NPY - 1}, CAST(FLOOR((py + {_RADIUS!r}) / {PH!r}) AS BIGINT) + 1)
+         )) AS j
+  FROM ii
+),
+hit AS (
+  SELECT p_partkey, ((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS val
+  FROM jj
+  WHERE {_PCX} >= px - {_RADIUS!r} AND {_PCX} < px + {_RADIUS!r}
+    AND {_PCY} >= py - {_RADIUS!r} AND {_PCY} < py + {_RADIUS!r}
+)
+SELECT CAST(p_partkey AS STRING) AS pid,
+       ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 4) AS mean_val,
+       COUNT(*) AS n_pixels
+FROM hit GROUP BY 1
+"""
+
+
+@register("extract_at_buffers", _BUF_ORACLE)
+def extract_at_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 extract_at, point branch: points buffered by `radius`
+    (square caps — chopin buffers circular via st_buffer(nQuadSegs=90),
+    /root/reference/R/processing.R:184-192; the rectangular engine path
+    keeps membership exact), then zonal mean per point."""
+    poi = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("pid"),
+        (F.expr(_POIX) - _RADIUS).alias("xmin"),
+        (F.expr(_POIY) - _RADIUS).alias("ymin"),
+        (F.expr(_POIX) + _RADIUS).alias("xmax"),
+        (F.expr(_POIY) + _RADIUS).alias("ymax"),
+    )
+    tiles = raster_tiles_df(spark, n_rasters=1)
+    return extract_at(tiles, poi, rect_id="pid").select(
+        "pid", "mean_val", "n_pixels"
+    )
+
+
+# --- C3 kernel_weighting: kernel-weighted zonal mean ------------------------
+
+_BW = 20_000.0
+_KD = (
+    f"SQRT(({_PCX} - px) * ({_PCX} - px) + ({_PCY} - py) * ({_PCY} - py))"
+)
+_WQ = quantize_sql(kernel_sql(_KD, _BW, "quartic"))
+
+_KW_ORACLE = f"""
+WITH poi AS (
+  SELECT p_partkey, {_POIX} AS px, {_POIY} AS py FROM part
+),
+ii AS (
+  SELECT p_partkey, px, py,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR((px - {_BW!r}) / {PW!r}) AS BIGINT) - 1),
+           LEAST({NPX - 1}, CAST(FLOOR((px + {_BW!r}) / {PW!r}) AS BIGINT) + 1)
+         )) AS i
+  FROM poi
+),
+jj AS (
+  SELECT p_partkey, px, py, i,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR((py - {_BW!r}) / {PH!r}) AS BIGINT) - 1),
+           LEAST({NPY - 1}, CAST(FLOOR((py + {_BW!r}) / {PH!r}) AS BIGINT) + 1)
+         )) AS j
+  FROM ii
+),
+hit AS (
+  SELECT p_partkey,
+         ((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS val,
+         {_WQ} AS wq
+  FROM jj
+  WHERE {_PCX} >= px - {_BW!r} AND {_PCX} < px + {_BW!r}
+    AND {_PCY} >= py - {_BW!r} AND {_PCY} < py + {_BW!r}
+)
+SELECT CAST(p_partkey AS STRING) AS pid,
+       ROUND(CAST(SUM(wq * val) AS DOUBLE) / CAST(SUM(wq) AS DOUBLE), 4)
+         AS kw_mean,
+       COUNT(*) AS n_pixels
+FROM hit GROUP BY 1
+"""
+
+
+@register("kernel_weighting_poi", _KW_ORACLE)
+def kernel_weighting_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 .kernel_weighting (/root/reference/R/processing.R:50-124):
+    per-pixel distance point→pixel-center, quartic kernel weight ×
+    value, groupBy weighted mean. Quantized integer weights make the
+    distributed sum order-independent (exact vs the sequential oracle)."""
+    poi = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("pid"),
+        (F.expr(_POIX) - _BW).alias("xmin"),
+        (F.expr(_POIY) - _BW).alias("ymin"),
+        (F.expr(_POIX) + _BW).alias("xmax"),
+        (F.expr(_POIY) + _BW).alias("ymax"),
+        F.expr(_POIX).alias("cx"),
+        F.expr(_POIY).alias("cy"),
+    )
+    tiles = raster_tiles_df(spark, n_rasters=1)
+    out = extract_at(tiles, poi, rect_id="pid", kernel="quartic", bandwidth=_BW)
+    return out.select(
+        "pid", F.col("mean_val").alias("kw_mean"), "n_pixels"
+    )
+
+
+# --- R3 par_multirasters: fan-out + error rows ------------------------------
+
+_N_RASTERS, _CORRUPT_RID = 6, 5
+_CNT_CODE = (
+    f"(LPAD(CAST({Z.state_num_expr(_PCX, _PCY)} AS STRING), 2, '0') || "
+    f"LPAD(CAST({Z.county_num_expr(_PCX, _PCY)} AS STRING), 3, '0'))"
+)
+
+_MR_ORACLE = f"""
+WITH r AS (
+  SELECT UNNEST(generate_series(0, {_N_RASTERS - 2})) AS rid
+),
+px AS ({_PX_GRID}),
+v AS (
+  SELECT rid, {_CNT_CODE} AS county,
+         ((i * {V_MX} + j * {V_MY} + rid * {V_SEED}) % {V_MOD}) AS val
+  FROM r CROSS JOIN px
+),
+agg AS (
+  SELECT ('r' || CAST(rid AS STRING)) AS base_raster, county,
+         ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 4) AS mean_val,
+         COUNT(*) AS n_pixels
+  FROM v GROUP BY 1, 2
+)
+SELECT base_raster, county, mean_val, n_pixels,
+       CAST(NULL AS STRING) AS error_message
+FROM agg
+UNION ALL
+SELECT 'r{_CORRUPT_RID}', NULL, NULL, NULL, 'corrupt raster: values missing'
+"""
+
+
+@register("par_multirasters_zonal", _MR_ORACLE)
+def par_multirasters_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 par_multirasters (/root/reference/R/scale_process.R:686-787):
+    zonal means of 6 rasters × 64 counties in ONE plan — per-file task
+    fan-out becomes partition-by-raster_id; provenance column
+    base_raster (:764); corrupt raster → one error row, job proceeds
+    (row-count contract n_zones × n_files + 1,
+    /root/reference/tests/testthat/test-scale_process.R:1230-1234,:1324)."""
+    tiles = raster_tiles_df(
+        spark, n_rasters=_N_RASTERS, corrupt=(_CORRUPT_RID,)
+    )
+    rects = spark.createDataFrame(Z.county_rects_pdf())
+    good = extract_at(
+        tiles.filter(F.col("values").isNotNull()), rects, rect_id="county"
+    ).select(
+        F.col("raster_id").alias("base_raster"),
+        "county", "mean_val", "n_pixels",
+        F.lit(None).cast("string").alias("error_message"),
+    )
+    errors = corrupt_raster_ids(tiles).select(
+        F.col("raster_id").alias("base_raster"),
+        F.lit(None).cast("string").alias("county"),
+        F.lit(None).cast("double").alias("mean_val"),
+        F.lit(None).cast("long").alias("n_pixels"),
+        F.lit("corrupt raster: values missing").alias("error_message"),
+    )
+    return good.unionByName(errors)
+
+
+# --- C2 kernelfunction golden surface ---------------------------------------
+
+_KERNEL_ORACLE = f"""
+SELECT event_id,
+       ROUND({kernel_sql('value', 50.0, 'uniform')}, 4) AS k_uniform,
+       ROUND({kernel_sql('value', 50.0, 'quartic')}, 4) AS k_quartic,
+       ROUND({kernel_sql('value', 50.0, 'triweight')}, 4) AS k_triweight,
+       ROUND({kernel_sql('value', 50.0, 'epanechnikov')}, 4) AS k_epanechnikov
+FROM events
+"""
+
+
+@register("kernel_functions", _KERNEL_ORACLE)
+def kernel_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 kernelfunction (/root/reference/R/processing.R:23-42) over the
+    events value column — same SQL text in Spark and DuckDB; golden
+    values pinned in tests/test_zonal.py."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        *[
+            F.round(F.expr(kernel_sql("value", 50.0, k)), 4).alias(f"k_{k}")
+            for k in ("uniform", "quartic", "triweight", "epanechnikov")
+        ],
+    )

@@ -1,0 +1,219 @@
+"""Raster layer (SURVEY.md §1.1 'SpatRaster' → tile table; §2.3 C1/C3).
+
+A raster is a table of fixed-size tiles:
+``(raster_id, rid, tile_id, tile_row, tile_col, xmin..ymax,
+values: array<bigint>)`` — the columnar re-expression of chopin's
+`SpatRaster` (/root/reference/R/check.R:933-972). Tiles are generated
+*distributed* (spark.range → mapInPandas), never shipped from the
+driver — the reference's "spill in-memory raster to a temp GeoTIFF so
+workers get a path" workaround (/root/reference/R/check.R:979-1014)
+disappears: tiles are data, referenced by id.
+
+Pixel values are integer LCG draws of (pixel index, raster id):
+``(i·MX + j·MY + rid·SEED) % MOD`` — deterministic, regenerable in any
+engine (the DuckDB oracles recompute them), and integer so zonal sums
+are exact and associative (partition-order-independent).
+
+Zonal statistics (extract_at, C1, /root/reference/R/processing.R:148-228)
+is the classic two-stage join-agg:
+  rects exploded to candidate tile ids (index arithmetic, equi-join) →
+  per-(rect, tile) partial sums in an Arrow-batched pandas UDF →
+  final groupBy(rect).agg(sum/sum).
+Pixel membership is by pixel-center-in-rect (half-open), the exact
+analogue of coverage_fraction for cell-aligned zones; kernel weighting
+(C3, /root/reference/R/processing.R:50-124) multiplies in quantized
+kernel weights so the weighted mean stays exact-integer.
+
+Memory budgeting: TILE=32 → 1024 values/tile keeps every Arrow batch
+far below chopin's max_cells_in_memory=3e7 default
+(/root/reference/R/processing.R:324); at 100 TB the tile table is
+partitioned by raster_id and pruned by tile_id min/max stats.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark import EXTENT
+from chopin_spark.kernels import kernel_np, quantize_np
+
+NPX, NPY = 1024, 768  # pixel grid over the extent
+PW = (EXTENT[2] - EXTENT[0]) / NPX  # 781.25 m
+PH = (EXTENT[3] - EXTENT[1]) / NPY  # 781.25 m
+TILE = 32
+TNX, TNY = NPX // TILE, NPY // TILE  # 32 × 24 = 768 tiles
+TW, TH = TILE * PW, TILE * PH  # 25 km tile footprint
+
+V_MX, V_MY, V_SEED, V_MOD = 2654435761, 1103515245, 97531, 1_000_003
+
+
+def pixel_value_sql(i: str, j: str, rid: int) -> str:
+    """Pixel DN value — identical SQL text for Spark and DuckDB."""
+    return (
+        f"((({i}) * {V_MX} + ({j}) * {V_MY} + {rid} * {V_SEED}) % {V_MOD})"
+    )
+
+
+def tile_values(rid: int, tile_row: int, tile_col: int) -> np.ndarray:
+    """(TILE, TILE) int64 block, [local_j, local_i] row-major."""
+    gi = tile_col * TILE + np.arange(TILE, dtype=np.int64)
+    gj = tile_row * TILE + np.arange(TILE, dtype=np.int64)
+    return (gi[None, :] * V_MX + gj[:, None] * V_MY + rid * V_SEED) % V_MOD
+
+
+def raster_tiles_df(
+    spark: SparkSession, n_rasters: int = 1, corrupt: tuple[int, ...] = ()
+) -> DataFrame:
+    """Tile table for rasters r0..r{n-1}; corrupt rids get NULL values
+    (the reference's corrupt-GeoTIFF fixture,
+    /root/reference/tests/testthat/test-scale_process.R:1214-1234)."""
+    base = spark.range(n_rasters * TNX * TNY)
+    corrupt_set = set(corrupt)
+
+    schema = (
+        "raster_id string, rid int, tile_id long, tile_row int, tile_col int,"
+        " xmin double, ymin double, xmax double, ymax double,"
+        " values array<long>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rid = ids // (TNX * TNY)
+            t = ids % (TNX * TNY)
+            trow, tcol = t // TNX, t % TNX
+            vals = [
+                None
+                if r in corrupt_set
+                else tile_values(int(r), int(jr), int(jc)).ravel().tolist()
+                for r, jr, jc in zip(rid, trow, tcol)
+            ]
+            yield pd.DataFrame(
+                {
+                    "raster_id": [f"r{r}" for r in rid],
+                    "rid": rid.astype(np.int32),
+                    "tile_id": t,
+                    "tile_row": trow.astype(np.int32),
+                    "tile_col": tcol.astype(np.int32),
+                    "xmin": tcol * TW,
+                    "ymin": trow * TH,
+                    "xmax": (tcol + 1) * TW,
+                    "ymax": (trow + 1) * TH,
+                    "values": vals,
+                }
+            )
+
+    return base.mapInPandas(gen, schema)
+
+
+def _explode_rect_tiles(rects: DataFrame) -> DataFrame:
+    """rect → candidate tile_id list via index arithmetic (conservative;
+    the UDF's center-containment mask is the exact filter)."""
+    tx_lo = F.greatest(F.lit(0), F.floor(F.col("xmin") / TW).cast("int"))
+    tx_hi = F.least(F.lit(TNX - 1), F.floor(F.col("xmax") / TW).cast("int"))
+    ty_lo = F.greatest(F.lit(0), F.floor(F.col("ymin") / TH).cast("int"))
+    ty_hi = F.least(F.lit(TNY - 1), F.floor(F.col("ymax") / TH).cast("int"))
+    return (
+        rects.withColumn("_tx", F.explode(F.sequence(tx_lo, tx_hi)))
+        .withColumn("_ty", F.explode(F.sequence(ty_lo, ty_hi)))
+        .withColumn("tile_id", F.col("_ty").cast("long") * TNX + F.col("_tx"))
+        .drop("_tx", "_ty")
+    )
+
+
+def extract_at(
+    tiles: DataFrame,
+    rects: DataFrame,
+    rect_id: str = "rect_id",
+    kernel: str | None = None,
+    bandwidth: float | None = None,
+) -> DataFrame:
+    """C1 extract_at: zonal mean of raster values over rects.
+
+    rects: (rect_id, xmin, ymin, xmax, ymax[, cx, cy]) — zones, grid
+    cells, or square point-buffers (chopin buffers points by `radius`,
+    /root/reference/R/processing.R:184-192; here square caps). With
+    `kernel`, per-pixel distances to (cx, cy) are weighted by the
+    quantized C2 kernel — C3 .kernel_weighting
+    (/root/reference/R/processing.R:50-124).
+
+    Returns (raster_id, rect_id, mean_val, n_pixels). Corrupt tiles
+    (NULL values) are skipped here; par_multirasters-style error rows
+    are the caller's contract (see queries.zonal).
+    """
+    kern = kernel
+    bw = bandwidth
+    has_kernel = kern is not None
+    cols = [rect_id, "xmin", "ymin", "xmax", "ymax"] + (
+        ["cx", "cy"] if has_kernel else []
+    )
+    cand = F.broadcast(_explode_rect_tiles(rects.select(*cols)))
+    # column-prune the tile side: bbox is derivable from tile_row/col and
+    # the rect bounds are the ones the UDF windows on
+    joined = tiles.select(
+        "tile_id", "raster_id", "tile_row", "tile_col", "values"
+    ).join(cand, "tile_id")
+
+    part_schema = (
+        f"raster_id string, {rect_id} string, vsum long, wsum long, cnt long"
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "raster_id": [], rect_id: [],
+                "vsum": [], "wsum": [], "cnt": [],
+            }
+            for row in pdf.itertuples(index=False):
+                if row.values is None:
+                    continue
+                vals = np.asarray(row.values, dtype=np.int64).reshape(
+                    TILE, TILE
+                )
+                gi = row.tile_col * TILE + np.arange(TILE)
+                gj = row.tile_row * TILE + np.arange(TILE)
+                cx_px = (gi + 0.5) * PW
+                cy_px = (gj + 0.5) * PH
+                mi = (cx_px >= row.xmin) & (cx_px < row.xmax)
+                mj = (cy_px >= row.ymin) & (cy_px < row.ymax)
+                if not mi.any() or not mj.any():
+                    continue
+                sub = vals[np.ix_(mj, mi)]
+                if has_kernel:
+                    dx = cx_px[mi][None, :] - row.cx
+                    dy = cy_px[mj][:, None] - row.cy
+                    d = np.sqrt(dx * dx + dy * dy)
+                    wq = quantize_np(kernel_np(d, bw, kern))
+                    vsum = int((wq * sub).sum())
+                    wsum = int(wq.sum())
+                else:
+                    vsum = int(sub.sum())
+                    wsum = int(sub.size)
+                out["raster_id"].append(row.raster_id)
+                out[rect_id].append(getattr(row, rect_id))
+                out["vsum"].append(vsum)
+                out["wsum"].append(wsum)
+                out["cnt"].append(int(sub.size))
+            yield pd.DataFrame(out)
+
+    parts = joined.mapInPandas(partials, part_schema)
+    return (
+        parts.groupBy("raster_id", rect_id)
+        .agg(
+            F.round(
+                F.sum("vsum").cast("double") / F.sum("wsum").cast("double"), 4
+            ).alias("mean_val"),
+            F.sum("cnt").alias("n_pixels"),
+        )
+    )
+
+
+def corrupt_raster_ids(tiles: DataFrame) -> DataFrame:
+    """Distinct raster_ids with NULL tiles — the error-row side of the
+    par_multirasters contract."""
+    return tiles.filter(F.col("values").isNull()).select("raster_id").distinct()

@@ -150,3 +150,23 @@ def zones_pdf() -> pd.DataFrame:
 def zones_df(spark):
     """Zone dimension as a Spark DataFrame (broadcast-sized: 256 rows)."""
     return spark.createDataFrame(zones_pdf())
+
+
+def county_rects_pdf() -> pd.DataFrame:
+    """The 64 county rectangles (level above tracts): code 'SSCCC'."""
+    rows = []
+    cw, ch = (8e5 / 8), (6e5 / 8)
+    for cyi in range(8):
+        for cxi in range(8):
+            state = (cyi // 4) * 2 + (cxi // 4)
+            county = (cyi % 4) * 4 + (cxi % 4)
+            rows.append(
+                {
+                    "county": f"{state:02d}{county:03d}",
+                    "xmin": cxi * cw,
+                    "ymin": cyi * ch,
+                    "xmax": (cxi + 1) * cw,
+                    "ymax": (cyi + 1) * ch,
+                }
+            )
+    return pd.DataFrame(rows)

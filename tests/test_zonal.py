@@ -1,0 +1,58 @@
+"""Zonal/kernel tests: reference-pinned golden kernel values
+(/root/reference/tests/testthat/test-processing.R:986-1010) and
+structural invariants of the tile table + extract_at."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from chopin_spark.kernels import kernel_np
+from chopin_spark.raster import TILE, TNX, TNY, tile_values
+
+
+GOLDEN = {
+    # d = (0, 5, 10, 15), bw = 10 — exact reference values
+    "uniform": [0.5, 0.5, 0.5, 0.0],
+    "quartic": [0.9375, 0.52734375, 0.0, 0.0],
+    "triweight": [1.0, 0.875, 0.0, 0.0],
+    "epanechnikov": [0.75, 0.5625, 0.0, 0.0],
+}
+
+
+@pytest.mark.parametrize("kernel,want", GOLDEN.items())
+def test_kernel_golden_values(kernel, want):
+    d = np.array([0.0, 5.0, 10.0, 15.0])
+    got = kernel_np(d, 10.0, kernel)
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_kernel_unknown_errors():
+    with pytest.raises(ValueError):
+        kernel_np(np.array([1.0]), 10.0, "hyperbolic")
+
+
+def test_tile_values_deterministic_and_int():
+    a = tile_values(0, 3, 7)
+    b = tile_values(0, 3, 7)
+    assert a.shape == (TILE, TILE)
+    assert a.dtype == np.int64
+    np.testing.assert_array_equal(a, b)
+    assert (a >= 0).all() and (a < 1_000_003).all()
+    # different raster id → different values
+    assert (tile_values(1, 3, 7) != a).any()
+
+
+def test_extract_at_tract_pixel_counts(spark):
+    """Each tract is 64×48 aligned pixels → exactly 3072 per tract, and
+    the global pixel budget (1024×768) is partitioned exactly."""
+    from chopin_spark import zones as Z
+    from chopin_spark.raster import extract_at, raster_tiles_df
+
+    tiles = raster_tiles_df(spark, n_rasters=1)
+    rects = Z.zones_df(spark).select("zone_id", "xmin", "ymin", "xmax", "ymax")
+    out = extract_at(tiles, rects, rect_id="zone_id").collect()
+    assert len(out) == 256
+    assert all(r["n_pixels"] == 64 * 48 for r in out)
+    assert sum(r["n_pixels"] for r in out) == 1024 * 768
+    assert TNX * TNY == 768
