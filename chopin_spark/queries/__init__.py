@@ -22,7 +22,10 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-_MODULES = ("relational", "spatial", "hierarchy", "vector", "zonal")
+_MODULES = (
+    "relational", "spatial", "hierarchy", "vector", "zonal", "textops",
+    "simsearch", "multimodal",
+)
 
 
 def load_all() -> dict:

@@ -1,0 +1,171 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark.queries import register
+from chopin_spark.simsearch import ann_lsh_topk, cosine_topk, dot_fold
+from chopin_spark.tables import load
+
+_DIM = 64
+
+# DuckDB twin of the sequential dot-product fold (identical order →
+# identical doubles)
+_DOT = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),"
+    " LIST_TRANSFORM(generate_series(1, {d}),"
+    "   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),"
+    " (a, b) -> a + b)"
+).format(d=_DIM)
+_NORM_E = (
+    "SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),"
+    " LIST_TRANSFORM(generate_series(1, {d}),"
+    "   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),"
+    " (a, b) -> a + b))"
+).format(d=_DIM)
+_NORM_Q = _NORM_E.replace("e.embedding", "q.embedding")
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+r AS (
+  SELECT vec_id, label, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT vec_id, label, cos_sim, rank FROM r WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk", _TOPK_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 against vec_id=0: the ANN
+    baseline. Dot products are left folds (order-deterministic vs the
+    DuckDB oracle); ranking ties broken by vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10).select(
+        "vec_id", "label", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# Label centroids with quantized components (exact integer sums →
+# partition-order-independent), long format (label, dim, centroid_q).
+_CENTROID_ORACLE = f"""
+WITH expl AS (
+  SELECT label, UNNEST(generate_series(1, {_DIM})) AS dim, embedding
+  FROM embeddings
+)
+SELECT label, dim,
+       ROUND(CAST(SUM(CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1048576)
+                           AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1048576.0), 6) AS centroid,
+       COUNT(*) AS n_vecs
+FROM expl GROUP BY 1, 2
+"""
+
+
+@register("embedding_label_centroids", _CENTROID_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: embeddings exploded to (label,
+    dim) with 2^20-quantized values so the distributed sum is exact —
+    the vector-aggregation building block for IVF coarse quantizers."""
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label",
+        F.explode(F.sequence(F.lit(1), F.lit(_DIM))).alias("dim"),
+        "embedding",
+    ).select(
+        "label",
+        "dim",
+        F.floor(
+            F.element_at("embedding", F.col("dim").cast("int")).cast("double")
+            * 1048576
+        )
+        .cast("long")
+        .alias("qv"),
+    )
+    return expl.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("qv").cast("double") / (F.count(F.lit(1)) * 1048576.0), 6
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@register("ann_lsh_topk", None)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 (hyperplane signatures) — the scale path;
+    recall vs brute force pinned in tests/test_simsearch.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, query_vec_id=0, k=10)
+
+
+# Brute-force pairwise high-similarity pairs among a label (embedding
+# near-dup detection): exact, oracle-checked.
+_PAIRS_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND(
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST_TRANSFORM(generate_series(1, {_DIM}),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE))),
+           (x, y) -> x + y)
+         / (SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+              LIST_TRANSFORM(generate_series(1, {_DIM}),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(a.embedding[i] AS DOUBLE))),
+              (x, y) -> x + y))
+            * SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+              LIST_TRANSFORM(generate_series(1, {_DIM}),
+                i -> CAST(b.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE))),
+              (x, y) -> x + y))), 4) AS cos_sim
+FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST_TRANSFORM(generate_series(1, {_DIM}),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE))),
+           (x, y) -> x + y)
+         / (SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+              LIST_TRANSFORM(generate_series(1, {_DIM}),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(a.embedding[i] AS DOUBLE))),
+              (x, y) -> x + y))
+            * SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+              LIST_TRANSFORM(generate_series(1, {_DIM}),
+                i -> CAST(b.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE))),
+              (x, y) -> x + y))), 4) >= 0.2
+"""
+
+
+@register("embedding_near_dup_pairs", _PAIRS_ORACLE)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label 0 (cos ≥ 0.2):
+    label = IVF-style coarse partition, pairwise refine inside the
+    partition only — never the global cross join."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == 0)
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("v1") < F.col("v2"))
+    cos = F.round(
+        dot_fold("ea", "eb")
+        / (
+            F.sqrt(dot_fold("ea", "ea")) * F.sqrt(dot_fold("eb", "eb"))
+        ),
+        4,
+    )
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.2)
+        .select("v1", "v2", "cos_sim")
+    )

@@ -1,0 +1,217 @@
+"""Text-pipeline queries over the documents table: dedup, quality,
+language heuristic, fingerprinting. All oracle-checked except the
+LSH/SimHash internals (registered rows-only; their semantics are pinned
+by tests/test_textops.py against exact-Jaccard oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+from chopin_spark.textops import (
+    minhash_dedup_verified,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+# --- exact dedup ------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT md5(text) AS text_md5,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", _DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the content hash; canonical row =
+    min doc_id (deterministic survivor policy)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+# --- text quality / token stats ----------------------------------------------
+#
+# Token count via pure length arithmetic (texts are single-space
+# separated) so the SQL text is engine-agnostic; distinct-token and
+# stopword counts via list HOFs with identical semantics.
+
+_NTOK = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       {_NTOK} AS n_tokens,
+       LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+       LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       x -> x IN ('a', 'the'))) AS n_stop,
+       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / {_NTOK}, 4) AS mean_token_len,
+       ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                  x -> x IN ('a', 'the'))) AS DOUBLE)
+             / {_NTOK}, 4) AS stop_ratio
+FROM documents
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, type count, stopword ratio, mean
+    token length — linear scan, zero shuffles, full codegen."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.expr(_NTOK)
+    toks = F.split(F.col("text"), " ")
+    nstop = F.size(F.filter(toks, lambda x: x.isin("a", "the")))
+    return docs.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        nstop.alias("n_stop"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+                "double"
+            )
+            / ntok,
+            4,
+        ).alias("mean_token_len"),
+        F.round(nstop.cast("double") / ntok, 4).alias("stop_ratio"),
+    )
+
+
+# --- language-id heuristic -----------------------------------------------------
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                   x -> x IN ('a', 'the'))) AS DOUBLE) / {_NTOK} >= 0.05
+              THEN 'en' ELSE 'unk' END AS predicted
+  FROM documents
+)
+SELECT lang, predicted, COUNT(*) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
+@register("lang_id_stopword", _LANG_ORACLE)
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic (n-gram-lexicon shape) and its
+    confusion matrix against the labeled lang column."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ratio = F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast(
+        "double"
+    ) / F.expr(_NTOK)
+    return (
+        docs.select(
+            "lang",
+            F.when(ratio >= 0.05, "en").otherwise("unk").alias("predicted"),
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- rolling-hash document fingerprint -----------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT),
+           LIST_TRANSFORM(generate_series(1, LEAST(STRLEN(text), 100)),
+             i -> CAST(ASCII(SUBSTR(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (h, c) -> (h * 31 + c) % 1000000007) AS fp
+FROM documents
+"""
+
+
+@register("doc_fingerprint", _FP_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the first 100 chars (document
+    fingerprinting) — a left fold, evaluated JVM-side via the aggregate
+    HOF; bit-identical to the DuckDB list_reduce oracle."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate("
+            " transform(sequence(1, least(length(text), 100)),"
+            "           i -> cast(ascii(substring(text, i, 1)) as bigint)),"
+            " cast(0 as bigint),"
+            " (h, c) -> (h * 31 + c) % 1000000007)"
+        ).alias("fp"),
+    )
+
+
+# --- n-gram Jaccard near-dup pairs ---------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4])) AS shingle
+  FROM toks WHERE LEN(w) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs (threshold 0.5) via
+    inverted-index self-join — the exact baseline the MinHash-LSH path
+    approximates."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+# --- MinHash-LSH and SimHash (engine paths; rows-only driver checks) -----------
+
+
+@register("minhash_lsh_dedup", None)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) → 8-band LSH candidates → exact-Jaccard verify ≥0.9.
+    Non-SQL-expressible (xxhash64 signatures); recall pinned against the
+    exact-Jaccard oracle in tests/test_textops.py."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_dedup_verified(docs, threshold=0.9)
+
+
+@register("minhash_lsh_candidates", None)
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw LSH band-bucket candidate pairs (pre-verification)."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+@register("simhash_fingerprints", None)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (pure column math, one groupBy)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs)

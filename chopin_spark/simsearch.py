@@ -1,0 +1,172 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Cosine similarity is evaluated as a LEFT FOLD over the array indices
+(`aggregate(sequence(...))` HOF) — JVM-side, and crucially
+*order-deterministic*: the same fold order as the DuckDB list_reduce
+oracle, so doubles match bit-for-bit and top-k rankings are identical.
+
+Two plans:
+- brute-force top-k: scan × broadcast query vector — the exact baseline
+  (one pass, no shuffle until the top-k TakeOrdered);
+- LSH-bucketed ANN: deterministic random-hyperplane signatures →
+  bucket equi-join — the 100 TB path (candidates per bucket, not per
+  row). Recall pinned against brute force in tests/test_simsearch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+
+
+def dot_fold(a: str | Column, b: str | Column) -> Column:
+    """Sequential dot product of two array<float> columns (cast to
+    double element-wise; left fold — deterministic summation order)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_fold(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(dot_fold(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int
+) -> DataFrame:
+    """Exact top-k by cosine against one stored vector. The query row is
+    broadcast (in-plan, no driver collect); ranking = (rounded cosine
+    desc, vec_id) — fully deterministic under ties."""
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot_fold("embedding", "qvec")
+                / (norm_fold("embedding") * norm_fold("qvec")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    # TakeOrderedAndProject for the top-k, then rank the tiny k-row set
+    return (
+        scored.orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cos_sim"), "vec_id")),
+        )
+    )
+
+
+def hyperplane_signature(emb: Column, n_planes: int = 16) -> Column:
+    """Deterministic random-hyperplane LSH signature: plane p has
+    pseudo-random ±1 components sign(sin(p·DIM + i)) — a fixed function
+    of (p, i), reproducible anywhere, no stored model. Bit p =
+    sign(dot(emb, plane_p))."""
+    bits = []
+    for p in range(n_planes):
+        s = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(DIM - 1)),
+                    lambda i: F.when(
+                        F.sin(i.cast("double") + F.lit(float(p * DIM))) >= 0,
+                        1.0,
+                    ).otherwise(-1.0),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(s >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bits.append(F.shiftleft(bit, p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded hyperplane-LSH ANN (OR-construction, same shape as
+    MinHash banding): the signature splits into `bands` groups of
+    n_planes/bands bits; a row is a candidate if ANY band matches the
+    query's. Exact cosine rank within the candidate set. At 10^12 rows
+    the (band, bits) pair is the bucket-join key → candidates per band
+    bucket, never a full scan; recall follows the LSH S-curve (pinned
+    on clustered data in tests/test_simsearch.py — near-orthogonal
+    vectors legitimately fall back toward brute force)."""
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    sig = embeddings.withColumn(
+        "_sig", hyperplane_signature(F.col("embedding"), n_planes)
+    )
+    band_rows = sig.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), b * r)
+                        .bitwiseAND(mask)
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "label", "embedding", "bb.band", "bb.bits")
+    q = F.broadcast(
+        band_rows.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qvec"),
+            F.col("band").alias("qband"),
+            F.col("bits").alias("qbits"),
+        )
+    )
+    cand = (
+        band_rows.join(
+            q,
+            (F.col("band") == F.col("qband"))
+            & (F.col("bits") == F.col("qbits")),
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", "embedding", "qvec")
+        .dropDuplicates(["vec_id"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot_fold("embedding", "qvec")
+                / (norm_fold("embedding") * norm_fold("qvec")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return cand.orderBy(F.desc("cos_sim"), "vec_id").limit(k)

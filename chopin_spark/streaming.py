@@ -1,0 +1,100 @@
+"""Structured Streaming extension (SURVEY.md §2.5 'streaming' row).
+
+The reference is batch-only; its single temporal operator is the
+tumbling time floor (C7 summarize_st,
+/root/reference/R/processing.R:1158-1202). That operator extends
+naturally to a stream: readStream → watermark → windowed aggregation.
+The grid/zone assignment columns are plain expressions, so the same
+spatial partitioning applies to streams unchanged — a streaming
+par_grid is `groupBy(window(ts), cgridid)`.
+
+Sinks here are parquet/memory with availableNow triggers (test-sized);
+on a cluster the same plans run continuous with checkpointLocation on
+durable storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_events(
+    spark: SparkSession, src_dir: str, schema: StructType
+) -> DataFrame:
+    """File-source stream over an events directory (one file = one
+    micro-batch unit; Iceberg/Kafka swap in transparently)."""
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window per-type aggregation with late-data watermark —
+    streaming summarize_st. Output schema (window_start, event_type,
+    n_events, sum_value) matches the batch date_trunc query so the
+    stream==batch equivalence is testable row-for-row.
+
+    The event-time column is cast to session-TZ TIMESTAMP first
+    (parquet NTZ timestamps are not valid event time for watermarks)."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_grid_counts(
+    events: DataFrame,
+    cell_expr: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming par_grid: tumbling window × grid cell — chopin's
+    partition scheme applied to a stream (cell assignment is a column
+    expression, identical in batch and streaming plans)."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("cgridid", F.expr(cell_expr))
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "cgridid")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "cgridid", "n_events"
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available into an in-memory sink
+    (test/bench harness; swap for .format('parquet')/.toTable on a
+    cluster)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling benchmark (north rule evidence).
+
+The sandbox proxy for N vs 4N executors is local[8] vs local[32] on the
+SAME machine and SAME input: each run is a fresh JVM (subprocess) so
+neither warms the other. The job is the flagship spatial-join + tiling
+pipeline over a generated pages table:
+
+  pages (spark.range → deterministic LCG geocode)         [no I/O skew]
+    → cgridid (regular grid), hex cell, quad cell, morton  [column math]
+    → zone_id (PIP against the quadtree admin hierarchy)   [arithmetic PIP]
+    → broadcast join to the 256-zone dimension (pop attr)
+    → per-(zone, cell) aggregation                         [one shuffle]
+
+Throughput = pages / wall-seconds of the action (plan build + execute;
+session startup excluded). Scaling efficiency =
+(thr_32 / thr_8) / (32 / 8). Results → BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [n_pages] (default 60_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_JOB = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from chopin_spark.session import get_session
+from chopin_spark import sqlexpr as sx, zones as Z
+from pyspark.sql import functions as F
+
+cpus, n = {cpus}, {n}
+spark = get_session(master=f"local[{{cpus}}]", app_name=f"scale-{{cpus}}",
+                    shuffle_partitions=cpus)
+x, y = sx.x_expr("id"), sx.y_expr("id")
+zones = F.broadcast(
+    Z.zones_df(spark).select("zone_id", "pop")
+)
+pages = (
+    spark.range(0, n, 1, numPartitions=cpus * 4)
+    .withColumn("cgridid", F.expr(sx.grid_cell_expr(x, y, 16, 12)))
+    .withColumn("hex_cell", F.expr(sx.hex_cell_expr(x, y, 40_000.0)))
+    .withColumn("quad_cell", F.expr(sx.quad_cell_expr(x, y, 6)))
+    .withColumn("zone_id", F.expr(Z.zone_id_expr(x, y)))
+)
+out = (
+    pages.join(zones, "zone_id")
+    .groupBy("zone_id", "cgridid")
+    .agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("hex_cell").alias("s1"),
+        F.sum("quad_cell").alias("s2"),
+        F.min("pop").alias("pop"),
+    )
+)
+out.count()  # warm: JIT + codegen + broadcast
+t0 = time.perf_counter()
+rows = out.count()
+wall = time.perf_counter() - t0
+print(json.dumps({{"cpus": cpus, "rows": rows, "wall_sec": wall,
+                   "pages_per_sec": n / wall}}))
+spark.stop()
+"""
+
+
+def run(cpus: int, n: int) -> dict:
+    code = _JOB.format(repo=REPO, cpus=cpus, n=n)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"scaling run cpus={cpus} failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000_000
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo, n), run(hi, n)
+    eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+North-rule criterion: same job at N and 4N parallelism, throughput
+scaling efficiency >= 0.8. Sandbox proxy: `local[{lo}]` vs `local[{hi}]`,
+fresh JVM per run, identical input (generated pages table, n = {n:,}).
+
+Job: geocode (LCG) -> grid/hex/quad cell assignment -> arithmetic PIP
+against the quadtree admin hierarchy -> broadcast zone join ->
+per-(zone, cell) aggregation. One shuffle; zero Python in the hot path.
+
+| parallelism | wall (s) | pages/sec |
+|---|---|---|
+| local[{lo}] | {r_lo['wall_sec']:.3f} | {r_lo['pages_per_sec']:,.0f} |
+| local[{hi}] | {r_hi['wall_sec']:.3f} | {r_hi['pages_per_sec']:,.0f} |
+
+**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**
+(target >= 0.8: {"PASS" if eff >= 0.8 else "MISS"})
+
+Reproduce: `python scripts/scaling_bench.py {n}`
+"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(md)
+    print(json.dumps({"lo": r_lo, "hi": r_hi, "efficiency": eff}))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Streaming == batch equivalence for the windowed summarize_st
+extension (the engine invariant applied to Structured Streaming)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chopin_spark import sqlexpr as sx
+from chopin_spark.streaming import (
+    run_available_now,
+    stream_events,
+    windowed_counts,
+    windowed_grid_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    src = f"{SF_SMOKE}/events.parquet"
+    dst = tmp_path / "events_stream"
+    # re-write as a 4-file directory so the file source sees several
+    # input splits
+    spark.read.parquet(src).repartition(4).write.parquet(str(dst))
+    return str(dst)
+
+
+def test_stream_equals_batch_hourly(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in (
+            batch.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    stream = stream_events(spark, events_dir, batch.schema)
+    assert stream.isStreaming
+    out = windowed_counts(stream)
+    run_available_now(out, "hourly_counts", str(tmp_path / "ckpt"))
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hourly_counts").collect()
+    }
+    assert got == want
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+
+
+def test_streaming_grid_cells(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(events_dir)
+    cell = sx.grid_cell_expr(
+        sx.x_expr("event_id"), sx.y_expr("event_id"), 8, 6
+    )
+    want = {
+        (r["cgridid"], r["n"])
+        for r in batch.groupBy(F.expr(cell).alias("cgridid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stream = stream_events(spark, events_dir, batch.schema)
+    out = windowed_grid_counts(stream, cell, window="10000 hours")
+    run_available_now(out, "grid_counts", str(tmp_path / "ckpt2"))
+    rows = spark.sql("SELECT * FROM grid_counts").collect()
+    got = {}
+    for r in rows:
+        got[r["cgridid"]] = got.get(r["cgridid"], 0) + r["n_events"]
+    assert set(got.items()) == want

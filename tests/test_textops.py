@@ -1,0 +1,106 @@
+"""Text-op property tests: MinHash-LSH recall against the exact-Jaccard
+oracle, SimHash hamming behavior on planted near-dups, payload byte
+identity through the multimodal pipeline."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chopin_spark.textops import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Docs with planted near-duplicates: pairs (i, i+1000) differ by
+    one token in 40."""
+    base = [
+        " ".join(f"w{(i * 17 + k * 7) % 200}" for k in range(40))
+        for i in range(60)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows += [
+        {"doc_id": 1000 + i, "text": t.replace("w", "x", 1)}
+        for i, t in enumerate(base[:30])
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_lsh_recall_on_real_near_dups(spark, docs):
+    """Every exact-Jaccard ≥0.9 pair must appear in the LSH candidates
+    (at J≈0.9+ the 8×4 banding miss probability is ~2e-4 and the data
+    is fixed, so this is deterministic)."""
+    exact = {
+        (r["d1"], r["d2"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    cand = {
+        (r["d1"], r["d2"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert exact <= cand
+    # and LSH prunes: candidates far fewer than all pairs
+    n = docs.count()
+    assert len(cand) < n * (n - 1) / 20
+
+
+def test_lsh_finds_planted_dups(spark, planted):
+    cand = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs(planted).collect()}
+    planted_pairs = {(i, 1000 + i) for i in range(30)}
+    assert planted_pairs <= cand
+
+
+def test_simhash_near_dups_have_small_hamming(spark, planted):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(planted).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [ham(fp[i], fp[1000 + i]) for i in range(30)]
+    far = [ham(fp[i], fp[j]) for i in range(20) for j in range(30, 50)]
+    assert max(near) < 16  # one token changed out of 40
+    assert sum(far) / len(far) > sum(near) / len(near) + 8
+
+
+def test_payload_byte_identity(spark, docs):
+    """north-rule invariant: payload bytes pass through the multimodal
+    pipeline untouched — sha256 per doc equals sha256 of the source
+    text bytes."""
+    from chopin_spark.multimodal import attach_payload, extract_meta
+
+    out = extract_meta(attach_payload(docs)).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        want = hashlib.sha256(src[r["doc_id"]].encode()).hexdigest()
+        assert r["sha256"] == want
+        assert r["n_bytes"] == len(src[r["doc_id"]].encode())
+
+
+def test_fake_decode_stub_raises(spark):
+    from chopin_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_simhash_is_deterministic(spark, docs):
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs.limit(50)).collect()}
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs.limit(50).repartition(7)).collect()
+    }
+    assert a == b
