@@ -163,43 +163,64 @@ def extract_at(
         f"raster_id string, {rect_id} string, vsum long, wsum long, cnt long"
     )
 
+    _CHUNK = 4096  # rows per vectorized block: (4096, 32, 32) ≈ 33 MB
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ar = np.arange(TILE)
         for pdf in batches:
-            out = {
-                "raster_id": [], rect_id: [],
-                "vsum": [], "wsum": [], "cnt": [],
-            }
-            for row in pdf.itertuples(index=False):
-                if row.values is None:
-                    continue
-                vals = np.asarray(row.values, dtype=np.int64).reshape(
-                    TILE, TILE
+            pdf = pdf[pdf["values"].notna()]
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        "raster_id": pd.Series(dtype="object"),
+                        rect_id: pd.Series(dtype="object"),
+                        "vsum": pd.Series(dtype="int64"),
+                        "wsum": pd.Series(dtype="int64"),
+                        "cnt": pd.Series(dtype="int64"),
+                    }
                 )
-                gi = row.tile_col * TILE + np.arange(TILE)
-                gj = row.tile_row * TILE + np.arange(TILE)
-                cx_px = (gi + 0.5) * PW
-                cy_px = (gj + 0.5) * PH
-                mi = (cx_px >= row.xmin) & (cx_px < row.xmax)
-                mj = (cy_px >= row.ymin) & (cy_px < row.ymax)
-                if not mi.any() or not mj.any():
-                    continue
-                sub = vals[np.ix_(mj, mi)]
+                continue
+            for lo in range(0, len(pdf), _CHUNK):
+                c = pdf.iloc[lo : lo + _CHUNK]
+                m = len(c)
+                # (m, TILE, TILE) int64 value blocks, [row j, col i]
+                v3 = np.asarray(
+                    np.stack(c["values"].to_numpy()), dtype=np.int64
+                ).reshape(m, TILE, TILE)
+                tcol = c["tile_col"].to_numpy()[:, None]
+                trow = c["tile_row"].to_numpy()[:, None]
+                cx_px = (tcol * TILE + ar[None, :] + 0.5) * PW  # (m, TILE)
+                cy_px = (trow * TILE + ar[None, :] + 0.5) * PH
+                xmin = c["xmin"].to_numpy()[:, None]
+                xmax = c["xmax"].to_numpy()[:, None]
+                ymin = c["ymin"].to_numpy()[:, None]
+                ymax = c["ymax"].to_numpy()[:, None]
+                mi = (cx_px >= xmin) & (cx_px < xmax)  # (m, TILE) cols
+                mj = (cy_px >= ymin) & (cy_px < ymax)  # (m, TILE) rows
+                mask = mj[:, :, None] & mi[:, None, :]  # (m, TILE, TILE)
+                cnt = mask.sum(axis=(1, 2)).astype(np.int64)
                 if has_kernel:
-                    dx = cx_px[mi][None, :] - row.cx
-                    dy = cy_px[mj][:, None] - row.cy
-                    d = np.sqrt(dx * dx + dy * dy)
-                    wq = quantize_np(kernel_np(d, bw, kern))
-                    vsum = int((wq * sub).sum())
-                    wsum = int(wq.sum())
+                    dx = cx_px - c["cx"].to_numpy()[:, None]  # (m, TILE)
+                    dy = cy_px - c["cy"].to_numpy()[:, None]
+                    d = np.sqrt(
+                        dx[:, None, :] ** 2 + dy[:, :, None] ** 2
+                    )  # (m, TILE, TILE)
+                    wq = quantize_np(kernel_np(d, bw, kern)) * mask
+                    vsum = (wq * v3).sum(axis=(1, 2))
+                    wsum = wq.sum(axis=(1, 2))
                 else:
-                    vsum = int(sub.sum())
-                    wsum = int(sub.size)
-                out["raster_id"].append(row.raster_id)
-                out[rect_id].append(getattr(row, rect_id))
-                out["vsum"].append(vsum)
-                out["wsum"].append(wsum)
-                out["cnt"].append(int(sub.size))
-            yield pd.DataFrame(out)
+                    vsum = (v3 * mask).sum(axis=(1, 2))
+                    wsum = cnt
+                keep = cnt > 0
+                yield pd.DataFrame(
+                    {
+                        "raster_id": c["raster_id"].to_numpy()[keep],
+                        rect_id: c[rect_id].to_numpy()[keep],
+                        "vsum": vsum[keep],
+                        "wsum": wsum[keep],
+                        "cnt": cnt[keep],
+                    }
+                )
 
     parts = joined.mapInPandas(partials, part_schema)
     return (

@@ -76,22 +76,19 @@ def cosine_topk(
 def hyperplane_signature(emb: Column, n_planes: int = 16) -> Column:
     """Deterministic random-hyperplane LSH signature: plane p has
     pseudo-random ±1 components sign(sin(p·DIM + i)) — a fixed function
-    of (p, i), reproducible anywhere, no stored model. Bit p =
-    sign(dot(emb, plane_p))."""
+    of (p, i) precomputed driver-side into literal arrays (no stored
+    model, no per-row array generation). Bit p = sign(dot(emb, plane_p))."""
+    import math
+
     bits = []
     for p in range(n_planes):
+        w = [
+            1.0 if math.sin(float(i) + float(p * DIM)) >= 0 else -1.0
+            for i in range(DIM)
+        ]
+        plane = F.array(*[F.lit(v) for v in w])
         s = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(DIM - 1)),
-                    lambda i: F.when(
-                        F.sin(i.cast("double") + F.lit(float(p * DIM))) >= 0,
-                        1.0,
-                    ).otherwise(-1.0),
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(emb, plane, lambda x, ww: x.cast("double") * ww),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
