@@ -152,75 +152,88 @@ def extract_at(
     cols = [rect_id, "xmin", "ymin", "xmax", "ymax"] + (
         ["cx", "cy"] if has_kernel else []
     )
-    cand = F.broadcast(_explode_rect_tiles(rects.select(*cols)))
-    # column-prune the tile side: bbox is derivable from tile_row/col and
-    # the rect bounds are the ones the UDF windows on
+    # Candidate rects grouped per tile: each tile's 8 KB value array
+    # crosses the join and the Arrow boundary exactly ONCE, carrying the
+    # (small) list of rect windows that touch it — instead of one value
+    # copy per (tile, rect) pair. At 100 TB this is the difference
+    # between shuffling the raster once and shuffling it fan-out times.
+    cand = _explode_rect_tiles(rects.select(*cols))
+    cand_per_tile = F.broadcast(
+        cand.groupBy("tile_id").agg(
+            F.collect_list(F.struct(*cols)).alias("rects")
+        )
+    )
     joined = tiles.select(
         "tile_id", "raster_id", "tile_row", "tile_col", "values"
-    ).join(cand, "tile_id")
+    ).join(cand_per_tile, "tile_id")
 
     part_schema = (
         f"raster_id string, {rect_id} string, vsum long, wsum long, cnt long"
     )
 
-    _CHUNK = 4096  # rows per vectorized block: (4096, 32, 32) ≈ 33 MB
-
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ar = np.arange(TILE)
+        empty = pd.DataFrame(
+            {
+                "raster_id": pd.Series(dtype="object"),
+                rect_id: pd.Series(dtype="object"),
+                "vsum": pd.Series(dtype="int64"),
+                "wsum": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
         for pdf in batches:
             pdf = pdf[pdf["values"].notna()]
             if pdf.empty:
-                yield pd.DataFrame(
-                    {
-                        "raster_id": pd.Series(dtype="object"),
-                        rect_id: pd.Series(dtype="object"),
-                        "vsum": pd.Series(dtype="int64"),
-                        "wsum": pd.Series(dtype="int64"),
-                        "cnt": pd.Series(dtype="int64"),
-                    }
-                )
+                yield empty
                 continue
-            for lo in range(0, len(pdf), _CHUNK):
-                c = pdf.iloc[lo : lo + _CHUNK]
-                m = len(c)
-                # (m, TILE, TILE) int64 value blocks, [row j, col i]
-                v3 = np.asarray(
-                    np.stack(c["values"].to_numpy()), dtype=np.int64
-                ).reshape(m, TILE, TILE)
-                tcol = c["tile_col"].to_numpy()[:, None]
-                trow = c["tile_row"].to_numpy()[:, None]
-                cx_px = (tcol * TILE + ar[None, :] + 0.5) * PW  # (m, TILE)
-                cy_px = (trow * TILE + ar[None, :] + 0.5) * PH
-                xmin = c["xmin"].to_numpy()[:, None]
-                xmax = c["xmax"].to_numpy()[:, None]
-                ymin = c["ymin"].to_numpy()[:, None]
-                ymax = c["ymax"].to_numpy()[:, None]
-                mi = (cx_px >= xmin) & (cx_px < xmax)  # (m, TILE) cols
-                mj = (cy_px >= ymin) & (cy_px < ymax)  # (m, TILE) rows
-                mask = mj[:, :, None] & mi[:, None, :]  # (m, TILE, TILE)
+            frames = []
+            for row in pdf.itertuples(index=False):
+                rl = row.rects
+                k = len(rl)
+                if k == 0:
+                    continue
+                vals = np.asarray(row.values, dtype=np.int64).reshape(
+                    TILE, TILE
+                )
+                cx_px = (row.tile_col * TILE + ar + 0.5) * PW  # (TILE,)
+                cy_px = (row.tile_row * TILE + ar + 0.5) * PH
+                g = lambda f: np.fromiter(
+                    (r[f] for r in rl), dtype=np.float64, count=k
+                )
+                mi = (cx_px[None, :] >= g("xmin")[:, None]) & (
+                    cx_px[None, :] < g("xmax")[:, None]
+                )  # (k, TILE) cols
+                mj = (cy_px[None, :] >= g("ymin")[:, None]) & (
+                    cy_px[None, :] < g("ymax")[:, None]
+                )  # (k, TILE) rows
+                mask = mj[:, :, None] & mi[:, None, :]  # (k, TILE, TILE)
                 cnt = mask.sum(axis=(1, 2)).astype(np.int64)
                 if has_kernel:
-                    dx = cx_px - c["cx"].to_numpy()[:, None]  # (m, TILE)
-                    dy = cy_px - c["cy"].to_numpy()[:, None]
-                    d = np.sqrt(
-                        dx[:, None, :] ** 2 + dy[:, :, None] ** 2
-                    )  # (m, TILE, TILE)
+                    dx = cx_px[None, :] - g("cx")[:, None]  # (k, TILE)
+                    dy = cy_px[None, :] - g("cy")[:, None]
+                    d = np.sqrt(dx[:, None, :] ** 2 + dy[:, :, None] ** 2)
                     wq = quantize_np(kernel_np(d, bw, kern)) * mask
-                    vsum = (wq * v3).sum(axis=(1, 2))
+                    vsum = (wq * vals[None, :, :]).sum(axis=(1, 2))
                     wsum = wq.sum(axis=(1, 2))
                 else:
-                    vsum = (v3 * mask).sum(axis=(1, 2))
+                    vsum = (vals[None, :, :] * mask).sum(axis=(1, 2))
                     wsum = cnt
                 keep = cnt > 0
-                yield pd.DataFrame(
-                    {
-                        "raster_id": c["raster_id"].to_numpy()[keep],
-                        rect_id: c[rect_id].to_numpy()[keep],
-                        "vsum": vsum[keep],
-                        "wsum": wsum[keep],
-                        "cnt": cnt[keep],
-                    }
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "raster_id": row.raster_id,
+                            rect_id: np.array(
+                                [r[rect_id] for r in rl], dtype=object
+                            )[keep],
+                            "vsum": vsum[keep],
+                            "wsum": wsum[keep],
+                            "cnt": cnt[keep],
+                        }
+                    )
                 )
+            yield pd.concat(frames, ignore_index=True) if frames else empty
 
     parts = joined.mapInPandas(partials, part_schema)
     return (
