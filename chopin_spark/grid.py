@@ -324,6 +324,59 @@ def morton_code(x: Column, y: Column, extent=EXTENT, bits: int = 16) -> Column:
     return spread(ix).bitwiseOR(F.shiftleft(spread(iy), 1))
 
 
+def salted_key(
+    df: DataFrame,
+    key_col: str,
+    salt_counts: DataFrame,
+    target_rows: int,
+    row_key: str,
+) -> DataFrame:
+    """Count-aware salting (SURVEY.md §4 'skew mitigation — split large
+    partitions'): per-key salt fan-out n_salt = ceil(count/target) from
+    a count pre-pass; row's salt = pmod(hash(row_key), n_salt). Adds
+    `salt` and `salted_key` columns. Deterministic (hash of a stable
+    row key, never rand()) so lineage/resume stay valid.
+
+    salt_counts: (key_col, n) — usually `df.groupBy(key).count()`, tiny,
+    broadcast. Downstream: groupBy(salted_key) partial-agg, then
+    groupBy(key) final-agg — the classic two-phase re-aggregation
+    chopin approximates by re-splitting merged cells
+    (/root/reference/R/gridding.R:664-709).
+    """
+    ns = F.greatest(
+        F.lit(1), F.ceil(F.col("n") / F.lit(target_rows))
+    ).cast("int")
+    m = F.broadcast(salt_counts.select(key_col, ns.alias("_n_salt")))
+    return (
+        df.join(m, key_col, "left")
+        .withColumn(
+            "salt", F.pmod(F.hash(F.col(row_key)), F.coalesce("_n_salt", F.lit(1)))
+        )
+        .withColumn(
+            "salted_key",
+            F.concat_ws("_", F.col(key_col).cast("string"), F.col("salt")),
+        )
+        .drop("_n_salt")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    row_key: str,
+    aggs_partial: list,
+    aggs_final: list,
+    target_rows: int = 100_000,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: salt hot keys → partial agg on
+    (key, salt) → final agg on key. aggs_partial/aggs_final are the
+    partial and merge expressions (e.g. count→sum, sum→sum)."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    salted = salted_key(df, key_col, counts, target_rows, row_key)
+    partial = salted.groupBy(key_col, "salt").agg(*aggs_partial)
+    return partial.groupBy(key_col).agg(*aggs_final)
+
+
 def balanced_assign(
     df: DataFrame, k: int, id_col: str,
     x_col: str = "x", y_col: str = "y", extent=EXTENT,
