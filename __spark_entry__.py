@@ -16,12 +16,12 @@ sys.path.insert(0, "/root/repo")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: regular-grid cell assignment + per-cell aggregation on
-    the documents table (chopin par_make_grid + par_grid counting run,
-    SURVEY.md §7 step 2)."""
+    """Flagship: the spatial-join + tiling pipeline — geocode → PIP
+    join to the admin hierarchy → per-zone aggregation (SURVEY.md §7
+    step 2; the north-star query shape)."""
     from chopin_spark.queries import load_all
 
-    q = load_all()["par_make_grid_assign"][0]
+    q = load_all()["summarize_pp_zones"][0]
     return q(spark, "/root/testdata/sf0.001")
 
 

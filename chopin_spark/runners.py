@@ -181,6 +181,72 @@ def par_hierarchy(
     return df.groupBy("_hkey").applyInPandas(runner, out_schema)
 
 
+def par_hierarchy_spatial(
+    keyed: DataFrame,
+    regions: DataFrame,
+    fun: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    region_col: str,
+    length_left: int,
+    pad: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    debug: bool = False,
+) -> DataFrame:
+    """R2's spatial-fallback branch (/root/reference/R/scale_process.R:
+    509-562): when the fact side has NO region FK column, rows are
+    assigned to every prefix whose padded subregion bbox contains them
+    (the reference's `.intersect` against the buffered subregion,
+    :518-562). Rows inside the pad band of several prefixes are
+    duplicated — the reference documents exactly this dup/missing
+    caveat (:267-273); callers that need exactly-once semantics join a
+    FK and use par_hierarchy instead.
+
+    The prefix dimension (bbox per prefix) is tiny → broadcast
+    containment join, then one grouped-map stage."""
+    prefixes = F.broadcast(
+        regions.groupBy(
+            F.substring(F.col(region_col), 1, length_left).alias("_hkey")
+        ).agg(
+            (F.min("xmin") - pad).alias("_bx0"),
+            (F.min("ymin") - pad).alias("_by0"),
+            (F.max("xmax") + pad).alias("_bx1"),
+            (F.max("ymax") + pad).alias("_by1"),
+        )
+    )
+    assigned = keyed.join(
+        prefixes,
+        (F.col(x_col) >= F.col("_bx0"))
+        & (F.col(x_col) < F.col("_bx1"))
+        & (F.col(y_col) >= F.col("_by0"))
+        & (F.col(y_col) < F.col("_by1")),
+    ).drop("_bx0", "_by0", "_bx1", "_by1")
+
+    out_schema = _with_error_col(schema) if debug else schema
+    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+
+    def runner(k, pdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            res = fun(pdf.drop(columns=["_hkey"]))
+            if res is None:
+                return _empty_like(schema_cols)
+            if "hkey" in schema_cols and "hkey" not in res.columns:
+                res = res.assign(hkey=k[0])
+            if debug:
+                res = res.assign(**{ERROR_COL: None})
+            return res.reindex(columns=schema_cols)
+        except Exception:
+            if not debug:
+                return _empty_like(schema_cols)
+            row = {col: [None] for col in schema_cols}
+            if "hkey" in schema_cols:
+                row["hkey"] = [k[0]]
+            row[ERROR_COL] = [traceback.format_exc(limit=1).splitlines()[-1]]
+            return pd.DataFrame(row)
+
+    return assigned.groupBy("_hkey").applyInPandas(runner, out_schema)
+
+
 def par_multirasters(
     rasters: DataFrame,
     fun: Callable[[pd.DataFrame], pd.DataFrame],

@@ -10,7 +10,9 @@ def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) == {"cgridid", "n_pages", "avg_chars"}
+    assert set(df.columns) == {
+        "zone_id", "n_pages", "sum_chars", "avg_chars", "pop"
+    }
 
 
 def test_queries_and_oracles_aligned(spark):
