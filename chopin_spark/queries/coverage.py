@@ -196,6 +196,46 @@ def get_clip_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- salted skew-safe aggregation --------------------------------------------
+
+_SALT_ORACLE = f"""
+SELECT {sx.grid_cell_expr(_X, _Y, 4, 3)} AS cgridid,
+       COUNT(*) AS n_pages,
+       SUM(n_chars) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+@register("salted_zone_agg", _SALT_ORACLE)
+def salted_zone_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-aware salted two-phase aggregation (SURVEY.md §4 skew
+    split): hot cells fan out on a deterministic salt, partial-agg on
+    (cell, salt), final-agg on cell. Result is provably identical to
+    the direct aggregation (the oracle IS the direct aggregation) —
+    integer sums are associative, so salting is invisible."""
+    from chopin_spark.grid import salted_agg
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(sx.grid_cell_expr(_X, _Y, 4, 3)).alias("cgridid"),
+        "n_chars",
+    )
+    return salted_agg(
+        docs,
+        key_col="cgridid",
+        row_key="doc_id",
+        aggs_partial=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("n_chars").alias("pc"),
+        ],
+        aggs_final=[
+            F.sum("pn").alias("n_pages"),
+            F.sum("pc").alias("sum_chars"),
+        ],
+        target_rows=200,
+    )
+
+
 # --- JSON props --------------------------------------------------------------
 
 _JSON_ORACLE = """

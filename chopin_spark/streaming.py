@@ -83,6 +83,56 @@ def windowed_grid_counts(
     )
 
 
+def stateful_dedup(
+    stream_df: DataFrame, key_col: str, carry_cols: list[str]
+) -> DataFrame:
+    """Custom stateful operator: exactly-first-occurrence dedup across
+    micro-batches via applyInPandasWithState — keyed boolean state
+    (seen), NoTimeout. The streaming twin of the batch dedup_exact
+    survivor policy: only a key's first-ever row is emitted, regardless
+    of which micro-batch later duplicates arrive in."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType,
+    )
+
+    out_schema = ", ".join(
+        [f"{key_col} string"] + [f"{c} string" for c in carry_cols]
+    )
+    state_schema = StructType([StructField("seen", IntegerType())])
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        first = None
+        for pdf in pdfs:
+            if not state.exists and first is None and len(pdf):
+                first = pdf.iloc[:1]
+        if state.exists:
+            return
+        state.update((1,))
+        if first is not None:
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    **{c: first[c].astype(str).iloc[:1].tolist() for c in carry_cols},
+                }
+            )
+
+    cols = [key_col] + carry_cols
+    return (
+        stream_df.select(*cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            dedup_fn,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> None:

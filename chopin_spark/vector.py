@@ -73,7 +73,9 @@ def nearest_join(
             F.col("m").getField("_d").alias("nn_dist"),
         )
     )
-    found = best.filter(F.col("nn_dist") <= radius)
+    # found feeds both the result and the miss anti-join — persist so the
+    # candidate join runs once, not three times
+    found = best.filter(F.col("nn_dist") <= radius).persist()
     # fallback: no in-radius candidate → exact global resolve against the
     # broadcast context (tiny miss set; at extreme scale swap in ring
     # expansion on the cell index)
@@ -108,10 +110,13 @@ def knn_join(
     through the exact fallback. Returns (keyed_id, rank, nn_id, nn_dist).
     """
     w = Window.partitionBy(keyed_id).orderBy("_d", f"c_{context_id}")
+    # ranked feeds the stats, the semi-join, and the anti-join — persist
+    # so the shuffle+window stage executes once
     ranked = (
         _prep(keyed, context, grid, [keyed_id], [context_id])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .persist()
     )
     stats = ranked.groupBy(keyed_id).agg(
         F.max("_d").alias("_kth"), F.count(F.lit(1)).alias("_nc")

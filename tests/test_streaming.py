@@ -55,6 +55,40 @@ def test_stream_equals_batch_hourly(spark, events_dir, tmp_path):
     shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
 
 
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState dedup: a key duplicated across
+    micro-batches is emitted exactly once (state survives batches)."""
+    import pandas as pd
+
+    from chopin_spark.streaming import stateful_dedup
+
+    src = tmp_path / "dedup_src"
+    b1 = pd.DataFrame({"k": ["a", "b", "a"], "v": ["1", "2", "3"]})
+    b2 = pd.DataFrame({"k": ["b", "c", "a"], "v": ["4", "5", "6"]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "f2"))
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = stateful_dedup(stream, "k", ["v"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    keys = sorted(r["k"] for r in rows)
+    assert keys == ["a", "b", "c"]  # each key exactly once
+
+
 def test_streaming_grid_cells(spark, events_dir, tmp_path):
     batch = spark.read.parquet(events_dir)
     cell = sx.grid_cell_expr(
