@@ -1,0 +1,102 @@
+"""Property tests for the planar geometry kernels (hypothesis) and WKB
+round-trips."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from chopin_spark.geom.core import (
+    clip_polygon_rect,
+    pad_rect,
+    points_in_polygon,
+    points_in_rect,
+    polygon_area,
+    polygon_perimeter,
+    polsby_popper,
+    rect_intersection_area,
+)
+from chopin_spark.geom.wkb import decode, point_wkb, polygon_wkb, rect_wkb, wkt
+
+coord = st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False)
+
+
+@given(coord, coord)
+@settings(max_examples=200, deadline=None)
+def test_point_wkb_roundtrip(x, y):
+    kind, (gx, gy) = decode(point_wkb(x, y))
+    assert kind == "point" and gx == x and gy == y
+
+
+@given(
+    st.floats(0, 1e5), st.floats(0, 1e5),
+    st.floats(1.0, 1e5), st.floats(1.0, 1e5),
+)
+@settings(max_examples=100, deadline=None)
+def test_rect_wkb_roundtrip_and_area(x0, y0, w, h):
+    buf = rect_wkb(x0, y0, x0 + w, y0 + h)
+    kind, ring = decode(buf)
+    assert kind == "polygon"
+    assert polygon_area(ring) == np.float64(w) * np.float64(h) or abs(
+        polygon_area(ring) - w * h
+    ) < 1e-6 * max(1.0, w * h)
+    assert wkt(buf).startswith("POLYGON ((")
+
+
+@given(
+    st.floats(0, 9e4), st.floats(0, 9e4),
+    st.floats(1e3, 5e4), st.floats(1e3, 5e4),
+    st.floats(0, 1e5), st.floats(0, 1e5),
+)
+@settings(max_examples=200, deadline=None)
+def test_pip_rect_agrees_with_ray_cast(x0, y0, w, h, px, py):
+    """Ray-cast PIP on an axis-aligned rectangle must agree with direct
+    rect membership away from the boundary."""
+    ring = np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]]
+    )
+    on_edge = (
+        min(abs(px - x0), abs(px - (x0 + w))) < 1e-9
+        or min(abs(py - y0), abs(py - (y0 + h))) < 1e-9
+    )
+    if on_edge:
+        return
+    got = points_in_polygon(np.array([px]), np.array([py]), ring)[0]
+    want = points_in_rect(
+        np.array([px]), np.array([py]), x0, y0, x0 + w, y0 + h
+    )[0]
+    assert got == want
+
+
+@given(
+    st.floats(0, 5e4), st.floats(0, 5e4),
+    st.floats(1e3, 5e4), st.floats(1e3, 5e4),
+    st.floats(0, 5e4), st.floats(0, 5e4),
+    st.floats(1e3, 5e4), st.floats(1e3, 5e4),
+)
+@settings(max_examples=200, deadline=None)
+def test_clip_area_equals_rect_intersection(ax, ay, aw, ah, bx, by, bw, bh):
+    """Sutherland–Hodgman clip of rect A by rect B: area equals the
+    closed-form rectangle intersection."""
+    ring = np.array(
+        [[ax, ay], [ax + aw, ay], [ax + aw, ay + ah], [ax, ay + ah]]
+    )
+    clipped = clip_polygon_rect(ring, bx, by, bx + bw, by + bh)
+    want = rect_intersection_area(
+        (ax, ay, ax + aw, ay + ah), (bx, by, bx + bw, by + bh)
+    )
+    got = polygon_area(clipped) if len(clipped) >= 3 else 0.0
+    assert abs(got - want) <= 1e-6 * max(1.0, want)
+
+
+def test_polsby_popper_square_vs_strip():
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    strip = np.array([[0, 0], [10, 0], [10, 0.1], [0, 0.1]], dtype=float)
+    assert polsby_popper(sq) > 0.7
+    assert polsby_popper(strip) < 0.1
+    assert polygon_perimeter(sq) == 4.0
+
+
+def test_pad_rect_exactness():
+    assert pad_rect(0, 0, 10, 10, 2.5) == (-2.5, -2.5, 12.5, 12.5)
