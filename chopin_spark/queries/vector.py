@@ -23,7 +23,12 @@ _DY = sx.y_expr("doc_id")
 _PX = sx.x_expr("p_partkey")
 _PY = sx.y_expr("p_partkey")
 
-_RADIUS = 60_000.0
+# Search radius trades stage-1 hit rate against candidate volume; the
+# fallback stage keeps the result EXACT at any radius, so the choice is
+# purely a performance knob (smaller radius + finer grid → ~8× fewer
+# candidate pairs at sf0.1 than a 60 km radius on the coarse grid).
+_RADIUS = 20_000.0
+_GNX, _GNY = 16, 12  # 50 km cells; pad < cell ⇒ 3×3 candidate stencil
 _BW = 40_000.0  # sedc bandwidth; threshold = 2*bw (chopin default)
 
 
@@ -73,7 +78,7 @@ def nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback for sparse neighborhoods — exact at every grid size, unlike
     the reference's pad-bounded approximation
     (/root/reference/R/scale_process.R:14-22)."""
-    g = make_regular_grid(8, 6, pad=_RADIUS)
+    g = make_regular_grid(_GNX, _GNY, pad=_RADIUS)
     out = nearest_join(
         _docs_pts(spark, sf_dir), _poi_pts(spark, sf_dir), g,
         "doc_id", "pid", _RADIUS,
@@ -110,7 +115,7 @@ FROM r WHERE rn <= 3
 @register("knn3_poi", _KNN_ORACLE)
 def knn3_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN (k=3) join via padded cell candidates + fallback."""
-    g = make_regular_grid(8, 6, pad=_RADIUS)
+    g = make_regular_grid(_GNX, _GNY, pad=_RADIUS)
     out = knn_join(
         _docs_pts(spark, sf_dir), _poi_pts(spark, sf_dir), g,
         "doc_id", "pid", _RADIUS, k=3,
@@ -151,7 +156,7 @@ def summarize_sedc_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance-band join + sum(exp(-3d/bw)·value) per source with the
     `_sedc` suffix; threshold = 2·bandwidth. The reference's dense
     distance matrix (:666-674) becomes a cell-index range join."""
-    g = make_regular_grid(8, 6, pad=2.0 * _BW)
+    g = make_regular_grid(8, 6, pad=2.0 * _BW)  # sedc threshold 80 km < 100 km cell
     out = summarize_sedc(
         _poi_pts(spark, sf_dir), _docs_pts(spark, sf_dir), g,
         "pid", ["n_chars"], bandwidth=_BW,
