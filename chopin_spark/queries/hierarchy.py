@@ -135,7 +135,8 @@ ov AS (
 SELECT (LPAD(CAST(CAST(FLOOR(cyi / 4.0) AS BIGINT) * 2
               + CAST(FLOOR(cxi / 4.0) AS BIGINT) AS STRING), 2, '0')
         || LPAD(CAST((cyi % 4) * 4 + (cxi % 4) AS STRING), 3, '0')) AS county,
-       ROUND(SUM(area * v) / SUM(area), 4) AS aw_pages
+       ROUND(SUM(area * v) / SUM(area), 4) AS aw_pages,
+       ROUND(SUM(v * area / {_CELLW * _CELLH!r}), 4) AS aw_pages_sum
 FROM ov
 WHERE area > 0
 GROUP BY 1
@@ -199,9 +200,17 @@ def summarize_aw_counties(spark: SparkSession, sf_dir: str) -> DataFrame:
         ov.filter(F.col("area") > 0)
         .groupBy(county_code.alias("county"))
         .agg(
+            # intensive: weighted mean (st_interpolate_aw extensive=FALSE)
             F.round(
                 F.sum(F.col("area") * F.col("v")) / F.sum("area"), 4
-            ).alias("aw_pages")
+            ).alias("aw_pages"),
+            # extensive: apportioned sum — each cell's count split by the
+            # fraction of the cell each county covers
+            # (st_interpolate_aw extensive=TRUE,
+            # /root/reference/R/processing.R:886-894)
+            F.round(
+                F.sum(F.col("v") * F.col("area") / (_CELLW * _CELLH)), 4
+            ).alias("aw_pages_sum"),
         )
     )
 

@@ -30,6 +30,19 @@ from chopin_spark.grid import RectGrid
 ERROR_COL = "error_message"
 
 
+def par_convert_f(fun: Callable, **rename) -> Callable:
+    """R5 par_convert_f (/root/reference/R/scale_process.R:873-894):
+    adapt a user function whose parameter names differ from the
+    engine's x/y convention — `par_convert_f(f, x='points', y='raster')`
+    calls f(points=..., raster=...)."""
+
+    def adapted(*args, **kwargs):
+        mapped = {rename.get(k, k): v for k, v in kwargs.items()}
+        return fun(*args, **mapped)
+
+    return adapted
+
+
 def _with_error_col(schema: str) -> str:
     return f"{schema}, {ERROR_COL} string"
 

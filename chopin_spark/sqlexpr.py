@@ -113,6 +113,27 @@ def hex_cell_expr(x: str, y: str, size: float) -> str:
     )
 
 
+def hex_disk_expr(cell: str, k: int = 1, ctor: str = "ARRAY") -> str:
+    """Array of packed hex cell ids within hex-distance k of `cell` —
+    the planar analogue of H3's gridDisk neighbor expansion
+    (/root/reference/R/gridding.R:861-866, the coverage-gap workaround).
+    Unpacks (q, r) from the 2^21 packing, enumerates axial offsets with
+    |dq|≤k, |dr|≤k, |dq+dr|≤k, repacks. `ctor` is the array constructor
+    spelling — 'ARRAY' in Spark SQL, 'LIST_VALUE' in DuckDB (the one
+    divergence between the dialects)."""
+    q = f"(CAST(FLOOR(({cell}) / 2097152.0) AS BIGINT) - 1048576)"
+    r = f"((({cell}) % 2097152) - 1048576)"
+    ids = []
+    for dq in range(-k, k + 1):
+        for dr in range(-k, k + 1):
+            if abs(dq + dr) <= k:
+                ids.append(
+                    f"(CAST({q} + {dq} + 1048576 AS BIGINT) * 2097152 "
+                    f"+ CAST({r} + {dr} + 1048576 AS BIGINT))"
+                )
+    return f"{ctor}({', '.join(ids)})"
+
+
 def round4(expr: str) -> str:
     """Defensive rounding applied to every double aggregate in BOTH the
     Spark query and the oracle SQL, so partial-sum ordering differences

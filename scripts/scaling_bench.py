@@ -39,18 +39,30 @@ cpus, n = {cpus}, {n}
 spark = get_session(master=f"local[{{cpus}}]", app_name=f"scale-{{cpus}}",
                     shuffle_partitions=cpus)
 x, y = sx.x_expr("id"), sx.y_expr("id")
+# zone dimension keyed by the NUMERIC tract index: the per-row hot loop
+# is pure numeric codegen (no per-row string allocation — string zone
+# codes are attached after the join from the 256-row dimension)
+zpdf = Z.zones_pdf()
+zpdf["zidx"] = [
+    int(zid[:2]) * 0 + gy * 16 + gx
+    for zid, gx, gy in zip(
+        zpdf.zone_id,
+        (zpdf.xmin / 50_000).astype(int),
+        (zpdf.ymin / 37_500).astype(int),
+    )
+]
 zones = F.broadcast(
-    Z.zones_df(spark).select("zone_id", "pop")
+    spark.createDataFrame(zpdf[["zidx", "zone_id", "pop"]])
 )
 pages = (
     spark.range(0, n, 1, numPartitions=cpus * 4)
     .withColumn("cgridid", F.expr(sx.grid_cell_expr(x, y, 16, 12)))
     .withColumn("hex_cell", F.expr(sx.hex_cell_expr(x, y, 40_000.0)))
     .withColumn("quad_cell", F.expr(sx.quad_cell_expr(x, y, 6)))
-    .withColumn("zone_id", F.expr(Z.zone_id_expr(x, y)))
+    .withColumn("zidx", F.expr(Z.zidx_expr(x, y)))
 )
 out = (
-    pages.join(zones, "zone_id")
+    pages.join(zones, "zidx")
     .groupBy("zone_id", "cgridid")
     .agg(
         F.count(F.lit(1)).alias("n_pages"),
