@@ -38,9 +38,10 @@ def test_rect_wkb_roundtrip_and_area(x0, y0, w, h):
     buf = rect_wkb(x0, y0, x0 + w, y0 + h)
     kind, ring = decode(buf)
     assert kind == "polygon"
-    assert polygon_area(ring) == np.float64(w) * np.float64(h) or abs(
-        polygon_area(ring) - w * h
-    ) < 1e-6 * max(1.0, w * h)
+    # shoelace rounding grows with the coordinate magnitude (terms are
+    # x·y products that mostly cancel): bound = O(n·eps·max|x·y|)
+    tol = 64 * 2.3e-16 * (abs(x0) + w + 1.0) * (abs(y0) + h + 1.0)
+    assert abs(polygon_area(ring) - w * h) <= tol
     assert wkt(buf).startswith("POLYGON ((")
 
 
