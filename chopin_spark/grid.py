@@ -324,6 +324,29 @@ def morton_code(x: Column, y: Column, extent=EXTENT, bits: int = 16) -> Column:
     return spread(ix).bitwiseOR(F.shiftleft(spread(iy), 1))
 
 
+def apply_merge_remap(
+    df: DataFrame, remap: dict[int, str], cell_col: str = "cgridid"
+) -> DataFrame:
+    """Relabel cell ids with a par_merge_grid remap (P3): the merged
+    label becomes the partition key, so under-populated cells execute
+    as one task — chopin's dissolve step applied to the execution
+    partitioning instead of the geometry. Cells absent from the remap
+    (empty at planning time) keep their own id."""
+    mexpr = F.create_map(
+        *[
+            x
+            for c, lbl in sorted(remap.items())
+            for x in (F.lit(int(c)), F.lit(lbl))
+        ]
+    )
+    return df.withColumn(
+        "merged_cell",
+        F.coalesce(
+            mexpr.getItem(F.col(cell_col)), F.col(cell_col).cast("string")
+        ),
+    )
+
+
 def salted_key(
     df: DataFrame,
     key_col: str,

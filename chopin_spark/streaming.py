@@ -83,6 +83,37 @@ def windowed_grid_counts(
     )
 
 
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — the dynamic-window
+    counterpart of the tumbling summarize_st; closes a session after
+    `gap` of inactivity. Batch and streaming share the plan."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), key_col
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stateful_dedup(
     stream_df: DataFrame, key_col: str, carry_cols: list[str]
 ) -> DataFrame:

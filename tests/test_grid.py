@@ -140,6 +140,42 @@ def test_merge_grid_merge_max_chunking():
     assert sum(sizes.values()) == 8
 
 
+def test_merge_remap_balances_runner_partitions(spark):
+    """End-to-end P3: skewed points → count pre-pass → merge_grid →
+    apply_merge_remap → per-merged-cell execution. Result equals the
+    unmerged aggregation re-grouped, and no merged partition is smaller
+    than the threshold (unless isolated)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from chopin_spark.grid import apply_merge_remap
+
+    rng = np.random.default_rng(11)
+    # 90% of points in the left column of an 4×3 grid → cells 1,2,3,... tiny
+    x = np.where(rng.random(4000) < 0.9, rng.uniform(0, 2e5, 4000),
+                 rng.uniform(2e5, 8e5, 4000))
+    pdf = pd.DataFrame({"id": np.arange(4000), "x": x,
+                        "y": rng.uniform(0, 6e5, 4000)})
+    df = spark.createDataFrame(pdf)
+    g = make_regular_grid(4, 3)
+    assigned = g.assign_core(df)
+    counts = {
+        r["cgridid"]: r["count"]
+        for r in assigned.groupBy("cgridid").count().collect()
+    }
+    remap, _ = merge_grid(counts, nx=4, ny=3, grid_min_features=300,
+                          merge_max=4)
+    merged = apply_merge_remap(assigned, remap)
+    out = merged.groupBy("merged_cell").agg(F.count(F.lit(1)).alias("n"))
+    rows = {r["merged_cell"]: r["n"] for r in out.collect()}
+    assert sum(rows.values()) == 4000
+    # merged labels aggregate their members' counts exactly
+    for cell, lbl in remap.items():
+        if "_" in lbl:
+            members = [int(c) for c in lbl.split("_")]
+            assert rows[lbl] == sum(counts.get(m, 0) for m in members)
+
+
 def test_irregular_breaks_when_chain(spark):
     g = RectGrid(
         np.array([0.0, 10.0, 50.0, 100.0]), np.array([0.0, 30.0, 100.0]),

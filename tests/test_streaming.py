@@ -55,6 +55,24 @@ def test_stream_equals_batch_hourly(spark, events_dir, tmp_path):
     shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
 
 
+def test_session_windows_batch_vs_manual(spark, events_dir):
+    """Gap-based session windows: per-user sessions split exactly where
+    inter-event gaps exceed the threshold (checked against a pandas
+    reconstruction)."""
+    from chopin_spark.streaming import sessionized_counts
+
+    batch = spark.read.parquet(events_dir)
+    got = sessionized_counts(batch, gap="30 minutes").collect()
+    pdf = batch.select("user_id", "ts", "value").toPandas()
+    want_sessions = 0
+    for _, g in pdf.groupby("user_id"):
+        ts = g["ts"].sort_values().to_numpy()
+        gaps = (ts[1:] - ts[:-1]).astype("timedelta64[s]").astype(int)
+        want_sessions += 1 + int((gaps >= 1800).sum())
+    assert len(got) == want_sessions
+    assert sum(r["n_events"] for r in got) == len(pdf)
+
+
 def test_stateful_dedup_across_microbatches(spark, tmp_path):
     """applyInPandasWithState dedup: a key duplicated across
     micro-batches is emitted exactly once (state survives batches)."""
