@@ -158,6 +158,11 @@ def extract_at(
     # copy per (tile, rect) pair. At 100 TB this is the difference
     # between shuffling the raster once and shuffling it fan-out times.
     cand = _explode_rect_tiles(rects.select(*cols))
+    # Candidates grouped per tile as one struct list (field alignment
+    # guaranteed by the single collect_list). Measured alternatives at
+    # sf0.1: flat per-(tile,rect) join duplicates every tile's value
+    # array per rect (~2× slower); JVM-side transform() decomposition
+    # into primitive arrays is interpreted, not codegen'd (~6× slower).
     cand_per_tile = F.broadcast(
         cand.groupBy("tile_id").agg(
             F.collect_list(F.struct(*cols)).alias("rects")
@@ -193,15 +198,19 @@ def extract_at(
                 k = len(rl)
                 if k == 0:
                     continue
+
+                def g(c):
+                    return np.fromiter(
+                        (r[c] for r in rl), dtype=np.float64, count=k
+                    )
+
+                xmin = g("xmin")
                 vals = np.asarray(row.values, dtype=np.int64).reshape(
                     TILE, TILE
                 )
                 cx_px = (row.tile_col * TILE + ar + 0.5) * PW  # (TILE,)
                 cy_px = (row.tile_row * TILE + ar + 0.5) * PH
-                g = lambda f: np.fromiter(
-                    (r[f] for r in rl), dtype=np.float64, count=k
-                )
-                mi = (cx_px[None, :] >= g("xmin")[:, None]) & (
+                mi = (cx_px[None, :] >= xmin[:, None]) & (
                     cx_px[None, :] < g("xmax")[:, None]
                 )  # (k, TILE) cols
                 mj = (cy_px[None, :] >= g("ymin")[:, None]) & (
