@@ -102,6 +102,71 @@ def hyperplane_signature(emb: Column, n_planes: int = 16) -> Column:
     return out
 
 
+def ivf_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int, nprobe: int = 2
+) -> DataFrame:
+    """IVF-style ANN: the `label` column is the coarse partition (in a
+    real index: k-means cluster id assigned at ingest). Search scores
+    the query against each partition centroid (quantized-mean — exact
+    integer aggregation), probes the `nprobe` nearest partitions, and
+    exact-ranks inside them. At 10^12 rows `label` is the storage
+    partition key → the scan prunes to nprobe/k_partitions of the data.
+    """
+    centroids = (
+        embeddings.select(
+            "label",
+            F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("dim"),
+            "embedding",
+        )
+        .select(
+            "label",
+            "dim",
+            F.floor(
+                F.element_at("embedding", F.col("dim").cast("int")).cast(
+                    "double"
+                )
+                * 1048576
+            ).alias("qv"),
+        )
+        .groupBy("label", "dim")
+        .agg((F.sum("qv") / (F.count(F.lit(1)) * 1048576.0)).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs"))
+        .select(
+            "label",
+            F.transform("cs", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    probe = F.broadcast(
+        centroids.crossJoin(q)
+        .select(
+            "label",
+            dot_fold("centroid", "qvec").alias("score"),
+        )
+        .orderBy(F.desc("score"), "label")
+        .limit(nprobe)
+        .select("label")
+    )
+    cand = embeddings.join(probe, "label").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = cand.crossJoin(q).select(
+        "vec_id",
+        "label",
+        F.round(
+            dot_fold("embedding", "qvec")
+            / (norm_fold("embedding") * norm_fold("qvec")),
+            4,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,
