@@ -99,6 +99,17 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk", None)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (coarse partitions = label column, nprobe=3) —
+    the partition-pruning scale path; recall pinned on clustered data
+    in tests/test_summarize.py."""
+    from chopin_spark.simsearch import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=10, nprobe=3)
+
+
 @register("ann_lsh_topk", None)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-10 (hyperplane signatures) — the scale path;
