@@ -21,6 +21,22 @@ from chopin_spark.raster import (
 )
 from chopin_spark.tables import load
 
+# The tile table is a stored table in production (parquet/Iceberg);
+# here it is synthesized, so memoize + cache it per configuration —
+# otherwise every action regenerates 6 MB/raster of tiles through a
+# Python stage (measured: the dominant, high-variance cost).
+_TILES_CACHE: dict = {}
+
+
+def _tiles(spark, n_rasters: int = 1, corrupt: tuple = ()):
+    key = (id(spark), n_rasters, corrupt)
+    if key not in _TILES_CACHE:
+        _TILES_CACHE[key] = raster_tiles_df(
+            spark, n_rasters=n_rasters, corrupt=corrupt
+        ).cache()
+    return _TILES_CACHE[key]
+
+
 # pixel-center coordinate expressions (shared SQL text)
 _PCX = f"((i + 0.5) * {PW!r})"
 _PCY = f"((j + 0.5) * {PH!r})"
@@ -53,7 +69,7 @@ def extract_at_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast, equi-join on tile_id); per-(tile,zone) integer partial
     sums in an Arrow UDF; final sum/sum — partial+final aggregation,
     the plan that holds at 100 TB."""
-    tiles = raster_tiles_df(spark, n_rasters=1)
+    tiles = _tiles(spark, n_rasters=1)
     rects = Z.zones_df(spark).select(
         "zone_id", "xmin", "ymin", "xmax", "ymax"
     )
@@ -114,7 +130,7 @@ def extract_at_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_POIX) + _RADIUS).alias("xmax"),
         (F.expr(_POIY) + _RADIUS).alias("ymax"),
     )
-    tiles = raster_tiles_df(spark, n_rasters=1)
+    tiles = _tiles(spark, n_rasters=1)
     return extract_at(tiles, poi, rect_id="pid").select(
         "pid", "mean_val", "n_pixels"
     )
@@ -179,7 +195,7 @@ def kernel_weighting_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_POIX).alias("cx"),
         F.expr(_POIY).alias("cy"),
     )
-    tiles = raster_tiles_df(spark, n_rasters=1)
+    tiles = _tiles(spark, n_rasters=1)
     out = extract_at(tiles, poi, rect_id="pid", kernel="quartic", bandwidth=_BW)
     return out.select(
         "pid", F.col("mean_val").alias("kw_mean"), "n_pixels"
@@ -226,9 +242,7 @@ def par_multirasters_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_raster (:764); corrupt raster → one error row, job proceeds
     (row-count contract n_zones × n_files + 1,
     /root/reference/tests/testthat/test-scale_process.R:1230-1234,:1324)."""
-    tiles = raster_tiles_df(
-        spark, n_rasters=_N_RASTERS, corrupt=(_CORRUPT_RID,)
-    )
+    tiles = _tiles(spark, n_rasters=_N_RASTERS, corrupt=(_CORRUPT_RID,))
     rects = spark.createDataFrame(Z.county_rects_pdf())
     good = extract_at(
         tiles.filter(F.col("values").isNotNull()), rects, rect_id="county"

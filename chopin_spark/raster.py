@@ -158,14 +158,22 @@ def extract_at(
     # copy per (tile, rect) pair. At 100 TB this is the difference
     # between shuffling the raster once and shuffling it fan-out times.
     cand = _explode_rect_tiles(rects.select(*cols))
-    # Candidates grouped per tile as one struct list (field alignment
-    # guaranteed by the single collect_list). Measured alternatives at
-    # sf0.1: flat per-(tile,rect) join duplicates every tile's value
-    # array per rect (~2× slower); JVM-side transform() decomposition
-    # into primitive arrays is interpreted, not codegen'd (~6× slower).
+    # Candidates grouped per tile as ONE struct list (field alignment
+    # guaranteed by the single collect_list), then decomposed into
+    # parallel primitive arrays with GetArrayStructFields
+    # (`rects.field`) — codegen'd, and Arrow hands numpy arrays to the
+    # UDF. Measured alternatives at sf0.1: shipping the struct list to
+    # pandas degrades to per-element dicts (~4× slower); a flat
+    # per-(tile,rect) join duplicates every tile's value array per rect
+    # (~2× slower); transform() HOF decomposition is interpreted
+    # (~6× slower).
+    grouped = cand.groupBy("tile_id").agg(
+        F.collect_list(F.struct(*cols)).alias("rects")
+    )
     cand_per_tile = F.broadcast(
-        cand.groupBy("tile_id").agg(
-            F.collect_list(F.struct(*cols)).alias("rects")
+        grouped.select(
+            "tile_id",
+            *[F.col(f"rects.{c}").alias(f"r_{c}") for c in cols],
         )
     )
     joined = tiles.select(
@@ -194,17 +202,15 @@ def extract_at(
                 continue
             frames = []
             for row in pdf.itertuples(index=False):
-                rl = row.rects
-                k = len(rl)
-                if k == 0:
-                    continue
-
                 def g(c):
-                    return np.fromiter(
-                        (r[c] for r in rl), dtype=np.float64, count=k
+                    return np.asarray(
+                        getattr(row, f"r_{c}"), dtype=np.float64
                     )
 
                 xmin = g("xmin")
+                k = len(xmin)
+                if k == 0:
+                    continue
                 vals = np.asarray(row.values, dtype=np.int64).reshape(
                     TILE, TILE
                 )
@@ -233,8 +239,8 @@ def extract_at(
                     pd.DataFrame(
                         {
                             "raster_id": row.raster_id,
-                            rect_id: np.array(
-                                [r[rect_id] for r in rl], dtype=object
+                            rect_id: np.asarray(
+                                getattr(row, f"r_{rect_id}"), dtype=object
                             )[keep],
                             "vsum": vsum[keep],
                             "wsum": wsum[keep],
