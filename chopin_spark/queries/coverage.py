@@ -306,6 +306,118 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- rollup (grouping sets) ----------------------------------------------------
+
+_ROLLUP_ORACLE = """
+WITH d AS (
+  SELECT SUBSTRING(lang, 1, 2) AS lang2, source, n_chars
+  FROM documents
+)
+SELECT lang2, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM d
+GROUP BY ROLLUP (lang2, source)
+"""
+
+
+@register("lang_source_rollup", _ROLLUP_ORACLE)
+def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP(lang, source) — per-(lang,source),
+    per-lang, and grand-total rows in one pass (NULL super-aggregate
+    markers are identical in Spark and DuckDB)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.substring("lang", 1, 2).alias("lang2"), "source", "n_chars"
+        )
+        .rollup("lang2", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# --- pivot (conditional aggregation) ---------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+_PIVOT_ORACLE = (
+    "SELECT user_id,\n"
+    + ",\n".join(
+        f"       COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY user_id"
+)
+
+
+@register("events_pivot_by_type", _PIVOT_ORACLE)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: per-user event counts widened by type — Spark
+    pivot() with an explicit value list (one pass, no value-discovery
+    scan; the DuckDB oracle is the equivalent conditional aggregation)."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    return out.fillna(0, subset=[f"n_{t}" for t in _EVENT_TYPES])
+
+
+# --- composed training-data pipeline ---------------------------------------------
+
+_NTOK_COVER = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+
+_PIPE_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, lang, n_chars,
+         {_NTOK_COVER} AS n_tokens,
+         md5(text) AS text_md5
+  FROM documents
+  WHERE {_NTOK_COVER} >= 12
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY text_md5
+)
+SELECT q.lang, COUNT(*) AS n_docs,
+       SUM(q.n_chars) AS sum_chars,
+       ROUND(AVG(CAST(q.n_tokens AS DOUBLE)), 4) AS avg_tokens
+FROM quality q
+JOIN dedup d ON q.doc_id = d.doc_id
+GROUP BY q.lang
+"""
+
+
+@register("training_pipeline_stats", _PIPE_ORACLE)
+def training_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query — the minimal training-data pipeline: quality
+    filter (token floor) → exact dedup (md5 canonical survivor) →
+    per-language corpus stats. One scan, two shuffles; at 100 TB the
+    dedup shuffle is the cost center and partitions by the 16-byte
+    hash (uniform — no skew by construction)."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.expr(_NTOK_COVER)
+    quality = docs.select(
+        "doc_id", "lang", "n_chars", ntok.alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+    ).filter(ntok >= 12)
+    dedup = quality.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        quality.join(dedup.select("doc_id"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias(
+                "avg_tokens"
+            ),
+        )
+    )
+
+
 # --- TPC-H Q3 / Q5 shapes -------------------------------------------------------
 
 _Q3_ORACLE = """
