@@ -78,6 +78,37 @@ def extract_at_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C1 parameterized summary functions -------------------------------------
+
+_TRACT_STATS_ORACLE = f"""
+WITH px AS ({_PX_GRID})
+SELECT 'r0' AS raster_id,
+       {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
+       SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS sum_val,
+       MIN((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS min_val,
+       MAX((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS max_val,
+       COUNT(*) AS n_pixels
+FROM px
+GROUP BY 1, 2
+"""
+
+
+@register("extract_at_tracts_stats", _TRACT_STATS_ORACLE)
+def extract_at_tracts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 with injected summary functions (chopin's `func` parameter,
+    /root/reference/R/processing.R:117): sum/min/max zonal statistics
+    from the same partial-aggregation pass as the mean."""
+    tiles = _tiles(spark, n_rasters=1)
+    rects = Z.zones_df(spark).select(
+        "zone_id", "xmin", "ymin", "xmax", "ymax"
+    )
+    return extract_at(
+        tiles, rects, rect_id="zone_id", stats=("sum", "min", "max")
+    ).select(
+        "raster_id", "zone_id", "sum_val", "min_val", "max_val", "n_pixels"
+    )
+
+
 # --- C1 extract_at over point buffers --------------------------------------
 
 _RADIUS = 20_000.0

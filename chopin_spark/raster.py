@@ -132,6 +132,7 @@ def extract_at(
     rect_id: str = "rect_id",
     kernel: str | None = None,
     bandwidth: float | None = None,
+    stats: tuple[str, ...] = ("mean",),
 ) -> DataFrame:
     """C1 extract_at: zonal mean of raster values over rects.
 
@@ -181,7 +182,8 @@ def extract_at(
     ).join(cand_per_tile, "tile_id")
 
     part_schema = (
-        f"raster_id string, {rect_id} string, vsum long, wsum long, cnt long"
+        f"raster_id string, {rect_id} string, vsum long, wsum long,"
+        " cnt long, vmin long, vmax long"
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -193,6 +195,8 @@ def extract_at(
                 "vsum": pd.Series(dtype="int64"),
                 "wsum": pd.Series(dtype="int64"),
                 "cnt": pd.Series(dtype="int64"),
+                "vmin": pd.Series(dtype="int64"),
+                "vmax": pd.Series(dtype="int64"),
             }
         )
         for pdf in batches:
@@ -245,21 +249,41 @@ def extract_at(
                             "vsum": vsum[keep],
                             "wsum": wsum[keep],
                             "cnt": cnt[keep],
+                            "vmin": np.where(
+                                mask, vals[None, :, :], np.iinfo(np.int64).max
+                            ).min(axis=(1, 2))[keep],
+                            "vmax": np.where(
+                                mask, vals[None, :, :], np.iinfo(np.int64).min
+                            ).max(axis=(1, 2))[keep],
                         }
                     )
                 )
             yield pd.concat(frames, ignore_index=True) if frames else empty
 
     parts = joined.mapInPandas(partials, part_schema)
-    return (
-        parts.groupBy("raster_id", rect_id)
-        .agg(
-            F.round(
-                F.sum("vsum").cast("double") / F.sum("wsum").cast("double"), 4
-            ).alias("mean_val"),
-            F.sum("cnt").alias("n_pixels"),
-        )
-    )
+    # parameterized summary function (chopin's `func` injection,
+    # /root/reference/R/processing.R:117, :806-808): partial statistics
+    # compose into any of mean/sum/min/max at the final aggregation
+    aggs = []
+    for s in stats:
+        if s == "mean":
+            aggs.append(
+                F.round(
+                    F.sum("vsum").cast("double")
+                    / F.sum("wsum").cast("double"),
+                    4,
+                ).alias("mean_val")
+            )
+        elif s == "sum":
+            aggs.append(F.sum("vsum").alias("sum_val"))
+        elif s == "min":
+            aggs.append(F.min("vmin").alias("min_val"))
+        elif s == "max":
+            aggs.append(F.max("vmax").alias("max_val"))
+        else:
+            raise ValueError(f"unsupported stat {s!r}")
+    aggs.append(F.sum("cnt").alias("n_pixels"))
+    return parts.groupBy("raster_id", rect_id).agg(*aggs)
 
 
 def corrupt_raster_ids(tiles: DataFrame) -> DataFrame:
