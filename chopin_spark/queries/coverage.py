@@ -306,6 +306,40 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- union by name with fill (chopin's rowbind(fill=TRUE)) ----------------------
+
+_UNION_ORACLE = """
+WITH u AS (
+  SELECT doc_id, lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT doc_id, NULL AS lang, n_chars FROM documents WHERE doc_id % 2 = 1
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(lang) AS n_lang,
+       COUNT(n_chars) AS n_chars_present,
+       SUM(COALESCE(n_chars, 0)) AS sum_chars
+FROM u
+"""
+
+
+@register("union_by_name_fill", _UNION_ORACLE)
+def union_by_name_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all with schema fill — chopin's per-task result union
+    `collapse::rowbind(fill=TRUE)` (/root/reference/R/scale_process.R:229)
+    as unionByName(allowMissingColumns=True): mismatched columns fill
+    with NULL, never error."""
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("lang").alias("n_lang"),
+        F.count("n_chars").alias("n_chars_present"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+    )
+
+
 # --- rollup (grouping sets) ----------------------------------------------------
 
 _ROLLUP_ORACLE = """
