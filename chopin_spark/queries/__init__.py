@@ -24,7 +24,7 @@ def register(name: str, oracle: str | None = None):
 
 _MODULES = (
     "relational", "spatial", "hierarchy", "vector", "zonal", "textops",
-    "simsearch", "multimodal", "coverage", "runner", "polygons",
+    "simsearch", "multimodal", "coverage", "coverage2", "runner", "polygons",
 )
 
 

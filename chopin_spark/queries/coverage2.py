@@ -1,0 +1,199 @@
+"""Second coverage batch: having-on-aggregate subqueries, corpus
+n-gram frequencies, multi-layer raster algebra, and batch
+sessionization via gaps-and-islands windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+
+# --- TPC-H Q18 shape: join against an aggregated subquery -----------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       ROUND(SUM(l.l_quantity), 4) AS total_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+"""
+
+
+@register("large_volume_q18", _Q18_ORACLE)
+def large_volume_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate → HAVING filter → semi-style join
+    back to the fact (subquery decorrelation territory: the aggregated
+    key set is the join filter)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
+
+
+# --- corpus bigram frequencies (LM preprocessing) --------------------------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT STRING_SPLIT(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM toks WHERE LEN(w) >= 2
+),
+cnt AS (
+  SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+),
+r AS (
+  SELECT bigram, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank
+  FROM cnt
+)
+SELECT rank, bigram, n FROM r WHERE rank <= 25
+"""
+
+
+@register("corpus_top_bigrams", _BIGRAM_ORACLE)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 bigrams: HOF shingle generation → hash agg →
+    top-k (TakeOrdered). The LM-preprocessing token-statistics op; at
+    100 TB the count shuffle partitions by bigram hash (vocabulary-
+    bounded, no skew beyond stopword pairs — AQE handles those)."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), (i + 1).cast("int")),
+            F.element_at(F.col("w"), (i + 2).cast("int")),
+        ),
+    )
+    cnt = (
+        docs.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = cnt.orderBy(F.desc("n"), "bigram").limit(25)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), "bigram")),
+    ).select("rank", "bigram", "n")
+
+
+# --- multi-layer raster algebra ----------------------------------------------------
+
+from chopin_spark import zones as Z  # noqa: E402
+from chopin_spark.queries.zonal import _PCX, _PCY, _PX_GRID, _tiles  # noqa: E402
+from chopin_spark.raster import V_MOD, V_MX, V_MY, V_SEED, extract_at  # noqa: E402
+
+_DIFF_ORACLE = f"""
+WITH px AS ({_PX_GRID})
+SELECT {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
+       SUM(((i * {V_MX} + j * {V_MY}) % {V_MOD})
+           - ((i * {V_MX} + j * {V_MY} + {V_SEED}) % {V_MOD})) AS sum_diff,
+       COUNT(*) AS n_pixels
+FROM px
+GROUP BY 1
+"""
+
+
+@register("raster_algebra_diff", _DIFF_ORACLE)
+def raster_algebra_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-layer raster algebra (chopin's multi-layer SpatRaster,
+    /root/reference/R/check.R:933-972): per-pixel difference r0 - r1 as
+    a tile-aligned equi-join + JVM zip_with, then zonal sum per tract —
+    no UDF, no pixel explosion; the arrays subtract element-wise inside
+    codegen."""
+    tiles = _tiles(spark, n_rasters=2)
+    t0 = tiles.filter(F.col("rid") == 0).select(
+        "tile_id", "tile_row", "tile_col", F.col("values").alias("v0")
+    )
+    t1 = tiles.filter(F.col("rid") == 1).select(
+        "tile_id", F.col("values").alias("v1")
+    )
+    diff = t0.join(t1, "tile_id").select(
+        F.lit("r0-r1").alias("raster_id"),
+        "tile_id",
+        "tile_row",
+        "tile_col",
+        F.zip_with("v0", "v1", lambda a, b: a - b).alias("values"),
+    )
+    rects = Z.zones_df(spark).select("zone_id", "xmin", "ymin", "xmax", "ymax")
+    out = extract_at(diff, rects, rect_id="zone_id", stats=("sum",))
+    return out.select("zone_id", F.col("sum_val").alias("sum_diff"), "n_pixels")
+
+
+# --- batch sessionization (gaps and islands) -----------------------------------------
+
+_SESS_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session,
+         event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       MIN(ts) AS session_start
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("sessionize_events", _SESS_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (LAG + running sum) —
+    the declarative twin of the streaming session_window operator;
+    windows partition by user (no global sort)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → session-TZ timestamp (UTC) → epoch seconds for gap math
+    secs = F.col("ts").cast("timestamp").cast("long")
+    o = ev.withColumn(
+        "new_session",
+        F.when(secs - F.lag(secs).over(w) >= 1800, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    s = o.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("ts").alias("session_start"),
+    )
