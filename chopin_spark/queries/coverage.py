@@ -42,7 +42,7 @@ lab AS (
               ELSE CAST(cell AS STRING) END AS mcell
   FROM c
 )
-SELECT mcell, SUM(n) AS n_pages, COUNT(*) AS n_merged
+SELECT mcell, CAST(SUM(n) AS BIGINT) AS n_pages, COUNT(*) AS n_merged
 FROM lab GROUP BY 1
 """
 
@@ -159,7 +159,7 @@ WITH b AS (
   FROM part
 )
 SELECT COUNT(*) AS n_inside,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents, b
 WHERE {_X} >= bx0 - 1.1 * {_CLIP_R!r} AND {_X} <= bx1 + 1.1 * {_CLIP_R!r}
   AND {_Y} >= by0 - 1.1 * {_CLIP_R!r} AND {_Y} <= by1 + 1.1 * {_CLIP_R!r}
@@ -201,7 +201,7 @@ def get_clip_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALT_ORACLE = f"""
 SELECT {sx.grid_cell_expr(_X, _Y, 4, 3)} AS cgridid,
        COUNT(*) AS n_pages,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1
 """
 
@@ -240,7 +240,7 @@ def salted_zone_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
        COUNT(*) AS n_events
 FROM events GROUP BY 1
@@ -317,7 +317,7 @@ WITH u AS (
 SELECT COUNT(*) AS n_rows,
        COUNT(lang) AS n_lang,
        COUNT(n_chars) AS n_chars_present,
-       SUM(COALESCE(n_chars, 0)) AS sum_chars
+       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
 FROM u
 """
 
@@ -347,7 +347,7 @@ WITH d AS (
   SELECT SUBSTRING(lang, 1, 2) AS lang2, source, n_chars
   FROM documents
 )
-SELECT lang2, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang2, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM d
 GROUP BY ROLLUP (lang2, source)
 """
@@ -417,7 +417,7 @@ dedup AS (
   SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY text_md5
 )
 SELECT q.lang, COUNT(*) AS n_docs,
-       SUM(q.n_chars) AS sum_chars,
+       CAST(SUM(q.n_chars) AS BIGINT) AS sum_chars,
        ROUND(AVG(CAST(q.n_tokens AS DOUBLE)), 4) AS avg_tokens
 FROM quality q
 JOIN dedup d ON q.doc_id = d.doc_id

@@ -112,8 +112,8 @@ from chopin_spark.raster import V_MOD, V_MX, V_MY, V_SEED, extract_at  # noqa: E
 _DIFF_ORACLE = f"""
 WITH px AS ({_PX_GRID})
 SELECT {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
-       SUM(((i * {V_MX} + j * {V_MY}) % {V_MOD})
-           - ((i * {V_MX} + j * {V_MY} + {V_SEED}) % {V_MOD})) AS sum_diff,
+       CAST(SUM(((i * {V_MX} + j * {V_MY}) % {V_MOD})
+           - ((i * {V_MX} + j * {V_MY} + {V_SEED}) % {V_MOD})) AS BIGINT) AS sum_diff,
        COUNT(*) AS n_pixels
 FROM px
 GROUP BY 1
@@ -160,8 +160,8 @@ WITH o AS (
 ),
 s AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM o
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,

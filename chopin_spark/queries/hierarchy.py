@@ -28,7 +28,7 @@ _ZIDX = Z.zidx_expr(_X, _Y)
 _PP_ORACLE = f"""
 SELECT {_ZID} AS zone_id,
        COUNT(*) AS n_pages,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        {sx.round4('AVG(CAST(n_chars AS DOUBLE))')} AS avg_chars,
        MIN({Z.pop_expr(_ZIDX)}) AS pop
 FROM documents
@@ -67,7 +67,7 @@ _HIER_ORACLE = f"""
 SELECT SUBSTRING({_ZID}, 1, {Z.STATE_LEN}) AS state,
        SUBSTRING({_ZID}, 1, {Z.COUNTY_LEN}) AS county,
        COUNT(*) AS n_pages,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents
 GROUP BY 1, 2

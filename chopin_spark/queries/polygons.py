@@ -68,7 +68,7 @@ _IN_OCT = (
 _OCT_ORACLE = f"""
 SELECT {Z.zone_id_expr(_X, _Y)} AS zone_id,
        COUNT(*) AS n_inside,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE {_IN_OCT}
 GROUP BY 1

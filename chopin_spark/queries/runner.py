@@ -21,7 +21,7 @@ _Y = sx.y_expr("doc_id")
 _RUNNER_ORACLE = f"""
 SELECT {sx.grid_cell_expr(_X, _Y, 8, 6)} AS cgridid,
        COUNT(*) AS n_core,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY 1
 """

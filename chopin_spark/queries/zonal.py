@@ -84,7 +84,7 @@ _TRACT_STATS_ORACLE = f"""
 WITH px AS ({_PX_GRID})
 SELECT 'r0' AS raster_id,
        {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
-       SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS sum_val,
+       CAST(SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS BIGINT) AS sum_val,
        MIN((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS min_val,
        MAX((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS max_val,
        COUNT(*) AS n_pixels

@@ -19,20 +19,30 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 
-def value_hash(rows: list[tuple], cols: list[str]) -> str:
-    """Order-insensitive hash: sort columns by name, format cells
-    (floats to 6 significant-stable decimals), sort rows, sha256."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def value_hash(pdf) -> str:
+    """Order-insensitive, TYPE-FAITHFUL hash over a pandas DataFrame.
+
+    Mirrors the driver: values are stringified exactly as pandas holds
+    them (no ``%.4f`` smoothing), so a DuckDB ``SUM(INTEGER)`` that
+    arrives as decimal128→float64 ("149174.0") hashes differently from
+    Spark's BIGINT ("149174") — reproducing the driver's round-1
+    failures locally (VERDICT.md "What's wrong" #2)."""
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)]
     out = []
-    for r in rows:
+    for r in pdf.itertuples(index=False, name=None):
         cells = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                cells.append(f"{v:.4f}")
-            elif v is None:
+        for v in r:
+            if v is None or (isinstance(v, float) and v != v):
                 cells.append("NULL")
             else:
+                try:
+                    if pd.isna(v):
+                        cells.append("NULL")
+                        continue
+                except (TypeError, ValueError):
+                    pass
                 cells.append(str(v))
         out.append("\x1f".join(cells))
     out.sort()
@@ -64,30 +74,32 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         s_cols = sorted(sdf.columns)
-        s_rows = [tuple(r) for r in sdf.collect()]
+        s_pdf = sdf.toPandas()
         if name not in oracles:
-            print(f"  {name}: rows={len(s_rows)} (no oracle — rows-only) "
+            print(f"  {name}: rows={len(s_pdf)} (no oracle — rows-only) "
                   f"[{time.time()-t0:.1f}s]")
-            if len(s_rows) == 0:
+            if len(s_pdf) == 0:
                 failures.append((name, "zero rows, no oracle"))
             continue
-        o = con.execute(oracles[name])
-        o_cols = sorted(d[0] for d in o.description)
-        o_rows = o.fetchall()
-        sh = value_hash(s_rows, list(sdf.columns))
-        oh = value_hash(o_rows, [d[0] for d in con.execute(oracles[name]).description])
-        ok = (len(s_rows) == len(o_rows)) and (s_cols == o_cols) and (sh == oh)
+        o_pdf = con.execute(oracles[name]).df()
+        o_cols = sorted(o_pdf.columns)
+        sh = value_hash(s_pdf)
+        oh = value_hash(o_pdf)
+        ok = (len(s_pdf) == len(o_pdf)) and (s_cols == o_cols) and (sh == oh)
         status = "OK " if ok else "FAIL"
-        print(f"  {name}: {status} rows={len(s_rows)}/{len(o_rows)} "
+        print(f"  {name}: {status} rows={len(s_pdf)}/{len(o_pdf)} "
               f"cols={'=' if s_cols == o_cols else f'{s_cols} vs {o_cols}'} "
               f"hash={'=' if sh == oh else 'MISMATCH'} [{time.time()-t0:.1f}s]")
         if not ok:
-            failures.append((name, f"rows {len(s_rows)}/{len(o_rows)} "
+            failures.append((name, f"rows {len(s_pdf)}/{len(o_pdf)} "
                              f"cols_eq={s_cols == o_cols} hash_eq={sh == oh}"))
-            if s_cols == o_cols and len(s_rows) == len(o_rows):
-                # show first differing row pair for debugging
-                ss = sorted(map(str, s_rows))[:3]
-                oo = sorted(map(str, o_rows))[:3]
+            if s_cols == o_cols and len(s_pdf) == len(o_pdf):
+                print(f"    spark dtypes : {dict(s_pdf.dtypes.astype(str))}")
+                print(f"    oracle dtypes: {dict(o_pdf.dtypes.astype(str))}")
+                ss = sorted(str(tuple(r)) for r in
+                            s_pdf[s_cols].itertuples(index=False, name=None))[:3]
+                oo = sorted(str(tuple(r)) for r in
+                            o_pdf[o_cols].itertuples(index=False, name=None))[:3]
                 print(f"    spark : {ss}")
                 print(f"    oracle: {oo}")
 
