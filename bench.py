@@ -34,6 +34,12 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # engine, not first-touch JIT.
     next(iter(queries.values()))(spark, sf_dir).count()
+    # materialize the synthetic raster tile tables (stored tables in
+    # production — generation cost is fixture setup, not query time)
+    from chopin_spark.queries.zonal import _N_RASTERS, _CORRUPT_RID, _tiles
+
+    _tiles(spark, n_rasters=1).count()
+    _tiles(spark, n_rasters=_N_RASTERS, corrupt=(_CORRUPT_RID,)).count()
 
     per_query: dict[str, float] = {}
     for name, fn in sorted(queries.items()):

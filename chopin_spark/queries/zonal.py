@@ -9,6 +9,8 @@ only doubles are final divisions + ROUND.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -22,19 +24,39 @@ from chopin_spark.raster import (
 from chopin_spark.tables import load
 
 # The tile table is a stored table in production (parquet/Iceberg);
-# here it is synthesized, so memoize + cache it per configuration —
-# otherwise every action regenerates 6 MB/raster of tiles through a
-# Python stage (measured: the dominant, high-variance cost).
-_TILES_CACHE: dict = {}
+# here it is synthesized, so write it to a local parquet cache ONCE per
+# configuration and read it back — otherwise every action regenerates
+# 6 MB/raster of tiles through a Python stage (measured: the dominant,
+# high-variance cost), and .cache() blocks leak across the 53-query
+# bench session.  The parquet read is a pure JVM columnar scan with
+# tile_id min/max stats — exactly the production shape.
+_TILES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache", "tiles",
+)
+_TILES_MEMO: dict = {}
 
 
 def _tiles(spark, n_rasters: int = 1, corrupt: tuple = ()):
-    key = (id(spark), n_rasters, corrupt)
-    if key not in _TILES_CACHE:
-        _TILES_CACHE[key] = raster_tiles_df(
+    key = (spark.sparkContext.applicationId, n_rasters, corrupt)
+    if key in _TILES_MEMO:
+        return _TILES_MEMO[key]
+    tag = f"n{n_rasters}_c{'-'.join(map(str, corrupt)) or 'none'}"
+    path = os.path.join(_TILES_DIR, tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raster_tiles_df(
             spark, n_rasters=n_rasters, corrupt=corrupt
-        ).cache()
-    return _TILES_CACHE[key]
+        ).write.mode("overwrite").parquet(path)
+    # The tiny local files coalesce into 1-2 scan partitions under
+    # maxPartitionBytes, which would serialize the downstream Arrow UDF;
+    # repartition on tile_id restores parallelism AND pre-partitions the
+    # extract_at shuffle-join key (on a cluster the stored tile table
+    # would be bucketed by tile_id instead).
+    df = spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism, "tile_id"
+    )
+    _TILES_MEMO[key] = df
+    return df
 
 
 # pixel-center coordinate expressions (shared SQL text)

@@ -133,6 +133,7 @@ def extract_at(
     kernel: str | None = None,
     bandwidth: float | None = None,
     stats: tuple[str, ...] = ("mean",),
+    broadcast_rects: bool | None = None,
 ) -> DataFrame:
     """C1 extract_at: zonal mean of raster values over rects.
 
@@ -171,12 +172,19 @@ def extract_at(
     grouped = cand.groupBy("tile_id").agg(
         F.collect_list(F.struct(*cols)).alias("rects")
     )
-    cand_per_tile = F.broadcast(
-        grouped.select(
-            "tile_id",
-            *[F.col(f"rects.{c}").alias(f"r_{c}") for c in cols],
-        )
+    cand_per_tile = grouped.select(
+        "tile_id",
+        *[F.col(f"rects.{c}").alias(f"r_{c}") for c in cols],
     )
+    # Broadcast is right for dimension-sized zone sets; for point-buffer
+    # workloads the rect side is fact-sized and broadcasting it is a
+    # driver-OOM at 100× scale — switch to a shuffle equi-join on tile_id
+    # past a threshold (VERDICT r01 "What's wrong" #5).  rects.count() is
+    # a cheap column-pruned scan and runs once per plan build.
+    if broadcast_rects is None:
+        broadcast_rects = rects.count() <= 8192
+    if broadcast_rects:
+        cand_per_tile = F.broadcast(cand_per_tile)
     joined = tiles.select(
         "tile_id", "raster_id", "tile_row", "tile_col", "values"
     ).join(cand_per_tile, "tile_id")
@@ -186,8 +194,14 @@ def extract_at(
         " cnt long, vmin long, vmax long"
     )
 
+    need_minmax = any(s in ("min", "max") for s in stats)
+    # sums stay exact in float64: values < V_MOD ≈ 1e6, ≤ 1024 px/tile →
+    # vsum < 2^30; kernel weights ≤ 2^16 → weighted sums < 2^47 < 2^53.
+    _CHUNK = 16384  # pairs per numpy block: ≤ (CHUNK, TILE, TILE) temps
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ar = np.arange(TILE)
+        ar = np.arange(TILE, dtype=np.float64)
+        i64 = np.iinfo(np.int64)
         empty = pd.DataFrame(
             {
                 "raster_id": pd.Series(dtype="object"),
@@ -204,61 +218,86 @@ def extract_at(
             if pdf.empty:
                 yield empty
                 continue
-            frames = []
-            for row in pdf.itertuples(index=False):
-                def g(c):
-                    return np.asarray(
-                        getattr(row, f"r_{c}"), dtype=np.float64
-                    )
+            # Explode the per-tile rect lists into flat (pair,) arrays —
+            # every pair handled in a handful of chunked numpy passes
+            # instead of one Python iteration per tile (VERDICT r01
+            # "What's wrong" #3: itertuples loop was the 23× anchor miss).
+            nrects = pdf[f"r_{rect_id}"].map(len).to_numpy(dtype=np.int64)
+            keep_t = nrects > 0
+            if not keep_t.any():
+                yield empty
+                continue
+            pdf = pdf[keep_t]
+            nrects = nrects[keep_t]
+            tidx = np.repeat(np.arange(len(pdf)), nrects)  # (P,) tile row
 
-                xmin = g("xmin")
-                k = len(xmin)
-                if k == 0:
-                    continue
-                vals = np.asarray(row.values, dtype=np.int64).reshape(
-                    TILE, TILE
+            def flat(c, dtype=np.float64):
+                return np.concatenate(
+                    [np.asarray(v, dtype=dtype) for v in pdf[f"r_{c}"]]
                 )
-                cx_px = (row.tile_col * TILE + ar + 0.5) * PW  # (TILE,)
-                cy_px = (row.tile_row * TILE + ar + 0.5) * PH
-                mi = (cx_px[None, :] >= xmin[:, None]) & (
-                    cx_px[None, :] < g("xmax")[:, None]
-                )  # (k, TILE) cols
-                mj = (cy_px[None, :] >= g("ymin")[:, None]) & (
-                    cy_px[None, :] < g("ymax")[:, None]
-                )  # (k, TILE) rows
-                mask = mj[:, :, None] & mi[:, None, :]  # (k, TILE, TILE)
-                cnt = mask.sum(axis=(1, 2)).astype(np.int64)
+
+            vals = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["values"]]
+            ).reshape(len(pdf), TILE, TILE)  # (T, j, i)
+            tcol = pdf["tile_col"].to_numpy(dtype=np.float64)
+            trow = pdf["tile_row"].to_numpy(dtype=np.float64)
+            cx_px = (tcol[:, None] * TILE + ar[None, :] + 0.5) * PW  # (T, i)
+            cy_px = (trow[:, None] * TILE + ar[None, :] + 0.5) * PH
+            pcx, pcy = cx_px[tidx], cy_px[tidx]  # (P, TILE)
+            mi = (pcx >= flat("xmin")[:, None]) & (
+                pcx < flat("xmax")[:, None]
+            )  # (P, TILE) cols
+            mj = (pcy >= flat("ymin")[:, None]) & (
+                pcy < flat("ymax")[:, None]
+            )  # (P, TILE) rows
+            cnt = mi.sum(1).astype(np.int64) * mj.sum(1).astype(np.int64)
+            if has_kernel:
+                kcx, kcy = flat("cx"), flat("cy")
+            P = len(tidx)
+            vsum = np.zeros(P, dtype=np.int64)
+            wsum = np.zeros(P, dtype=np.int64)
+            vmin = np.zeros(P, dtype=np.int64)
+            vmax = np.zeros(P, dtype=np.int64)
+            for lo in range(0, P, _CHUNK):
+                sl = slice(lo, min(lo + _CHUNK, P))
+                v = vals[tidx[sl]].astype(np.float64)  # (C, j, i)
+                mjc, mic = mj[sl], mi[sl]
                 if has_kernel:
-                    dx = cx_px[None, :] - g("cx")[:, None]  # (k, TILE)
-                    dy = cy_px[None, :] - g("cy")[:, None]
+                    dx = pcx[sl] - kcx[sl, None]  # (C, i)
+                    dy = pcy[sl] - kcy[sl, None]  # (C, j)
                     d = np.sqrt(dx[:, None, :] ** 2 + dy[:, :, None] ** 2)
-                    wq = quantize_np(kernel_np(d, bw, kern)) * mask
-                    vsum = (wq * vals[None, :, :]).sum(axis=(1, 2))
-                    wsum = wq.sum(axis=(1, 2))
-                else:
-                    vsum = (vals[None, :, :] * mask).sum(axis=(1, 2))
-                    wsum = cnt
-                keep = cnt > 0
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "raster_id": row.raster_id,
-                            rect_id: np.asarray(
-                                getattr(row, f"r_{rect_id}"), dtype=object
-                            )[keep],
-                            "vsum": vsum[keep],
-                            "wsum": wsum[keep],
-                            "cnt": cnt[keep],
-                            "vmin": np.where(
-                                mask, vals[None, :, :], np.iinfo(np.int64).max
-                            ).min(axis=(1, 2))[keep],
-                            "vmax": np.where(
-                                mask, vals[None, :, :], np.iinfo(np.int64).min
-                            ).max(axis=(1, 2))[keep],
-                        }
+                    wq = quantize_np(kernel_np(d, bw, kern)) * (
+                        mjc[:, :, None] & mic[:, None, :]
                     )
-                )
-            yield pd.concat(frames, ignore_index=True) if frames else empty
+                    vsum[sl] = (wq * v).sum(axis=(1, 2)).astype(np.int64)
+                    wsum[sl] = wq.sum(axis=(1, 2)).astype(np.int64)
+                else:
+                    vsum[sl] = np.einsum(
+                        "pji,pj,pi->p", v,
+                        mjc.astype(np.float64), mic.astype(np.float64),
+                    ).astype(np.int64)
+                    wsum[sl] = cnt[sl]
+                if need_minmax:
+                    vi = vals[tidx[sl]]
+                    colmin = np.where(mic[:, None, :], vi, i64.max).min(2)
+                    vmin[sl] = np.where(mjc, colmin, i64.max).min(1)
+                    colmax = np.where(mic[:, None, :], vi, i64.min).max(2)
+                    vmax[sl] = np.where(mjc, colmax, i64.min).max(1)
+            keep = cnt > 0
+            rid_flat = np.concatenate(
+                [np.asarray(v, dtype=object) for v in pdf[f"r_{rect_id}"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "raster_id": pdf["raster_id"].to_numpy()[tidx[keep]],
+                    rect_id: rid_flat[keep],
+                    "vsum": vsum[keep],
+                    "wsum": wsum[keep],
+                    "cnt": cnt[keep],
+                    "vmin": vmin[keep],
+                    "vmax": vmax[keep],
+                }
+            )
 
     parts = joined.mapInPandas(partials, part_schema)
     # parameterized summary function (chopin's `func` injection,

@@ -30,6 +30,12 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CPU-bound Arrow-UDF stages (zonal partials, kernel weighting)
+        # carry few bytes per task; the default 1 MB floor lets AQE
+        # coalesce them to a handful of tasks and serialize the Python
+        # work.  A small floor keeps parallelismFirst effective — at
+        # production scale partitions dwarf this and behavior is default.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
