@@ -99,7 +99,54 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", None)
+# IVF oracle: rebuild the quantized centroids, probe the 3 best labels
+# by the same left-fold dot product, exact-rank inside them.
+_CENT_DOT = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),"
+    " LIST_TRANSFORM(generate_series(1, {d}),"
+    "   i -> c.centroid[i] * CAST(q.embedding[i] AS DOUBLE))),"
+    " (a, b) -> a + b)"
+).format(d=_DIM)
+
+_IVF_ORACLE = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+expl AS (
+  SELECT label, UNNEST(generate_series(1, {_DIM})) AS dim, embedding
+  FROM embeddings
+),
+cmp AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 1048576)
+                       AS BIGINT)) AS BIGINT)
+         / (COUNT(*) * 1048576.0) AS c
+  FROM expl GROUP BY 1, 2
+),
+cent AS (
+  SELECT label,
+         list_transform(list_sort(list(struct_pack(dim := dim, c := c))),
+                        s -> s.c) AS centroid
+  FROM cmp GROUP BY label
+),
+probe AS (
+  SELECT c.label
+  FROM cent c CROSS JOIN q
+  ORDER BY {_CENT_DOT} DESC, c.label
+  LIMIT 3
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) AS cos_sim
+  FROM embeddings e
+  JOIN probe p ON e.label = p.label
+  CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 (coarse partitions = label column, nprobe=3) —
     the partition-pruning scale path; recall pinned on clustered data
@@ -110,7 +157,65 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query_vec_id=0, k=10, nprobe=3)
 
 
-@register("ann_lsh_topk", None)
+# LSH oracle: the ±1 plane literals are embedded verbatim (computed by
+# the same plane_weights the engine uses), so signatures match
+# bit-for-bit without relying on SIN() agreeing across libms.
+def _plane_dot_sql(p: int) -> str:
+    from chopin_spark.simsearch import plane_weights
+
+    lits = ", ".join(repr(v) for v in plane_weights(p))
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),"
+        f" LIST_TRANSFORM(generate_series(1, {_DIM}),"
+        f" i -> CAST(e.embedding[i] AS DOUBLE)"
+        f" * (LIST_VALUE({lits}))[i])), (a, b) -> a + b)"
+    )
+
+
+_LSH_BANDS, _LSH_R = 4, 4
+_BAND_COLS = ",\n       ".join(
+    " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(b * _LSH_R + k)} >= 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(_LSH_R)
+    )
+    + f" AS band{b}"
+    for b in range(_LSH_BANDS)
+)
+_BAND_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {b} AS band, band{b} AS bits FROM sigb"
+    for b in range(_LSH_BANDS)
+)
+
+_LSH_ORACLE = f"""
+WITH sigb AS (
+  SELECT e.vec_id,
+       {_BAND_COLS}
+  FROM embeddings e
+),
+bands AS (
+{_BAND_UNION}
+),
+qb AS (SELECT band, bits FROM bands WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM bands b JOIN qb ON b.band = qb.band AND b.bits = qb.bits
+  WHERE b.vec_id <> 0
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) AS cos_sim
+  FROM embeddings e
+  JOIN cand c ON e.vec_id = c.vec_id
+  CROSS JOIN q
+)
+SELECT vec_id, label, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("ann_lsh_topk", _LSH_ORACLE)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-10 (hyperplane signatures) — the scale path;
     recall vs brute force pinned in tests/test_simsearch.py."""

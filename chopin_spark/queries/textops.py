@@ -191,27 +191,137 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
-# --- MinHash-LSH and SimHash (engine paths; rows-only driver checks) -----------
+# --- MinHash-LSH and SimHash ---------------------------------------------------
+#
+# Value-level DuckDB oracles (VERDICT r01 next-steps #5): the base hash
+# is the engine-constant polynomial char fold (textops.charfold_*), so
+# signatures, band buckets, SimHash bits and verified Jaccard all
+# recompute exactly in SQL.
+
+from chopin_spark.textops import (  # noqa: E402
+    _MERSENNE, _hash_params, SIMHASH_BITS,
+    shingles_from_uh_duckdb, token_hashes_duckdb, token_hash60_duckdb,
+)
+
+_N_HASHES, _BANDS = 32, 8
+_R = _N_HASHES // _BANDS
+
+# token-hash array projected in its OWN CTE so the fold runs once per
+# row (inlined it re-evaluates per reference — see textops.py)
+_SH_CTE = f"""
+uh AS (
+  SELECT doc_id, {token_hashes_duckdb()} AS _uh FROM documents
+),
+toks AS (
+  SELECT doc_id, {shingles_from_uh_duckdb(5)} AS svs
+  FROM uh WHERE len(_uh) >= 5
+),
+sh AS (SELECT DISTINCT doc_id, UNNEST(svs) AS v FROM toks)
+"""
+
+_SIG_COLS = ",\n       ".join(
+    f"MIN((v * {a} + {b}) % {_MERSENNE}) AS h{i}"
+    for i, (a, b) in enumerate(_hash_params(_N_HASHES))
+)
+
+_BAND_ROWS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {bi} AS band, concat_ws('_', "
+    + ", ".join(f"h{bi * _R + k}" for k in range(_R))
+    + ") AS bucket FROM sig"
+    for bi in range(_BANDS)
+)
+
+_CAND_SQL = f"""
+WITH {_SH_CTE},
+sig AS (
+  SELECT doc_id,
+       {_SIG_COLS}
+  FROM sh GROUP BY 1
+),
+bands AS (
+{_BAND_ROWS}
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+"""
+
+_DEDUP_SQL = f"""
+WITH {_SH_CTE},
+sig AS (
+  SELECT doc_id,
+       {_SIG_COLS}
+  FROM sh GROUP BY 1
+),
+bands AS (
+{_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.v = a.v
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) >= 0.9
+"""
 
 
-@register("minhash_lsh_dedup", None)
+@register("minhash_lsh_dedup", _DEDUP_SQL)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) → 8-band LSH candidates → exact-Jaccard verify ≥0.9.
-    Non-SQL-expressible (xxhash64 signatures); recall pinned against the
+    """MinHash(32) → 8-band LSH candidates → exact-Jaccard verify ≥0.9
+    over the hashed shingle sets; recall additionally pinned against the
     exact-Jaccard oracle in tests/test_textops.py."""
     docs = load(spark, sf_dir, "documents")
     return minhash_dedup_verified(docs, threshold=0.9)
 
 
-@register("minhash_lsh_candidates", None)
+@register("minhash_lsh_candidates", _CAND_SQL)
 def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw LSH band-bucket candidate pairs (pre-verification)."""
     docs = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs)
 
 
-@register("simhash_fingerprints", None)
+_SIMHASH_SUMS = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+    for k in range(SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN b{k} > 0 THEN CAST(1 AS BIGINT) << {k}"
+    f" ELSE CAST(0 AS BIGINT) END)"
+    for k in range(SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+h AS (SELECT doc_id, {token_hash60_duckdb('t')} AS h FROM tok),
+sums AS (
+  SELECT doc_id,
+       {_SIMHASH_SUMS}
+  FROM h GROUP BY 1
+)
+SELECT doc_id, {_SIMHASH_FP} AS simhash FROM sums
+"""
+
+
+@register("simhash_fingerprints", _SIMHASH_SQL)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (pure column math, one groupBy)."""
+    """60-bit SimHash per document (pure column math, one groupBy)."""
     docs = load(spark, sf_dir, "documents")
     return simhash(docs)

@@ -73,19 +73,25 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(emb: Column, n_planes: int = 16) -> Column:
-    """Deterministic random-hyperplane LSH signature: plane p has
-    pseudo-random ±1 components sign(sin(p·DIM + i)) — a fixed function
-    of (p, i) precomputed driver-side into literal arrays (no stored
-    model, no per-row array generation). Bit p = sign(dot(emb, plane_p))."""
+def plane_weights(p: int) -> list[float]:
+    """±1 components of hyperplane p: sign(sin(p·DIM + i)) — a fixed
+    function of (p, i), shared verbatim with the DuckDB oracle (the
+    literals are embedded in its SQL, so libm differences can't bite)."""
     import math
 
+    return [
+        1.0 if math.sin(float(i) + float(p * DIM)) >= 0 else -1.0
+        for i in range(DIM)
+    ]
+
+
+def hyperplane_signature(emb: Column, n_planes: int = 16) -> Column:
+    """Deterministic random-hyperplane LSH signature: precomputed ±1
+    literal planes (no stored model, no per-row array generation).
+    Bit p = sign(dot(emb, plane_p))."""
     bits = []
     for p in range(n_planes):
-        w = [
-            1.0 if math.sin(float(i) + float(p * DIM)) >= 0 else -1.0
-            for i in range(DIM)
-        ]
+        w = plane_weights(p)
         plane = F.array(*[F.lit(v) for v in w])
         s = F.aggregate(
             F.zip_with(emb, plane, lambda x, ww: x.cast("double") * ww),

@@ -27,6 +27,63 @@ from pyspark.sql import functions as F
 # of the engine definition, not runtime randomness (resume/lineage-safe)
 _MERSENNE = 2147483647
 
+# Polynomial string/shingle hashes (SQL-expressible in BOTH Spark and
+# DuckDB — VERDICT r01 next-steps #5: xxhash64 had no DuckDB twin, which
+# forced the MinHash/SimHash queries into rows-only driver checks).
+# All arithmetic stays < 2^61: hashes < P30 ≈ 2^30, multipliers < 2^21.
+P30 = 1_000_000_007  # ~30-bit prime modulus
+_SHINGLE_B = 1_000_003  # shingle-combine multiplier
+
+
+def charfold_spark(var: str, mult: int = 31) -> str:
+    """31-polynomial char hash of a string expr — Spark SQL text."""
+    return (
+        f"aggregate(transform(sequence(1, length({var})),"
+        f" _ci -> cast(ascii(substring({var}, _ci, 1)) as bigint)),"
+        f" cast(0 as bigint), (_h, _c) -> (_h * {mult} + _c) % {P30})"
+    )
+
+
+def charfold_duckdb(var: str, mult: int = 31) -> str:
+    """Same fold as :func:`charfold_spark` in DuckDB SQL (list_reduce
+    needs a seed row, hence list_prepend; same left-to-right order)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(generate_series(1, strlen({var})),"
+        f" _ci -> CAST(ascii(substr({var}, CAST(_ci AS INT), 1)) AS BIGINT))),"
+        f" (_h, _c) -> (_h * {mult} + _c) % {P30})"
+    )
+
+
+def _shingle_fold(uh: str, i: str, n: int, elem_fmt: str) -> str:
+    """n-token shingle hash from the token-hash array `uh` starting at
+    1-based index `i`: left fold h = (h·B + u) mod P30."""
+    expr = "CAST(0 AS BIGINT)"
+    for k in range(n):
+        e = elem_fmt.format(arr=uh, idx=f"{i} + {k}")
+        expr = f"(({expr}) * {_SHINGLE_B} + {e}) % {P30}"
+    return expr
+
+
+def token_hashes_spark() -> str:
+    """Spark SQL: text → array of per-token char-fold hashes.  Keep this
+    as its OWN projected column — inlining it into the shingle transform
+    re-evaluates the (interpreted) nested HOF once per reference, a
+    measured 30× blowup at sf0.1."""
+    return f"transform(split(text, ' '), _t -> {charfold_spark('_t')})"
+
+
+def shingles_from_uh_spark(n: int = 5, arr: str = "_uh") -> str:
+    """Spark SQL: token-hash array column → array of n-gram shingle
+    hashes (polynomial combine) — identical values to the DuckDB twin."""
+    return (
+        f"transform(sequence(1, size({arr}) - {n - 1}), _i -> "
+        + _shingle_fold(
+            arr, "_i", n, "element_at({arr}, cast(({idx}) as int))"
+        )
+        + ")"
+    )
+
 
 def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
     params, state = [], 88172645463325252
@@ -37,6 +94,21 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
         b = state % _MERSENNE
         params.append((a, b))
     return params
+
+
+def token_hashes_duckdb() -> str:
+    return (
+        "list_transform(string_split(text, ' '),"
+        f" _t -> {charfold_duckdb('_t')})"
+    )
+
+
+def shingles_from_uh_duckdb(n: int = 5, arr: str = "_uh") -> str:
+    return (
+        f"list_transform(generate_series(1, len({arr}) - {n - 1}), _i -> "
+        + _shingle_fold(arr, "_i", n, "({arr})[{idx}]")
+        + ")"
+    )
 
 
 def tokens_col(text: str = "text"):
@@ -98,20 +170,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def hashed_shingles(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Distinct n-gram shingle HASHES per document (polynomial char fold
+    per token, polynomial combine across the n tokens — SQL text shared
+    with the DuckDB oracles via :func:`shingles_from_uh_duckdb`)."""
+    return (
+        docs.select(id_col, F.expr(token_hashes_spark()).alias("_uh"))
+        .filter(F.size("_uh") >= n)
+        .select(
+            id_col,
+            F.explode(F.expr(shingles_from_uh_spark(n))).alias("v"),
+        )
+        .distinct()
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", n: int = 5, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signatures: per doc, min over shingles of H universal
-    hashes ((a·x + b) mod p) of the shingle's xxhash64. One groupBy with
-    H min-aggregates — fully JVM-side, constant output per doc."""
-    sh = shingles(docs, id_col, n)
-    # bound the base hash to 2^31 so a·x + b stays within int64 under
-    # ANSI arithmetic (no silent wrap, no overflow error)
-    base = F.pmod(F.xxhash64("shingle"), F.lit(1 << 31))
+    """MinHash signatures: per doc, min over hashed shingles of H
+    universal hashes ((a·v + b) mod p).  One groupBy with H
+    min-aggregates — fully JVM-side, constant output per doc; v < 2^30
+    and a < 2^31 keep a·v + b inside int64 under ANSI arithmetic."""
+    sh = hashed_shingles(docs, id_col, n)
     aggs = [
-        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
-            f"h{i}"
-        )
+        F.min(
+            F.pmod(F.col("v") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+        ).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -131,6 +218,9 @@ def minhash_lsh_pairs(
     the classic S-curve. Returns distinct (d1, d2)."""
     r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, n, num_hashes)
+    # bucket key = the band's signature values joined as a string — an
+    # equi-join key both engines compute identically (hashing it again
+    # would only re-bucket the same partitions)
     band_rows = sig.select(
         id_col,
         F.explode(
@@ -138,8 +228,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{bi * r + k}") for k in range(r)]
+                        F.concat_ws(
+                            "_", *[F.col(f"h{bi * r + k}") for k in range(r)]
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
@@ -165,13 +255,15 @@ def minhash_dedup_verified(
     check removes false positives. (False *negatives* are the LSH
     S-curve tail; use threshold ≥ 0.9 with the default banding.)"""
     cand = minhash_lsh_pairs(docs, id_col, n)
-    sh = shingles(docs, id_col, n)
+    # exact Jaccard over the hashed shingle sets (same sets the
+    # signatures minimize over, same sets the DuckDB oracle rebuilds)
+    sh = hashed_shingles(docs, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    a = sh.select(F.col(id_col).alias("d1"), "v")
+    b = sh.select(F.col(id_col).alias("d2"), "v")
     inter = (
         cand.join(a, "d1")
-        .join(b, ["d2", "shingle"])
+        .join(b, ["d2", "v"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -193,23 +285,44 @@ def minhash_dedup_verified(
     )
 
 
+SIMHASH_BITS = 60
+
+
+def token_hash60_spark(var: str) -> str:
+    """60-bit token hash from two independent char folds (mult 31 / 131),
+    each < 2^30: h = fold31 | fold131 << 30.  SQL-expressible in DuckDB
+    (:func:`token_hash60_duckdb`) — replaces xxhash64, which DuckDB
+    lacks, so the SimHash query gets a value-level oracle."""
+    return (
+        f"({charfold_spark(var, 31)})"
+        f" + ({charfold_spark(var, 131)}) * cast({1 << 30} as bigint)"
+    )
+
+
+def token_hash60_duckdb(var: str) -> str:
+    return (
+        f"({charfold_duckdb(var, 31)})"
+        f" + ({charfold_duckdb(var, 131)}) * CAST({1 << 30} AS BIGINT)"
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash fingerprint: per token xxhash64; bit k of the
-    fingerprint = sign of Σ(±1 per token at bit k). Pure column math —
-    64 conditional-sum aggregates in one groupBy."""
+    """60-bit SimHash fingerprint: per-token 60-bit polynomial hash; bit
+    k of the fingerprint = sign of Σ(±1 per token at bit k). Pure column
+    math — 60 conditional-sum aggregates in one groupBy."""
     tok = docs.select(
         id_col, F.explode(tokens_col()).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", F.expr(token_hash60_spark("t")))
     aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), k).bitwiseAND(1) == 1, 1)
             .otherwise(-1)
         ).alias(f"b{k}")
-        for k in range(64)
+        for k in range(SIMHASH_BITS)
     ]
     sums = tok.groupBy(id_col).agg(*aggs)
     fp = None
-    for k in range(64):
+    for k in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{k}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
