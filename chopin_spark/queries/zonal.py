@@ -189,6 +189,203 @@ def extract_at_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C1 circular point buffers (chopin parity: st_buffer circles) -----------
+
+_CIRC_ORACLE = f"""
+WITH poi AS (
+  SELECT p_partkey, {_POIX} AS px, {_POIY} AS py FROM part
+),
+ii AS (
+  SELECT p_partkey, px, py,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR((px - {_RADIUS!r}) / {PW!r}) AS BIGINT) - 1),
+           LEAST({NPX - 1}, CAST(FLOOR((px + {_RADIUS!r}) / {PW!r}) AS BIGINT) + 1)
+         )) AS i
+  FROM poi
+),
+jj AS (
+  SELECT p_partkey, px, py, i,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR((py - {_RADIUS!r}) / {PH!r}) AS BIGINT) - 1),
+           LEAST({NPY - 1}, CAST(FLOOR((py + {_RADIUS!r}) / {PH!r}) AS BIGINT) + 1)
+         )) AS j
+  FROM ii
+),
+hit AS (
+  SELECT p_partkey, ((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS val
+  FROM jj
+  WHERE ({_PCX} - px) * ({_PCX} - px) + ({_PCY} - py) * ({_PCY} - py)
+        < {_RADIUS * _RADIUS!r}
+)
+SELECT CAST(p_partkey AS STRING) AS pid,
+       ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 4) AS mean_val,
+       COUNT(*) AS n_pixels
+FROM hit GROUP BY 1
+"""
+
+
+@register("extract_at_circular", _CIRC_ORACLE)
+def extract_at_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 extract_at with CIRCULAR point buffers — chopin buffers points
+    with st_buffer(nQuadSegs=90) ≈ circles
+    (/root/reference/R/processing.R:184-192); membership = pixel-center
+    distance < radius, the same-radius answer chopin produces (a square
+    cap contains ~27% more pixels)."""
+    poi = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("pid"),
+        (F.expr(_POIX) - _RADIUS).alias("xmin"),
+        (F.expr(_POIY) - _RADIUS).alias("ymin"),
+        (F.expr(_POIX) + _RADIUS).alias("xmax"),
+        (F.expr(_POIY) + _RADIUS).alias("ymax"),
+        F.expr(_POIX).alias("cx"),
+        F.expr(_POIY).alias("cy"),
+        F.lit(_RADIUS).alias("r"),
+    )
+    tiles = _tiles(spark, n_rasters=1)
+    return extract_at(tiles, poi, rect_id="pid", shape="circle").select(
+        "pid", "mean_val", "n_pixels"
+    )
+
+
+# --- C1 coverage-fraction weighting (exactextractr parity) ------------------
+
+_FXW = (
+    f"(LEAST(xmax, {_PCX} + {PW / 2!r}) - GREATEST(xmin, {_PCX} - {PW / 2!r}))"
+    f" / {PW!r}"
+)
+_FYW = (
+    f"(LEAST(ymax, {_PCY} + {PH / 2!r}) - GREATEST(ymin, {_PCY} - {PH / 2!r}))"
+    f" / {PH!r}"
+)
+_WQ_FRAC = (
+    f"CAST(FLOOR(GREATEST(0.0, {_FXW}) * GREATEST(0.0, {_FYW})"
+    f" * 1048576.0 + 0.5) AS BIGINT)"
+)
+
+_FRAC_ORACLE = f"""
+WITH poi AS (
+  SELECT p_partkey,
+         {_POIX} - {_RADIUS!r} AS xmin, {_POIY} - {_RADIUS!r} AS ymin,
+         {_POIX} + {_RADIUS!r} AS xmax, {_POIY} + {_RADIUS!r} AS ymax
+  FROM part
+),
+ii AS (
+  SELECT p_partkey, xmin, ymin, xmax, ymax,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR(xmin / {PW!r}) AS BIGINT) - 1),
+           LEAST({NPX - 1}, CAST(FLOOR(xmax / {PW!r}) AS BIGINT) + 1)
+         )) AS i
+  FROM poi
+),
+jj AS (
+  SELECT *, UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR(ymin / {PH!r}) AS BIGINT) - 1),
+           LEAST({NPY - 1}, CAST(FLOOR(ymax / {PH!r}) AS BIGINT) + 1)
+         )) AS j
+  FROM ii
+),
+hit AS (
+  SELECT p_partkey, {_WQ_FRAC} AS wq,
+         ((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS val
+  FROM jj
+  WHERE {_WQ_FRAC} > 0
+)
+SELECT CAST(p_partkey AS STRING) AS pid,
+       ROUND(CAST(SUM(wq * val) AS DOUBLE) / CAST(SUM(wq) AS DOUBLE), 4)
+         AS mean_val,
+       COUNT(*) AS n_pixels
+FROM hit GROUP BY 1
+"""
+
+
+@register("extract_at_buffers_frac", _FRAC_ORACLE)
+def extract_at_buffers_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 extract_at with exact coverage-fraction weighting — chopin
+    weights each pixel by its covered fraction via exactextractr
+    (/root/reference/R/processing.R:195-208). Buffers are NOT aligned
+    to the pixel grid, so boundary pixels get fractional weight
+    (quantized to 2^20 → integer-exact distributed sums)."""
+    poi = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("pid"),
+        (F.expr(_POIX) - _RADIUS).alias("xmin"),
+        (F.expr(_POIY) - _RADIUS).alias("ymin"),
+        (F.expr(_POIX) + _RADIUS).alias("xmax"),
+        (F.expr(_POIY) + _RADIUS).alias("ymax"),
+    )
+    tiles = _tiles(spark, n_rasters=1)
+    return extract_at(
+        tiles, poi, rect_id="pid", weighting="fraction"
+    ).select("pid", "mean_val", "n_pixels")
+
+
+# --- C1 general polygons (octagon zones through the ray-cast path) ----------
+
+from chopin_spark.queries.polygons import _CX as _OCX, _CY as _OCY  # noqa: E402
+
+_IN_OCT_PX = (
+    f"((({_PCX}) - FLOOR(({_PCX}) / {Z.TRACT_W!r}) * {Z.TRACT_W!r}) * {_OCY!r}"
+    f" + (({_PCY}) - FLOOR(({_PCY}) / {Z.TRACT_H!r}) * {Z.TRACT_H!r}) * {_OCX!r}"
+    f" > {_OCX * _OCY!r}"
+    f" AND ({Z.TRACT_W!r} - (({_PCX}) - FLOOR(({_PCX}) / {Z.TRACT_W!r})"
+    f" * {Z.TRACT_W!r})) * {_OCY!r}"
+    f" + (({_PCY}) - FLOOR(({_PCY}) / {Z.TRACT_H!r}) * {Z.TRACT_H!r}) * {_OCX!r}"
+    f" > {_OCX * _OCY!r}"
+    f" AND ((({_PCX}) - FLOOR(({_PCX}) / {Z.TRACT_W!r}) * {Z.TRACT_W!r})) * {_OCY!r}"
+    f" + ({Z.TRACT_H!r} - (({_PCY}) - FLOOR(({_PCY}) / {Z.TRACT_H!r})"
+    f" * {Z.TRACT_H!r})) * {_OCX!r} > {_OCX * _OCY!r}"
+    f" AND ({Z.TRACT_W!r} - (({_PCX}) - FLOOR(({_PCX}) / {Z.TRACT_W!r})"
+    f" * {Z.TRACT_W!r})) * {_OCY!r}"
+    f" + ({Z.TRACT_H!r} - (({_PCY}) - FLOOR(({_PCY}) / {Z.TRACT_H!r})"
+    f" * {Z.TRACT_H!r})) * {_OCX!r} > {_OCX * _OCY!r})"
+)
+
+_OCT_ZONAL_ORACLE = f"""
+WITH px AS ({_PX_GRID})
+SELECT 'r0' AS raster_id,
+       {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
+       ROUND(CAST(SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS DOUBLE)
+             / COUNT(*), 4) AS mean_val,
+       COUNT(*) AS n_pixels
+FROM px
+WHERE {_IN_OCT_PX}
+GROUP BY 1, 2
+"""
+
+
+@register("extract_at_octagon", _OCT_ZONAL_ORACLE)
+def extract_at_octagon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 extract_at over GENERAL polygons: the 256 tracts with 25%
+    corner cuts (octagons), evaluated through the production ray-cast
+    path (raster.extract_at_polygons + geom.core.points_in_polygon),
+    oracle-checked against the closed-form half-plane membership —
+    chopin's flagship polygons × raster call
+    (/root/reference/R/processing.R:301-530)."""
+    from chopin_spark.raster import extract_at_polygons
+
+    tiles = _tiles(spark, n_rasters=1)
+    z = Z.zones_df(spark)
+    polys = z.select(
+        F.col("zone_id").alias("poly_id"),
+        "xmin", "ymin", "xmax", "ymax",
+        F.array(
+            F.col("xmin") + _OCX, F.col("xmax") - _OCX, F.col("xmax"),
+            F.col("xmax"), F.col("xmax") - _OCX, F.col("xmin") + _OCX,
+            F.col("xmin"), F.col("xmin"),
+        ).alias("xs"),
+        F.array(
+            F.col("ymin"), F.col("ymin"), F.col("ymin") + _OCY,
+            F.col("ymax") - _OCY, F.col("ymax"), F.col("ymax"),
+            F.col("ymax") - _OCY, F.col("ymin") + _OCY,
+        ).alias("ys"),
+    )
+    return extract_at_polygons(tiles, polys, poly_id="poly_id").select(
+        "raster_id",
+        F.col("poly_id").alias("zone_id"),
+        "mean_val",
+        "n_pixels",
+    )
+
+
 # --- C3 kernel_weighting: kernel-weighted zonal mean ------------------------
 
 _BW = 20_000.0

@@ -134,6 +134,8 @@ def extract_at(
     bandwidth: float | None = None,
     stats: tuple[str, ...] = ("mean",),
     broadcast_rects: bool | None = None,
+    shape: str = "rect",
+    weighting: str = "center",
 ) -> DataFrame:
     """C1 extract_at: zonal mean of raster values over rects.
 
@@ -147,13 +149,31 @@ def extract_at(
     Returns (raster_id, rect_id, mean_val, n_pixels). Corrupt tiles
     (NULL values) are skipped here; par_multirasters-style error rows
     are the caller's contract (see queries.zonal).
+
+    shape: "rect" (half-open box) or "circle" (pixel-center distance to
+    (cx, cy) < radius column "r" — chopin buffers points CIRCULARLY via
+    st_buffer(nQuadSegs=90), /root/reference/R/processing.R:184-192; the
+    bbox columns remain the tile-candidacy index).
+    weighting: "center" (pixel-center membership) or "fraction"
+    (rect-only: pixel weighted by its exact covered area fraction,
+    quantized to 2^20 — chopin's exactextractr coverage_fraction,
+    /root/reference/R/processing.R:195-208, exact for axis-aligned
+    zones at ANY alignment).
     """
+    if shape not in ("rect", "circle"):
+        raise ValueError(f"unsupported shape {shape!r}")
+    if weighting not in ("center", "fraction"):
+        raise ValueError(f"unsupported weighting {weighting!r}")
+    if weighting == "fraction" and (shape != "rect" or kernel is not None):
+        raise ValueError("fraction weighting is defined for plain rects")
     kern = kernel
     bw = bandwidth
     has_kernel = kern is not None
+    is_circle = shape == "circle"
+    frac = weighting == "fraction"
     cols = [rect_id, "xmin", "ymin", "xmax", "ymax"] + (
-        ["cx", "cy"] if has_kernel else []
-    )
+        ["cx", "cy"] if (has_kernel or is_circle) else []
+    ) + (["r"] if is_circle else [])
     # Candidate rects grouped per tile: each tile's 8 KB value array
     # crosses the join and the Arrow boundary exactly ONCE, carrying the
     # (small) list of rect windows that touch it — instead of one value
@@ -244,15 +264,43 @@ def extract_at(
             cx_px = (tcol[:, None] * TILE + ar[None, :] + 0.5) * PW  # (T, i)
             cy_px = (trow[:, None] * TILE + ar[None, :] + 0.5) * PH
             pcx, pcy = cx_px[tidx], cy_px[tidx]  # (P, TILE)
-            mi = (pcx >= flat("xmin")[:, None]) & (
-                pcx < flat("xmax")[:, None]
-            )  # (P, TILE) cols
-            mj = (pcy >= flat("ymin")[:, None]) & (
-                pcy < flat("ymax")[:, None]
-            )  # (P, TILE) rows
-            cnt = mi.sum(1).astype(np.int64) * mj.sum(1).astype(np.int64)
-            if has_kernel:
+            if not is_circle:
+                mi = (pcx >= flat("xmin")[:, None]) & (
+                    pcx < flat("xmax")[:, None]
+                )  # (P, TILE) cols
+                mj = (pcy >= flat("ymin")[:, None]) & (
+                    pcy < flat("ymax")[:, None]
+                )  # (P, TILE) rows
+            if frac:
+                # exact covered fraction per pixel column/row (overlap
+                # length / pixel size), the separable coverage_fraction
+                fx = np.clip(
+                    (
+                        np.minimum(flat("xmax")[:, None], pcx + PW / 2)
+                        - np.maximum(flat("xmin")[:, None], pcx - PW / 2)
+                    )
+                    / PW,
+                    0.0,
+                    1.0,
+                )
+                fy = np.clip(
+                    (
+                        np.minimum(flat("ymax")[:, None], pcy + PH / 2)
+                        - np.maximum(flat("ymin")[:, None], pcy - PH / 2)
+                    )
+                    / PH,
+                    0.0,
+                    1.0,
+                )
+            if has_kernel or is_circle:
                 kcx, kcy = flat("cx"), flat("cy")
+            if is_circle:
+                rr2 = flat("r") ** 2
+            cnt = (
+                np.zeros(len(tidx), dtype=np.int64)
+                if (is_circle or frac)
+                else mi.sum(1).astype(np.int64) * mj.sum(1).astype(np.int64)
+            )
             P = len(tidx)
             vsum = np.zeros(P, dtype=np.int64)
             wsum = np.zeros(P, dtype=np.int64)
@@ -261,28 +309,62 @@ def extract_at(
             for lo in range(0, P, _CHUNK):
                 sl = slice(lo, min(lo + _CHUNK, P))
                 v = vals[tidx[sl]].astype(np.float64)  # (C, j, i)
-                mjc, mic = mj[sl], mi[sl]
-                if has_kernel:
+                if is_circle:
                     dx = pcx[sl] - kcx[sl, None]  # (C, i)
                     dy = pcy[sl] - kcy[sl, None]  # (C, j)
-                    d = np.sqrt(dx[:, None, :] ** 2 + dy[:, :, None] ** 2)
-                    wq = quantize_np(kernel_np(d, bw, kern)) * (
-                        mjc[:, :, None] & mic[:, None, :]
-                    )
+                    d2 = dx[:, None, :] ** 2 + dy[:, :, None] ** 2
+                    mask = d2 < rr2[sl, None, None]  # (C, j, i)
+                    cnt[sl] = mask.sum(axis=(1, 2)).astype(np.int64)
+                    if has_kernel:
+                        wq = quantize_np(
+                            kernel_np(np.sqrt(d2), bw, kern)
+                        ) * mask
+                        vsum[sl] = (wq * v).sum(axis=(1, 2)).astype(np.int64)
+                        wsum[sl] = wq.sum(axis=(1, 2)).astype(np.int64)
+                    else:
+                        vsum[sl] = (
+                            (v * mask).sum(axis=(1, 2)).astype(np.int64)
+                        )
+                        wsum[sl] = cnt[sl]
+                    mjc = mic = None
+                elif frac:
+                    wq = np.floor(
+                        fy[sl][:, :, None] * fx[sl][:, None, :] * 1048576.0
+                        + 0.5
+                    ).astype(np.int64)
+                    mask = wq > 0
+                    cnt[sl] = mask.sum(axis=(1, 2)).astype(np.int64)
                     vsum[sl] = (wq * v).sum(axis=(1, 2)).astype(np.int64)
                     wsum[sl] = wq.sum(axis=(1, 2)).astype(np.int64)
+                    mjc = mic = None
                 else:
-                    vsum[sl] = np.einsum(
-                        "pji,pj,pi->p", v,
-                        mjc.astype(np.float64), mic.astype(np.float64),
-                    ).astype(np.int64)
-                    wsum[sl] = cnt[sl]
+                    mjc, mic = mj[sl], mi[sl]
+                    mask = None
+                    if has_kernel:
+                        dx = pcx[sl] - kcx[sl, None]  # (C, i)
+                        dy = pcy[sl] - kcy[sl, None]  # (C, j)
+                        d = np.sqrt(dx[:, None, :] ** 2 + dy[:, :, None] ** 2)
+                        wq = quantize_np(kernel_np(d, bw, kern)) * (
+                            mjc[:, :, None] & mic[:, None, :]
+                        )
+                        vsum[sl] = (wq * v).sum(axis=(1, 2)).astype(np.int64)
+                        wsum[sl] = wq.sum(axis=(1, 2)).astype(np.int64)
+                    else:
+                        vsum[sl] = np.einsum(
+                            "pji,pj,pi->p", v,
+                            mjc.astype(np.float64), mic.astype(np.float64),
+                        ).astype(np.int64)
+                        wsum[sl] = cnt[sl]
                 if need_minmax:
                     vi = vals[tidx[sl]]
-                    colmin = np.where(mic[:, None, :], vi, i64.max).min(2)
-                    vmin[sl] = np.where(mjc, colmin, i64.max).min(1)
-                    colmax = np.where(mic[:, None, :], vi, i64.min).max(2)
-                    vmax[sl] = np.where(mjc, colmax, i64.min).max(1)
+                    if mask is not None:
+                        vmin[sl] = np.where(mask, vi, i64.max).min(axis=(1, 2))
+                        vmax[sl] = np.where(mask, vi, i64.min).max(axis=(1, 2))
+                    else:
+                        colmin = np.where(mic[:, None, :], vi, i64.max).min(2)
+                        vmin[sl] = np.where(mjc, colmin, i64.max).min(1)
+                        colmax = np.where(mic[:, None, :], vi, i64.min).max(2)
+                        vmax[sl] = np.where(mjc, colmax, i64.min).max(1)
             keep = cnt > 0
             rid_flat = np.concatenate(
                 [np.asarray(v, dtype=object) for v in pdf[f"r_{rect_id}"]]
@@ -323,6 +405,103 @@ def extract_at(
             raise ValueError(f"unsupported stat {s!r}")
     aggs.append(F.sum("cnt").alias("n_pixels"))
     return parts.groupBy("raster_id", rect_id).agg(*aggs)
+
+
+def extract_at_polygons(
+    tiles: DataFrame,
+    polys: DataFrame,
+    poly_id: str = "poly_id",
+    broadcast_polys: bool | None = None,
+) -> DataFrame:
+    """C1 extract_at over GENERAL single-ring polygons — the reference's
+    flagship polygons × raster call (6 S4 methods,
+    /root/reference/R/processing.R:301-530), wired through the engine's
+    ray-cast PIP (geom.core.points_in_polygon) instead of exactextractr.
+
+    polys: (poly_id, xmin, ymin, xmax, ymax, xs: array<double>,
+    ys: array<double>) — bbox columns drive tile candidacy (index
+    arithmetic, same as rects); the ring refines pixel-center
+    membership exactly.  Returns (raster_id, poly_id, mean_val,
+    n_pixels).
+    """
+    cols = [poly_id, "xmin", "ymin", "xmax", "ymax", "xs", "ys"]
+    cand = _explode_rect_tiles(polys.select(*cols))
+    grouped = cand.groupBy("tile_id").agg(
+        F.collect_list(F.struct(*cols)).alias("rects")
+    )
+    cand_per_tile = grouped.select(
+        "tile_id", *[F.col(f"rects.{c}").alias(f"r_{c}") for c in cols]
+    )
+    if broadcast_polys is None:
+        broadcast_polys = polys.count() <= 8192
+    if broadcast_polys:
+        cand_per_tile = F.broadcast(cand_per_tile)
+    joined = tiles.select(
+        "tile_id", "raster_id", "tile_row", "tile_col", "values"
+    ).join(cand_per_tile, "tile_id")
+
+    part_schema = f"raster_id string, {poly_id} string, vsum long, cnt long"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chopin_spark.geom.core import points_in_polygon
+
+        ar = np.arange(TILE, dtype=np.float64)
+        gx, gy = np.meshgrid(ar, ar)  # [j, i] grids
+        empty = pd.DataFrame(
+            {
+                "raster_id": pd.Series(dtype="object"),
+                poly_id: pd.Series(dtype="object"),
+                "vsum": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            if pdf.empty:
+                yield empty
+                continue
+            out_r, out_p, out_v, out_c = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = row[pdf.columns.get_loc(f"r_{poly_id}")]
+                if len(ids) == 0:
+                    continue
+                vals = np.asarray(row.values, dtype=np.int64).reshape(
+                    TILE, TILE
+                )
+                px = ((row.tile_col * TILE + gx + 0.5) * PW).ravel()
+                py = ((row.tile_row * TILE + gy + 0.5) * PH).ravel()
+                for pid, xs, ys in zip(ids, row.r_xs, row.r_ys):
+                    ring = np.column_stack(
+                        [np.asarray(xs), np.asarray(ys)]
+                    )
+                    inside = points_in_polygon(px, py, ring)
+                    c = int(inside.sum())
+                    if c == 0:
+                        continue
+                    out_r.append(row.raster_id)
+                    out_p.append(pid)
+                    out_v.append(int(vals.ravel()[inside].sum()))
+                    out_c.append(c)
+            yield (
+                pd.DataFrame(
+                    {
+                        "raster_id": out_r,
+                        poly_id: out_p,
+                        "vsum": np.asarray(out_v, dtype=np.int64),
+                        "cnt": np.asarray(out_c, dtype=np.int64),
+                    }
+                )
+                if out_r
+                else empty
+            )
+
+    parts = joined.mapInPandas(partials, part_schema)
+    return parts.groupBy("raster_id", poly_id).agg(
+        F.round(
+            F.sum("vsum").cast("double") / F.sum("cnt").cast("double"), 4
+        ).alias("mean_val"),
+        F.sum("cnt").alias("n_pixels"),
+    )
 
 
 def corrupt_raster_ids(tiles: DataFrame) -> DataFrame:
