@@ -1,0 +1,206 @@
+"""CRS handling / reprojection (chopin parity: `reproject_std`
+/root/reference/R/check.R:129-157, `reproject_to_raster` :171-180 —
+every chopin workflow starts by reprojecting inputs to a standard CRS,
+applied per-task at /root/reference/R/scale_process.R:177, :755).
+
+pyproj is not available in this environment, so the projections are
+implemented as CLOSED-FORM column expressions (public map-projection
+formulas, Snyder "Map Projections — A Working Manual", USGS PP 1395):
+
+- ``EPSG:4326``  lon/lat on the sphere (input standard),
+- ``SPHERE:ALBERS_CONUS``  Albers equal-area conic, EPSG:5070
+  parameters on the authalic sphere (φ1=29.5°, φ2=45.5°, φ0=23°,
+  λ0=−96°),
+- ``SPHERE:LAEA_EU``  Lambert azimuthal equal-area, EPSG:3035
+  parameters on the sphere (φ1=52°, λ0=10°),
+- ``SPHERE:WEBMERC``  spherical Web Mercator (EPSG:3857 formulas).
+
+Spherical (not ellipsoidal) forms are used deliberately and documented:
+the engine's correctness gate hashes values across Spark and DuckDB,
+and of the transcendental primitives only ``sin``/``sqrt`` (plus
+arithmetic) are bit-identical between the JVM and C libm (measured:
+ln/tan/exp/asin/atan2 differ by ≤2 ulp).  Albers and LAEA are therefore
+expressed with ``sin``, ``cos(x) = sin(π/2 − x)``, and ``sqrt`` ONLY —
+hash-exact at full double precision.  Web Mercator needs ``ln``; its
+oracle-facing outputs are reported in km at ROUND(·,4) where a 2-ulp
+divergence (≈2e-12 km) cannot cross a rounding boundary.
+
+The SQL text is shared verbatim between Spark (`F.expr`) and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+R_SPHERE = 6378137.0  # authalic-style radius (WGS84 semi-major), meters
+
+
+def cos_sql(x: str) -> str:
+    """cos via the sin identity — sin is bit-identical across the JVM
+    and C libm, plain cos is not."""
+    return f"sin(pi() / 2.0 - ({x}))"
+
+
+# --- Albers equal-area conic (spherical, Snyder eqs. 14-1..14-6) -----------
+
+
+@dataclass(frozen=True)
+class AlbersParams:
+    lat1: float = 29.5
+    lat2: float = 45.5
+    lat0: float = 23.0
+    lon0: float = -96.0
+    radius: float = R_SPHERE
+
+    @property
+    def n(self) -> float:
+        return (math.sin(math.radians(self.lat1))
+                + math.sin(math.radians(self.lat2))) / 2.0
+
+    @property
+    def big_c(self) -> float:
+        s1 = math.sin(math.radians(self.lat1))
+        c1 = math.cos(math.radians(self.lat1))
+        return c1 * c1 + 2.0 * self.n * s1
+
+    @property
+    def rho0(self) -> float:
+        s0 = math.sin(math.radians(self.lat0))
+        return (self.radius
+                * math.sqrt(self.big_c - 2.0 * self.n * s0) / self.n)
+
+
+ALBERS_CONUS = AlbersParams()
+
+
+def albers_xy_sql(
+    lon: str, lat: str, p: AlbersParams = ALBERS_CONUS
+) -> tuple[str, str]:
+    """Forward Albers: (x, y) meter expressions — sin/sqrt only, so the
+    values hash identically in Spark and DuckDB at full precision."""
+    rho = (
+        f"({p.radius!r} * sqrt({p.big_c!r} - {2.0 * p.n!r}"
+        f" * sin(radians({lat}))) / {p.n!r})"
+    )
+    theta = f"({p.n!r} * radians(({lon}) - {p.lon0!r}))"
+    x = f"({rho} * sin({theta}))"
+    y = f"({p.rho0!r} - {rho} * {cos_sql(theta)})"
+    return x, y
+
+
+def albers_inverse_xy_sql(
+    x: str, y: str, p: AlbersParams = ALBERS_CONUS
+) -> tuple[str, str]:
+    """Inverse Albers → (lon, lat) degrees.  Uses atan2/asin (NOT
+    hash-identical across engines — roundtrip accuracy is pinned in
+    tests/test_crs.py instead of the value-hash gate)."""
+    rho = f"sqrt(({x}) * ({x}) + ({p.rho0!r} - ({y})) * ({p.rho0!r} - ({y})))"
+    theta = f"atan2(({x}), {p.rho0!r} - ({y}))"
+    lat = (
+        f"degrees(asin(({p.big_c!r} - ({rho} * {p.n!r} / {p.radius!r})"
+        f" * ({rho} * {p.n!r} / {p.radius!r})) / {2.0 * p.n!r}))"
+    )
+    lon = f"({p.lon0!r} + degrees({theta}) / {p.n!r})"
+    return lon, lat
+
+
+# --- Lambert azimuthal equal-area (spherical, Snyder eqs. 24-2..24-4) ------
+
+
+@dataclass(frozen=True)
+class LaeaParams:
+    lat1: float = 52.0
+    lon0: float = 10.0
+    radius: float = R_SPHERE
+
+
+LAEA_EU = LaeaParams()
+
+
+def laea_xy_sql(
+    lon: str, lat: str, p: LaeaParams = LAEA_EU
+) -> tuple[str, str]:
+    s1 = math.sin(math.radians(p.lat1))
+    c1 = math.cos(math.radians(p.lat1))
+    dlon = f"radians(({lon}) - {p.lon0!r})"
+    sinp = f"sin(radians({lat}))"
+    cosp = cos_sql(f"radians({lat})")
+    cosd = cos_sql(dlon)
+    kp = (
+        f"sqrt(2.0 / (1.0 + {s1!r} * {sinp}"
+        f" + {c1!r} * {cosp} * {cosd}))"
+    )
+    x = f"({p.radius!r} * {kp} * {cosp} * sin({dlon}))"
+    y = (
+        f"({p.radius!r} * {kp} * ({c1!r} * {sinp}"
+        f" - {s1!r} * {cosp} * {cosd}))"
+    )
+    return x, y
+
+
+# --- Web Mercator (spherical EPSG:3857 formulas) ----------------------------
+
+
+def webmercator_xy_sql(lon: str, lat: str) -> tuple[str, str]:
+    """Forward Web Mercator.  y uses ln (≤2 ulp engine divergence) —
+    report oracle-facing outputs in km with ROUND(·, 4)."""
+    x = f"({R_SPHERE!r} * radians({lon}))"
+    y = (
+        f"({R_SPHERE!r} * 0.5 * ln((1.0 + sin(radians({lat})))"
+        f" / (1.0 - sin(radians({lat})))))"
+    )
+    return x, y
+
+
+def webmercator_inverse_xy_sql(x: str, y: str) -> tuple[str, str]:
+    lon = f"degrees(({x}) / {R_SPHERE!r})"
+    lat = f"degrees(2.0 * atan(exp(({y}) / {R_SPHERE!r})) - pi() / 2.0)"
+    return lon, lat
+
+
+# --- DataFrame-level API (chopin's reproject_std / reproject_to_raster) -----
+
+_FORWARD = {
+    ("EPSG:4326", "SPHERE:ALBERS_CONUS"): albers_xy_sql,
+    ("EPSG:4326", "SPHERE:LAEA_EU"): laea_xy_sql,
+    ("EPSG:4326", "SPHERE:WEBMERC"): webmercator_xy_sql,
+    ("SPHERE:ALBERS_CONUS", "EPSG:4326"): albers_inverse_xy_sql,
+    ("SPHERE:WEBMERC", "EPSG:4326"): webmercator_inverse_xy_sql,
+}
+
+
+@dataclass
+class GeoFrame:
+    """A DataFrame with coordinate columns and a tracked CRS — the
+    engine's stand-in for sf/terra objects carrying a CRS."""
+
+    df: DataFrame
+    crs: str = "EPSG:4326"
+    x_col: str = "x"
+    y_col: str = "y"
+
+    def reproject(self, dst: str) -> "GeoFrame":
+        if dst == self.crs:
+            return self
+        key = (self.crs, dst)
+        if key not in _FORWARD:
+            raise ValueError(f"no transform registered for {key}")
+        xe, ye = _FORWARD[key](self.x_col, self.y_col)
+        out = self.df.withColumns(
+            {self.x_col: F.expr(xe), self.y_col: F.expr(ye)}
+        )
+        return GeoFrame(out, dst, self.x_col, self.y_col)
+
+    def reproject_std(self, crs_standard: str = "EPSG:4326") -> "GeoFrame":
+        """chopin reproject_std (/root/reference/R/check.R:129-157):
+        no-op when already in the standard CRS, else transform."""
+        return self.reproject(crs_standard)
+
+    def reproject_to(self, other: "GeoFrame") -> "GeoFrame":
+        """chopin reproject_to_raster (/root/reference/R/check.R:171-180):
+        align this frame's CRS to another layer's."""
+        return self.reproject(other.crs)

@@ -138,3 +138,30 @@ def pad_rect(
     joinStyle='MITRE')` on grid cells
     (/root/reference/R/gridding.R:192-198)."""
     return xmin - pad, ymin - pad, xmax + pad, ymax + pad
+
+
+def points_in_parts(px, py, parts) -> np.ndarray:
+    """Membership against a (multi)polygon with holes: inside any part's
+    outer ring and not inside one of that part's holes (even-odd).
+    parts: list of polygons, each [outer, hole1, ...] — the normalized
+    view from geom.wkb.parts (chopin casts MULTIPOLYGON inputs and
+    honors holes, /root/reference/R/gridding.R:930-940)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for rings in parts:
+        m = points_in_polygon(px, py, rings[0])
+        for hole in rings[1:]:
+            m &= ~points_in_polygon(px, py, hole)
+        inside |= m
+    return inside
+
+
+def parts_area(parts) -> float:
+    """Area of a (multi)polygon with holes: Σ(outer − holes)."""
+    total = 0.0
+    for rings in parts:
+        total += polygon_area(rings[0])
+        for hole in rings[1:]:
+            total -= polygon_area(hole)
+    return total

@@ -1,0 +1,135 @@
+"""Reprojection queries (chopin reproject_std parity — the step every
+chopin workflow runs first, /root/reference/R/check.R:129-157).
+
+Documents carry deterministic planar LCG coordinates; here they are
+interpreted as lon/lat in a CONUS window and reprojected with the
+closed-form spherical CRS layer (chopin_spark.crs).  The Albers path is
+hash-exact across engines (sin/sqrt-only formulas); the Web Mercator
+path reports km at ROUND(·,4), far above the measured ≤2-ulp libm
+divergence.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark import sqlexpr as sx
+from chopin_spark.crs import (
+    ALBERS_CONUS, GeoFrame, albers_xy_sql, webmercator_xy_sql,
+)
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+
+# documents' LCG planar coords → CONUS lon/lat window
+_LON = f"(-125.0 + ({sx.x_expr('doc_id')}) / 800000.0 * 58.0)"
+_LAT = f"(24.0 + ({sx.y_expr('doc_id')}) / 600000.0 * 26.0)"
+
+_AX, _AY = albers_xy_sql(_LON, _LAT)
+
+# regular grid over the projected window: corner-derived literal bounds
+# (computed once in Python — identical constants in both engines),
+# padded 1 km and snapped to whole km
+_P = ALBERS_CONUS
+
+
+def _fwd(lon: float, lat: float) -> tuple[float, float]:
+    rho = _P.radius * math.sqrt(
+        _P.big_c - 2.0 * _P.n * math.sin(math.radians(lat))
+    ) / _P.n
+    th = _P.n * math.radians(lon - _P.lon0)
+    return rho * math.sin(th), _P.rho0 - rho * math.cos(th)
+
+
+_CORNERS = [_fwd(lo, la) for lo in (-125.0, -67.0) for la in (24.0, 50.0)]
+_X0 = math.floor(min(c[0] for c in _CORNERS) / 1000.0 - 1.0) * 1000.0
+_X1 = math.ceil(max(c[0] for c in _CORNERS) / 1000.0 + 1.0) * 1000.0
+_Y0 = math.floor(min(c[1] for c in _CORNERS) / 1000.0 - 1.0) * 1000.0
+_Y1 = math.ceil(max(c[1] for c in _CORNERS) / 1000.0 + 1.0) * 1000.0
+_GNX, _GNY = 16, 12
+_CW = (_X1 - _X0) / _GNX
+_CH = (_Y1 - _Y0) / _GNY
+
+_CELL = (
+    f"(LEAST(GREATEST(CAST(FLOOR(({_AY} - {_Y0!r}) / {_CH!r}) AS BIGINT),"
+    f" 0), {_GNY - 1}) * {_GNX}"
+    f" + LEAST(GREATEST(CAST(FLOOR(({_AX} - {_X0!r}) / {_CW!r}) AS BIGINT),"
+    f" 0), {_GNX - 1}))"
+)
+
+_ALBERS_ORACLE = f"""
+SELECT {_CELL} AS cgridid,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(AVG({_AX}) / 1000.0, 4) AS mean_x_km
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("reproject_albers_grid", _ALBERS_ORACLE)
+def reproject_albers_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reproject_std → grid → aggregate, the canonical chopin opening
+    move: lon/lat docs projected to spherical Albers (EPSG:5070
+    parameters), assigned to a 16×12 grid in projected meters, counted.
+    Hash-exact across engines (sin/sqrt-only projection)."""
+    docs = load(spark, sf_dir, "documents")
+    gf = GeoFrame(
+        docs.select(
+            "doc_id", "n_chars",
+            F.expr(_LON).alias("x"), F.expr(_LAT).alias("y"),
+        ),
+        crs="EPSG:4326",
+    ).reproject_std("SPHERE:ALBERS_CONUS")
+    ix = F.least(
+        F.greatest(
+            F.floor((F.col("x") - _X0) / _CW).cast("long"), F.lit(0)
+        ),
+        F.lit(_GNX - 1),
+    )
+    iy = F.least(
+        F.greatest(
+            F.floor((F.col("y") - _Y0) / _CH).cast("long"), F.lit(0)
+        ),
+        F.lit(_GNY - 1),
+    )
+    return (
+        gf.df.withColumn("cgridid", iy * _GNX + ix)
+        .groupBy("cgridid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("x") / 1000.0, 4).alias("mean_x_km"),
+        )
+    )
+
+
+_MX, _MY = webmercator_xy_sql(_LON, _LAT)
+
+_MERC_ORACLE = f"""
+SELECT doc_id,
+       ROUND({_MX} / 1000.0, 4) AS mx_km,
+       ROUND({_MY} / 1000.0, 4) AS my_km
+FROM documents
+"""
+
+
+@register("reproject_webmercator_coords", _MERC_ORACLE)
+def reproject_webmercator_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Web Mercator coordinates (km, round4 — the ln-based
+    y diverges by ≤2 ulp between JVM and C libm, ~2e-12 km, eleven
+    orders of magnitude inside the rounding grid)."""
+    docs = load(spark, sf_dir, "documents")
+    gf = GeoFrame(
+        docs.select(
+            "doc_id", F.expr(_LON).alias("x"), F.expr(_LAT).alias("y")
+        ),
+        crs="EPSG:4326",
+    ).reproject("SPHERE:WEBMERC")
+    return gf.df.select(
+        "doc_id",
+        F.round(F.col("x") / 1000.0, 4).alias("mx_km"),
+        F.round(F.col("y") / 1000.0, 4).alias("my_km"),
+    )

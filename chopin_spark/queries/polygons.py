@@ -125,3 +125,87 @@ def pip_octagon_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_inside"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# --- holed polygons: octagon outer ring minus a central rectangular hole ----
+
+_HW = 0.2 * Z.TRACT_W  # hole half-extent fractions of the tract
+_HH = 0.2 * Z.TRACT_H
+
+_IN_HOLE = (
+    f"(({_U}) > {Z.TRACT_W / 2 - _HW!r} AND ({_U}) < {Z.TRACT_W / 2 + _HW!r}"
+    f" AND ({_V}) > {Z.TRACT_H / 2 - _HH!r}"
+    f" AND ({_V}) < {Z.TRACT_H / 2 + _HH!r})"
+)
+
+_HOLED_ORACLE = f"""
+SELECT {Z.zone_id_expr(_X, _Y)} AS zone_id,
+       COUNT(*) AS n_inside,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE {_IN_OCT} AND NOT {_IN_HOLE}
+GROUP BY 1
+"""
+
+
+def hole_ring(x0: float, y0: float) -> np.ndarray:
+    """Central rectangular hole of the tract at (x0, y0)."""
+    cx, cy = x0 + Z.TRACT_W / 2, y0 + Z.TRACT_H / 2
+    return np.array(
+        [
+            [cx - _HW, cy - _HH],
+            [cx + _HW, cy - _HH],
+            [cx + _HW, cy + _HH],
+            [cx - _HW, cy + _HH],
+        ]
+    )
+
+
+@register("pip_holed_zones", _HOLED_ORACLE)
+def pip_holed_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP against HOLED polygons (octagon outer ring minus a central
+    rectangular hole) through geom.core.points_in_parts — the
+    even-odd multi-ring path chopin needs for real admin geometries
+    (hole handling, /root/reference/R/gridding.R:930-940). Oracle:
+    closed-form half-planes AND NOT hole-rect."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.expr(_X).alias("x"),
+        F.expr(_Y).alias("y"),
+        F.expr(Z.zone_id_expr(_X, _Y)).alias("zone_id"),
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chopin_spark.geom.core import points_in_parts
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        "zone_id": pd.Series(dtype="object"),
+                        "n_chars": pd.Series(dtype="int64"),
+                    }
+                )
+                continue
+            x = pdf["x"].to_numpy()
+            y = pdf["y"].to_numpy()
+            x0 = np.floor(x / Z.TRACT_W) * Z.TRACT_W
+            y0 = np.floor(y / Z.TRACT_H) * Z.TRACT_H
+            inside = np.zeros(len(pdf), dtype=bool)
+            key = pdf["zone_id"].to_numpy()
+            for zid in np.unique(key):
+                m = key == zid
+                outer = octagon_ring(
+                    x0[m][0], y0[m][0],
+                    x0[m][0] + Z.TRACT_W, y0[m][0] + Z.TRACT_H,
+                )
+                hole = hole_ring(x0[m][0], y0[m][0])
+                inside[m] = points_in_parts(x[m], y[m], [[outer, hole]])
+            yield pdf.loc[inside, ["zone_id", "n_chars"]]
+
+    refined = docs.mapInPandas(refine, "zone_id string, n_chars long")
+    return refined.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

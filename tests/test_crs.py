@@ -1,0 +1,126 @@
+"""CRS layer: forward/inverse roundtrips, projection invariants, and
+the GeoFrame reproject_std contract (chopin R/check.R:129-157)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chopin_spark.crs import (
+    ALBERS_CONUS, GeoFrame, LAEA_EU,
+    albers_inverse_xy_sql, albers_xy_sql, laea_xy_sql,
+    webmercator_inverse_xy_sql, webmercator_xy_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    # a deterministic lon/lat lattice over the CONUS window
+    return spark.sql(
+        "SELECT -124.0 + i * 3.17 AS lon, 25.0 + j * 1.73 AS lat "
+        "FROM range(0, 18) t1(i), range(0, 14) t2(j)"
+    )
+
+
+def test_albers_roundtrip(spark, pts):
+    xe, ye = albers_xy_sql("lon", "lat")
+    le, pe = albers_inverse_xy_sql("px", "py")
+    out = (
+        pts.select("lon", "lat", F.expr(xe).alias("px"), F.expr(ye).alias("py"))
+        .select(
+            "lon", "lat",
+            F.expr(le).alias("lon2"), F.expr(pe).alias("lat2"),
+        )
+        .select(
+            F.max(F.abs(F.col("lon") - F.col("lon2"))).alias("dl"),
+            F.max(F.abs(F.col("lat") - F.col("lat2"))).alias("dp"),
+        )
+        .first()
+    )
+    assert out["dl"] < 1e-9 and out["dp"] < 1e-9
+
+
+def test_webmercator_roundtrip(spark, pts):
+    xe, ye = webmercator_xy_sql("lon", "lat")
+    le, pe = webmercator_inverse_xy_sql("px", "py")
+    out = (
+        pts.select("lon", "lat", F.expr(xe).alias("px"), F.expr(ye).alias("py"))
+        .select(
+            "lon", "lat",
+            F.expr(le).alias("lon2"), F.expr(pe).alias("lat2"),
+        )
+        .select(
+            F.max(F.abs(F.col("lon") - F.col("lon2"))).alias("dl"),
+            F.max(F.abs(F.col("lat") - F.col("lat2"))).alias("dp"),
+        )
+        .first()
+    )
+    assert out["dl"] < 1e-9 and out["dp"] < 1e-9
+
+
+def test_albers_center_meridian_maps_to_x_zero(spark):
+    xe, _ = albers_xy_sql("lon", "lat")
+    row = spark.sql(
+        f"SELECT {xe} AS x FROM (SELECT {ALBERS_CONUS.lon0!r} AS lon,"
+        " 37.0 AS lat)"
+    ).first()
+    assert abs(row["x"]) < 1e-6
+
+
+def test_laea_origin_maps_to_zero(spark):
+    xe, ye = laea_xy_sql("lon", "lat")
+    row = spark.sql(
+        f"SELECT {xe} AS x, {ye} AS y FROM"
+        f" (SELECT {LAEA_EU.lon0!r} AS lon, {LAEA_EU.lat1!r} AS lat)"
+    ).first()
+    assert abs(row["x"]) < 1e-6 and abs(row["y"]) < 1e-6
+
+
+def test_albers_equal_area_property(spark):
+    """Equal-area projection: the projected area of a small lon/lat
+    quad matches the spherical surface area within 0.1%."""
+    lon0, lat0, d = -100.0, 35.0, 0.5
+    xe, ye = albers_xy_sql("lon", "lat")
+    quad = spark.sql(
+        "SELECT * FROM VALUES"
+        f" ({lon0!r}, {lat0!r}), ({lon0 + d!r}, {lat0!r}),"
+        f" ({lon0 + d!r}, {lat0 + d!r}), ({lon0!r}, {lat0 + d!r})"
+        " AS t(lon, lat)"
+    ).select(F.expr(xe).alias("x"), F.expr(ye).alias("y")).collect()
+    # shoelace over the projected quad (vertices in CCW order)
+    pts = [(r["x"], r["y"]) for r in quad]
+    area = 0.0
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
+        area += x1 * y2 - x2 * y1
+    area = abs(area) / 2.0
+    r = ALBERS_CONUS.radius
+    sphere = (
+        r * r * math.radians(d)
+        * (math.sin(math.radians(lat0 + d)) - math.sin(math.radians(lat0)))
+    )
+    assert abs(area - sphere) / sphere < 1e-3
+
+
+def test_geoframe_reproject_std_noop_and_transform(spark, pts):
+    gf = GeoFrame(
+        pts.select(F.col("lon").alias("x"), F.col("lat").alias("y")),
+        crs="EPSG:4326",
+    )
+    same = gf.reproject_std("EPSG:4326")
+    assert same is gf  # chopin: no transform when CRS already matches
+    alb = gf.reproject_std("SPHERE:ALBERS_CONUS")
+    assert alb.crs == "SPHERE:ALBERS_CONUS"
+    # projected magnitudes are meters (≥ 1e4), not degrees
+    m = alb.df.select(F.max(F.abs("x")).alias("mx")).first()["mx"]
+    assert m > 1e5
+    with pytest.raises(ValueError):
+        gf.reproject("EPSG:999999")
+
+
+def test_reproject_to_aligns_crs(spark, pts):
+    a = GeoFrame(pts.select(F.col("lon").alias("x"), F.col("lat").alias("y")))
+    b = a.reproject("SPHERE:WEBMERC")
+    c = a.reproject_to(b)
+    assert c.crs == b.crs
