@@ -88,7 +88,11 @@ class RectGrid:
         Candidate cells per axis = index range
         [index(v - pad), index(v + pad)] (contiguous by monotonicity of
         the break search), exploded via `sequence` — pure column math.
-        An exact containment post-filter guards the clamped edges.
+        An exact containment post-filter guards the clamped edges, but
+        a row's *core* cell is always kept (``is_core OR contained``):
+        out-of-extent points clamp to an edge cell exactly like
+        ``assign_core``, so ``sum(n_core) == row count`` holds for any
+        input, not just in-extent data (ADVICE.md round 1).
         """
         x, y = F.col(self.x_col), F.col(self.y_col)
         xb = F.array([F.lit(float(b)) for b in self.xbreaks])
@@ -114,18 +118,23 @@ class RectGrid:
                     )
                 ),
             )
-            # exact padded-rect containment (cell bounds via array lookup)
-            .filter(
-                (x >= F.element_at(xb, F.col("_ix").cast("int") + 1) - self.pad)
-                & (x < F.element_at(xb, F.col("_ix").cast("int") + 2) + self.pad)
-                & (y >= F.element_at(yb, F.col("_iy").cast("int") + 1) - self.pad)
-                & (y < F.element_at(yb, F.col("_iy").cast("int") + 2) + self.pad)
-            )
-            .withColumn("cgridid", F.col("_iy") * self.nx + F.col("_ix"))
             .withColumn(
                 "is_core",
                 (F.col("_ix") == F.col("_ix0")) & (F.col("_iy") == F.col("_iy0")),
             )
+            # exact padded-rect containment (cell bounds via array lookup);
+            # the core cell always survives (out-of-extent clamp parity
+            # with assign_core)
+            .filter(
+                F.col("is_core")
+                | (
+                    (x >= F.element_at(xb, F.col("_ix").cast("int") + 1) - self.pad)
+                    & (x < F.element_at(xb, F.col("_ix").cast("int") + 2) + self.pad)
+                    & (y >= F.element_at(yb, F.col("_iy").cast("int") + 1) - self.pad)
+                    & (y < F.element_at(yb, F.col("_iy").cast("int") + 2) + self.pad)
+                )
+            )
+            .withColumn("cgridid", F.col("_iy") * self.nx + F.col("_ix"))
             .drop("_ix0", "_iy0", "_ix", "_iy")
         )
         return out
