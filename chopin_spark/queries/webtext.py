@@ -1,0 +1,128 @@
+"""Web-corpus maintenance queries over the Common-Crawl-style page
+shape (north-rule input_hint: url / warc_ts / text / lang).
+
+The parquet `documents` table carries no URL column, so both engines
+derive the deterministic URL and crawl timestamp from ``doc_id`` with
+the same LCG recipe as :mod:`chopin_spark.pages.synth_pages` — the
+derivation is part of the query text on BOTH sides, keeping the oracle
+hash bit-exact.
+
+Two pipeline staples a 100 TB crawl store runs constantly:
+
+* ``url_host_tld_rollup`` — parse URLs back into host / ccTLD and roll
+  up.  Engine side uses Spark's real ``parse_url`` (JVM, codegen);
+  the oracle re-derives the host with a regexp — two independent
+  parsers agreeing on every row.
+* ``host_latest_snapshot`` — keep the newest snapshot per host.  The
+  canonical formulation is a row_number window (full sort of every
+  group); here it is a plain MAX over a packed ``epoch*10^7 + doc_id``
+  ordinal, which partial-aggregates map-side (argmax without a window
+  — at 10^12 rows this is one combiner-friendly shuffle instead of a
+  sort, and the tie-break on doc_id is explicit in the ordinal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark.pages import CCTLDS
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+
+# deterministic URL parts from doc_id (synth_pages recipe, SQL-portable)
+_CCTLD = (
+    "CASE (doc_id * 2654435761) % " + str(len(CCTLDS))
+    + "".join(
+        f" WHEN {i} THEN '{c}'" for i, c in enumerate(CCTLDS)
+    )
+    + " END"
+)
+_HOST = f"('h' || CAST((doc_id * 69069) % 99991 AS STRING) || '.example.' || {_CCTLD})"
+_URL = f"('https://' || {_HOST} || '/p/' || CAST(doc_id AS STRING))"
+# crawl timestamp: 2024-01-01 + LCG seconds within one year
+_EPOCH = f"(1704067200 + (doc_id * 48271) % 31536000)"
+
+_TLD_ORACLE = f"""
+SELECT regexp_extract(host, '([a-z]+)$', 1) AS tld,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT host) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT regexp_extract({_URL}, '^https?://([^/]+)', 1) AS host, n_chars
+  FROM documents
+)
+GROUP BY 1
+"""
+
+
+@register("url_host_tld_rollup", _TLD_ORACLE)
+def url_host_tld_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse page URLs (real ``parse_url``, JVM-side) into host + ccTLD
+    and aggregate per TLD.  The oracle parses the same URLs with a
+    regexp instead — a hash match means two independent URL parsers
+    agree row-for-row.  Scale shape: derive → parse → one partial+final
+    agg on a 20-value key; zero Python, zero extra shuffles."""
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        f"parse_url({_URL}, 'HOST') AS host", "n_chars"
+    )
+    return (
+        docs.select(
+            F.element_at(F.split("host", r"\."), -1).alias("tld"),
+            "host",
+            "n_chars",
+        )
+        .groupBy("tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# snapshot dedup uses a small host universe (mod 97, TLD derived from
+# the host number) so hosts really do carry many snapshots
+# (~n_docs/97 each) — the interesting case
+_CCTLD_OF_HOSTNUM = (
+    "CASE ((doc_id * 69069) % 97) % " + str(len(CCTLDS))
+    + "".join(f" WHEN {i} THEN '{c}'" for i, c in enumerate(CCTLDS))
+    + " END"
+)
+_HOST_SMALL = (
+    f"('h' || CAST((doc_id * 69069) % 97 AS STRING)"
+    f" || '.example.' || {_CCTLD_OF_HOSTNUM})"
+)
+
+_SNAP_ORACLE = f"""
+SELECT host,
+       COUNT(*) AS n_snapshots,
+       CAST(MAX(ord) % 10000000 AS BIGINT) AS latest_doc_id,
+       CAST(MAX(ord) // 10000000 AS BIGINT) AS latest_epoch
+FROM (
+  SELECT {_HOST_SMALL} AS host,
+         {_EPOCH} * 10000000 + doc_id AS ord
+  FROM documents
+)
+GROUP BY host
+"""
+
+
+@register("host_latest_snapshot", _SNAP_ORACLE)
+def host_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-per-host dedup via a packed argmax ordinal.
+
+    ``ord = epoch*10^7 + doc_id`` makes (timestamp, doc_id) one BIGINT
+    whose MAX partial-aggregates map-side — the scale replacement for
+    the usual row_number()-over-window formulation, which cannot
+    combine before the shuffle and sorts every host group.  Decode is
+    integer div/mod in the projection."""
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        f"{_HOST_SMALL} AS host",
+        f"{_EPOCH} * 10000000 + doc_id AS ord",
+    )
+    return docs.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_snapshots"),
+        (F.max("ord") % F.lit(10000000)).cast("bigint").alias("latest_doc_id"),
+        F.floor(F.max("ord") / F.lit(10000000)).cast("bigint").alias("latest_epoch"),
+    )
