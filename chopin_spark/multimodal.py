@@ -74,3 +74,82 @@ def extract_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(meta, schema)
+
+
+_FOLD_P = 1_000_000_007
+
+
+def _byte_fold(chunk: bytes) -> int:
+    """31-based byte fold mod 1e9+7 — equals the engine's charfold for
+    ASCII payloads, so frame hashes recompute in SQL."""
+    h = 0
+    for b in chunk:
+        h = (h * 31 + b) % _FOLD_P
+    return h
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 128,
+    every: int = 3,
+) -> DataFrame:
+    """Video-style frame sampling over an opaque binary column.
+
+    The payload is treated as a concatenation of fixed-size frames
+    (``frame_bytes`` each, trailing partial frame included); every
+    ``every``-th frame is emitted as its own row with (frame_idx,
+    frame_len, frame bytes, fold hash).  This is the 1→N mapInPandas
+    batch shape a real video pipeline needs — per-input-row fan-out
+    inside one Arrow stage, no explode shuffle, partitioning preserved.
+    A real decoder replaces the byte slicing; everything else (schema,
+    ordering, fan-out accounting) carries over unchanged."""
+    schema = (
+        f"{id_col} long, frame_idx int, frame_len int, "
+        "frame binary, fhash long"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, frames, hashes = [], [], [], [], []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every):
+                    chunk = payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(key)
+                    idxs.append(fi)
+                    lens.append(len(chunk))
+                    frames.append(chunk)
+                    hashes.append(_byte_fold(chunk))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame": frames,
+                    "fhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, schema)
+
+
+def thumbnail_dims(
+    meta: DataFrame, box_w: int = 128, box_h: int = 128
+) -> DataFrame:
+    """Aspect-preserving resize plan from decoded dimensions — pure
+    column math over the metadata table (the decode-once/plan-cheap
+    split: at 100 TB the resize *plan* is a projection over small
+    metadata; only the actual pixel work touches payload bytes).
+    out = floor(dim * min(box_w/w, box_h/h)), floored at 1 px."""
+    s = F.least(
+        F.lit(float(box_w)) / F.col("width"),
+        F.lit(float(box_h)) / F.col("height"),
+    )
+    return meta.withColumn(
+        "out_w", F.greatest(F.floor(F.col("width") * s), F.lit(1)).cast("int")
+    ).withColumn(
+        "out_h", F.greatest(F.floor(F.col("height") * s), F.lit(1)).cast("int")
+    )

@@ -29,3 +29,64 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chopin_spark.multimodal.fake_dims)."""
     docs = load(spark, sf_dir, "documents")
     return extract_meta(attach_payload(docs))
+
+
+from chopin_spark.multimodal import frame_sample, thumbnail_dims  # noqa: E402
+from chopin_spark.textops import charfold_duckdb  # noqa: E402
+
+_SLICE = "SUBSTRING(text, frame_idx * 128 + 1, 128)"
+_FRAME_ORACLE = f"""
+WITH fr AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(
+             0, CAST(CEIL(STRLEN(text) / 128.0) AS INT) - 1, 3)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(STRLEN({_SLICE}) AS INT) AS frame_len,
+       {charfold_duckdb(_SLICE)} AS fhash
+FROM fr
+"""
+
+
+@register("frame_sample_hashes", _FRAME_ORACLE)
+def frame_sample_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: payload bytes → every 3rd 128-byte
+    frame as its own row (1→N fan-out inside one Arrow mapInPandas
+    stage — no explode shuffle). The oracle recomputes each frame's
+    byte fold from the source text with SQL substring arithmetic, so
+    slicing offsets, trailing-frame handling, and fan-out counts are
+    all value-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(docs)).select(
+        "doc_id", "frame_idx", "frame_len", "fhash"
+    )
+
+
+_THUMB_ORACLE = """
+SELECT doc_id, width, height,
+       GREATEST(CAST(FLOOR(width * LEAST(128.0 / width, 128.0 / height))
+                     AS INT), 1) AS out_w,
+       GREATEST(CAST(FLOOR(height * LEAST(128.0 / width, 128.0 / height))
+                     AS INT), 1) AS out_h
+FROM (
+  SELECT doc_id,
+         CAST(64 + STRLEN(text) % 512 AS INT) AS width,
+         CAST(64 + (STRLEN(text) * 7) % 512 AS INT) AS height
+  FROM documents
+)
+"""
+
+
+@register("thumbnail_resize_plan", _THUMB_ORACLE)
+def thumbnail_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning as a projection over the
+    metadata table (decode-once / plan-cheap split: the pixel work of a
+    real resize happens once per payload; the *plan* — target dims —
+    is pure column math over small metadata)."""
+    docs = load(spark, sf_dir, "documents")
+    meta = extract_meta(attach_payload(docs))
+    return thumbnail_dims(meta).select(
+        "doc_id", "width", "height", "out_w", "out_h"
+    )

@@ -191,6 +191,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+_MAX_DF = 2
+
+_JACCARD_CAPPED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4])) AS shingle
+  FROM toks WHERE LEN(w) >= 5
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {_MAX_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard_capped", _JACCARD_CAPPED_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe variant of the inverted-index Jaccard join:
+    shingles with document frequency > max_df are dropped before the
+    pair join (textops.ngram_jaccard_pairs max_df), bounding the join's
+    fan-out at max_df² per shingle regardless of boilerplate skew.
+    Jaccard is re-based on the retained shingle universe; the oracle
+    applies the identical cap, so values stay hash-exact."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_df=_MAX_DF)
+
+
 # --- MinHash-LSH and SimHash ---------------------------------------------------
 #
 # Value-level DuckDB oracles (VERDICT r01 next-steps #5): the base hash

@@ -137,12 +137,33 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 5) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float, id_col: str = "doc_id", n: int = 5
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
     J(A,B) = |A∩B| / (|A| + |B| - |A∩B|) over distinct shingle sets.
-    Returns (d1, d2, jaccard) with d1 < d2."""
+    Returns (d1, d2, jaccard) with d1 < d2.
+
+    ``max_df`` is the scale guard: the pair join is O(Σ df²) over
+    shingle document frequencies, so boilerplate shingles (headers,
+    navigation chrome — df in the millions on a real crawl) make it
+    quadratic. Dropping shingles with df > max_df bounds every
+    shingle's pair fan-out at max_df² and re-bases sizes on the
+    retained universe (capped Jaccard — the standard near-dup
+    practice). The df filter shuffles on `shingle`, the same key as
+    the pair join, so AQE coalesces them into one exchange."""
     sh = shingles(docs, id_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
