@@ -1,0 +1,175 @@
+"""Great-circle nearest-neighbor via the real S2 index — the north
+rule's "(H3/S2 index, …, kNN)" on actual spherical coordinates.
+
+Parity target: chopin's `par_grid` + `terra::nearest` workflow
+(/root/reference/README.md:1040-1118) — candidate search inside a
+padded cell neighborhood, exact fallback where the neighborhood is
+empty.  The planar twin lives in chopin_spark/vector.py; this one runs
+on lon/lat with haversine distance and S2 level-5 cell disks.
+
+Exactness argument (same structure as vector.nearest_join): a
+candidate result is only accepted when (a) its distance ≤ R_SAFE, a
+driver-computed lower bound (×0.7 safety, two full ring widths) on the
+distance from any point to the outside of its 5×5 cell disk, AND (b)
+the doc's cell is ≥ 2 cells from its face edge — in-face disks lose
+the covering guarantee across cube-face boundaries (caught by the
+oracle in development: near-boundary docs accepted wrong neighbors).
+Everything else falls back to an exact broadcast scan over the (small,
+dimension-side) POI set.  The DuckDB oracle is the brute-force exact
+nearest, so the driver's hash check verifies the whole
+candidate/fallback machinery end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark import s2
+from chopin_spark.queries import register
+from chopin_spark.queries.s2q import _LAT, _LON
+from chopin_spark.tables import load
+
+_LEVEL = 5  # ~2.8 deg cells: 3x3 disk usually holds >=1 of the 100 POIs
+
+# POIs: supplier table geocoded into the same face-4 window
+_PLON = "(-125.0 + 58.0 * (CAST(((s_suppkey * 48271) % 99991) AS DOUBLE) / 99991.0))"
+_PLAT = "(24.0 + 26.0 * (CAST(((s_suppkey * 16807) % 99991) AS DOUBLE) / 99991.0))"
+
+
+def _haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Identical text in Spark SQL and DuckDB; meters on the IUGG mean
+    sphere.  libm-vs-JVM trig differs by ulps — far below the ROUND(2)
+    output grain and never enough to flip an argmin."""
+    return (
+        f"(2.0 * {s2.EARTH_RADIUS_M!r} * ASIN(SQRT("
+        f"POW(SIN(RADIANS(({lat2}) - ({lat1})) / 2), 2)"
+        f" + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+        f" * POW(SIN(RADIANS(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
+_NEAREST_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+),
+p AS (
+  SELECT s_suppkey AS poi_id, {_PLON} AS plon, {_PLAT} AS plat FROM supplier
+),
+x AS (
+  SELECT doc_id, poi_id,
+         {_haversine_sql('lon', 'lat', 'plon', 'plat')} AS dist
+  FROM d CROSS JOIN p
+)
+SELECT doc_id,
+       ARG_MIN(poi_id, dist) AS poi_id,
+       ROUND(MIN(dist), 2) AS dist_m
+FROM x
+GROUP BY doc_id
+"""
+
+
+def _poi_disks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension side, chopin-style driver prep: collect the ~100 POIs,
+    compute each one's 5×5 S2 cell disk with numpy, broadcast the
+    (cell, poi, coords) pairs."""
+    pois = (
+        load(spark, sf_dir, "supplier")
+        .selectExpr("s_suppkey AS poi_id", f"{_PLON} AS plon", f"{_PLAT} AS plat")
+        .toPandas()
+    )
+    cid = s2.cell_id_from_lonlat(
+        pois["plon"].to_numpy(), pois["plat"].to_numpy(), _LEVEL
+    )
+    rows = []
+    for k in range(len(pois)):
+        # 5x5 disk (expand twice): guarantees two full ring widths
+        # between a doc and any POI outside its disk
+        disk = s2.expand_covering(
+            s2.expand_covering(np.array([cid[k]], dtype=np.uint64))
+        )
+        for p in s2.prefix_from_cell_id(disk, _LEVEL):
+            rows.append(
+                (int(p), int(pois["poi_id"][k]),
+                 float(pois["plon"][k]), float(pois["plat"][k]))
+            )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["s2_prefix", "poi_id", "plon", "plat"]),
+        "s2_prefix BIGINT, poi_id BIGINT, plon DOUBLE, plat DOUBLE",
+    )
+
+
+@register("nearest_poi_sphere", _NEAREST_ORACLE)
+def nearest_poi_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact great-circle nearest POI per document.
+
+    Plan shape at 10^12 docs: one Arrow projection (cell id), one
+    broadcast equi-join on the cell against POI disk cells (candidate
+    volume ≈ docs × POIs-per-disk, not docs × POIs), one partial+final
+    min-struct agg; the guaranteed-radius test routes only the residue
+    (empty or too-far disks) to the exact broadcast fallback."""
+    r_safe = 0.7 * 2.0 * s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
+    n = 1 << _LEVEL
+
+    def _cell(batch_lon, batch_lat):
+        lon, lat = batch_lon.to_numpy(), batch_lat.to_numpy()
+        f, u, v = s2.xyz_to_face_uv(*s2.lonlat_to_xyz(lon, lat))
+        i = s2.st_to_ij(s2.uv_to_st(u), _LEVEL)
+        j = s2.st_to_ij(s2.uv_to_st(v), _LEVEL)
+        pref = s2.prefix_from_cell_id(s2.cell_id(f, i, j, _LEVEL), _LEVEL)
+        # docs whose 5×5 disk would cross the face edge lose the
+        # covering guarantee (expand_covering is in-face) — flag them
+        # for the exact fallback.  Integer test, no geometry.
+        edge = np.minimum.reduce([i, j, n - 1 - i, n - 1 - j]) < 2
+        return pd.DataFrame({"s2_prefix": pref, "near_edge": edge})
+
+    cell_udf = F.pandas_udf(_cell, "s2_prefix long, near_edge boolean")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
+        .withColumn("_c", cell_udf(F.col("lon"), F.col("lat")))
+        .select("doc_id", "lon", "lat", "_c.s2_prefix", "_c.near_edge")
+    )
+    disks = _poi_disks(spark, sf_dir)
+    dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
+    best = (
+        docs.join(F.broadcast(disks), "s2_prefix")
+        .withColumn("_d", dist)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct("_d", "poi_id")).alias("_best"),
+            F.min("near_edge").alias("_ne"),
+        )
+        .select(
+            "doc_id",
+            F.col("_best.poi_id").alias("poi_id"),
+            F.col("_best._d").alias("_d"),
+            "_ne",
+        )
+    )
+    accepted = best.filter(
+        (F.col("_d") <= F.lit(r_safe)) & (~F.col("_ne"))
+    ).drop("_ne")
+    # residue: no disk candidate, or best candidate beyond the
+    # guaranteed radius — exact scan over the broadcast POI set
+    pois = (
+        load(spark, sf_dir, "supplier")
+        .selectExpr("s_suppkey AS poi_id", f"{_PLON} AS plon", f"{_PLAT} AS plat")
+    )
+    residue = (
+        docs.join(accepted.select("doc_id"), "doc_id", "left_anti")
+        .crossJoin(F.broadcast(pois))
+        .withColumn("_d", dist)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("_d", "poi_id")).alias("_best"))
+        .select(
+            "doc_id",
+            F.col("_best.poi_id").alias("poi_id"),
+            F.col("_best._d").alias("_d"),
+        )
+    )
+    return accepted.unionByName(residue).select(
+        "doc_id", "poi_id", F.round("_d", 2).alias("dist_m")
+    )

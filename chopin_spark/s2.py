@@ -236,6 +236,44 @@ def face_ij_from_cell_id(cid):
 # --- region covering (rect in lon/lat -> fixed-level cell set) ---------
 
 
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius
+
+
+def face_uv_to_xyz(face, u, v):
+    """Inverse of :func:`xyz_to_face_uv` (up to scale): unit-cube point
+    for (face, u, v)."""
+    face = np.asarray(face, dtype=np.int64)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    one = np.ones_like(u)
+    x = np.choose(face, [one, -u, -u, -one, v, v])
+    y = np.choose(face, [u, one, -v, -v, -one, u])
+    z = np.choose(face, [v, v, one, -u, -u, -one])
+    return x, y, z
+
+
+def min_cell_side_m(lon_min, lon_max, lat_min, lat_max, level, samples=48):
+    """Smallest great-circle cell side (meters) among cells covering the
+    lon/lat window at ``level`` — the safe-radius bound for
+    cell-disk candidate searches (driver-side, tiny)."""
+    cells = covering_cells_for_rect(lon_min, lon_max, lat_min, lat_max, level, samples)
+    f, i, j, _ = face_ij_from_cell_id(cells)
+    n = 1 << level
+    corners = []
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        u = st_to_uv((i + di) / n)
+        v = st_to_uv((j + dj) / n)
+        x, y, z = face_uv_to_xyz(f, u, v)
+        norm = np.sqrt(x * x + y * y + z * z)
+        corners.append(np.stack([x / norm, y / norm, z / norm], axis=-1))
+    best = np.inf
+    for a in range(4):
+        ca, cb = corners[a], corners[(a + 1) % 4]
+        ang = np.arccos(np.clip((ca * cb).sum(axis=-1), -1.0, 1.0))
+        best = min(best, float(ang.min()))
+    return best * EARTH_RADIUS_M
+
+
 def prefix_from_cell_id(cid, level):
     """BIGINT-safe prefix id ``face*4^level + pos`` (strips the
     sentinel-and-zeros suffix) — the id form the SQL twin emits."""
