@@ -34,6 +34,14 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # engine, not first-touch JIT.
     next(iter(queries.values()))(spark, sf_dir).count()
+    # warm the Python UDF workers too (one trivial Arrow round trip per
+    # core): daemon/worker spawn + numpy import otherwise lands on
+    # whichever pandas-UDF query alphabetically runs first
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    _wu = _F.pandas_udf(lambda s: _pd.Series(s.to_numpy() + 1), "long")
+    spark.range(0, 10000, 1, int(cpus)).select(_wu("id")).count()
     # materialize the synthetic raster tile tables (stored tables in
     # production — generation cost is fixture setup, not query time)
     from chopin_spark.queries.zonal import _N_RASTERS, _CORRUPT_RID, _tiles

@@ -139,6 +139,36 @@ def test_covering_superset_property():
     assert set(int(p) for p in pts) <= pref
 
 
+def test_edge_coordinates():
+    # poles, dateline, equator/meridian crossings, face centers — the
+    # coordinates where face selection and u/v signs are most fragile
+    lon = np.array([0.0, 180.0, -180.0, 90.0, -90.0, 0.0, 0.0, 45.0, 135.0])
+    lat = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 90.0, -90.0, 35.26, -35.26])
+    cid = s2.cell_id_from_lonlat(lon, lat, 30)
+    f, u, v = s2.xyz_to_face_uv(*s2.lonlat_to_xyz(lon, lat))
+    # face centers land on the right faces
+    assert f[0] == 0 and f[3] == 1 and f[4] == 4
+    assert f[5] == 2 and f[6] == 5
+    assert (f[1], f[2]) == (3, 3)  # both spellings of the antimeridian
+    # every id is a valid leaf and round-trips through face/i/j
+    assert np.all(s2.cell_level(cid) == 30)
+    f2, i2, j2, _ = s2.face_ij_from_cell_id(cid)
+    assert np.array_equal(cid, s2.cell_id(f2, i2, j2, 30))
+    # u,v stay inside the face square at these extremes
+    assert np.all(np.abs(u) <= 1.0 + 1e-12) and np.all(np.abs(v) <= 1.0 + 1e-12)
+
+
+def test_face_uv_to_xyz_roundtrip():
+    rng = np.random.RandomState(5)
+    f = rng.randint(0, 6, 4000)
+    u = rng.uniform(-0.999, 0.999, 4000)
+    v = rng.uniform(-0.999, 0.999, 4000)
+    x, y, z = s2.face_uv_to_xyz(f, u, v)
+    f2, u2, v2 = s2.xyz_to_face_uv(x, y, z)
+    assert np.array_equal(f, f2)
+    assert np.allclose(u, u2, atol=1e-12) and np.allclose(v, v2, atol=1e-12)
+
+
 def test_token_roundtrip_format():
     ids = s2.cell_id_from_lonlat(
         RNG.uniform(-180, 180, 100), RNG.uniform(-80, 80, 100), 12
