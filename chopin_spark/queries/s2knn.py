@@ -8,16 +8,16 @@ empty.  The planar twin lives in chopin_spark/vector.py; this one runs
 on lon/lat with haversine distance and S2 level-5 cell disks.
 
 Exactness argument (same structure as vector.nearest_join): a
-candidate result is only accepted when (a) its distance ≤ R_SAFE, a
+candidate result is only accepted when its distance ≤ R_SAFE, a
 driver-computed lower bound (×0.7 safety, two full ring widths) on the
-distance from any point to the outside of its 5×5 cell disk, AND (b)
-the doc's cell is ≥ 2 cells from its face edge — in-face disks lose
-the covering guarantee across cube-face boundaries (caught by the
-oracle in development: near-boundary docs accepted wrong neighbors).
-Everything else falls back to an exact broadcast scan over the (small,
-dimension-side) POI set.  The DuckDB oracle is the brute-force exact
-nearest, so the driver's hash check verifies the whole
-candidate/fallback machinery end-to-end.
+distance from any point to the outside of its 5×5 cell disk.  Disks
+are expanded with cross-face wrap (s2.wrap_face_ij) so the covering
+guarantee holds across cube-face boundaries — in-face clamping here
+silently accepted wrong neighbors near the face-4/face-2 edge until
+the brute-force oracle caught it.  Everything below the guarantee
+falls back to an exact broadcast scan over the (small, dimension-side)
+POI set, so the result is exact for every row; the DuckDB oracle IS
+the brute-force exact nearest and verifies the machinery end-to-end.
 """
 
 from __future__ import annotations
@@ -85,10 +85,13 @@ def _poi_disks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for k in range(len(pois)):
-        # 5x5 disk (expand twice): guarantees two full ring widths
-        # between a doc and any POI outside its disk
+        # 5x5 disk (expand twice, cross-face wrap): guarantees two full
+        # ring widths between a doc and any POI outside its disk, ON
+        # THE SPHERE — wrapped expansion follows cube-face boundaries,
+        # so no face-edge special-casing is needed downstream
         disk = s2.expand_covering(
-            s2.expand_covering(np.array([cid[k]], dtype=np.uint64))
+            s2.expand_covering(np.array([cid[k]], dtype=np.uint64), wrap=True),
+            wrap=True,
         )
         for p in s2.prefix_from_cell_id(disk, _LEVEL):
             rows.append(
@@ -111,26 +114,16 @@ def nearest_poi_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-struct agg; the guaranteed-radius test routes only the residue
     (empty or too-far disks) to the exact broadcast fallback."""
     r_safe = 0.7 * 2.0 * s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
-    n = 1 << _LEVEL
 
-    def _cell(batch_lon, batch_lat):
-        lon, lat = batch_lon.to_numpy(), batch_lat.to_numpy()
-        f, u, v = s2.xyz_to_face_uv(*s2.lonlat_to_xyz(lon, lat))
-        i = s2.st_to_ij(s2.uv_to_st(u), _LEVEL)
-        j = s2.st_to_ij(s2.uv_to_st(v), _LEVEL)
-        pref = s2.prefix_from_cell_id(s2.cell_id(f, i, j, _LEVEL), _LEVEL)
-        # docs whose 5×5 disk would cross the face edge lose the
-        # covering guarantee (expand_covering is in-face) — flag them
-        # for the exact fallback.  Integer test, no geometry.
-        edge = np.minimum.reduce([i, j, n - 1 - i, n - 1 - j]) < 2
-        return pd.DataFrame({"s2_prefix": pref, "near_edge": edge})
+    def _prefix(lon, lat):
+        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
+        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
 
-    cell_udf = F.pandas_udf(_cell, "s2_prefix long, near_edge boolean")
+    prefix_udf = F.pandas_udf(_prefix, "long")
     docs = (
         load(spark, sf_dir, "documents")
         .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
-        .withColumn("_c", cell_udf(F.col("lon"), F.col("lat")))
-        .select("doc_id", "lon", "lat", "_c.s2_prefix", "_c.near_edge")
+        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
     )
     disks = _poi_disks(spark, sf_dir)
     dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
@@ -138,20 +131,14 @@ def nearest_poi_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(disks), "s2_prefix")
         .withColumn("_d", dist)
         .groupBy("doc_id")
-        .agg(
-            F.min(F.struct("_d", "poi_id")).alias("_best"),
-            F.min("near_edge").alias("_ne"),
-        )
+        .agg(F.min(F.struct("_d", "poi_id")).alias("_best"))
         .select(
             "doc_id",
             F.col("_best.poi_id").alias("poi_id"),
             F.col("_best._d").alias("_d"),
-            "_ne",
         )
     )
-    accepted = best.filter(
-        (F.col("_d") <= F.lit(r_safe)) & (~F.col("_ne"))
-    ).drop("_ne")
+    accepted = best.filter(F.col("_d") <= F.lit(r_safe))
     # residue: no disk candidate, or best candidate beyond the
     # guaranteed radius — exact scan over the broadcast POI set
     pois = (

@@ -281,14 +281,40 @@ def prefix_from_cell_id(cid, level):
     return (cid >> np.uint64(2 * (MAX_LEVEL - level) + 1)).astype(np.int64)
 
 
-def expand_covering(cids):
-    """Add the 8 same-face ij-neighbors of every cell (clamped to the
-    face) — closes the corner-sliver gap of a sampled covering: a cell
-    whose intersection with the region is thinner than the sampling
-    step is always adjacent to a sampled cell, so neighbor expansion
-    makes the sampled covering a true superset (no false negatives in
-    the join prefilter).  Cross-face neighbors are not generated; use
-    region rects interior to one face (asserted where used)."""
+def wrap_face_ij(face, i, j, level):
+    """Map possibly-out-of-face (face, i, j) to the true cell across
+    the cube edge — the public FromFaceIJWrap construction: place the
+    would-be cell center with the LINEAR uv projection, clamp the
+    overflowing coordinate to ±(1+ε) (just beyond the edge, so the
+    cross-face permutation introduces only an ε scale factor that can
+    never move a cell-center off its cell), push through xyz, re-derive
+    (face, u, v), decode linearly.  Exact identity for in-range cells;
+    exact adjacent cell for edge neighbors."""
+    n = 1 << level
+    eps = np.finfo(np.float64).eps
+    u = np.clip((2.0 * np.asarray(i, np.float64) + 1.0) / n - 1.0,
+                -(1.0 + eps), 1.0 + eps)
+    v = np.clip((2.0 * np.asarray(j, np.float64) + 1.0) / n - 1.0,
+                -(1.0 + eps), 1.0 + eps)
+    x, y, z = face_uv_to_xyz(face, u, v)
+    f2, u2, v2 = xyz_to_face_uv(x, y, z)
+    i2 = np.clip(np.floor((u2 + 1.0) / 2.0 * n), 0, n - 1).astype(np.int64)
+    j2 = np.clip(np.floor((v2 + 1.0) / 2.0 * n), 0, n - 1).astype(np.int64)
+    return f2, i2, j2
+
+
+def expand_covering(cids, wrap=False):
+    """Add the 8 ij-neighbors of every cell — closes the corner-sliver
+    gap of a sampled covering: a cell whose intersection with the
+    region is thinner than the sampling step is always adjacent to a
+    sampled cell, so neighbor expansion makes the sampled covering a
+    true superset (no false negatives in the join prefilter).
+
+    ``wrap=False`` clamps at the face edge (sufficient when the region
+    is interior to one face); ``wrap=True`` follows neighbors across
+    cube-face boundaries via :func:`wrap_face_ij` (cube-corner
+    diagonals, where only three cells meet, resolve to a valid nearby
+    cell — a superset, never a miss)."""
     cids = np.asarray(cids, dtype=np.uint64)
     f, i, j, lvl = face_ij_from_cell_id(cids)
     L = int(lvl[0])
@@ -298,8 +324,12 @@ def expand_covering(cids):
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
             ii, jj = i + di, j + dj
-            m = (ii >= 0) & (ii < n) & (jj >= 0) & (jj < n)
-            out.append(cell_id(f[m], ii[m], jj[m], L))
+            if wrap:
+                ff, ii, jj = wrap_face_ij(f, ii, jj, L)
+                out.append(cell_id(ff, ii, jj, L))
+            else:
+                m = (ii >= 0) & (ii < n) & (jj >= 0) & (jj < n)
+                out.append(cell_id(f[m], ii[m], jj[m], L))
     return np.unique(np.concatenate(out))
 
 

@@ -169,6 +169,34 @@ def test_face_uv_to_xyz_roundtrip():
     assert np.allclose(u, u2, atol=1e-12) and np.allclose(v, v2, atol=1e-12)
 
 
+def test_wrap_identity_for_interior_cells():
+    f = RNG.randint(0, 6, 5000)
+    n = 1 << 8
+    i = RNG.randint(0, n, 5000)
+    j = RNG.randint(0, n, 5000)
+    f2, i2, j2 = s2.wrap_face_ij(f, i, j, 8)
+    assert np.array_equal(f, f2)
+    assert np.array_equal(i, i2) and np.array_equal(j, j2)
+
+
+def test_wrap_crosses_face_boundary():
+    # points straddling the face-4/face-2 boundary (tan(lat)=|sin lon|)
+    # must be in each other's wrapped 3×3 disks — adjacency continues
+    # across the cube edge, symmetrically
+    lon = RNG.uniform(-120, -60, 500)
+    lat_b = np.degrees(np.arctan(np.abs(np.sin(np.radians(lon)))))
+    below = s2.cell_id_from_lonlat(lon, lat_b - 0.03, 8)
+    above = s2.cell_id_from_lonlat(lon, lat_b + 0.03, 8)
+    fa, _, _, _ = s2.face_ij_from_cell_id(below)
+    fb, _, _, _ = s2.face_ij_from_cell_id(above)
+    cross = fa != fb
+    assert cross.sum() > 100
+    for a, b in zip(below[cross][:60], above[cross][:60]):
+        da = s2.expand_covering(np.array([a], dtype=np.uint64), wrap=True)
+        db = s2.expand_covering(np.array([b], dtype=np.uint64), wrap=True)
+        assert b in da and a in db
+
+
 def test_token_roundtrip_format():
     ids = s2.cell_id_from_lonlat(
         RNG.uniform(-180, 180, 100), RNG.uniform(-80, 80, 100), 12
