@@ -160,3 +160,76 @@ def nearest_poi_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accepted.unionByName(residue).select(
         "doc_id", "poi_id", F.round("_d", 2).alias("dist_m")
     )
+
+
+# --- great-circle range join + exponential decay (C4 on the sphere) ----
+
+_SEDC_D = 250_000.0  # range cutoff, meters
+_SEDC_BW = 100_000.0  # decay bandwidth: w = exp(-3 d / bw)
+
+_SEDC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+),
+p AS (
+  SELECT s_suppkey AS poi_id, {_PLON} AS plon, {_PLAT} AS plat FROM supplier
+),
+x AS (
+  SELECT doc_id, poi_id,
+         {_haversine_sql('lon', 'lat', 'plon', 'plat')} AS dist
+  FROM d CROSS JOIN p
+)
+SELECT doc_id,
+       COUNT(*) AS n_within,
+       ROUND(SUM(EXP(-3.0 * dist / {_SEDC_BW!r})), 4) AS sedc
+FROM x
+WHERE dist <= {_SEDC_D!r}
+GROUP BY doc_id
+"""
+
+
+@register("summarize_sedc_sphere", _SEDC_ORACLE)
+def summarize_sedc_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summarize_sedc (/root/reference/R/processing.R:612-698) on the
+    sphere: per-document count and exp(-3d/bw) weight sum over POIs
+    within 250 km, by great-circle distance.
+
+    Unlike the nearest query this needs NO fallback: the range D is
+    covered outright when the POI disk spans ceil(D / min_cell_side)+1
+    rings (here 2 — the wrapped 5×5 disk), so every doc within D of a
+    POI is guaranteed a candidate and the exact distance filter does
+    the rest.  One broadcast join + one partial+final agg — chopin's
+    range-join shape with the index guaranteeing completeness, proven
+    by the brute-force oracle hash."""
+    import math
+
+    # a doc r rings from a POI's cell is ≥ (r-1)·min_side away, so
+    # docs within D live within floor(D/min_side)+1 rings
+    rings_needed = math.floor(
+        _SEDC_D / s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
+    ) + 1
+    assert rings_needed <= 2, "5×5 disk no longer covers the range cutoff"
+
+    def _prefix(lon, lat):
+        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
+        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
+
+    prefix_udf = F.pandas_udf(_prefix, "long")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
+        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
+    )
+    dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
+    return (
+        docs.join(F.broadcast(_poi_disks(spark, sf_dir)), "s2_prefix")
+        .withColumn("_d", dist)
+        .filter(F.col("_d") <= F.lit(_SEDC_D))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.round(
+                F.sum(F.exp(F.col("_d") * F.lit(-3.0 / _SEDC_BW))), 4
+            ).alias("sedc"),
+        )
+    )
