@@ -71,10 +71,18 @@ GROUP BY doc_id
 """
 
 
+_DISK_MEMO: dict = {}
+
+
 def _poi_disks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension side, chopin-style driver prep: collect the ~100 POIs,
     compute each one's 5×5 S2 cell disk with numpy, broadcast the
-    (cell, poi, coords) pairs."""
+    (cell, poi, coords) pairs.  Memoized per (session, sf_dir) — three
+    sphere queries share one disk table (same pattern as the zonal
+    tile-table memo)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _DISK_MEMO:
+        return _DISK_MEMO[memo_key]
     pois = (
         load(spark, sf_dir, "supplier")
         .selectExpr("s_suppkey AS poi_id", f"{_PLON} AS plon", f"{_PLAT} AS plat")
@@ -98,10 +106,12 @@ def _poi_disks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (int(p), int(pois["poi_id"][k]),
                  float(pois["plon"][k]), float(pois["plat"][k]))
             )
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         pd.DataFrame(rows, columns=["s2_prefix", "poi_id", "plon", "plat"]),
         "s2_prefix BIGINT, poi_id BIGINT, plon DOUBLE, plat DOUBLE",
     )
+    _DISK_MEMO[memo_key] = out
+    return out
 
 
 @register("nearest_poi_sphere", _NEAREST_ORACLE)
@@ -159,6 +169,97 @@ def nearest_poi_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return accepted.unionByName(residue).select(
         "doc_id", "poi_id", F.round("_d", 2).alias("dist_m")
+    )
+
+
+# --- great-circle kNN (k=3) --------------------------------------------
+
+_K = 3
+
+_KNN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+),
+p AS (
+  SELECT s_suppkey AS poi_id, {_PLON} AS plon, {_PLAT} AS plat FROM supplier
+),
+x AS (
+  SELECT doc_id, poi_id,
+         {_haversine_sql('lon', 'lat', 'plon', 'plat')} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist) AS rk
+  FROM d CROSS JOIN p
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, poi_id, ROUND(dist, 2) AS dist_m
+FROM x WHERE rk <= {_K}
+"""
+
+
+@register("knn3_poi_sphere", _KNN_ORACLE)
+def knn3_poi_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact great-circle 3-nearest POIs per document.
+
+    Same single-pass shape as the planar knn_join (vector.py): ONE
+    aggregation collects the sorted candidate top-k per doc
+    (slice(array_sort(collect_list(struct(d, poi))))); a doc's result
+    is accepted only when it has ≥ k candidates AND its k-th distance
+    ≤ R_SAFE (the k-th true neighbor can only hide outside the wrapped
+    5×5 disk if it is farther than the guaranteed radius); the residue
+    re-ranks against the full broadcast POI set.  Oracle: brute-force
+    window ranking."""
+    r_safe = 0.7 * 2.0 * s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
+
+    def _prefix(lon, lat):
+        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
+        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
+
+    prefix_udf = F.pandas_udf(_prefix, "long")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
+        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
+    )
+    dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
+
+    def topk(src: DataFrame) -> DataFrame:
+        return (
+            src.withColumn("_d", dist)
+            .groupBy("doc_id")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("_d", "poi_id"))
+                    ),
+                    1,
+                    _K,
+                ).alias("_top"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
+
+    cand = topk(docs.join(F.broadcast(_poi_disks(spark, sf_dir)), "s2_prefix"))
+    accepted = cand.filter(
+        (F.col("_n") >= _K)
+        & (F.element_at("_top", _K)["_d"] <= F.lit(r_safe))
+    )
+    pois = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS poi_id", f"{_PLON} AS plon", f"{_PLAT} AS plat"
+    )
+    residue = topk(
+        docs.join(accepted.select("doc_id"), "doc_id", "left_anti")
+        .crossJoin(F.broadcast(pois))
+    )
+    return (
+        accepted.unionByName(residue)
+        .select(
+            "doc_id",
+            F.posexplode("_top").alias("_pos", "_e"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_pos") + 1).cast("int").alias("rk"),
+            F.col("_e.poi_id").alias("poi_id"),
+            F.round(F.col("_e._d"), 2).alias("dist_m"),
+        )
     )
 
 
