@@ -19,7 +19,9 @@ nothing that changes at 10^12 rows.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from chopin_spark import zones as Z
 from chopin_spark.pages import CCTLDS
 from chopin_spark.queries import register
 from chopin_spark.s2sql import s2_prefix_sql
@@ -70,3 +72,191 @@ def pages_geocode_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the oracle only in the char-fold HOF spelling)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_rollup(_base(charfold_spark("host"))))
+
+
+# --- the north star's other three verbs over the SAME pages table ----------
+#
+# north_star: "… then chopin's workflows are re-expressed as …
+# per-partition point-in-polygon, kNN, and zonal-stat (raster↔vector
+# extract) operators …".  pages_geocode_s2_rollup covers the
+# geocode→S2 leg; the three queries below run PIP (C6), kNN (§2.5) and
+# extract_at (C1) over the same URL-geocoded pages, projected from
+# lon/lat into the engine's planar CRS (the EXTENT window) by the same
+# affine both engines evaluate on identical IEEE doubles.
+
+
+def _planar(fold: str) -> str:
+    """Geocoded pages in planar EXTENT coords: lon/lat (from `_base`)
+    → affine CRS transform into (0,0)-(800000,600000).  Nested
+    subqueries, not lateral aliases (linear bind in DuckDB)."""
+    return f"""(
+  SELECT page_id, host,
+         ((lon - -125.0) / 58.0) * 800000.0 AS x,
+         ((lat - 25.0) / 16.0) * 600000.0 AS y
+  FROM (
+    SELECT page_id, host,
+           (-125.0 + 58.0 * (CAST((({fold}) * 2654435761) % 999983 AS DOUBLE) / 999983.0)) AS lon,
+           (25.0 + 16.0 * (CAST((({fold}) * 1103515245 + 12345) % 999983 AS DOUBLE) / 999983.0)) AS lat
+    FROM (SELECT o_orderkey AS page_id, {_HOST} AS host FROM orders)
+  )
+)"""
+
+
+def _pip_sql(fold: str) -> str:
+    """C6 summarize_pp over pages: arithmetic PIP into admin tracts,
+    pages + distinct hosts + LCG tract population per zone."""
+    return f"""
+SELECT {Z.zone_id_expr('x', 'y')} AS zone_id,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT host) AS n_hosts,
+       {Z.pop_expr(Z.zidx_expr('x', 'y'))} AS pop
+FROM {_planar(fold)}
+GROUP BY 1, 4
+"""
+
+
+@register("pages_pip_zone_rollup", _pip_sql(charfold_duckdb("host")))
+def pages_pip_zone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon leg of the north star on the pages table
+    (chopin summarize_pp, /root/reference/R/summaries.R): geocoded
+    pages → planar CRS → tract PIP → pages/hosts/pop per zone.  Pure
+    codegen'd column math + one partial+final aggregation — the
+    crawl-analysis shape ("pages and hosts per admin area") that holds
+    at 10^12 rows."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_pip_sql(charfold_spark("host")))
+
+
+_KNN_K = 3
+_KNN_RADIUS = 20_000.0
+_PAGE_MOD = 10  # fact-side subsample keeps the DuckDB brute force sane
+
+_PAGES_KNN_ORACLE = f"""
+WITH pg AS (
+  SELECT page_id, x, y FROM {_planar(charfold_duckdb('host'))}
+  WHERE page_id % {_PAGE_MOD} = 0
+),
+p AS (
+  SELECT p_partkey AS pid, {{PX}} AS px, {{PY}} AS py FROM part
+),
+r AS (
+  SELECT page_id, pid,
+         SQRT((x - px) * (x - px) + (y - py) * (y - py)) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY page_id
+           ORDER BY SQRT((x - px) * (x - px) + (y - py) * (y - py)), pid
+         ) AS rn
+  FROM pg CROSS JOIN p
+)
+SELECT page_id, CAST(rn AS INT) AS rank, pid AS nn_pid,
+       ROUND(dist, 4) AS nn_dist
+FROM r WHERE rn <= {_KNN_K}
+"""
+
+
+def _pages_knn_oracle() -> str:
+    from chopin_spark import sqlexpr as sx
+
+    return _PAGES_KNN_ORACLE.format(
+        PX=sx.x_expr("p_partkey"), PY=sx.y_expr("p_partkey")
+    )
+
+
+@register("pages_knn3_poi", _pages_knn_oracle())
+def pages_knn3_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN leg of the north star on the pages table (chopin par_grid +
+    terra::nearest, /root/reference/README.md:1065-1118): geocoded
+    pages → exact 3-NN POIs via the cell-index candidate join with
+    exact fallback (vector.knn_join) — never the O(n·m) cross join the
+    oracle brute-forces."""
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.grid import make_regular_grid
+    from chopin_spark.vector import knn_join
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    pages = spark.sql(
+        f"SELECT page_id, x, y FROM {_planar(charfold_spark('host'))} "
+        f"WHERE page_id % {_PAGE_MOD} = 0"
+    )
+    pois = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.expr(sx.x_expr("p_partkey")).alias("x"),
+        F.expr(sx.y_expr("p_partkey")).alias("y"),
+    )
+    g = make_regular_grid(16, 12, pad=_KNN_RADIUS)
+    out = knn_join(pages, pois, g, "page_id", "pid", _KNN_RADIUS, k=_KNN_K)
+    return out.select(
+        "page_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("nn_id").alias("nn_pid"),
+        F.round("nn_dist", 4).alias("nn_dist"),
+    )
+
+
+# --- zonal-stat leg: extract_at over page-point buffers ---------------------
+
+_ZR = 20_000.0  # buffer radius (same knob as extract_at_buffers)
+_Z_MOD = 30  # subsample: every 30th page gets a buffer
+
+
+def _pages_zonal_oracle() -> str:
+    from chopin_spark.raster import NPX, NPY, PH, PW, V_MOD, V_MX, V_MY
+
+    pcx = f"((i + 0.5) * {PW!r})"
+    pcy = f"((j + 0.5) * {PH!r})"
+    return f"""
+WITH pg AS (
+  SELECT page_id, x, y FROM {_planar(charfold_duckdb('host'))}
+  WHERE page_id % {_Z_MOD} = 0
+),
+ii AS (
+  SELECT page_id, x, y,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR((x - {_ZR!r}) / {PW!r}) AS BIGINT) - 1),
+           LEAST({NPX - 1}, CAST(FLOOR((x + {_ZR!r}) / {PW!r}) AS BIGINT) + 1)
+         )) AS i
+  FROM pg
+),
+jj AS (
+  SELECT page_id, x, y, i,
+         UNNEST(generate_series(
+           GREATEST(0, CAST(FLOOR((y - {_ZR!r}) / {PH!r}) AS BIGINT) - 1),
+           LEAST({NPY - 1}, CAST(FLOOR((y + {_ZR!r}) / {PH!r}) AS BIGINT) + 1)
+         )) AS j
+  FROM ii
+),
+hit AS (
+  SELECT page_id, ((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS val
+  FROM jj
+  WHERE {pcx} >= x - {_ZR!r} AND {pcx} < x + {_ZR!r}
+    AND {pcy} >= y - {_ZR!r} AND {pcy} < y + {_ZR!r}
+)
+SELECT CAST(page_id AS STRING) AS pid,
+       ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 4) AS mean_val,
+       COUNT(*) AS n_pixels
+FROM hit GROUP BY 1
+"""
+
+
+@register("pages_extract_buffers", _pages_zonal_oracle())
+def pages_extract_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal-stat leg of the north star on the pages table (chopin
+    extract_at point branch, /root/reference/R/processing.R:184-228):
+    geocoded pages buffered by 20 km, raster mean per page via the
+    tile join-agg engine path (partial integer sums per (tile, rect),
+    broadcast-vs-shuffle switch) — the oracle enumerates pixels."""
+    from chopin_spark.queries.zonal import _tiles
+    from chopin_spark.raster import extract_at
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    rects = spark.sql(
+        f"SELECT CAST(page_id AS STRING) AS pid, "
+        f"x - {_ZR!r} AS xmin, y - {_ZR!r} AS ymin, "
+        f"x + {_ZR!r} AS xmax, y + {_ZR!r} AS ymax "
+        f"FROM {_planar(charfold_spark('host'))} "
+        f"WHERE page_id % {_Z_MOD} = 0"
+    )
+    tiles = _tiles(spark, n_rasters=1)
+    return extract_at(tiles, rects, rect_id="pid").select(
+        "pid", "mean_val", "n_pixels"
+    )
