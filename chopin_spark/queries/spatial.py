@@ -104,6 +104,43 @@ def hex_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Aperture-7 hex hierarchy (H3's h3_to_parent verb): two parent steps
+# composed in one projection chain — nested subqueries bind by column
+# reference (linear) in both engines.
+_HEXP_SIZE = 10_000.0
+
+
+def _hexp_sql() -> str:
+    cell = sx.hex_cell_expr(_DOC_X, _DOC_Y, _HEXP_SIZE)
+    return f"""
+SELECT gparent,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT parent) AS n_parents,
+       COUNT(DISTINCT hex_cell) AS n_cells
+FROM (
+  SELECT hex_cell, parent, {sx.hex_parent_expr('parent')} AS gparent
+  FROM (
+    SELECT hex_cell, {sx.hex_parent_expr('hex_cell')} AS parent
+    FROM (SELECT {cell} AS hex_cell FROM documents)
+  )
+)
+GROUP BY 1
+"""
+
+
+@register("hex_parent_rollup", _hexp_sql())
+def hex_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 hierarchy verb (h3_to_parent; chopin exposes `h3index`
+    hierarchies, /root/reference/R/gridding.R:970): points → 10 km hex
+    → aperture-7 parent → grandparent, rolled up per grandparent with
+    distinct-descendant counts.  Every id lives in one packed axial
+    space, so the two parent hops are plain column math and the rollup
+    is a single partial+final aggregation — multi-resolution pruning at
+    any scale.  Exactly-7-children lattice invariant: test_sqlexpr."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_hexp_sql())
+
+
 # Quantile grid (P4): ntile per axis on deterministic coordinates.
 _QSTEPS = 4
 _QUANT_ORACLE = f"""

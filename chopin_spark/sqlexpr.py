@@ -89,14 +89,14 @@ def hex_qr_exprs(x: str, y: str, size: float) -> tuple[str, str]:
     return fq, fr
 
 
-def hex_cell_expr(x: str, y: str, size: float) -> str:
-    """Single-expression hex cell id: cube-round (q, r) then pack.
+def _hex_round_pack(fq: str, fr: str) -> str:
+    """Cube-round fractional axial coords (fq, fr) and pack to one id.
 
     rx = round(q), rz = round(r), ry = round(-q-r); the axis with the
     largest rounding error is recomputed from the other two so
     rx+ry+rz == 0 exactly.  Packed id = (rq + 2^20) * 2^21 + (rr + 2^20).
+    FLOOR(v + 0.5) (half-up) — identical semantics in Spark and DuckDB.
     """
-    fq, fr = hex_qr_exprs(x, y, size)
     fs = f"(-({fq}) - ({fr}))"
     rq, rr, rs = (f"FLOOR({e} + 0.5)" for e in (fq, fr, fs))
     dq, dr, ds = (
@@ -111,6 +111,35 @@ def hex_cell_expr(x: str, y: str, size: float) -> str:
         f"(CAST({q_fixed} + 1048576 AS BIGINT) * 2097152 "
         f"+ CAST({r_fixed} + 1048576 AS BIGINT))"
     )
+
+
+def hex_cell_expr(x: str, y: str, size: float) -> str:
+    """Single-expression hex cell id: cube-round (q, r) then pack."""
+    fq, fr = hex_qr_exprs(x, y, size)
+    return _hex_round_pack(fq, fr)
+
+
+def hex_parent_expr(cell: str) -> str:
+    """Aperture-7 hexagonal parent of a packed hex cell id — the
+    hierarchy verb of H3's h3_to_parent (par_make_h3 exposes `h3index`
+    hierarchies, /root/reference/R/gridding.R:970).
+
+    The child lattice is the image of the parent lattice under the
+    aperture-7 matrix M = [[2, -1], [1, 3]] (det 7, the ~19.1° rotated
+    √7-scaled sublattice H3 uses between resolutions); the parent of a
+    child is the hex whose center is nearest in parent coordinates:
+    cube-round of M⁻¹·(q, r) = ((3q + r)/7, (-q + 2r)/7).  Every parent
+    hex covers exactly 7 child centers (center + 6 ring), asserted in
+    test_sqlexpr.  Parent ids live in the SAME packed axial space, so
+    the expression composes with itself for grandparents and with
+    hex_disk_expr for parent-level neighbor expansion.  Planar analog:
+    ids do not interoperate with the H3 library's icosahedral indexes
+    (documented in COVERAGE.md P6)."""
+    q = f"(CAST(FLOOR(({cell}) / 2097152.0) AS BIGINT) - 1048576)"
+    r = f"((({cell}) % 2097152) - 1048576)"
+    pq = f"((3.0 * {q} + {r}) / 7.0)"
+    pr = f"((-1.0 * {q} + 2.0 * {r}) / 7.0)"
+    return _hex_round_pack(pq, pr)
 
 
 def hex_disk_expr(cell: str, k: int = 1, ctor: str = "ARRAY") -> str:

@@ -63,3 +63,81 @@ def test_hex_cells_partition_points(con):
         "(SELECT i * 1.7 AS x, i * 2.3 AS y FROM generate_series(1, 1000) t(i))"
     ).fetchone()[0]
     assert 1 <= n <= 10  # 1000 points in a ~2.3km strip: few hexes
+
+
+def test_hex_parent_exactly_seven_children(con):
+    """Aperture-7 lattice invariant: every interior parent hex covers
+    exactly 7 child centers (center + 6-ring), the H3 parent-child
+    contract."""
+    rows = con.execute(
+        f"""
+WITH child AS (
+  SELECT (CAST(q + 1048576 AS BIGINT) * 2097152
+          + CAST(r + 1048576 AS BIGINT)) AS cell
+  FROM generate_series(-80, 80) s(q), generate_series(-80, 80) t(r)
+),
+pc AS (SELECT cell, {sx.hex_parent_expr('cell')} AS parent FROM child),
+cnt AS (SELECT parent, COUNT(*) AS n FROM pc GROUP BY 1)
+SELECT n, COUNT(*) FROM cnt
+WHERE ((CAST(FLOOR(parent / 2097152.0) AS BIGINT) - 1048576)
+        BETWEEN -12 AND 12)
+  AND ((parent % 2097152 - 1048576) BETWEEN -12 AND 12)
+GROUP BY 1 ORDER BY 1
+"""
+    ).fetchall()
+    assert rows == [(7, 625)]
+
+
+def test_hex_parent_composes_to_grandparent(con):
+    """Two parent hops coarsen by ~7 each (aperture-7), and children of
+    one parent share that parent's grandparent with the parent itself."""
+    n_cells, n_par, n_gpar = con.execute(
+        f"""
+WITH child AS (
+  SELECT (CAST(q + 1048576 AS BIGINT) * 2097152
+          + CAST(r + 1048576 AS BIGINT)) AS cell
+  FROM generate_series(-40, 40) s(q), generate_series(-40, 40) t(r)
+)
+SELECT COUNT(DISTINCT cell),
+       COUNT(DISTINCT {sx.hex_parent_expr('cell')}),
+       COUNT(DISTINCT {sx.hex_parent_expr(sx.hex_parent_expr('cell'))})
+FROM child
+"""
+    ).fetchone()
+    assert 5.5 < n_cells / n_par < 8.5
+    assert 5.5 < n_par / n_gpar < 8.5
+
+
+def test_hex_parent_contains_child_center(con):
+    """Geometric sanity: a child's center lies within one parent-hex
+    circumradius (sqrt(7) * child size) of its parent's center, mapped
+    back to child axial coords via M = [[2,-1],[1,3]]."""
+    bad = con.execute(
+        f"""
+WITH child AS (
+  SELECT q, r,
+         (CAST(q + 1048576 AS BIGINT) * 2097152
+          + CAST(r + 1048576 AS BIGINT)) AS cell
+  FROM generate_series(-30, 30) s(q), generate_series(-30, 30) t(r)
+),
+pc AS (
+  SELECT q, r,
+         (CAST(FLOOR({sx.hex_parent_expr('cell')} / 2097152.0) AS BIGINT)
+          - 1048576) AS pq,
+         (({sx.hex_parent_expr('cell')} % 2097152) - 1048576) AS pr
+  FROM child
+),
+back AS (
+  -- parent center in child axial coords: M·(pq, pr)
+  SELECT q, r, (2 * pq - pr) AS cq, (pq + 3 * pr) AS cr FROM pc
+),
+d AS (
+  -- axial -> cartesian (unit hex): dx = sqrt(3)*(dq + dr/2), dy = 1.5*dr
+  SELECT SQRT(POW(1.7320508 * ((q - cq) + (r - cr) / 2.0), 2)
+              + POW(1.5 * (r - cr), 2)) AS dist
+  FROM back
+)
+SELECT COUNT(*) FROM d WHERE dist > SQRT(7.0) * 1.0000001
+"""
+    ).fetchone()[0]
+    assert bad == 0
