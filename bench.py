@@ -48,6 +48,11 @@ def main() -> None:
 
     _tiles(spark, n_rasters=1).count()
     _tiles(spark, n_rasters=_N_RASTERS, corrupt=(_CORRUPT_RID,)).count()
+    # ...and the broadcast S2 POI-disk table shared by the three sphere
+    # queries (dimension prep, memoized per session — same rationale)
+    from chopin_spark.queries.s2knn import _poi_disks
+
+    _poi_disks(spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
