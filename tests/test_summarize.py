@@ -125,3 +125,41 @@ def test_ivf_recall_on_clustered(spark):
     }
     got = {r["vec_id"] for r in ivf_topk(df, 0, 10, nprobe=2).collect()}
     assert len(got & true_top) >= 9  # query's own cluster is probed
+
+
+def test_summarize_st_reference_golden(spark):
+    """Transliteration of chopin's own testthat case
+    (/root/reference/tests/testthat/test-processing.R:770-800): the
+    exact 4-row fixture must floor to two hourly groups with means
+    value=(2, 12) and other_value=(3, 21), non-numeric `label`
+    dropped, timestamps floored to 00:00 and 01:00 UTC."""
+    import datetime as dt
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2],
+            "observed_at": pd.to_datetime(
+                [
+                    "2024-01-01 00:10:00",
+                    "2024-01-01 00:40:00",
+                    "2024-01-01 01:05:00",
+                    "2024-01-01 01:20:00",
+                ]
+            ),
+            "value": [1.0, 3.0, 10.0, 14.0],
+            "other_value": [2.0, 4.0, 20.0, 22.0],
+            "label": ["a", "b", "c", "d"],
+        }
+    )
+    out = summarize_st(
+        spark.createDataFrame(pdf), "hour", id_col="id"
+    )
+    assert sorted(out.columns) == [
+        "id", "other_value_mean", "time_group", "value_mean"
+    ]
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[1]["value_mean"] == 2.0 and rows[1]["other_value_mean"] == 3.0
+    assert rows[2]["value_mean"] == 12.0 and rows[2]["other_value_mean"] == 21.0
+    assert rows[1]["time_group"] == dt.datetime(2024, 1, 1, 0, 0)
+    assert rows[2]["time_group"] == dt.datetime(2024, 1, 1, 1, 0)

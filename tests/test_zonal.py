@@ -56,3 +56,42 @@ def test_extract_at_tract_pixel_counts(spark):
     assert all(r["n_pixels"] == 64 * 48 for r in out)
     assert sum(r["n_pixels"] for r in out) == 1024 * 768
     assert TNX * TNY == 768
+
+
+def test_kernel_weighting_uniform_identity(spark):
+    """Reference testthat golden: .kernel_weighting with a uniform
+    kernel and full coverage returns the extracted values unchanged
+    (/root/reference/tests/testthat/test-processing.R:520-544,
+    expect ret$value == c(10, 20)).  Engine equivalent: extract_at
+    with kernel='uniform' and bandwidth covering every pixel equals
+    the unweighted zonal mean — constant weights cancel."""
+    import pandas as pd
+
+    from chopin_spark.raster import extract_at, raster_tiles_df
+
+    tiles = raster_tiles_df(spark, n_rasters=1)
+    rects = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": ["p1", "p2"],
+                "xmin": [100_000.0, 400_000.0],
+                "ymin": [100_000.0, 300_000.0],
+                "xmax": [140_000.0, 440_000.0],
+                "ymax": [140_000.0, 340_000.0],
+                "cx": [120_000.0, 420_000.0],
+                "cy": [120_000.0, 320_000.0],
+            }
+        )
+    )
+    plain = {
+        r["pid"]: (r["mean_val"], r["n_pixels"])
+        for r in extract_at(tiles, rects, rect_id="pid").collect()
+    }
+    uniform = {
+        r["pid"]: (r["mean_val"], r["n_pixels"])
+        for r in extract_at(
+            tiles, rects, rect_id="pid",
+            kernel="uniform", bandwidth=10_000_000.0,
+        ).collect()
+    }
+    assert plain == uniform and set(plain) == {"p1", "p2"}
