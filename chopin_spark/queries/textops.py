@@ -369,3 +369,72 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (pure column math, one groupBy)."""
     docs = load(spark, sf_dir, "documents")
     return simhash(docs)
+
+
+# --- duplicate CLUSTERS from verified pairs (connected components) ----------
+
+_PAIR_CTES = f"""{_SH_CTE},
+sig AS (
+  SELECT doc_id,
+       {_SIG_COLS}
+  FROM sh GROUP BY 1
+),
+bands AS (
+{_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.v = a.v
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) >= 0.9
+)"""
+
+_COMP_SQL = f"""
+WITH RECURSIVE {_PAIR_CTES},
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp_id
+FROM reach GROUP BY a
+"""
+
+
+@register("dedup_components", _COMP_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: MinHash-LSH candidates →
+    exact-Jaccard verify ≥0.9 → connected components by min-label
+    propagation (chopin_spark.components — diameter-bounded rounds,
+    localCheckpoint lineage cuts).  comp_id = min doc_id per cluster;
+    keep-one-representative dedup reads `doc_id != comp_id` as the
+    drop set.  Oracle: transitive closure via DuckDB recursive CTE
+    over the identically-recomputed verified pairs — an entirely
+    different algorithm arriving at the same fixpoint."""
+    from chopin_spark.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, threshold=0.9).select("d1", "d2")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "comp_id"
+    )

@@ -1,0 +1,33 @@
+"""Connected-components (dedup clustering) unit tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from chopin_spark.components import connected_components
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["d1", "d2"]), "d1 BIGINT, d2 BIGINT"
+    )
+    return {
+        r["node"]: r["comp_id"] for r in connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # diameter-6 path: min label must walk the whole chain
+    got = _cc(spark, [(i, i + 1) for i in range(1, 7)])
+    assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_min_label_not_first_label(spark):
+    # the smallest id sits at the END of the chain
+    got = _cc(spark, [(9, 8), (8, 7), (7, 1)])
+    assert got == {9: 1, 8: 1, 7: 1, 1: 1}
