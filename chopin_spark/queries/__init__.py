@@ -25,7 +25,7 @@ def register(name: str, oracle: str | None = None):
 _MODULES = (
     "relational", "spatial", "hierarchy", "vector", "zonal", "textops",
     "simsearch", "multimodal", "coverage", "coverage2", "runner", "polygons",
-    "crsq", "s2q", "webtext", "s2knn", "pagespipe",
+    "crsq", "s2q", "webtext", "s2knn", "pagespipe", "temporalq",
 )
 
 
