@@ -260,3 +260,33 @@ def pages_extract_buffers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_at(tiles, rects, rect_id="pid").select(
         "pid", "mean_val", "n_pixels"
     )
+
+
+# --- leakage-safe train/val/test split --------------------------------------
+
+
+def _split_sql(fold: str) -> str:
+    """Deterministic 80/10/10 split keyed on the HOST hash, so every
+    page of a host lands in one split (group-aware splitting — the
+    train/test-leakage guard a web-corpus pipeline needs)."""
+    return f"""
+SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT host) AS n_hosts,
+       MIN(page_id) AS first_page
+FROM (
+  SELECT page_id, host, (({fold}) * 2654435761) % 1000 AS b
+  FROM (SELECT o_orderkey AS page_id, {_HOST} AS host FROM orders)
+)
+GROUP BY 1
+"""
+
+
+@register("pages_split_leakage_safe", _split_sql(charfold_duckdb("host")))
+def pages_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware dataset split: hash the host (not the page), bucket
+    into 80/10/10.  Pure column math — stable under resharding and
+    appends, no shuffle before the final rollup; at 10^12 rows the
+    split column is computed at scan time and partition-prunable."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_split_sql(charfold_spark("host")))
