@@ -62,3 +62,52 @@ def test_asof_equal_ts_tie_break(spark):
         state_cols=["sid", "v"], tie_col="sid",
     ).collect()
     assert (row["asof_sid"], row["asof_v"]) == (9, 2.0)  # max tie wins
+
+
+# --- property check vs a pandas brute force ---------------------------------
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_matches_brute_force(spark, seed):
+    rng = np.random.default_rng(seed)
+    nf, ns, nkeys = 60, 40, 5
+    facts = pd.DataFrame(
+        {
+            "fid": np.arange(nf),
+            "k": rng.integers(0, nkeys, nf),
+            "ts": rng.integers(0, 1000, nf),
+        }
+    )
+    state = pd.DataFrame(
+        {
+            "k": rng.integers(0, nkeys, ns),
+            "ts": rng.integers(0, 1000, ns),
+            "sid": np.arange(100, 100 + ns),
+            "v": rng.normal(size=ns).round(6),
+        }
+    )
+    got = {
+        r["fid"]: (r["asof_sid"], r["asof_v"])
+        for r in asof_join(
+            spark.createDataFrame(facts),
+            spark.createDataFrame(state),
+            keys=["k"], ts_col="ts",
+            state_cols=["sid", "v"], tie_col="sid",
+        ).collect()
+    }
+    for f in facts.itertuples(index=False):
+        cand = state[(state.k == f.k) & (state.ts <= f.ts)]
+        if cand.empty:
+            assert got[f.fid] == (None, None)
+        else:
+            best = cand.sort_values(["ts", "sid"]).iloc[-1]
+            assert got[f.fid] == (int(best.sid), float(best.v))
