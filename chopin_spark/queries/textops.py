@@ -245,6 +245,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 from chopin_spark.textops import (  # noqa: E402
     _MERSENNE, _hash_params, SIMHASH_BITS,
     shingles_from_uh_duckdb, token_hashes_duckdb, token_hash60_duckdb,
+    token_hashes_spark,
 )
 
 _N_HASHES, _BANDS = 32, 8
@@ -438,3 +439,137 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "comp_id"
     )
+
+
+# --- fixed-window chunking with overlap (training-sequence prep) ------------
+
+_CW, _CS = 32, 24  # window 32 tokens, stride 24 (8-token overlap)
+
+_CHUNK_SPARK = f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes_spark()} AS _uh FROM documents
+),
+ex AS (
+  SELECT doc_id, _uh,
+         explode(sequence(0, CAST(FLOOR((size(_uh) - 1) / {_CS}.0) AS INT)))
+           AS chunk_idx
+  FROM uh
+),
+ck AS (
+  SELECT doc_id, chunk_idx,
+         slice(_uh, chunk_idx * {_CS} + 1, {_CW}) AS c
+  FROM ex
+)
+SELECT doc_id, chunk_idx, size(c) AS n_tokens,
+       aggregate(c, CAST(0 AS BIGINT),
+                 (h, x) -> (h * 31 + x) % 1000000007) AS chunk_hash
+FROM ck
+"""
+
+_CHUNK_ORACLE = f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes_duckdb()} AS _uh FROM documents
+),
+ex AS (
+  SELECT doc_id, _uh,
+         UNNEST(generate_series(
+           0, CAST(FLOOR((len(_uh) - 1) / {_CS}.0) AS BIGINT))) AS chunk_idx
+  FROM uh
+),
+ck AS (
+  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         _uh[chunk_idx * {_CS} + 1 : chunk_idx * {_CS} + {_CW}] AS c
+  FROM ex
+)
+SELECT doc_id, chunk_idx, CAST(len(c) AS INT) AS n_tokens,
+       LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), c),
+                   (h, x) -> (h * 31 + x) % 1000000007) AS chunk_hash
+FROM ck
+"""
+
+
+@register("doc_chunk_windows", _CHUNK_ORACLE)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: every document split into
+    32-token windows at stride 24 (8-token overlap), each chunk
+    identified by a polynomial hash of its token-hash slice.  One
+    explode + per-row array math, zero shuffles, zero Python — at
+    10^12 docs this is a map-only stage.  The fold-with-zero spelling
+    matches between Spark `aggregate` and DuckDB
+    LIST_REDUCE(LIST_PREPEND(0, …)) (doc_fingerprint pattern)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CHUNK_SPARK)
+
+
+# --- PII scrubbing (regex redaction + audit counts) --------------------------
+#
+# The synthetic corpus has no PII, so the query INJECTS deterministic
+# email/phone strings into a known subset first (same SQL both
+# engines), then scrubs — the redaction count and the fingerprint of
+# the scrubbed text pin both the detector and the replacement.
+# Patterns avoid backslashes entirely ([.] instead of \.) so Java
+# (Spark) and RE2 (DuckDB) parse them identically through each SQL
+# dialect's string-literal rules.
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
+
+_PII_BASE = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS STRING)
+                        || '@mail.example.com or 555-'
+                        || CAST(1000 + doc_id % 9000 AS STRING)
+              ELSE text END AS t
+  FROM documents
+"""
+
+_PII_SPARK = f"""
+WITH base AS ({_PII_BASE}),
+scrub AS (
+  SELECT doc_id,
+         regexp_count(t, '{_EMAIL_RE}') AS n_emails,
+         regexp_count(t, '{_PHONE_RE}') AS n_phones,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]'),
+                        '{_PHONE_RE}', '[PHONE]') AS clean
+  FROM base
+)
+SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+       CAST(n_phones AS INT) AS n_phones,
+       aggregate(
+         transform(sequence(1, least(length(clean), 200)),
+                   i -> cast(ascii(substring(clean, i, 1)) as bigint)),
+         CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007
+       ) AS clean_fp
+FROM scrub
+"""
+
+_PII_ORACLE = f"""
+WITH base AS ({_PII_BASE}),
+scrub AS (
+  SELECT doc_id,
+         LEN(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+         LEN(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS clean
+  FROM base
+)
+SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+       CAST(n_phones AS INT) AS n_phones,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT),
+           LIST_TRANSFORM(generate_series(1, LEAST(STRLEN(clean), 200)),
+             i -> CAST(ASCII(SUBSTR(clean, CAST(i AS INT), 1)) AS BIGINT))),
+         (h, c) -> (h * 31 + c) % 1000000007) AS clean_fp
+FROM scrub
+"""
+
+
+@register("pii_scrub_stats", _PII_ORACLE)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: detect + replace emails/phones, emit per-doc
+    redaction counts and a fingerprint of the scrubbed text (so the
+    REPLACEMENT is pinned, not just the count).  Map-only regex stage —
+    JVM codegen in Spark; at 10^12 docs this fuses into the scan."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_PII_SPARK)
