@@ -24,7 +24,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MANIFEST_SUBDIR = "_manifest"
+def manifest_path(path: str) -> str:
+    """Manifest lives BESIDE the data dir (sibling), so the data
+    scan never sees it and the manifest read needs no
+    underscore-hidden-path exception."""
+    return path.rstrip("/") + "__manifest"
 
 
 def write_sorted_table(
@@ -47,7 +51,7 @@ def write_sorted_table(
         )
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, MANIFEST_SUBDIR)
+        manifest_path(path)
     )
 
 
@@ -57,7 +61,7 @@ def read_pruned(
     """Rows with key in [lo, hi], reading ONLY files whose manifest
     range overlaps — the file-skipping half; the residual filter
     handles in-file precision (and pushes down to row groups)."""
-    manifest = spark.read.parquet(os.path.join(path, MANIFEST_SUBDIR))
+    manifest = spark.read.parquet(manifest_path(path))
     files = [
         r["file"]
         for r in manifest.filter(
@@ -76,7 +80,7 @@ def read_pruned(
 
 def manifest_file_counts(spark: SparkSession, path: str, key: str, lo, hi):
     """(files_selected, files_total) for a range — the pruning ratio."""
-    manifest = spark.read.parquet(os.path.join(path, MANIFEST_SUBDIR))
+    manifest = spark.read.parquet(manifest_path(path))
     total = manifest.count()
     picked = manifest.filter(
         (F.col("max_key") >= lo) & (F.col("min_key") <= hi)
