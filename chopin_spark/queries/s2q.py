@@ -157,3 +157,76 @@ def s2_covering_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lat"), 4).alias("mean_lat"),
         )
     )
+
+
+# --- R2 runner over the REAL S2 hierarchy -----------------------------------
+#
+# north_star: "par_hierarchy (administrative-hierarchy splits)" over
+# "H3/S2 cells" — the hierarchy key is the S2 cell PATH STRING
+# (face char + one base-4 char per level), whose left prefix IS the
+# parent cell, exactly the FIPS/NUTS prefix contract chopin's
+# par_hierarchy splits on (/root/reference/R/scale_process.R:460-462).
+
+
+def _s2_path_sql(prefix: str) -> str:
+    """Level-8 prefix integer → 9-char path string (face + 8 digits)."""
+    parts = [f"CAST(({prefix} >> 16) AS STRING)"] + [
+        f"CAST((({prefix} >> {16 - 2 * i}) & 3) AS STRING)"
+        for i in range(1, 9)
+    ]
+    return "CONCAT(" + ", ".join(parts) + ")"
+
+
+_HIER_ORACLE = f"""
+WITH pref AS MATERIALIZED (
+  SELECT doc_id, n_chars, s2_prefix
+  FROM ({s2_prefix_sql(_BASE, 'lon', 'lat', _LEVEL)})
+)
+SELECT SUBSTR({_s2_path_sql('s2_prefix')}, 1, 5) AS hkey,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_chars
+FROM pref
+GROUP BY 1
+"""
+
+
+@register("s2_hierarchy_runner", _HIER_ORACLE)
+def s2_hierarchy_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """par_hierarchy grouped-map runner keyed on the level-4 S2 PREFIX
+    of the level-8 path string — user pandas code per region, shuffled
+    once on the prefix; the oracle recomputes the same rollup from the
+    pure-SQL prefix arithmetic (independent of the runner machinery).
+    The prefix column comes from the numpy S2 kernel (bit-equal to the
+    SQL twin) so the grouped-map sits above a shallow plan."""
+    import pandas as pd
+
+    from chopin_spark.runners import par_hierarchy
+
+    def _prefix(lon, lat):
+        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
+        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
+
+    prefix_udf = F.pandas_udf(_prefix, "long")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "n_chars", f"{_LON} AS lon", f"{_LAT} AS lat")
+        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
+        .withColumn("s2_path", F.expr(_s2_path_sql("s2_prefix")))
+        .select("doc_id", "n_chars", "s2_path")
+    )
+
+    def fun(pdf):
+        return pd.DataFrame(
+            {
+                "n_docs": [len(pdf)],
+                "mean_chars": [
+                    round(float(pdf["n_chars"].sum()) / len(pdf), 4)
+                ],
+            }
+        )
+
+    return par_hierarchy(
+        docs, fun,
+        schema="hkey STRING, n_docs BIGINT, mean_chars DOUBLE",
+        region_col="s2_path", length_left=5,
+    )
