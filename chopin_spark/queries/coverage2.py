@@ -197,3 +197,30 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.min("ts").alias("session_start"),
     )
+
+
+# --- exact interpolated quantiles per group ---------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(QUANTILE_CONT(n_chars, 0.5), 4) AS median_chars,
+       ROUND(QUANTILE_CONT(n_chars, 0.9), 4) AS p90_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("lang_char_quantiles", _MEDIAN_ORACLE)
+def lang_char_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median/p90 per language (Spark `percentile`
+    == DuckDB QUANTILE_CONT: both linear interpolation).  The exact
+    percentile is a per-group sort — fine on group-sized data; the
+    documented scale twin is approx_percentile with a bounded error
+    (same pattern as quantile_grid vs ntile, docs/SCALE.md)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+    )
