@@ -174,10 +174,15 @@ def pages_knn3_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chopin_spark.vector import knn_join
 
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # localCheckpoint: the geocode char-fold is an interpreted HOF —
+    # without the cut it re-evaluates once per reference across the
+    # 3×3 candidate stencil and both fallback branches (measured ~3×
+    # on this query); the materialized side is only the subsampled
+    # (page_id, x, y) points
     pages = spark.sql(
         f"SELECT page_id, x, y FROM {_planar(charfold_spark('host'))} "
         f"WHERE page_id % {_PAGE_MOD} = 0"
-    )
+    ).localCheckpoint()
     pois = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pid"),
         F.expr(sx.x_expr("p_partkey")).alias("x"),
