@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from chopin_spark import s2
 from chopin_spark.queries import register
+from chopin_spark.runners import par_cells
 from chopin_spark.queries.s2q import _LAT, _LON
 from chopin_spark.tables import load
 
@@ -333,4 +334,85 @@ def summarize_sedc_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.exp(F.col("_d") * F.lit(-3.0 / _SEDC_BW))), 4
             ).alias("sedc"),
         )
+    )
+
+
+# --- the same nearest, through the par_grid RUNNER face ---------------------
+
+
+@register("nearest_poi_sphere_pargrid", _NEAREST_ORACLE)
+def nearest_poi_sphere_pargrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle nearest POI via the cogrouped RUNNER
+    (runners.par_cells) instead of the join-agg plan: docs keyed by
+    their own S2 cell, POIs duplicated into every cell of their
+    wrapped 5×5 disk (the padded-context contract of chopin's
+    par_grid, /root/reference/R/scale_process.R:99-232), a numpy
+    haversine argmin per cell, then the identical r_safe acceptance +
+    exact broadcast fallback.  Same brute-force oracle as
+    nearest_poi_sphere — the driver hash proves runner face == join
+    face row-for-row."""
+    r_safe = 0.7 * 2.0 * s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
+
+    def _prefix(lon, lat):
+        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
+        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
+
+    prefix_udf = F.pandas_udf(_prefix, "long")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
+        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
+    )
+    disks = _poi_disks(spark, sf_dir)
+
+    def fun(kpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:
+            return None  # whole cell routes to the exact fallback
+        # sorted by poi_id so argmin's first-hit rule reproduces the
+        # join face's min(struct(_d, poi_id)) tie-break
+        cpdf = cpdf.sort_values("poi_id")
+        la1 = np.radians(kpdf["lat"].to_numpy())[:, None]
+        lo1 = np.radians(kpdf["lon"].to_numpy())[:, None]
+        la2 = np.radians(cpdf["plat"].to_numpy())[None, :]
+        lo2 = np.radians(cpdf["plon"].to_numpy())[None, :]
+        h = (
+            np.sin((la2 - la1) / 2) ** 2
+            + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+        )
+        d = 2.0 * s2.EARTH_RADIUS_M * np.arcsin(np.sqrt(h))
+        pid = cpdf["poi_id"].to_numpy()
+        best_idx = np.argmin(d, axis=1)
+        best_d = d[np.arange(len(kpdf)), best_idx]
+        return pd.DataFrame(
+            {
+                "doc_id": kpdf["doc_id"].to_numpy(),
+                "poi_id": pid[best_idx],
+                "_d": best_d,
+            }
+        )
+
+    res = par_cells(
+        docs, disks, "s2_prefix", fun,
+        schema="doc_id BIGINT, poi_id BIGINT, _d DOUBLE",
+    )
+    accepted = res.filter(F.col("_d") <= F.lit(r_safe))
+    pois = (
+        load(spark, sf_dir, "supplier")
+        .selectExpr("s_suppkey AS poi_id", f"{_PLON} AS plon", f"{_PLAT} AS plat")
+    )
+    dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
+    residue = (
+        docs.join(accepted.select("doc_id"), "doc_id", "left_anti")
+        .crossJoin(F.broadcast(pois))
+        .withColumn("_d", dist)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("_d", "poi_id")).alias("_best"))
+        .select(
+            "doc_id",
+            F.col("_best.poi_id").alias("poi_id"),
+            F.col("_best._d").alias("_d"),
+        )
+    )
+    return accepted.unionByName(residue).select(
+        "doc_id", "poi_id", F.round("_d", 2).alias("dist_m")
     )

@@ -107,6 +107,54 @@ def par_grid(
     )
 
 
+def par_cells(
+    keyed: DataFrame,
+    context: DataFrame,
+    cell_col: str,
+    fun: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema: str,
+    debug: bool = False,
+) -> DataFrame:
+    """par_grid generalized to ANY precomputed cell index (S2 prefix,
+    hex id, quadkey): both inputs already carry `cell_col` — keyed
+    exactly once, context duplicated into every cell of its padded
+    neighborhood (e.g. the wrapped S2 disk table) — and `fun` runs per
+    cell on the cogrouped Arrow batches.  This is the runner face of
+    the north star's "par_grid … over S2 cells": the RectGrid variant
+    assigns cells arithmetically; here the caller brings the index."""
+    out_schema = _with_error_col(schema) if debug else schema
+    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+
+    def runner(key, kpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if kpdf.empty:
+            return _empty_like(schema_cols)
+        try:
+            res = fun(
+                kpdf.drop(columns=[cell_col]), cpdf.drop(columns=[cell_col])
+            )
+            if res is None:
+                return _empty_like(schema_cols)
+            if cell_col in schema_cols and cell_col not in res.columns:
+                res = res.assign(**{cell_col: key[0]})
+            if debug:
+                res = res.assign(**{ERROR_COL: None})
+            return res.reindex(columns=schema_cols)
+        except Exception:
+            if not debug:
+                return _empty_like(schema_cols)
+            row = {col: [None] for col in schema_cols}
+            if cell_col in schema_cols:
+                row[cell_col] = [key[0]]
+            row[ERROR_COL] = [traceback.format_exc(limit=1).splitlines()[-1]]
+            return pd.DataFrame(row)
+
+    return (
+        keyed.groupBy(cell_col)
+        .cogroup(context.groupBy(cell_col))
+        .applyInPandas(runner, out_schema)
+    )
+
+
 def par_grid_map(
     df: DataFrame,
     grid: RectGrid,
