@@ -224,3 +224,62 @@ def lang_char_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
         F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
     )
+
+
+# --- doc commonness score (CCNet-style corpus-frequency filter) -------------
+
+_COMMON_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM toks WHERE LEN(w) >= 2
+),
+df AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(df.n) AS DOUBLE) / COUNT(*), 4) AS mean_bigram_df,
+       MAX(df.n) AS max_bigram_df
+FROM bg JOIN df USING (bigram)
+GROUP BY 1
+"""
+
+
+@register("doc_commonness_score", _COMMON_ORACLE)
+def doc_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal (the integer-exact stand-in for
+    CCNet's LM-perplexity filter): each document scored by the mean
+    corpus document-frequency of its bigrams — high = boilerplate,
+    low = novel text.  Two shuffles (bigram count, doc re-agg); the
+    integer SUM keeps the float division deterministic, so the score
+    is oracle-exact with no tolerance."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bg_arr = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), (i + 1).cast("int")),
+            F.element_at(F.col("w"), (i + 2).cast("int")),
+        ),
+    )
+    bg = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bg_arr).alias("bigram"))
+    )
+    df_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bg.join(df_counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("n").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_bigram_df"),
+            F.max("n").alias("max_bigram_df"),
+        )
+    )

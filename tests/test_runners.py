@@ -177,3 +177,37 @@ def test_par_multirasters_row_count_contract(spark):
     assert len(ok) == n_zones * (len(files) - 1)
     assert len(err) == 1 and err[0]["base_raster"] == "corrupt"
     assert all(r["base_raster"] in files for r in out)
+
+
+def test_par_cells_custom_index(spark):
+    """Index-agnostic cogrouped runner: caller-supplied cell column,
+    context duplicated by the caller; empty-context cells returning
+    None are dropped (fallback contract); empty-keyed cells vanish."""
+    import pandas as pd
+
+    keyed = spark.createDataFrame(
+        pd.DataFrame({"cell": [1, 1, 2, 3], "kid": [10, 11, 20, 30]})
+    )
+    ctx = spark.createDataFrame(
+        pd.DataFrame({"cell": [1, 2, 2, 9], "v": [5.0, 7.0, 9.0, 1.0]})
+    )
+
+    def fun(kpdf, cpdf):
+        if cpdf.empty:
+            return None
+        return pd.DataFrame(
+            {"kid": kpdf["kid"], "vsum": cpdf["v"].sum()}
+        )
+
+    from chopin_spark.runners import par_cells
+
+    got = {
+        r["kid"]: (r["cell"], r["vsum"])
+        for r in par_cells(
+            keyed, ctx, "cell", fun,
+            schema="cell BIGINT, kid BIGINT, vsum DOUBLE",
+        ).collect()
+    }
+    # cell 3 has no context -> fun returns None -> dropped;
+    # cell 9 has no keyed rows -> never runs
+    assert got == {10: (1, 5.0), 11: (1, 5.0), 20: (2, 16.0)}
