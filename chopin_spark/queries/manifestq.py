@@ -47,9 +47,14 @@ def _docs_manifest_path(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _MEMO:
         return _MEMO[key]
+    from chopin_spark.manifest import manifest_path as _mp
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(_CACHE_ROOT, tag)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(_mp(path), "_SUCCESS"))
+    ):
 
         def _prefix(lon, lat):
             cid = s2.cell_id_from_lonlat(
