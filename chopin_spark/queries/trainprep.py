@@ -1,0 +1,275 @@
+"""Training-corpus preparation queries beyond dedup: benchmark
+contamination detection, C4-style span-duplication statistics, and
+Gopher-style within-document repetition metrics.
+
+These are the remaining filters a 100 TB pretraining pipeline runs
+between raw crawl and training shards (alongside the dedup/quality
+family in queries.textops):
+
+- contamination: does a training document share long n-grams with a
+  held-out evaluation set?  (the standard 8-to-13-gram overlap test)
+- span duplication: what fraction of a document's fixed-token spans
+  appear verbatim in OTHER documents?  (C4 deduplicates three-sentence
+  spans; here spans are fixed 16-token windows, the tokenizer-agnostic
+  analogue)
+- within-doc repetition: Gopher's "fraction of tokens in the most
+  frequent 2-gram" + duplicate-token fraction — boilerplate/spam
+  signals computed per row.
+
+All three are oracle-checked value-exact against DuckDB over the same
+parquet, using the engine-constant polynomial token hashes from
+chopin_spark.textops (no xxhash64 — VERDICT r01 next-steps #5 pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+from chopin_spark.textops import (
+    shingles_from_uh_duckdb,
+    shingles_from_uh_spark,
+    token_hashes_duckdb,
+    token_hashes_spark,
+)
+
+# --- benchmark contamination (eval-set n-gram overlap) -----------------------
+#
+# Benchmark set = doc_id % 13 == 0 (a deterministic stand-in for the
+# held-out eval suite); training set = everything else.  A training doc
+# is contaminated when any of its distinct 8-gram shingle hashes occurs
+# in the benchmark shingle universe.  At 10^12 docs the benchmark side
+# is dimension-sized (eval suites are millions of shingles, not
+# trillions) → broadcast; the training side never shuffles its shingles,
+# only the per-doc counts.  If the benchmark universe outgrows the
+# broadcast threshold the same plan runs as a shuffle equi-join on the
+# shingle hash (extract_at's size-switch pattern, raster.py).
+
+_NGRAM = 8
+_BENCH_MOD = 13
+
+_CONTAM_SPARK = f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes_spark()} AS _uh FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         explode(array_distinct({shingles_from_uh_spark(_NGRAM)})) AS v
+  FROM uh WHERE size(_uh) >= {_NGRAM}
+),
+bench AS (
+  SELECT DISTINCT v FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+),
+train AS (SELECT doc_id, v FROM sh WHERE doc_id % {_BENCH_MOD} != 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+hits AS (
+  SELECT /*+ BROADCAST(b) */ t.doc_id, COUNT(*) AS n_hits
+  FROM train t JOIN bench b ON t.v = b.v
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_shingles, h.n_hits,
+       ROUND(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 4) AS hit_frac
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+_CONTAM_ORACLE = f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes_duckdb()} AS _uh FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST({shingles_from_uh_duckdb(_NGRAM)}) AS v
+  FROM uh WHERE len(_uh) >= {_NGRAM}
+),
+bench AS (
+  SELECT DISTINCT v FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+),
+train AS (SELECT doc_id, v FROM sh WHERE doc_id % {_BENCH_MOD} != 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM train t JOIN bench b ON t.v = b.v
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_shingles, h.n_hits,
+       ROUND(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 4) AS hit_frac
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+
+@register("benchmark_contamination", _CONTAM_ORACLE)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination check: per training document, how many of
+    its distinct 8-gram shingles occur anywhere in the benchmark set.
+    Output rows = contaminated docs only (the drop/flag list a pipeline
+    materializes); docs with zero overlap never leave the map side."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CONTAM_SPARK)
+
+
+# --- C4-style span-duplication statistics ------------------------------------
+#
+# Non-overlapping 16-token spans, each identified by the polynomial
+# fold of its token-hash slice (doc_chunk_windows machinery with
+# window == stride).  A span is corpus-duplicated when its hash occurs
+# in >= 2 DISTINCT documents.  Two shuffles: span-hash df count, per-doc
+# re-agg — both on uniform keys; the span table is ~n_tokens/16 rows.
+
+_SPAN = 16
+
+_SPAN_SPARK = f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes_spark()} AS _uh FROM documents
+),
+ex AS (
+  SELECT doc_id, _uh,
+         explode(sequence(0, CAST(FLOOR((size(_uh) - 1) / {_SPAN}.0) AS INT)))
+           AS span_idx
+  FROM uh
+),
+ch AS (
+  SELECT doc_id, span_idx,
+         aggregate(slice(_uh, span_idx * {_SPAN} + 1, {_SPAN}),
+                   CAST(0 AS BIGINT),
+                   (h, x) -> (h * 31 + x) % 1000000007) AS h
+  FROM ex
+),
+df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+SELECT ch.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS dup_frac
+FROM ch JOIN df ON ch.h = df.h
+GROUP BY 1
+"""
+
+_SPAN_ORACLE = f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes_duckdb()} AS _uh FROM documents
+),
+ex AS (
+  SELECT doc_id, _uh,
+         UNNEST(generate_series(
+           0, CAST(FLOOR((len(_uh) - 1) / {_SPAN}.0) AS BIGINT))) AS span_idx
+  FROM uh
+),
+ch AS (
+  SELECT doc_id, span_idx,
+         LIST_REDUCE(
+           LIST_PREPEND(CAST(0 AS BIGINT),
+             _uh[span_idx * {_SPAN} + 1 : span_idx * {_SPAN} + {_SPAN}]),
+           (h, x) -> (h * 31 + x) % 1000000007) AS h
+  FROM ex
+),
+df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+SELECT ch.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS dup_frac
+FROM ch JOIN df ON ch.h = df.h
+GROUP BY 1
+"""
+
+
+@register("span_dup_stats", _SPAN_ORACLE)
+def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span duplication (C4's three-sentence-span dedup
+    reshaped to fixed 16-token windows): per document, the count and
+    fraction of its spans that appear verbatim in at least one OTHER
+    document.  `doc_id != comp` drop policies read dup_frac >= cutoff
+    as the removal set."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SPAN_SPARK)
+
+
+# --- Gopher within-document repetition ---------------------------------------
+#
+# Two of Gopher's repetition rules, integer-exact: duplicate-token
+# fraction (1 - types/tokens) and top-2-gram fraction (occurrences of
+# the modal bigram / total bigram occurrences).  The token side is
+# per-row array math (zero shuffles); the bigram mode needs a
+# (doc, bigram) count — one shuffle keyed by doc_id+bigram, then a
+# per-doc re-agg.  Both keys are uniform at any corpus size.
+
+_REP_SPARK = """
+WITH toks AS (
+  SELECT doc_id,
+         split(text, ' ') AS w
+  FROM documents
+),
+tok_stats AS (
+  SELECT doc_id,
+         size(w) AS n_tokens,
+         size(array_distinct(w)) AS n_types
+  FROM toks
+),
+bg AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, size(w) - 1),
+                 i -> concat_ws(' ', element_at(w, i),
+                                element_at(w, i + 1)))) AS bigram
+  FROM toks WHERE size(w) >= 2
+),
+bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2
+),
+bstats AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, MAX(n) AS max_bigram_n
+  FROM bgc GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens, t.n_types,
+       ROUND(1.0 - CAST(t.n_types AS DOUBLE) / t.n_tokens, 4)
+         AS dup_token_frac,
+       b.max_bigram_n,
+       ROUND(CAST(b.max_bigram_n AS DOUBLE) / b.n_bigrams, 4)
+         AS top_bigram_frac
+FROM tok_stats t JOIN bstats b ON t.doc_id = b.doc_id
+"""
+
+_REP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+tok_stats AS (
+  SELECT doc_id,
+         CAST(LEN(w) AS INT) AS n_tokens,
+         CAST(LEN(LIST_DISTINCT(w)) AS INT) AS n_types
+  FROM toks
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM toks WHERE LEN(w) >= 2
+),
+bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2
+),
+bstats AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, MAX(n) AS max_bigram_n
+  FROM bgc GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens, t.n_types,
+       ROUND(1.0 - CAST(t.n_types AS DOUBLE) / t.n_tokens, 4)
+         AS dup_token_frac,
+       b.max_bigram_n,
+       ROUND(CAST(b.max_bigram_n AS DOUBLE) / b.n_bigrams, 4)
+         AS top_bigram_frac
+FROM tok_stats t JOIN bstats b ON t.doc_id = b.doc_id
+"""
+
+
+@register("doc_repetition_stats", _REP_ORACLE)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per document: duplicate-token fraction
+    and the fraction of bigram occurrences taken by the single most
+    frequent bigram.  High values flag boilerplate/keyword-stuffed
+    pages before they reach training shards."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_REP_SPARK)
