@@ -1,0 +1,119 @@
+"""Structured Streaming driver queries: the streaming plans from
+chopin_spark.streaming executed end-to-end (file source → watermark →
+windowed/session aggregation → availableNow drain into a memory sink)
+and oracle-checked against the equivalent BATCH SQL in DuckDB.
+
+Streaming==batch equivalence is the correctness contract Structured
+Streaming gives for complete-mode aggregations: draining the whole
+input through micro-batches must produce exactly the batch answer.
+These two queries put that contract under the driver's value-hash gate
+(the pytest streaming suite pins the same equivalence at other scales).
+
+Scale shape: identical to the batch twins — the streaming plans add
+watermark tracking and state-store exchange but aggregate on the same
+keys; on a cluster the memory sink swaps for .toTable with a durable
+checkpointLocation and the trigger for continuous micro-batches.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark import streaming as S
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+
+_SEQ = itertools.count()
+
+
+def _drain(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
+    name = f"{prefix}_{next(_SEQ)}"
+    S.run_available_now(df, name, tempfile.mkdtemp(prefix="ck_stream_"))
+    return spark.table(name)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.  The glob keeps the
+    resolved basePath a directory (a bare single-file path fails the
+    file-stream source's basePath check)."""
+    schema = load(spark, sf_dir, "events").schema
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parqu*")
+
+
+_WINDOWED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_windowed_hourly", _WINDOWED_ORACLE)
+def stream_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming summarize_st (C7): readStream → 2 h watermark → 1 h
+    tumbling window per event_type → availableNow memory sink.  The
+    drained complete-mode result must equal the batch GROUP BY
+    date_trunc — the oracle IS that batch query."""
+    out = _drain(
+        S.windowed_counts(_events_stream(spark, sf_dir)), "stream_wh", spark
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_SESSION_GAP_S = 1800
+
+_SESSION_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) >= {_SESSION_GAP_S}
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {_SESSION_GAP_S} SECOND AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s
+GROUP BY user_id, session_no
+"""
+
+
+@register("stream_session_windows", _SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30 min gap) per user via
+    F.session_window — the dynamic-window counterpart of the tumbling
+    C7 stream.  Oracle: batch gaps-and-islands over the same events
+    (session_end = last event + gap, Spark's session-window end
+    semantics; ties at exactly `gap` start a NEW session in both)."""
+    out = _drain(
+        S.sessionized_counts(_events_stream(spark, sf_dir)),
+        "stream_sess",
+        spark,
+    )
+    return out.select(
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
