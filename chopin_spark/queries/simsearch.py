@@ -285,3 +285,67 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.2)
         .select("v1", "v2", "cos_sim")
     )
+
+
+# --- integer-exact k-means (SemDeDup coarse clustering) ----------------------
+
+from chopin_spark.kmeans import kmeans_assign, quantize_expr  # noqa: E402
+
+_KM_K, _KM_ITERS = 8, 3
+
+_KM_QUANT_DUCK = (
+    "list_transform(embedding, x ->"
+    f" CAST(FLOOR(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))"
+)
+
+
+def _km_iter_ctes(it: int, prev_cent: str) -> str:
+    """One unrolled Lloyd iteration: assignment a{it} (argmin by d2,
+    ties to smallest cid) + lattice-snapped centroid c{it}."""
+    return f"""
+a{it} AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT e.vec_id, e.q, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {_DIM}),
+                       i -> (e.q[i] - c.m[i]) * (e.q[i] - c.m[i]))), c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN {prev_cent} c
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT cid, LIST(m ORDER BY i) AS m FROM (
+    SELECT cid, g.i,
+           CAST(FLOOR(CAST(SUM(q[g.i]) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS m
+    FROM a{it}, generate_series(1, {_DIM}) AS g(i)
+    GROUP BY cid, g.i
+  ) GROUP BY cid
+)"""
+
+
+def _km_oracle() -> str:
+    ctes = [
+        f"emb AS (SELECT vec_id, {_KM_QUANT_DUCK} AS q FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, q AS m FROM emb"
+        f" WHERE vec_id < {_KM_K})",
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        ctes.append(_km_iter_ctes(it, f"c{it - 1}").strip())
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cid AS cluster FROM a{_KM_ITERS}"
+    )
+
+
+@register("kmeans_clusters", _km_oracle())
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-means (k=8, 3 Lloyd iterations) over the
+    embeddings — the SemDeDup coarse-clustering stage.  Each iteration
+    is one zero-shuffle argmin projection against a driver-literal
+    centroid array plus one k-key aggregation (chopin_spark.kmeans);
+    the oracle replays the identical lattice-snapped iterations as
+    unrolled recursive-free CTEs."""
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS, dim=_DIM)

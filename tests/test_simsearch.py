@@ -97,3 +97,58 @@ def test_ann_lsh_subset_of_exact_ranking(spark, emb, emb_np):
     assert 0 < len(out) <= 10
     for r in out:
         assert r["cos_sim"] == pytest.approx(by_id[r["vec_id"]], abs=2e-4)
+
+
+# --- integer-exact k-means ---------------------------------------------------
+
+
+def test_kmeans_matches_numpy_lattice(spark, emb, emb_np):
+    """Replay the lattice-snapped Lloyd iterations in numpy and demand
+    the identical assignment (the DuckDB oracle is a third
+    implementation; this one pins the Spark path independently)."""
+    from chopin_spark.kmeans import kmeans_assign
+
+    ids, m = emb_np
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    q = np.floor(m * 1024 + 0.5).astype(np.int64)
+    k, iters = 8, 3
+    cent = q[ids < k].astype(np.int64)
+    cids = ids[ids < k]
+    for _ in range(iters):
+        d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d2, axis=1)  # ties -> lowest index == lowest cid
+        assign = cids[best]
+        new_cent, new_cids = [], []
+        for c in sorted(set(assign.tolist())):
+            member = q[assign == c]
+            new_cent.append(
+                np.floor(member.sum(0) / len(member) + 0.5).astype(np.int64)
+            )
+            new_cids.append(c)
+        cent, cids = np.array(new_cent), np.array(new_cids)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        ).collect()
+    }
+    want = dict(zip(ids.tolist(), assign.tolist()))
+    assert got == want
+
+
+def test_kmeans_partition_invariant(spark):
+    """Same clustering at 1 and 16 input partitions — the determinism
+    the docstring promises (exact integer arithmetic everywhere)."""
+    from chopin_spark.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    a = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb.repartition(1)).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb.repartition(16)).collect()
+    )
+    assert a == b and len(a) == emb.count()
