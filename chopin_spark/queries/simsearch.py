@@ -349,3 +349,81 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled recursive-free CTEs."""
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS, dim=_DIM)
+
+
+# --- SemDeDup: semantic dedup via k-means cells + within-cell cosine ---------
+
+_SD_TAU = 0.2
+
+_SD_DOT_AB = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),"
+    " LIST_TRANSFORM(generate_series(1, {d}),"
+    "   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),"
+    " (x, y) -> x + y)"
+).format(d=_DIM)
+_SD_NORM_A = (
+    "SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),"
+    " LIST_TRANSFORM(generate_series(1, {d}),"
+    "   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),"
+    " (x, y) -> x + y))"
+).format(d=_DIM)
+_SD_NORM_B = _SD_NORM_A.replace("a.embedding", "b.embedding")
+
+
+def _semdedup_oracle() -> str:
+    km = _km_oracle()
+    body = km[: km.rindex("SELECT vec_id")]  # keep the WITH ... CTE chain
+    return f"""{body}
+, cl AS (
+  SELECT e.vec_id, e.embedding, a.cid AS cluster
+  FROM embeddings e JOIN a{_KM_ITERS} a USING (vec_id)
+),
+p AS (
+  SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2,
+         ROUND({_SD_DOT_AB} / ({_SD_NORM_A} * {_SD_NORM_B}), 4) AS cos_sim
+  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT v2 AS dropped_vec, MIN(v1) AS kept_by, MAX(cos_sim) AS max_cos
+FROM p WHERE cos_sim >= {_SD_TAU}
+GROUP BY 1
+"""
+
+
+@register("semdedup_drop_list", _semdedup_oracle())
+def semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: integer-exact k-means cells (kmeans_assign)
+    → pairwise cosine ONLY within a cell → drop the higher vec_id of
+    every pair with cos ≥ τ.  Output = the drop list (dropped_vec,
+    its lowest-id keeper, and the strongest similarity that doomed it).
+
+    Scale shape: the cell join bounds pair fan-out to Σ|cell|² — with
+    k sized ~√n cells this is the linear-ish SemDeDup cost, never the
+    corpus cross join; the k-means stage itself is zero-fact-shuffle
+    per iteration (chopin_spark.kmeans)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=_KM_K, iters=_KM_ITERS, dim=_DIM)
+    cl = emb.join(assign, "vec_id").select(
+        "vec_id", "embedding", "cluster"
+    )
+    a = cl.select(
+        "cluster", F.col("vec_id").alias("v1"), F.col("embedding").alias("ea")
+    )
+    b = cl.select(
+        "cluster", F.col("vec_id").alias("v2"), F.col("embedding").alias("eb")
+    )
+    cos = F.round(
+        dot_fold("ea", "eb")
+        / (F.sqrt(dot_fold("ea", "ea")) * F.sqrt(dot_fold("eb", "eb"))),
+        4,
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _SD_TAU)
+        .groupBy(F.col("v2").alias("dropped_vec"))
+        .agg(
+            F.min("v1").alias("kept_by"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )
