@@ -48,6 +48,22 @@ def main() -> None:
 
     _tiles(spark, n_rasters=1).count()
     _tiles(spark, n_rasters=_N_RASTERS, corrupt=(_CORRUPT_RID,)).count()
+    # ...and the zonal partials UDF itself: its closure imports
+    # chopin_spark (kernels) inside every Python worker on first use —
+    # a one-off ~10 s package-import across 32 workers that otherwise
+    # lands on whichever extract_at query runs first
+    from chopin_spark.raster import extract_at
+
+    _warm_rects = spark.range(0, int(cpus), 1, int(cpus)).selectExpr(
+        "CAST(id AS STRING) AS rect_id",
+        "id * 25000.0 AS xmin", "0.0 AS ymin",
+        "id * 25000.0 + 20000.0 AS xmax", "20000.0 AS ymax",
+        "id * 25000.0 + 10000.0 AS cx", "10000.0 AS cy",
+    )
+    extract_at(
+        _tiles(spark, n_rasters=1), _warm_rects,
+        kernel="epanechnikov", bandwidth=20000.0,
+    ).count()
     # ...and the broadcast S2 POI-disk table shared by the three sphere
     # queries (dimension prep, memoized per session — same rationale)
     from chopin_spark.queries.s2knn import _poi_disks
