@@ -132,14 +132,19 @@ per-(zone, cell) aggregation. One shuffle; zero Python in the hot path.
 |---|---|---|---|
 {rows}
 
-**Scaling efficiency 2 -> 8 cores (unsaturated box, the faithful
-N->4N-executor proxy): {eff28:.3f}** (target >= 0.8:
+**Scaling efficiency 8 -> 32 cores (the N -> 4N pair the north rule
+names): {eff832:.3f}** (target >= 0.8:
+{"PASS" if eff832 >= 0.8 else "MISS"})
+
+**Scaling efficiency 2 -> 8 cores (unsaturated box, the other
+N -> 4N proxy): {eff28:.3f}** (target >= 0.8:
 {"PASS" if eff28 >= 0.8 else "MISS"})
 
-Scaling efficiency 8 -> 32 cores (saturates the single box):
-{eff832:.3f} — the shortfall vs the 2->8 pair measures shared-LLC /
-memory-bus contention of co-locating all "executors" on one machine,
-a contention a real 4N-node cluster does not have.
+The 8 -> 32 pair saturates the single box, so it carries shared-LLC /
+memory-bus contention a real 4N-node cluster would not have — its
+efficiency is the conservative bound.  Run on a quiet host (zero
+steal ticks); a noisy-neighbor window depresses the 32-core number
+first.
 
 Reproduce: `python scripts/scaling_bench.py {n}`
 """
