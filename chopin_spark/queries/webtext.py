@@ -126,3 +126,125 @@ def host_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ord") % F.lit(10000000)).cast("bigint").alias("latest_doc_id"),
         F.floor(F.max("ord") / F.lit(10000000)).cast("bigint").alias("latest_epoch"),
     )
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+#
+# The crawl-store staple: the same page arrives under many URL spellings
+# (tracking params, fragments, case-shifted scheme/host, trailing
+# slash).  The messy variants are derived deterministically from doc_id
+# over a SHARED canonical id (doc_id % 200 → real collisions), then
+# normalized back: strip fragment, strip utm_*/fbclid params (keeping
+# legitimate params), trim dangling separators and trailing slash,
+# lowercase scheme+host.  Regexes avoid backslashes entirely (character
+# classes only) so Java and RE2 parse them identically — the
+# pii_scrub_stats dialect rule.
+
+_CANON = "(doc_id % 200)"
+_C_CCTLD = _CCTLD.replace("doc_id", _CANON)
+_C_HOST = (
+    f"('h' || CAST(({_CANON} * 69069) % 99991 AS STRING)"
+    f" || '.example.' || {_C_CCTLD})"
+)
+
+_MESSY = f"""(
+  CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' || UPPER({_C_HOST})
+       ELSE 'https://' || {_C_HOST} END
+  || '/p/' || CAST({_CANON} AS STRING)
+  || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+  || CASE
+       WHEN doc_id % 6 = 0 AND doc_id % 3 = 0
+         THEN '?page=' || CAST(doc_id % 9 AS STRING)
+              || '&utm_source=feed&utm_medium=rss'
+       WHEN doc_id % 6 = 0 THEN '?page=' || CAST(doc_id % 9 AS STRING)
+       WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss'
+       ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END
+)"""
+
+# normalization chain — built per engine: Spark regexp_replace is
+# global, DuckDB's replaces only the FIRST match unless given the 'g'
+# flag (the utm-strip must remove utm_source AND utm_medium)
+
+
+def _urlnorm_sql(g: str) -> str:
+    n1 = f"regexp_replace({_MESSY}, '[#].*', ''{g})"  # drop fragment
+    n2 = f"regexp_replace({n1}, '(utm_[a-z]+|fbclid)=[^&]*[&]?', ''{g})"
+    n3 = f"regexp_replace({n2}, '[?&]+$', ''{g})"  # dangling ? / &
+    n4 = f"regexp_replace({n3}, '/[?]', '?'{g})"  # slash before query
+    norm = (
+        f"('https://' || LOWER(regexp_extract({n4},"
+        f" '^[a-zA-Z]+://([^/?#]+)', 1))"
+        f" || regexp_replace(regexp_extract({n4},"
+        f" '^[a-zA-Z]+://[^/?#]+(.*)$', 1), '/$', ''{g}))"
+    )
+    return f"""
+SELECT {norm} AS norm_url,
+       COUNT(*) AS n_variants,
+       COUNT(DISTINCT {_MESSY}) AS n_spellings,
+       MIN(doc_id) AS canonical_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+_URLNORM_SQL = _urlnorm_sql(", 'g'")
+_URLNORM_SPARK = _urlnorm_sql("")
+
+
+@register("url_normalize_dedup", _URLNORM_SQL)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup: normalize tracking-param/fragment/
+    case/slash variants to one canonical URL, then one shuffle on the
+    normalized key (n_variants, distinct raw spellings, min-doc
+    survivor).  Map-side regex chain — fuses into the scan at 10^12
+    rows; legitimate params (page=) survive normalization, tracking
+    params (utm_*, fbclid) do not."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_URLNORM_SPARK)
+
+
+# --- host blocklist filter (broadcast anti-join) ------------------------------
+
+# blocked hosts: hash of the host's numeric id (dimension-sized set)
+_BLOCK = "((((doc_id * 69069) % 99991) * 2654435761) % 13) = 0"
+
+_BLOCKLIST_SQL = f"""
+WITH pages AS (
+  SELECT doc_id, {_HOST} AS host, {_CCTLD} AS tld, n_chars FROM documents
+),
+blocked AS (SELECT DISTINCT host FROM pages WHERE {_BLOCK})
+SELECT tld,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT host) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM pages
+WHERE host NOT IN (SELECT host FROM blocked)
+GROUP BY 1
+"""
+
+
+@register("host_blocklist_filter", _BLOCKLIST_SQL)
+def host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering: anti-join the pages against a
+    blocked-host dimension (here derived by hash; in production a real
+    denylist table), then roll up survivors per TLD.  The blocklist is
+    dimension-sized → broadcast anti-join (BroadcastHashJoin LeftAnti),
+    zero fact shuffle before the final rollup."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    pages = spark.sql(
+        f"SELECT doc_id, {_HOST} AS host, {_CCTLD} AS tld, n_chars"
+        " FROM documents"
+    )
+    blocked = spark.sql(
+        f"SELECT DISTINCT {_HOST} AS host FROM documents WHERE {_BLOCK}"
+    )
+    return (
+        pages.join(F.broadcast(blocked), "host", "left_anti")
+        .groupBy("tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
