@@ -273,3 +273,64 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages before they reach training shards."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_REP_SPARK)
+
+
+# --- BPE-ish regex tokenization ----------------------------------------------
+#
+# The GPT-2 pre-tokenizer shape reduced to three backslash-free
+# categories: letter runs, digit runs, punctuation/symbol runs.  The
+# synthetic corpus is pure lowercase words, so a deterministic noise
+# suffix (version strings, numbers, punctuation) is injected into a
+# doc_id subset first — same SQL both engines — to exercise every
+# category.  Map-only array stage, fuses into the scan at 10^12 docs.
+
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+_BPE_BASE = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' v' || CAST(doc_id % 10 AS STRING) || '.'
+                        || CAST(doc_id % 7 AS STRING)
+                        || ' (rev-' || CAST(doc_id % 100 AS STRING) || ')!'
+              ELSE text END AS t
+  FROM documents
+"""
+
+_BPE_SPARK = f"""
+WITH base AS ({_BPE_BASE}),
+tok AS (
+  SELECT doc_id, regexp_extract_all(t, '{_BPE_PAT}', 0) AS toks FROM base
+)
+SELECT doc_id,
+       size(toks) AS n_bpe_tokens,
+       size(array_distinct(toks)) AS n_distinct,
+       size(filter(toks, x -> x rlike '^[0-9]+$')) AS n_digit,
+       size(filter(toks, x -> x rlike '^[^a-z0-9 ]+$')) AS n_punct
+FROM tok
+"""
+
+_BPE_ORACLE = f"""
+WITH base AS ({_BPE_BASE}),
+tok AS (
+  SELECT doc_id, regexp_extract_all(t, '{_BPE_PAT}') AS toks FROM base
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       CAST(len(list_filter(toks,
+             x -> regexp_matches(x, '^[0-9]+$'))) AS INT) AS n_digit,
+       CAST(len(list_filter(toks,
+             x -> regexp_matches(x, '^[^a-z0-9 ]+$'))) AS INT) AS n_punct
+FROM tok
+"""
+
+
+@register("token_bpe_stats", _BPE_ORACLE)
+def token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter / digit / punctuation runs —
+    the GPT-2 pre-tokenizer shape) with per-document token, type, and
+    category counts.  Complements text_quality's whitespace tokens:
+    this is the tokenizer-aligned count a training-budget estimate
+    uses."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BPE_SPARK)
