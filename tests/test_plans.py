@@ -78,3 +78,30 @@ def test_no_python_in_jvm_path_queries(spark, name):
     assert "ArrowEvalPython" not in p, name
     assert "MapInPandas" not in p, name
     assert "FlatMapGroupsInPandas" not in p, name
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark):
+    df = entry_mod.queries()["host_blocklist_filter"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p  # the fact side never shuffles pre-agg
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    df = entry_mod.queries()["benchmark_contamination"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The per-iteration argmin is one projection against a literal
+    centroid array — the FINAL assignment plan must contain no
+    Exchange, no Join, no Python stage (kmeans.py's scale contract)."""
+    from chopin_spark.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df = kmeans_assign(emb, k=4, iters=1)
+    p = plan_of(df)
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "ArrowEvalPython" not in p and "MapInPandas" not in p
