@@ -4,10 +4,12 @@ windowed/session aggregation → availableNow drain into a memory sink)
 and oracle-checked against the equivalent BATCH SQL in DuckDB.
 
 Streaming==batch equivalence is the correctness contract Structured
-Streaming gives for complete-mode aggregations: draining the whole
-input through micro-batches must produce exactly the batch answer.
-These two queries put that contract under the driver's value-hash gate
-(the pytest streaming suite pins the same equivalence at other scales).
+Streaming gives for its aggregations: draining the whole input through
+micro-batches must produce exactly the batch answer.  These four
+queries put that contract under the driver's value-hash gate — tumbling
+window, session window, window × grid cell (streaming par_grid), and
+the custom applyInPandasWithState dedup operator (the pytest streaming
+suite pins the same equivalences at other scales).
 
 Scale shape: identical to the batch twins — the streaming plans add
 watermark tracking and state-store exchange but aggregate on the same
@@ -117,3 +119,73 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# --- streaming par_grid: tumbling window × grid cell -------------------------
+
+from chopin_spark import sqlexpr as sx  # noqa: E402
+
+_SGX = sx.x_expr("event_id")
+_SGY = sx.y_expr("event_id")
+_SG_CELL = sx.grid_cell_expr(_SGX, _SGY, 16, 12)
+
+_GRID_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       {_SG_CELL} AS cgridid,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_grid_cells", _GRID_ORACLE)
+def stream_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming par_grid (SURVEY §2.1 applied to a stream): tumbling
+    1 h window × regular-grid cell — chopin's partition scheme is a
+    column expression, so it drops into the streaming plan unchanged
+    (streaming.windowed_grid_counts).  Oracle = the batch rollup."""
+    out = _drain(
+        S.windowed_grid_counts(
+            _events_stream(spark, sf_dir), cell_expr=_SG_CELL
+        ),
+        "stream_grid",
+        spark,
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "cgridid",
+        "n_events",
+    )
+
+
+# --- streaming stateful dedup (applyInPandasWithState) -----------------------
+
+_SD_ORACLE = """
+SELECT md5(text) AS text_md5,
+       CAST(MIN(n_chars) AS STRING) AS n_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("stream_stateful_dedup", _SD_ORACLE)
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the driver gate:
+    exactly-first-occurrence dedup across micro-batches via
+    applyInPandasWithState (streaming.stateful_dedup), keyed on the
+    content hash.  The carried column (n_chars) is functionally
+    dependent on the key — identical text ⇒ identical length — so the
+    emitted row is value-deterministic no matter which micro-batch or
+    partition wins the race; the batch oracle is a plain GROUP BY."""
+    schema = load(spark, sf_dir, "documents").schema
+    st = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.parqu*")
+        .withColumn("text_md5", F.md5("text"))
+    )
+    dd = S.stateful_dedup(st, "text_md5", ["n_chars"])
+    name = f"stream_dedup_{next(_SEQ)}"
+    S.run_available_now(
+        dd, name, tempfile.mkdtemp(prefix="ck_stream_"), output_mode="update"
+    )
+    return spark.table(name)

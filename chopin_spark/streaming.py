@@ -165,15 +165,19 @@ def stateful_dedup(
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently available into an in-memory sink
     (test/bench harness; swap for .format('parquet')/.toTable on a
-    cluster)."""
+    cluster).  output_mode: 'complete' for aggregations, 'update' for
+    applyInPandasWithState operators."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
