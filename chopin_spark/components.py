@@ -15,9 +15,9 @@ partial+final min aggregation, all JVM-side.  Lineage is cut with
 localCheckpoint every round so the plan never stacks (Catalyst
 exponential-analysis guard); convergence is a scalar count per round
 (a driver-side scalar, not a collect of data).  For adversarial
-long-chain graphs use the alternating large-star/small-star variant
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14) — O(log n) rounds; not needed for dedup-shaped graphs.
+long-chain graphs `connected_components_star` below implements the
+alternating large-star/small-star variant (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds.
 """
 
 from __future__ import annotations
@@ -66,3 +66,111 @@ def connected_components(
             break
         prev_sum = new_sum
     return comp
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the O(log n)-rounds variant for ADVERSARIAL diameters (long chains),
+    where plain min-label propagation needs O(diameter) rounds.
+
+    Each round is two star operations; each star is one groupBy(min) +
+    one equi-join — the same shuffle primitives as
+    :func:`connected_components`, just a different message pattern:
+
+    - large-star: every node connects its strictly-larger neighbors to
+      its smallest (self-inclusive) neighbor;
+    - small-star: keyed on the larger endpoint, every node connects its
+      smaller-or-equal closure to the minimum.
+
+    Edges stay in canonical (hi, lo) form between rounds; convergence =
+    the canonical edge multiset is unchanged (count + endpoint sums —
+    compared as a scalar row per round).  Returns (node, comp_id),
+    comp_id = min node id of the component — identical output contract
+    to connected_components (asserted in tests/test_components.py).
+    """
+    # materialize the pair set ONCE — `e` and `nodes` both derive from
+    # it, and without the cut each would re-execute the caller's full
+    # lineage (e.g. the MinHash verify pipeline)
+    pairs = pairs.select(src, dst).localCheckpoint()
+    e = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # every input node, including any isolated self-pair rows
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(edges: DataFrame):
+        r = edges.agg(
+            F.count(F.lit(1)), F.sum("hi"), F.sum("lo")
+        ).first()
+        return tuple(r)
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        # -- large-star over the symmetric adjacency ---------------------
+        sym = e.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star keyed on the larger endpoint ---------------------
+        adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m = adj.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            adj.join(m, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(
+                m.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    # final edges are stars (v → component min); read comp as the min
+    # over self ∪ neighbors so singleton components label themselves
+    sym = e.select(
+        F.col("hi").alias("node"), F.col("lo").alias("nbr")
+    ).unionByName(
+        e.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+    )
+    return (
+        nodes.join(sym, "node", "left")
+        .groupBy("node")
+        .agg(
+            F.least(
+                F.min("nbr"), F.first("node")
+            ).alias("comp_id")
+        )
+        .withColumn("comp_id", F.coalesce("comp_id", F.col("node")))
+    )

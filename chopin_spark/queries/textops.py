@@ -573,3 +573,19 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM codegen in Spark; at 10^12 docs this fuses into the scan."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_PII_SPARK)
+
+
+@register("dedup_components_star", _COMP_SQL)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alternating large-star/small-star variant of
+    dedup_components (components.connected_components_star — Kiveris
+    SoCC'14, O(log n) rounds for adversarial diameters).  Same verified
+    pair graph, same recursive-CTE oracle, THIRD independent algorithm
+    arriving at the identical fixpoint."""
+    from chopin_spark.components import connected_components_star
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, threshold=0.9).select("d1", "d2")
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), "comp_id"
+    )

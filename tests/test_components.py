@@ -31,3 +31,45 @@ def test_min_label_not_first_label(spark):
     # the smallest id sits at the END of the chain
     got = _cc(spark, [(9, 8), (8, 7), (7, 1)])
     assert got == {9: 1, 8: 1, 7: 1, 1: 1}
+
+
+# --- alternating large-star/small-star variant -------------------------------
+
+import random
+
+from chopin_spark.components import connected_components_star
+
+
+def _ccs(spark, pairs, max_iter=30):
+    df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["d1", "d2"]), "d1 BIGINT, d2 BIGINT"
+    )
+    return {
+        r["node"]: r["comp_id"]
+        for r in connected_components_star(df, max_iter=max_iter).collect()
+    }
+
+
+def test_star_matches_propagation_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _ccs(spark, pairs) == _cc(spark, pairs)
+
+
+def test_star_long_chain_logarithmic_rounds(spark):
+    """A 120-node path (diameter 119): min-label propagation would need
+    ~119 rounds; the star variant must finish inside max_iter=12
+    (~log2)."""
+    pairs = [(i, i + 1) for i in range(120)]
+    got = _ccs(spark, pairs, max_iter=12)
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_star_min_at_end_and_singleton(spark):
+    got = _ccs(spark, [(9, 8), (8, 7), (7, 1), (42, 42)])
+    assert got == {9: 1, 8: 1, 7: 1, 1: 1, 42: 42}
