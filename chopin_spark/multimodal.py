@@ -153,3 +153,57 @@ def thumbnail_dims(
     ).withColumn(
         "out_h", F.greatest(F.floor(F.col("height") * s), F.lit(1)).cast("int")
     )
+
+
+def audio_frame_rms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_samples: int = 8,
+) -> DataFrame:
+    """Audio framing over an opaque binary column with a REAL decode:
+    the payload is 16-bit little-endian PCM (numpy ``frombuffer`` — no
+    external codec needed), split into ``frame_samples``-sample frames
+    (trailing partial frame included), each emitting integer-exact
+    energy statistics (sum of squares, peak |amplitude|).
+
+    Unlike the image path (decoder stubbed behind decode_image), this
+    modality is decoded for real — raw PCM needs no library — so the
+    whole chain payload → samples → frames → stats is value-checkable
+    against a SQL oracle that re-derives the bytes.  Same 1→N
+    mapInPandas fan-out shape as frame_sample; a resampler or codec
+    drops into the numpy stage without touching the plan."""
+    import numpy as np
+
+    schema = (
+        f"{id_col} long, frame_idx int, n_samples int, sum_sq long, peak int"
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, ss, pk = [], [], [], [], []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(
+                    payload[: len(payload) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                n_frames = max(
+                    1, -(-len(arr) // frame_samples)
+                ) if len(arr) else 0
+                for fi in range(n_frames):
+                    fr = arr[fi * frame_samples : (fi + 1) * frame_samples]
+                    ids.append(key)
+                    idxs.append(fi)
+                    ns.append(len(fr))
+                    ss.append(int((fr * fr).sum()))
+                    pk.append(int(np.abs(fr).max()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "sum_sq": pd.Series(ss, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(frames, schema)

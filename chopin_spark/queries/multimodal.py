@@ -5,6 +5,7 @@ arithmetic function of byte length; sha256 is common to both engines)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from chopin_spark.multimodal import attach_payload, extract_meta
 from chopin_spark.queries import register
@@ -89,4 +90,76 @@ def thumbnail_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = extract_meta(attach_payload(docs))
     return thumbnail_dims(meta).select(
         "doc_id", "width", "height", "out_w", "out_h"
+    )
+
+
+# --- audio: REAL PCM decode → frame energy -----------------------------------
+#
+# The synthetic "recording": 64 bytes of full-range PCM per doc, built
+# by unhex-ing four chained md5 hex digests of the text (md5 is
+# lowercase-hex in Spark AND DuckDB, so both engines derive the
+# identical bytes).  32 int16-LE samples → 4 frames of 8.  The oracle
+# never touches a blob: it re-derives each byte from the hex string
+# with strpos nibble arithmetic, signs it, and aggregates — while the
+# engine path decodes the actual binary column with numpy frombuffer.
+
+_PCM_HEX = (
+    "md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')"
+)
+_PCM_FRAME = 8
+
+_NIB = "(strpos('0123456789abcdef', substr(h, {c}, 1)) - 1)"
+
+
+def _pcm_byte(j: str) -> str:
+    """byte j (0-based) of the hex string h."""
+    hi = _NIB.format(c=f"2 * ({j}) + 1")
+    lo = _NIB.format(c=f"2 * ({j}) + 2")
+    return f"(16 * {hi} + {lo})"
+
+
+_PCM_VAL = (
+    f"({_pcm_byte('2 * i')} + 256 * {_pcm_byte('2 * i + 1')})"
+)
+_PCM_SIGNED = (
+    f"(CASE WHEN {_PCM_VAL} >= 32768 THEN {_PCM_VAL} - 65536"
+    f" ELSE {_PCM_VAL} END)"
+)
+
+_AUDIO_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, {_PCM_HEX} AS h FROM documents
+),
+smp AS (
+  SELECT doc_id,
+         CAST(FLOOR(g.i / {_PCM_FRAME}.0) AS INT) AS frame_idx,
+         {_PCM_SIGNED} AS s
+  FROM hx, generate_series(0, 31) AS g(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(s)) AS INT) AS peak,
+       ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 4) AS rms
+FROM smp GROUP BY 1, 2
+"""
+
+
+@register("audio_frame_energy", _AUDIO_ORACLE)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality with a REAL decode: binary payload → int16-LE PCM
+    (numpy frombuffer inside mapInPandas — raw PCM needs no codec) →
+    8-sample frames → integer-exact energy stats + RMS.  The oracle
+    re-derives every byte from hex nibbles in SQL; the engine decodes
+    the actual binary column."""
+    from chopin_spark.multimodal import audio_frame_rms
+
+    docs = load(spark, sf_dir, "documents")
+    pcm = docs.selectExpr("doc_id", f"unhex({_PCM_HEX}) AS payload")
+    out = audio_frame_rms(pcm, frame_samples=_PCM_FRAME)
+    return out.withColumn(
+        "rms",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 4
+        ),
     )
