@@ -536,3 +536,45 @@ def kernel_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in ("uniform", "quartic", "triweight", "epanechnikov")
         ],
     )
+
+
+# --- distributed 3×3 focal sum (stencil + halo exchange) ---------------------
+
+from chopin_spark.raster import TILE, TNX as _TNX  # noqa: E402
+from chopin_spark.raster import focal_sum_tiles, pixel_value_sql  # noqa: E402
+
+_FOCAL_TERMS = " + ".join(
+    f"(CASE WHEN i + {di} BETWEEN 0 AND {NPX - 1}"
+    f" AND j + {dj} BETWEEN 0 AND {NPY - 1}"
+    f" THEN {pixel_value_sql(f'(i + {di})', f'(j + {dj})', 0)}"
+    f" ELSE 0 END)"
+    for dj in (-1, 0, 1)
+    for di in (-1, 0, 1)
+)
+
+_FOCAL_ORACLE = f"""
+WITH px AS (
+  SELECT g1.i, g2.j
+  FROM generate_series(0, {NPX - 1}) AS g1(i),
+       generate_series(0, {NPY - 1}) AS g2(j)
+)
+SELECT 'r0' AS raster_id,
+       (CAST(FLOOR(j / {TILE}.0) AS BIGINT) * {_TNX}
+        + CAST(FLOOR(i / {TILE}.0) AS BIGINT)) AS tile_id,
+       CAST(SUM({_FOCAL_TERMS}) AS BIGINT) AS focal_sum,
+       CAST(SUM(CASE WHEN i BETWEEN 1 AND {NPX - 2}
+                      AND j BETWEEN 1 AND {NPY - 2}
+                THEN 1 ELSE 0 END) AS INT) AS n_full
+FROM px GROUP BY 1, 2
+"""
+
+
+@register("raster_focal_sum", _FOCAL_ORACLE)
+def raster_focal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terra::focal analog on the partitioned raster: 3×3 truncated-
+    window focal sum per pixel via strip-only halo exchange between
+    tiles (raster.focal_sum_tiles), rolled up per tile.  The oracle
+    recomputes every pixel's window directly from the value function —
+    no halos — so any mis-assembled boundary strip breaks the hash."""
+    tiles = _tiles(spark, n_rasters=1)
+    return focal_sum_tiles(tiles)

@@ -508,3 +508,137 @@ def corrupt_raster_ids(tiles: DataFrame) -> DataFrame:
     """Distinct raster_ids with NULL tiles — the error-row side of the
     par_multirasters contract."""
     return tiles.filter(F.col("values").isNull()).select("raster_id").distinct()
+
+
+def focal_sum_tiles(tiles: DataFrame) -> DataFrame:
+    """Distributed 3×3 focal (moving-window) sum over the tiled raster
+    with HALO EXCHANGE — the stencil pattern chopin's single-machine
+    terra backend gets for free (`terra::focal`) and a partitioned
+    raster must reconstruct.
+
+    Stage 1 (strips): every tile emits to each existing neighbor ONLY
+    the boundary strip that neighbor needs — one row / one column /
+    one corner pixel per direction, ≤132 values instead of the 9,216 a
+    full-tile 9-way replication would ship.  At 100 TB of raster the
+    shuffle volume is the halo surface, not the tile volume (surface /
+    volume = 2r/TILE ≈ 6%).
+
+    Stage 2 (assemble + convolve): each tile groups its incoming strips
+    (one collect_list join), builds the (TILE+2)² padded array plus an
+    in-bounds mask, and computes the truncated-window focal sum as nine
+    shifted adds in numpy.  Raster boundary = window truncation (mask),
+    matching terra's na.rm=TRUE edge semantics.
+
+    Returns (raster_id, tile_id, focal_sum, n_full): the integer-exact
+    total of per-pixel focal sums and the count of pixels with a full
+    3×3 window — both partition-order independent, oracle-checkable.
+    """
+    import numpy as np
+
+    strip_schema = (
+        "raster_id string, tile_id long, edr int, edc int,"
+        " strip array<long>"
+    )
+
+    def strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, dst, edr, edc, st = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                v = np.asarray(row.values, dtype=np.int64).reshape(
+                    TILE, TILE
+                )
+                for dtr in (-1, 0, 1):
+                    for dtc in (-1, 0, 1):
+                        if dtr == 0 and dtc == 0:
+                            continue
+                        nr, nc = row.tile_row + dtr, row.tile_col + dtc
+                        if not (0 <= nr < TNY and 0 <= nc < TNX):
+                            continue
+                        j = 0 if dtr == -1 else TILE - 1
+                        i = 0 if dtc == -1 else TILE - 1
+                        if dtr != 0 and dtc != 0:
+                            s = v[j : j + 1, i]  # corner pixel
+                        elif dtr != 0:
+                            s = v[j, :]  # full row
+                        else:
+                            s = v[:, i]  # full column
+                        rid.append(row.raster_id)
+                        dst.append(nr * TNX + nc)
+                        edr.append(-dtr)
+                        edc.append(-dtc)
+                        st.append([int(x) for x in np.atleast_1d(s)])
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(dst, dtype="int64"),
+                    "edr": pd.Series(edr, dtype="int32"),
+                    "edc": pd.Series(edc, dtype="int32"),
+                    "strip": st,
+                }
+            )
+
+    halo = (
+        tiles.mapInPandas(strips, strip_schema)
+        .groupBy("raster_id", "tile_id")
+        .agg(
+            F.collect_list(F.struct("edr", "edc", "strip")).alias("halos")
+        )
+    )
+    joined = tiles.select(
+        "raster_id", "tile_id", "tile_row", "tile_col", "values"
+    ).join(halo, ["raster_id", "tile_id"], "left")
+
+    out_schema = (
+        "raster_id string, tile_id long, focal_sum long, n_full int"
+    )
+
+    def convolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = TILE
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, tid, fs, nf = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                p = np.zeros((T + 2, T + 2), dtype=np.int64)
+                m = np.zeros((T + 2, T + 2), dtype=np.int64)
+                p[1:-1, 1:-1] = np.asarray(
+                    row.values, dtype=np.int64
+                ).reshape(T, T)
+                m[1:-1, 1:-1] = 1
+                halos = row.halos if row.halos is not None else []
+                for h in halos:
+                    edr, edc, s = h["edr"], h["edc"], np.asarray(
+                        h["strip"], dtype=np.int64
+                    )
+                    jj = 0 if edr == -1 else T + 1
+                    ii = 0 if edc == -1 else T + 1
+                    if edr != 0 and edc != 0:
+                        p[jj, ii], m[jj, ii] = s[0], 1
+                    elif edr != 0:
+                        p[jj, 1:-1], m[jj, 1:-1] = s, 1
+                    else:
+                        p[1:-1, ii], m[1:-1, ii] = s, 1
+                focal = sum(
+                    p[a : a + T, b : b + T]
+                    for a in range(3)
+                    for b in range(3)
+                )
+                cnt = sum(
+                    m[a : a + T, b : b + T]
+                    for a in range(3)
+                    for b in range(3)
+                )
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                fs.append(int(focal.sum()))
+                nf.append(int((cnt == 9).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "focal_sum": pd.Series(fs, dtype="int64"),
+                    "n_full": pd.Series(nf, dtype="int32"),
+                }
+            )
+
+    return joined.mapInPandas(convolve, out_schema)

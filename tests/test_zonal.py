@@ -95,3 +95,45 @@ def test_kernel_weighting_uniform_identity(spark):
         ).collect()
     }
     assert plain == uniform and set(plain) == {"p1", "p2"}
+
+
+def test_focal_sum_matches_full_raster_numpy(spark):
+    """Distributed stencil (strip halos) == single-array convolution on
+    the whole raster, and invariant to input partitioning."""
+    import numpy as np
+
+    from chopin_spark.raster import (
+        NPX, NPY, TILE, TNX, V_MOD, V_MX, V_MY,
+        focal_sum_tiles, raster_tiles_df,
+    )
+
+    gi = np.arange(NPX, dtype=np.int64)
+    gj = np.arange(NPY, dtype=np.int64)
+    full = (gi[None, :] * V_MX + gj[:, None] * V_MY) % V_MOD  # [j, i]
+    pad = np.zeros((NPY + 2, NPX + 2), dtype=np.int64)
+    msk = np.zeros_like(pad)
+    pad[1:-1, 1:-1] = full
+    msk[1:-1, 1:-1] = 1
+    focal = sum(
+        pad[a : a + NPY, b : b + NPX] for a in range(3) for b in range(3)
+    )
+    cnt = sum(
+        msk[a : a + NPY, b : b + NPX] for a in range(3) for b in range(3)
+    )
+    tj, ti = gj[:, None] // TILE, gi[None, :] // TILE
+    tids = (tj * TNX + ti).ravel()
+    want_sum = {}
+    want_full = {}
+    for t, f, c in zip(tids, focal.ravel(), (cnt == 9).ravel()):
+        want_sum[t] = want_sum.get(t, 0) + int(f)
+        want_full[t] = want_full.get(t, 0) + int(c)
+
+    for parts in (1, 16):
+        tiles = raster_tiles_df(spark, n_rasters=1).repartition(parts)
+        got = {
+            r["tile_id"]: (r["focal_sum"], r["n_full"])
+            for r in focal_sum_tiles(tiles).collect()
+        }
+        assert len(got) == TNX * (NPY // TILE)
+        for t, (fs, nf) in got.items():
+            assert fs == want_sum[t] and nf == want_full[t]
