@@ -578,3 +578,38 @@ def raster_focal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     no halos — so any mis-assembled boundary strip breaks the hash."""
     tiles = _tiles(spark, n_rasters=1)
     return focal_sum_tiles(tiles)
+
+
+# --- C1 std statistic (func injection: population std from partials) ---------
+
+_TRACT_STD_ORACLE = f"""
+WITH px AS ({_PX_GRID})
+SELECT 'r0' AS raster_id,
+       {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
+       ROUND(SQRT(
+         CAST(SUM(POW((i * {V_MX} + j * {V_MY}) % {V_MOD}, 2)) AS DOUBLE)
+           / COUNT(*)
+         - (CAST(SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS DOUBLE)
+            / COUNT(*))
+           * (CAST(SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS DOUBLE)
+              / COUNT(*))
+       ), 4) AS std_val,
+       COUNT(*) AS n_pixels
+FROM px
+GROUP BY 1, 2
+"""
+
+
+@register("extract_at_tracts_std", _TRACT_STD_ORACLE)
+def extract_at_tracts_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 `func` injection beyond sum/min/max: population standard
+    deviation per tract, composed from the SAME exact-integer partials
+    (sum, sum-of-squares, count) — order-independent, so the float
+    finish (sqrt of two IEEE divisions) is bit-identical in DuckDB."""
+    tiles = _tiles(spark, n_rasters=1)
+    rects = Z.zones_df(spark).select(
+        "zone_id", "xmin", "ymin", "xmax", "ymax"
+    )
+    return extract_at(
+        tiles, rects, rect_id="zone_id", stats=("std",)
+    ).select("raster_id", "zone_id", "std_val", "n_pixels")

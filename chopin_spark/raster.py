@@ -209,10 +209,13 @@ def extract_at(
         "tile_id", "raster_id", "tile_row", "tile_col", "values"
     ).join(cand_per_tile, "tile_id")
 
+    need_sum2 = "std" in stats
+    if need_sum2 and (has_kernel or frac):
+        raise ValueError("std is defined for unweighted membership")
     part_schema = (
         f"raster_id string, {rect_id} string, vsum long, wsum long,"
         " cnt long, vmin long, vmax long"
-    )
+    ) + (", vsum2 long" if need_sum2 else "")
 
     need_minmax = any(s in ("min", "max") for s in stats)
     # sums stay exact in float64: values < V_MOD ≈ 1e6, ≤ 1024 px/tile →
@@ -222,17 +225,18 @@ def extract_at(
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ar = np.arange(TILE, dtype=np.float64)
         i64 = np.iinfo(np.int64)
-        empty = pd.DataFrame(
-            {
-                "raster_id": pd.Series(dtype="object"),
-                rect_id: pd.Series(dtype="object"),
-                "vsum": pd.Series(dtype="int64"),
-                "wsum": pd.Series(dtype="int64"),
-                "cnt": pd.Series(dtype="int64"),
-                "vmin": pd.Series(dtype="int64"),
-                "vmax": pd.Series(dtype="int64"),
-            }
-        )
+        empty_cols = {
+            "raster_id": pd.Series(dtype="object"),
+            rect_id: pd.Series(dtype="object"),
+            "vsum": pd.Series(dtype="int64"),
+            "wsum": pd.Series(dtype="int64"),
+            "cnt": pd.Series(dtype="int64"),
+            "vmin": pd.Series(dtype="int64"),
+            "vmax": pd.Series(dtype="int64"),
+        }
+        if need_sum2:
+            empty_cols["vsum2"] = pd.Series(dtype="int64")
+        empty = pd.DataFrame(empty_cols)
         for pdf in batches:
             pdf = pdf[pdf["values"].notna()]
             if pdf.empty:
@@ -306,6 +310,7 @@ def extract_at(
             wsum = np.zeros(P, dtype=np.int64)
             vmin = np.zeros(P, dtype=np.int64)
             vmax = np.zeros(P, dtype=np.int64)
+            vsum2 = np.zeros(P, dtype=np.int64) if need_sum2 else None
             for lo in range(0, P, _CHUNK):
                 sl = slice(lo, min(lo + _CHUNK, P))
                 v = vals[tidx[sl]].astype(np.float64)  # (C, j, i)
@@ -326,6 +331,11 @@ def extract_at(
                             (v * mask).sum(axis=(1, 2)).astype(np.int64)
                         )
                         wsum[sl] = cnt[sl]
+                        if need_sum2:
+                            vsum2[sl] = (
+                                (v * v * mask).sum(axis=(1, 2))
+                                .astype(np.int64)
+                            )
                     mjc = mic = None
                 elif frac:
                     wq = np.floor(
@@ -350,11 +360,16 @@ def extract_at(
                         vsum[sl] = (wq * v).sum(axis=(1, 2)).astype(np.int64)
                         wsum[sl] = wq.sum(axis=(1, 2)).astype(np.int64)
                     else:
+                        mjf = mjc.astype(np.float64)
+                        mif = mic.astype(np.float64)
                         vsum[sl] = np.einsum(
-                            "pji,pj,pi->p", v,
-                            mjc.astype(np.float64), mic.astype(np.float64),
+                            "pji,pj,pi->p", v, mjf, mif
                         ).astype(np.int64)
                         wsum[sl] = cnt[sl]
+                        if need_sum2:
+                            vsum2[sl] = np.einsum(
+                                "pji,pj,pi->p", v * v, mjf, mif
+                            ).astype(np.int64)
                 if need_minmax:
                     vi = vals[tidx[sl]]
                     if mask is not None:
@@ -369,17 +384,18 @@ def extract_at(
             rid_flat = np.concatenate(
                 [np.asarray(v, dtype=object) for v in pdf[f"r_{rect_id}"]]
             )
-            yield pd.DataFrame(
-                {
-                    "raster_id": pdf["raster_id"].to_numpy()[tidx[keep]],
-                    rect_id: rid_flat[keep],
-                    "vsum": vsum[keep],
-                    "wsum": wsum[keep],
-                    "cnt": cnt[keep],
-                    "vmin": vmin[keep],
-                    "vmax": vmax[keep],
-                }
-            )
+            out_cols = {
+                "raster_id": pdf["raster_id"].to_numpy()[tidx[keep]],
+                rect_id: rid_flat[keep],
+                "vsum": vsum[keep],
+                "wsum": wsum[keep],
+                "cnt": cnt[keep],
+                "vmin": vmin[keep],
+                "vmax": vmax[keep],
+            }
+            if need_sum2:
+                out_cols["vsum2"] = vsum2[keep]
+            yield pd.DataFrame(out_cols)
 
     parts = joined.mapInPandas(partials, part_schema)
     # parameterized summary function (chopin's `func` injection,
@@ -401,6 +417,17 @@ def extract_at(
             aggs.append(F.min("vmin").alias("min_val"))
         elif s == "max":
             aggs.append(F.max("vmax").alias("max_val"))
+        elif s == "std":
+            # population std from exact integer partials:
+            # sqrt(E[v^2] - mean^2); every term is one deterministic
+            # IEEE op on < 2^53-exact values, identical in DuckDB
+            n = F.sum("cnt").cast("double")
+            m = F.sum("vsum").cast("double") / n
+            aggs.append(
+                F.round(
+                    F.sqrt(F.sum("vsum2").cast("double") / n - m * m), 4
+                ).alias("std_val")
+            )
         else:
             raise ValueError(f"unsupported stat {s!r}")
     aggs.append(F.sum("cnt").alias("n_pixels"))
