@@ -130,3 +130,42 @@ def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+# --- q14-style promo revenue share (decimal-exact money aggregation) --------
+#
+# Double SUMs are reduction-order dependent; money must not be.  Prices
+# quantize exactly to DECIMAL(18,2) (TPC-H prices are cents) and the
+# discount factor to DECIMAL(18,2), so every product and both SUMs are
+# exact decimals — partition-order independent, hash-identical across
+# engines — and only the final share converts to DOUBLE.
+
+_Q14_SQL = """
+SELECT ROUND(
+         100.0
+         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18, 2))
+                              * (CAST(1.0 AS DECIMAL(18, 2))
+                                 - CAST(l_discount AS DECIMAL(18, 2)))
+                         ELSE CAST(0 AS DECIMAL(18, 2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * (CAST(1.0 AS DECIMAL(18, 2))
+                       - CAST(l_discount AS DECIMAL(18, 2)))) AS DOUBLE),
+         4) AS promo_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+@register("promo_revenue_share_q14", _Q14_SQL)
+def promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share over a ship-date year.
+    part (dimension) broadcasts; revenue accumulates in exact DECIMAL
+    so the share is reduction-order independent (a requirement the
+    usual double-sum formulation silently violates)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q14_SQL)
