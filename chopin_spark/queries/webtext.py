@@ -248,3 +248,43 @@ def host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+# --- HTML → text extraction with byte-identity proof -------------------------
+#
+# The north-rule invariant: "byte-identical extracted text per url
+# preserved through every stage".  The page html is built from the text
+# (same SQL both engines), the extraction strips the markup back off,
+# and the output carries md5(extracted) PLUS the identity flag — the
+# driver's value hash then pins the extraction stage byte-for-byte on
+# every row.
+
+_HTML_EXTRACT_SQL = """
+WITH page AS (
+  SELECT doc_id,
+         text,
+         '<html><body>' || text || '</body></html>' AS html
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text,
+         regexp_extract(html, '<body>(.*)</body>', 1) AS extracted
+  FROM page
+)
+SELECT doc_id,
+       md5(extracted) AS extracted_md5,
+       CAST(extracted = text AS INT) AS byte_identical,
+       length(extracted) AS n_chars
+FROM ex
+"""
+
+
+@register("html_extract_text", _HTML_EXTRACT_SQL)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction stage with the north-rule byte-identity
+    invariant as a VALUE check: per document, the md5 of the extracted
+    text and an extracted==original flag (1 on every row — any
+    extraction bug flips the hash).  Map-only regex; fuses into the
+    scan at 10^12 pages."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_HTML_EXTRACT_SQL)
