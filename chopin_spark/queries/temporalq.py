@@ -59,3 +59,43 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "purchase_value",
         F.col("click_event_id"), F.col("click_value"),
     )
+
+
+# --- trajectory cell transitions (spatio-temporal movement analytics) --------
+
+from chopin_spark import sqlexpr as _sx  # noqa: E402
+
+_TCX = _sx.x_expr("event_id")
+_TCY = _sx.y_expr("event_id")
+_TCELL = _sx.grid_cell_expr(_TCX, _TCY, 16, 12)
+
+_TRAJ_SQL = f"""
+WITH pos AS (
+  SELECT user_id, ts, event_id, {_TCELL} AS cell FROM events
+),
+seq AS (
+  SELECT user_id, cell,
+         LAG(cell) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_cell
+  FROM pos
+)
+SELECT prev_cell AS from_cell, cell AS to_cell,
+       COUNT(*) AS n_transitions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM seq
+WHERE prev_cell IS NOT NULL AND prev_cell <> cell
+GROUP BY 1, 2
+"""
+
+
+@register("trajectory_cell_transitions", _TRAJ_SQL)
+def trajectory_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement analytics over the partition grid: each user's events
+    ordered by time become a trajectory of grid cells; the output is
+    the cell-to-cell transition matrix (flow counts + distinct movers).
+    One shuffle keyed by user (uniform), an in-partition sort, then a
+    partial+final agg on the (from, to) pair — the OD-matrix shape
+    that holds at 10^12 events.  Ties broken by event_id so the lag
+    sequence is total-ordered in both engines."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_TRAJ_SQL)
