@@ -50,6 +50,7 @@ def connected_components(
     # until the fixpoint — convergence is one scalar aggregate per
     # round, no self-join
     prev_sum = comp.agg(F.sum("comp_id")).first()[0]
+    converged = False
     for _ in range(max_iter):
         # neighbor labels: for edge (a, b), b hears a's current label
         msgs = edges.join(
@@ -63,8 +64,18 @@ def connected_components(
         )
         new_sum = comp.agg(F.sum("comp_id")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # a silent truncation returns WRONG labels (several comp_ids
+        # for one true component) — fail loudly; callers with
+        # long-diameter graphs should use connected_components_star
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+            " (component diameter exceeds max_iter); raise max_iter or"
+            " use connected_components_star"
+        )
     return comp
 
 
@@ -116,12 +127,21 @@ def connected_components_star(
     )
 
     def _sig(edges: DataFrame):
+        # order-insensitive edge-set fingerprint: count + XOR of 64-bit
+        # row hashes (bit_xor never overflows; sum would under ANSI).
+        # Plain (count, sum(hi), sum(lo)) can collide across rounds
+        # (e.g. {(5,1),(4,2)} vs {(4,1),(5,2)}) and stop before the
+        # fixpoint; a 64-bit-hash collision is ~2^-64 per comparison.
         r = edges.agg(
-            F.count(F.lit(1)), F.sum("hi"), F.sum("lo")
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(hi, lo))"),
+            F.sum("hi"),
+            F.sum("lo"),
         ).first()
         return tuple(r)
 
     prev = _sig(e)
+    converged = False
     for _ in range(max_iter):
         # -- large-star over the symmetric adjacency ---------------------
         sym = e.select(
@@ -155,8 +175,14 @@ def connected_components_star(
         )
         cur = _sig(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter}"
+            " rounds — raise max_iter (rounds needed ~ log2(n))"
+        )
     # final edges are stars (v → component min); read comp as the min
     # over self ∪ neighbors so singleton components label themselves
     sym = e.select(

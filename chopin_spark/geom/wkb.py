@@ -32,12 +32,19 @@ def _close(c: np.ndarray) -> np.ndarray:
 
 def polygon_wkb(coords) -> bytes:
     """coords: one (n, 2) ring, or a list of rings
-    [outer, hole1, hole2, ...]; rings closed or open (auto-closed)."""
-    rings = (
-        [coords]
-        if isinstance(coords, np.ndarray) or not isinstance(coords, (list, tuple))
-        else list(coords)
-    )
+    [outer, hole1, hole2, ...]; rings closed or open (auto-closed).
+
+    A plain Python list of [x, y] pairs is a single ring (the
+    pre-multipolygon signature) — disambiguated by array dimension,
+    not container type."""
+    if isinstance(coords, (list, tuple)):
+        single_ring = (
+            len(coords) > 0
+            and np.asarray(coords[0], dtype=np.float64).ndim == 1
+        )
+        rings = [coords] if single_ring else list(coords)
+    else:
+        rings = [coords]
     rings = [_close(r) for r in rings]
     out = [struct.pack("<BII", 1, _POLYGON, len(rings))]
     for r in rings:

@@ -91,11 +91,17 @@ def kmeans_assign(
     q = emb.select(
         "vec_id", F.expr(quantize_expr("embedding")).alias("q")
     )
+    # seed = the k SMALLEST vec_ids PRESENT (TakeOrderedAndProject, no
+    # sort materialization) — not `vec_id < k`, which silently under-
+    # seeds on sparse/offset id domains (filtered shards)
     cent = (
-        q.filter(F.col("vec_id") < k)
+        q.orderBy("vec_id")
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("m"))
         .collect()
     )
+    if not cent:
+        raise ValueError("kmeans_assign: empty input")
     snap = [
         F.expr(
             f"CAST(FLOOR(CAST(s{i} AS DOUBLE) / ccnt + 0.5) AS BIGINT)"

@@ -329,7 +329,7 @@ def _km_oracle() -> str:
     ctes = [
         f"emb AS (SELECT vec_id, {_KM_QUANT_DUCK} AS q FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, q AS m FROM emb"
-        f" WHERE vec_id < {_KM_K})",
+        f" ORDER BY vec_id LIMIT {_KM_K})",
     ]
     for it in range(1, _KM_ITERS + 1):
         ctes.append(_km_iter_ctes(it, f"c{it - 1}").strip())

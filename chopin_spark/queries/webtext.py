@@ -116,7 +116,12 @@ def host_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose MAX partial-aggregates map-side — the scale replacement for
     the usual row_number()-over-window formulation, which cannot
     combine before the shuffle and sorts every host group.  Decode is
-    integer div/mod in the projection."""
+    INTEGER div/mod in the projection (``DIV``, not ``/``: ord ≈
+    1.7e16 exceeds 2^53, so a double division can round the quotient
+    across the floor boundary when doc_id is near 0 or the base).
+    Pack-width precondition: doc_id < 10^7; for a wider id domain use
+    ``max_by(struct(epoch, doc_id))``, which combines map-side the
+    same way without the int64 width limit."""
     docs = load(spark, sf_dir, "documents").selectExpr(
         f"{_HOST_SMALL} AS host",
         f"{_EPOCH} * 10000000 + doc_id AS ord",
@@ -124,7 +129,7 @@ def host_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_snapshots"),
         (F.max("ord") % F.lit(10000000)).cast("bigint").alias("latest_doc_id"),
-        F.floor(F.max("ord") / F.lit(10000000)).cast("bigint").alias("latest_epoch"),
+        F.expr("CAST(MAX(ord) DIV 10000000 AS BIGINT)").alias("latest_epoch"),
     )
 
 
@@ -268,7 +273,7 @@ WITH page AS (
 ),
 ex AS (
   SELECT doc_id, text,
-         regexp_extract(html, '<body>(.*)</body>', 1) AS extracted
+         regexp_extract(html, '(?s)<body>(.*)</body>', 1) AS extracted
   FROM page
 )
 SELECT doc_id,

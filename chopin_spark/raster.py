@@ -268,7 +268,10 @@ def extract_at(
             cx_px = (tcol[:, None] * TILE + ar[None, :] + 0.5) * PW  # (T, i)
             cy_px = (trow[:, None] * TILE + ar[None, :] + 0.5) * PH
             pcx, pcy = cx_px[tidx], cy_px[tidx]  # (P, TILE)
-            if not is_circle:
+            if not (is_circle or frac):
+                # membership masks are used only by the plain-rect and
+                # kernel-rect branches; the fraction path derives both
+                # mask and count from the coverage weights
                 mi = (pcx >= flat("xmin")[:, None]) & (
                     pcx < flat("xmax")[:, None]
                 )  # (P, TILE) cols

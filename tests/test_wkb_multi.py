@@ -59,3 +59,21 @@ def test_remove_holes_and_cast():
     assert len(pieces) == 2
     k0, rings0 = decode(pieces[0])
     assert k0 == "polygon" and len(rings0) == 2  # holes preserved in cast
+
+
+def test_polygon_wkb_plain_list_single_ring():
+    """A plain list of [x, y] pairs is ONE ring (the original
+    signature), not a list of rings — regression for the widened
+    multipolygon signature misparsing it."""
+    import numpy as np
+
+    from chopin_spark.geom.wkb import parts, polygon_wkb
+
+    tri = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]]
+    [rings] = parts(polygon_wkb(tri))
+    assert len(rings) == 1
+    np.testing.assert_array_equal(
+        rings[0], np.array(tri + [tri[0]], dtype=np.float64)
+    )
+    # same bytes as the ndarray spelling
+    assert polygon_wkb(tri) == polygon_wkb(np.array(tri))
