@@ -35,6 +35,57 @@ _WORDS = (
 ).split()
 
 
+# --- shared SQL builders for the deterministic URL recipe --------------------
+#
+# pagespipe.py / webtext.py derive the SAME url/host/ccTLD/epoch from a
+# row id in portable SQL so DuckDB oracles recompute them.  ONE builder
+# per part — duplicated literals would silently drift from synth_pages
+# if a constant (69069, 99991, the ccTLD list, the epoch LCG) changed.
+
+
+def cctld_sql(id_expr: str) -> str:
+    """ccTLD of a row id — the CASE-chain twin of synth_pages' cctld."""
+    return (
+        f"CASE ({id_expr} * 2654435761) % {len(CCTLDS)}"
+        + "".join(f" WHEN {i} THEN '{c}'" for i, c in enumerate(CCTLDS))
+        + " END"
+    )
+
+
+def host_sql(id_expr: str) -> str:
+    return (
+        f"('h' || CAST(({id_expr} * 69069) % 99991 AS STRING)"
+        f" || '.example.' || {cctld_sql(id_expr)})"
+    )
+
+
+def url_sql(id_expr: str) -> str:
+    return (
+        f"('https://' || {host_sql(id_expr)}"
+        f" || '/p/' || CAST({id_expr} AS STRING))"
+    )
+
+
+def epoch_sql(id_expr: str) -> str:
+    """Crawl timestamp seconds: 2024-01-01 + LCG within one year."""
+    return f"(1704067200 + ({id_expr} * 48271) % 31536000)"
+
+
+def lonlat_sql(fold_expr: str) -> tuple[str, str]:
+    """Geocode-by-hash: host char-fold → two LCG draws → lon/lat in the
+    CONUS window (S2 face 4 interior) — pagespipe's recipe, shared."""
+    h = f"({fold_expr})"
+    lon = (
+        f"(-125.0 + 58.0 * (CAST(({h} * 2654435761) % 999983 AS DOUBLE)"
+        f" / 999983.0))"
+    )
+    lat = (
+        f"(25.0 + 16.0 * (CAST(({h} * 1103515245 + 12345) % 999983"
+        f" AS DOUBLE) / 999983.0))"
+    )
+    return lon, lat
+
+
 def synth_pages(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
     """Deterministic pages table of n rows (seeded by row id only)."""
     df = spark.range(0, n, 1, numPartitions=partitions)

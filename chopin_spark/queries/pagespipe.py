@@ -22,31 +22,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chopin_spark import zones as Z
-from chopin_spark.pages import CCTLDS
+from chopin_spark.pages import host_sql, lonlat_sql
 from chopin_spark.queries import register
 from chopin_spark.s2sql import s2_prefix_sql
 from chopin_spark.tables import load
 from chopin_spark.textops import charfold_duckdb, charfold_spark
 
-_CCTLD = (
-    "CASE (o_orderkey * 2654435761) % " + str(len(CCTLDS))
-    + "".join(f" WHEN {i} THEN '{c}'" for i, c in enumerate(CCTLDS))
-    + " END"
-)
-_HOST = (
-    f"('h' || CAST((o_orderkey * 69069) % 99991 AS STRING)"
-    f" || '.example.' || {_CCTLD})"
-)
+# SHARED URL-recipe builders (pages.py) keyed on the orders row id
+_HOST = host_sql("o_orderkey")
 
 
 def _base(fold: str) -> str:
     """Geocode from the URL's host string: char-fold hash → two LCG
-    draws → lon/lat in the CONUS window (face 4 interior)."""
-    h = f"({fold})"
+    draws → lon/lat in the CONUS window (face 4 interior) — the shared
+    pages.lonlat_sql recipe."""
+    lon, lat = lonlat_sql(fold)
     return f"""(
   SELECT o_orderkey AS page_id,
-         (-125.0 + 58.0 * (CAST(({h} * 2654435761) % 999983 AS DOUBLE) / 999983.0)) AS lon,
-         (25.0 + 16.0 * (CAST(({h} * 1103515245 + 12345) % 999983 AS DOUBLE) / 999983.0)) AS lat
+         {lon} AS lon,
+         {lat} AS lat
   FROM (SELECT o_orderkey, {_HOST} AS host FROM orders)
 )"""
 
@@ -89,14 +83,15 @@ def _planar(fold: str) -> str:
     """Geocoded pages in planar EXTENT coords: lon/lat (from `_base`)
     → affine CRS transform into (0,0)-(800000,600000).  Nested
     subqueries, not lateral aliases (linear bind in DuckDB)."""
+    lon, lat = lonlat_sql(fold)
     return f"""(
   SELECT page_id, host,
          ((lon - -125.0) / 58.0) * 800000.0 AS x,
          ((lat - 25.0) / 16.0) * 600000.0 AS y
   FROM (
     SELECT page_id, host,
-           (-125.0 + 58.0 * (CAST((({fold}) * 2654435761) % 999983 AS DOUBLE) / 999983.0)) AS lon,
-           (25.0 + 16.0 * (CAST((({fold}) * 1103515245 + 12345) % 999983 AS DOUBLE) / 999983.0)) AS lat
+           {lon} AS lon,
+           {lat} AS lat
     FROM (SELECT o_orderkey AS page_id, {_HOST} AS host FROM orders)
   )
 )"""

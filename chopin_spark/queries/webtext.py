@@ -26,22 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chopin_spark.pages import CCTLDS
+from chopin_spark.pages import CCTLDS, cctld_sql, epoch_sql, host_sql, url_sql
 from chopin_spark.queries import register
 from chopin_spark.tables import load
 
-# deterministic URL parts from doc_id (synth_pages recipe, SQL-portable)
-_CCTLD = (
-    "CASE (doc_id * 2654435761) % " + str(len(CCTLDS))
-    + "".join(
-        f" WHEN {i} THEN '{c}'" for i, c in enumerate(CCTLDS)
-    )
-    + " END"
-)
-_HOST = f"('h' || CAST((doc_id * 69069) % 99991 AS STRING) || '.example.' || {_CCTLD})"
-_URL = f"('https://' || {_HOST} || '/p/' || CAST(doc_id AS STRING))"
-# crawl timestamp: 2024-01-01 + LCG seconds within one year
-_EPOCH = f"(1704067200 + (doc_id * 48271) % 31536000)"
+# deterministic URL parts from doc_id — SHARED builders (pages.py), so
+# the recipe cannot drift from synth_pages or the pagespipe queries
+_CCTLD = cctld_sql("doc_id")
+_HOST = host_sql("doc_id")
+_URL = url_sql("doc_id")
+_EPOCH = epoch_sql("doc_id")
 
 _TLD_ORACLE = f"""
 SELECT regexp_extract(host, '([a-z]+)$', 1) AS tld,
@@ -146,11 +140,7 @@ def host_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pii_scrub_stats dialect rule.
 
 _CANON = "(doc_id % 200)"
-_C_CCTLD = _CCTLD.replace("doc_id", _CANON)
-_C_HOST = (
-    f"('h' || CAST(({_CANON} * 69069) % 99991 AS STRING)"
-    f" || '.example.' || {_C_CCTLD})"
-)
+_C_HOST = host_sql(_CANON)
 
 _MESSY = f"""(
   CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' || UPPER({_C_HOST})
