@@ -73,3 +73,18 @@ def test_star_long_chain_logarithmic_rounds(spark):
 def test_star_min_at_end_and_singleton(spark):
     got = _ccs(spark, [(9, 8), (8, 7), (7, 1), (42, 42)])
     assert got == {9: 1, 8: 1, 7: 1, 1: 1, 42: 42}
+
+
+def test_nonconvergence_raises_instead_of_wrong_labels(spark):
+    import pytest as _pytest
+
+    from chopin_spark.components import connected_components
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame(chain, columns=["d1", "d2"]), "d1 BIGINT, d2 BIGINT"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(df, max_iter=1)

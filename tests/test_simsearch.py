@@ -152,3 +152,22 @@ def test_kmeans_partition_invariant(spark):
         for r in kmeans_assign(emb.repartition(16)).collect()
     )
     assert a == b and len(a) == emb.count()
+
+
+def test_kmeans_seeds_from_present_ids(spark):
+    """Offset id domains (filtered shards) must seed k real centroids —
+    regression for the `vec_id < k` under-seeding bug."""
+    from pyspark.sql import functions as F
+
+    from chopin_spark.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    base = {
+        r["vec_id"]: r["cluster"] for r in kmeans_assign(emb).collect()
+    }
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    got = {
+        r["vec_id"] - 1000: r["cluster"] - 1000
+        for r in kmeans_assign(shifted).collect()
+    }
+    assert got == base and len(set(base.values())) > 1

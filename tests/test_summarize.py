@@ -163,3 +163,23 @@ def test_summarize_st_reference_golden(spark):
     assert rows[2]["value_mean"] == 12.0 and rows[2]["other_value_mean"] == 21.0
     assert rows[1]["time_group"] == dt.datetime(2024, 1, 1, 0, 0)
     assert rows[2]["time_group"] == dt.datetime(2024, 1, 1, 1, 0)
+
+
+def test_packed_ordinal_integer_decode(spark):
+    """host_latest_snapshot regression: ord ≈ 1.7e16 > 2^53, so the
+    double-division decode can round across the floor boundary; the
+    integer DIV decode must be exact for every edge alignment."""
+    rows = []
+    for epoch in (1704067200, 1735689599):
+        for doc_id in (0, 1, 2, 9_999_998, 9_999_999):
+            rows.append((epoch * 10_000_000 + doc_id, epoch, doc_id))
+    df = spark.createDataFrame(
+        rows, "ord LONG, epoch LONG, doc_id LONG"
+    )
+    got = df.selectExpr(
+        "CAST(ord DIV 10000000 AS BIGINT) AS e",
+        "CAST(ord % 10000000 AS BIGINT) AS d",
+        "epoch", "doc_id",
+    ).collect()
+    for r in got:
+        assert r["e"] == r["epoch"] and r["d"] == r["doc_id"]
