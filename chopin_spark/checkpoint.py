@@ -50,7 +50,7 @@ class CheckpointedRun:
 
     ckpt_dir/
       checkpoint/   completion + metrics rows (parquet, append-only)
-      lineage/      per-cell row counts (parquet, append-only)
+      lineage/batch_id=<id>/   per-cell row counts (idempotent overwrite)
       data/batch_id=<id>/   idempotent per-batch output
     """
 
@@ -71,15 +71,27 @@ class CheckpointedRun:
                 .select("batch_id")
                 .collect()
             )
-        except Exception:
-            return set()
+        except Exception as e:
+            # ONLY the first-run case (no checkpoint table yet) means
+            # "nothing completed"; a corrupt/unreadable table must
+            # surface, not silently trigger a full re-run
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return set()
+            raise
         return {r["batch_id"] for r in rows}
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(self.meta_dir)
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(self.lineage_dir)
+        # batch_id comes back as the hive partition column of the
+        # per-batch overwrite dirs (same layout as data/)
+        return self.spark.read.parquet(self.lineage_dir).select(
+            F.col("batch_id").cast("string").alias("batch_id"),
+            "cgridid",
+            "n_rows",
+        )
 
     def result(self) -> DataFrame:
         return self.spark.read.parquet(self.data_dir)
@@ -107,13 +119,21 @@ class CheckpointedRun:
                     os.path.join(self.data_dir, f"batch_id={bid}")
                 )
                 if "cgridid" in df.columns:
+                    # per-batch OVERWRITE dir, like data/: a batch
+                    # killed after this write but before its 'done' row
+                    # re-runs and REPLACES its lineage instead of
+                    # appending a second copy (kill-and-resume must not
+                    # double-count)
                     (
                         df.groupBy("cgridid")
                         .agg(F.count(F.lit(1)).alias("n_rows"))
-                        .withColumn("batch_id", F.lit(bid))
-                        .select("batch_id", "cgridid", "n_rows")
-                        .write.mode("append")
-                        .parquet(self.lineage_dir)
+                        .select("cgridid", "n_rows")
+                        .write.mode("overwrite")
+                        .parquet(
+                            os.path.join(
+                                self.lineage_dir, f"batch_id={bid}"
+                            )
+                        )
                     )
                 df.unpersist()
             except Exception:

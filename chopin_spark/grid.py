@@ -43,7 +43,10 @@ def _index_col(v: Column, breaks: np.ndarray) -> Column:
     """
     n = len(breaks) - 1
     widths = np.diff(breaks)
-    if np.allclose(widths, widths[0]):
+    # the floor path must agree EXACTLY with the break values used by
+    # the containment filters — near-uniform quantile breaks (default
+    # rtol would accept ~1e-5 width drift) must take the WHEN chain
+    if np.allclose(widths, widths[0], rtol=1e-12, atol=0.0):
         ix = F.floor((v - float(breaks[0])) / float(widths[0]))
         return F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long")
     expr = F.lit(n - 1)
@@ -195,6 +198,8 @@ def grid_from_extent_of(
     r = df.agg(
         F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
     ).collect()[0]
+    if r[0] is None:
+        raise ValueError("grid_from_extent_of: empty input DataFrame")
     # nudge the max edge so max-coordinate points stay in the last cell
     # under half-open membership
     eps_x = (r[1] - r[0]) * 1e-9 or 1e-9
@@ -222,7 +227,11 @@ def quantile_grid(
     qx, qy = df.stat.approxQuantile([x_col, y_col], probs, relative_error)
     qx[0], qy[0] = qx[0] - 1.0, qy[0] - 1.0
     qx[-1], qy[-1] = qx[-1] + 1.0, qy[-1] + 1.0  # half-open top edge
-    # dedupe degenerate breaks (heavy ties) while keeping monotonicity
+    # enforce monotonic breaks (approxQuantile can locally invert under
+    # relative_error > 0).  Heavy ties still produce EQUAL breaks =
+    # zero-width cells: no keyed point lands there (half-open membership
+    # is a function), they only receive context rows within pad — wasted
+    # shuffle, not wrong answers
     qx = np.maximum.accumulate(np.asarray(qx))
     qy = np.maximum.accumulate(np.asarray(qy))
     return RectGrid(qx, qy, pad, x_col, y_col)
@@ -313,13 +322,26 @@ def morton_code(x: Column, y: Column, extent=EXTENT, bits: int = 16) -> Column:
     bitwise ops, no UDF. The space-filling-curve order behind the
     deterministic balanced partitioner."""
     n = 1 << bits
-    ix = F.least(
-        F.lit(n - 1),
-        F.floor((x - extent[0]) / ((extent[2] - extent[0]) / n)).cast("long"),
+    # clamp BOTH ends: without the lower clamp an out-of-extent-left
+    # point yields ix = -1, which bit-spreads to a near-maximal code
+    # and sorts to the far corner
+    ix = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n - 1),
+            F.floor(
+                (x - extent[0]) / ((extent[2] - extent[0]) / n)
+            ).cast("long"),
+        ),
     )
-    iy = F.least(
-        F.lit(n - 1),
-        F.floor((y - extent[1]) / ((extent[3] - extent[1]) / n)).cast("long"),
+    iy = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n - 1),
+            F.floor(
+                (y - extent[1]) / ((extent[3] - extent[1]) / n)
+            ).cast("long"),
+        ),
     )
 
     def spread(v: Column) -> Column:

@@ -37,14 +37,38 @@ def par_convert_f(fun: Callable, **rename) -> Callable:
     calls f(points=..., raster=...)."""
 
     def adapted(*args, **kwargs):
-        mapped = {rename.get(k, k): v for k, v in kwargs.items()}
-        return fun(*args, **mapped)
+        # runners invoke fun POSITIONALLY as (keyed, context) == (x, y);
+        # bind positionals to the engine names first, then rename, and
+        # call fun entirely by keyword so the adapter actually reorders
+        # (a pass-through *args would silently ignore the mapping)
+        named = dict(zip(("x", "y"), args))
+        named.update(kwargs)
+        mapped = {rename.get(k, k): v for k, v in named.items()}
+        return fun(**mapped)
 
     return adapted
 
 
 def _with_error_col(schema: str) -> str:
     return f"{schema}, {ERROR_COL} string"
+
+
+def _schema_col_names(schema: str) -> list[str]:
+    """Column names of a DDL schema string, split on TOP-LEVEL commas
+    only — `v decimal(10,2)` / `m map<string,int>` / nested structs all
+    contain commas inside (), <> that a naive split(',') would break
+    on."""
+    cols, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            cols.append(schema[start:i])
+            start = i + 1
+    cols.append(schema[start:])
+    return [c.strip().split()[0] for c in cols if c.strip()]
 
 
 def _empty_like(schema_cols: list[str]) -> pd.DataFrame:
@@ -75,7 +99,7 @@ def par_grid(
 
     out_schema = _with_error_col(schema) if debug else schema
     # column names of the declared schema, in order
-    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+    schema_cols = _schema_col_names(out_schema)
 
     def runner(key, kpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if kpdf.empty:
@@ -123,7 +147,7 @@ def par_cells(
     the north star's "par_grid … over S2 cells": the RectGrid variant
     assigns cells arithmetically; here the caller brings the index."""
     out_schema = _with_error_col(schema) if debug else schema
-    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+    schema_cols = _schema_col_names(out_schema)
 
     def runner(key, kpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if kpdf.empty:
@@ -174,7 +198,7 @@ def par_grid_map(
         else grid.assign_core(df).withColumn("is_core", F.lit(True))
     )
     out_schema = _with_error_col(schema) if debug else schema
-    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+    schema_cols = _schema_col_names(out_schema)
 
     def runner(key, pdf: pd.DataFrame) -> pd.DataFrame:
         try:
@@ -218,7 +242,7 @@ def par_hierarchy(
     )
     df = keyed.withColumn("_hkey", key)
     out_schema = _with_error_col(schema) if debug else schema
-    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+    schema_cols = _schema_col_names(out_schema)
 
     def runner(k, pdf: pd.DataFrame) -> pd.DataFrame:
         try:
@@ -284,7 +308,7 @@ def par_hierarchy_spatial(
     ).drop("_bx0", "_by0", "_bx1", "_by1")
 
     out_schema = _with_error_col(schema) if debug else schema
-    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+    schema_cols = _schema_col_names(out_schema)
 
     def runner(k, pdf: pd.DataFrame) -> pd.DataFrame:
         try:
@@ -324,7 +348,7 @@ def par_multirasters(
     out_schema = f"base_raster string, {schema}"
     if debug:
         out_schema = _with_error_col(out_schema)
-    schema_cols = [s.strip().split()[0] for s in out_schema.split(",")]
+    schema_cols = _schema_col_names(out_schema)
 
     def runner(key, pdf: pd.DataFrame) -> pd.DataFrame:
         try:

@@ -334,13 +334,17 @@ def expand_covering(cids, wrap=False):
 
 
 def covering_cells_for_rect(lon_min, lon_max, lat_min, lat_max, level, samples=64):
-    """Fixed-level covering of a small lon/lat rectangle by boundary +
-    interior sampling, then expanding to edge-adjacent cells.
+    """Fixed-level SAMPLED covering of a small lon/lat rectangle
+    (boundary + interior grid sampling).  The result is NOT expanded:
+    corner slivers thinner than the sampling step can be missing, so a
+    caller needing a true superset MUST apply `expand_covering` on top
+    (queries/s2q.py does) — exactness is then restored by the precise
+    PIP that follows, and a slightly loose covering only costs a few
+    extra candidate rows.
 
     Driver-side helper (runs on a handful of zone geometries, never on
-    the fact table): the resulting cell list is broadcast as a join
-    prefilter; exactness is restored by the precise PIP that follows,
-    so a slightly loose covering only costs a few extra candidate rows.
+    the fact table); the final cell list is broadcast as a join
+    prefilter.
     """
     gx = np.linspace(lon_min, lon_max, samples)
     gy = np.linspace(lat_min, lat_max, samples)

@@ -94,3 +94,48 @@ def test_rerun_is_noop(spark, points_df, tmp_path):
     assert len(run.run(batches)) == 3
     assert run.run(batches) == []  # everything checkpointed
     assert run.result().count() == 12
+
+
+def test_lineage_is_idempotent_across_reruns(spark, tmp_path):
+    """Kill-and-resume must not double-count lineage: re-executing a
+    batch REPLACES its per-cell rows (overwrite dir), never appends a
+    second copy."""
+    import shutil
+
+    from chopin_spark.checkpoint import CheckpointedRun
+
+    ckpt = str(tmp_path / "ck")
+
+    def mk(spark):
+        return spark.range(0, 100).selectExpr(
+            "id", "id % 4 AS cgridid"
+        )
+
+    run = CheckpointedRun(spark, ckpt)
+    run.run({"b0": mk})
+    first = sorted(
+        (r["batch_id"], r["cgridid"], r["n_rows"])
+        for r in run.lineage().collect()
+    )
+    # simulate a kill AFTER the lineage write but BEFORE the 'done'
+    # row: drop the completion table so the batch re-executes
+    shutil.rmtree(str(tmp_path / "ck" / "checkpoint"))
+    run2 = CheckpointedRun(spark, ckpt)
+    assert run2.run({"b0": mk}) == ["b0"]  # really re-ran
+    second = sorted(
+        (r["batch_id"], r["cgridid"], r["n_rows"])
+        for r in run2.lineage().collect()
+    )
+    assert second == first  # replaced, not doubled
+
+
+def test_completed_surfaces_corrupt_checkpoint(spark, tmp_path):
+    import pytest as _pytest
+
+    from chopin_spark.checkpoint import CheckpointedRun
+
+    ckpt = tmp_path / "ck2"
+    (ckpt / "checkpoint").mkdir(parents=True)
+    (ckpt / "checkpoint" / "part-0.parquet").write_bytes(b"not parquet")
+    with _pytest.raises(Exception):
+        CheckpointedRun(spark, str(ckpt)).completed()
