@@ -42,7 +42,10 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
     table (predicate pushdown + partition pruning via Iceberg stats);
     anything else → parquet path."""
     if ref.startswith("iceberg:"):
-        return spark.read.table(ref.split(":", 1)[1])
+        # the catalog is registered under the name 'iceberg'
+        # (iceberg_conf) and defaultCatalog is NOT changed, so the
+        # identifier must be catalog-qualified: iceberg.<ns.table>
+        return spark.read.table("iceberg." + ref.split(":", 1)[1])
     return spark.read.parquet(ref)
 
 
@@ -50,7 +53,7 @@ def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
     """Sink seam: Iceberg writeTo (append/overwritePartitions) or
     parquet directory."""
     if ref.startswith("iceberg:"):
-        name = ref.split(":", 1)[1]
+        name = "iceberg." + ref.split(":", 1)[1]
         w = df.writeTo(name)
         if mode == "append":
             w.append()

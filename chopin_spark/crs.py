@@ -142,6 +142,30 @@ def laea_xy_sql(
     return x, y
 
 
+def laea_inverse_xy_sql(
+    x: str, y: str, p: LaeaParams = LAEA_EU
+) -> tuple[str, str]:
+    """Inverse spherical LAEA → (lon, lat) degrees (Snyder eqs.
+    20-14..20-18 with c = 2·asin(ρ/2R)).  atan2/asin based — roundtrip
+    accuracy pinned in tests/test_crs.py, same contract as the Albers
+    inverse.  ρ = 0 (the projection center) maps to (lon0, lat1)."""
+    s1 = math.sin(math.radians(p.lat1))
+    c1 = math.cos(math.radians(p.lat1))
+    rho = f"sqrt(({x}) * ({x}) + ({y}) * ({y}))"
+    c = f"(2.0 * asin(LEAST(1.0, {rho} / (2.0 * {p.radius!r}))))"
+    lat = (
+        f"degrees(asin(CASE WHEN {rho} = 0.0 THEN {s1!r}"
+        f" ELSE cos({c}) * {s1!r}"
+        f" + (({y}) * sin({c}) * {c1!r} / {rho}) END))"
+    )
+    lon = (
+        f"({p.lon0!r} + degrees(atan2(({x}) * sin({c}),"
+        f" {rho} * {c1!r} * cos({c})"
+        f" - ({y}) * {s1!r} * sin({c}))))"
+    )
+    return lon, lat
+
+
 # --- Web Mercator (spherical EPSG:3857 formulas) ----------------------------
 
 
@@ -169,6 +193,7 @@ _FORWARD = {
     ("EPSG:4326", "SPHERE:LAEA_EU"): laea_xy_sql,
     ("EPSG:4326", "SPHERE:WEBMERC"): webmercator_xy_sql,
     ("SPHERE:ALBERS_CONUS", "EPSG:4326"): albers_inverse_xy_sql,
+    ("SPHERE:LAEA_EU", "EPSG:4326"): laea_inverse_xy_sql,
     ("SPHERE:WEBMERC", "EPSG:4326"): webmercator_inverse_xy_sql,
 }
 

@@ -19,7 +19,6 @@ file listing itself is the bottleneck.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

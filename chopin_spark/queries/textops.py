@@ -129,7 +129,7 @@ _FP_ORACLE = """
 SELECT doc_id,
        LIST_REDUCE(
          LIST_PREPEND(CAST(0 AS BIGINT),
-           LIST_TRANSFORM(generate_series(1, LEAST(STRLEN(text), 100)),
+           LIST_TRANSFORM(generate_series(1, LEAST(LENGTH(text), 100)),
              i -> CAST(ASCII(SUBSTR(text, CAST(i AS INT), 1)) AS BIGINT))),
          (h, c) -> (h * 31 + c) % 1000000007) AS fp
 FROM documents
@@ -558,7 +558,7 @@ SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
        CAST(n_phones AS INT) AS n_phones,
        LIST_REDUCE(
          LIST_PREPEND(CAST(0 AS BIGINT),
-           LIST_TRANSFORM(generate_series(1, LEAST(STRLEN(clean), 200)),
+           LIST_TRANSFORM(generate_series(1, LEAST(LENGTH(clean), 200)),
              i -> CAST(ASCII(SUBSTR(clean, CAST(i AS INT), 1)) AS BIGINT))),
          (h, c) -> (h * 31 + c) % 1000000007) AS clean_fp
 FROM scrub

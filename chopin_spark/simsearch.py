@@ -188,6 +188,11 @@ def ann_lsh_topk(
     bucket, never a full scan; recall follows the LSH S-curve (pinned
     on clustered data in tests/test_simsearch.py — near-orthogonal
     vectors legitimately fall back toward brute force)."""
+    if n_planes % bands:
+        raise ValueError(
+            f"bands={bands} must divide n_planes={n_planes}"
+            " (trailing hyperplanes would be silently dropped)"
+        )
     r = n_planes // bands
     mask = (1 << r) - 1
     sig = embeddings.withColumn(

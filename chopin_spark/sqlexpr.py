@@ -102,10 +102,18 @@ def _hex_round_pack(fq: str, fr: str) -> str:
     dq, dr, ds = (
         f"ABS({r} - ({e}))" for r, e in ((rq, fq), (rr, fr), (rs, fs))
     )
-    # resolve rounding: if dq largest → rq = -rr-rs; elif dr largest → rr = -rq-rs
-    q_fixed = f"(CASE WHEN {dq} > {dr} AND {dq} > {ds} THEN -({rr}) - ({rs}) ELSE {rq} END)"
+    # canonical cube-round chain: IF dq largest -> fix q; ELIF dr > ds
+    # -> fix r; ELSE fix s (which leaves q, r).  The ELIF must be the
+    # exact complement of the first branch: a dq == dr > ds tie
+    # previously fixed NEITHER axis, breaking rx+ry+rz == 0 and
+    # assigning a non-nearest hex.
+    q_cond = f"({dq} > {dr} AND {dq} > {ds})"
+    q_fixed = (
+        f"(CASE WHEN {q_cond} THEN -({rr}) - ({rs}) ELSE {rq} END)"
+    )
     r_fixed = (
-        f"(CASE WHEN {dr} > {dq} AND {dr} >= {ds} THEN -({rq}) - ({rs}) ELSE {rr} END)"
+        f"(CASE WHEN NOT {q_cond} AND {dr} > {ds}"
+        f" THEN -({rq}) - ({rs}) ELSE {rr} END)"
     )
     return (
         f"(CAST({q_fixed} + 1048576 AS BIGINT) * 2097152 "

@@ -39,6 +39,13 @@ def asof_join(
     deterministically (max wins); it must not be NULL in state.
     """
     fact_cols = facts.columns
+    reserved = {"_st", "_cf", "_is_fact", "_tie"}
+    clash = reserved & (set(fact_cols) | set(state.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(clash)};"
+            " rename them on the input"
+        )
     tagged_f = facts.withColumn("_is_fact", F.lit(1))
     # the whole state row travels as ONE non-null struct, so a NULL in
     # an individual state column is carried faithfully (per-column

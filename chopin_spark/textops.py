@@ -49,7 +49,7 @@ def charfold_duckdb(var: str, mult: int = 31) -> str:
     needs a seed row, hence list_prepend; same left-to-right order)."""
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        f" list_transform(generate_series(1, strlen({var})),"
+        f" list_transform(generate_series(1, length({var})),"  # length = CHARS (strlen counts bytes; Spark length() is chars)
         f" _ci -> CAST(ascii(substr({var}, CAST(_ci AS INT), 1)) AS BIGINT))),"
         f" (_h, _c) -> (_h * {mult} + _c) % {P30})"
     )
@@ -164,7 +164,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
     inter = (
@@ -173,6 +172,16 @@ def ngram_jaccard_pairs(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    return _jaccard_scored(sh, inter, id_col, threshold)
+
+
+def _jaccard_scored(
+    sh: DataFrame, inter: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared Jaccard finish: set sizes + round-4 ratio + threshold
+    over an (d1, d2, i) intersection-count table — ONE definition of
+    the scoring/tie policy for the exact and the LSH-verified paths."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
     return (
@@ -237,6 +246,11 @@ def minhash_lsh_pairs(
     candidate pairs. Candidates ≫ threshold recall: at r=4, b=8 a pair
     with J=0.9 is missed with p≈2e-4; J=0.5 pairs are mostly skipped —
     the classic S-curve. Returns distinct (d1, d2)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+            " (trailing hash functions would be silently dropped)"
+        )
     r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, n, num_hashes)
     # bucket key = the band's signature values joined as a string — an
@@ -279,7 +293,6 @@ def minhash_dedup_verified(
     # exact Jaccard over the hashed shingle sets (same sets the
     # signatures minimize over, same sets the DuckDB oracle rebuilds)
     sh = hashed_shingles(docs, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("d1"), "v")
     b = sh.select(F.col(id_col).alias("d2"), "v")
     inter = (
@@ -288,22 +301,7 @@ def minhash_dedup_verified(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("i").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("i")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "jaccard")
-    )
+    return _jaccard_scored(sh, inter, id_col, threshold)
 
 
 SIMHASH_BITS = 60

@@ -22,6 +22,14 @@ import pandas as pd
 
 from chopin_spark import EXTENT
 
+# the zone-id arithmetic below divides raw coordinates (no origin
+# shift), so it is only valid for a zero-origin extent — assert the
+# invariant rather than silently mis-assign if EXTENT ever moves
+assert EXTENT[0] == 0.0 and EXTENT[1] == 0.0, (
+    "zones.py zone-id expressions assume a (0, 0) extent origin; "
+    "subtract the origin in every *_num_expr before changing EXTENT"
+)
+
 # tract grid: 16×16 half-open cells over the extent
 TRACT_NX = TRACT_NY = 16
 TRACT_W = (EXTENT[2] - EXTENT[0]) / TRACT_NX  # 50_000 m
@@ -155,7 +163,7 @@ def zones_df(spark):
 def county_rects_pdf() -> pd.DataFrame:
     """The 64 county rectangles (level above tracts): code 'SSCCC'."""
     rows = []
-    cw, ch = (8e5 / 8), (6e5 / 8)
+    cw, ch = (EXTENT[2] - EXTENT[0]) / 8, (EXTENT[3] - EXTENT[1]) / 8
     for cyi in range(8):
         for cxi in range(8):
             state = (cyi // 4) * 2 + (cxi // 4)

@@ -124,3 +124,24 @@ def test_reproject_to_aligns_crs(spark, pts):
     b = a.reproject("SPHERE:WEBMERC")
     c = a.reproject_to(b)
     assert c.crs == b.crs
+
+
+def test_laea_roundtrip(spark):
+    """LAEA forward→inverse roundtrip (the registry previously had no
+    LAEA inverse — a one-way trap for reproject_std)."""
+    import pandas as pd
+
+    from chopin_spark.crs import GeoFrame
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"x": [10.0, -5.0, 24.0, 10.0], "y": [52.0, 40.0, 60.0, 52.0]}
+        )
+    )
+    gf = GeoFrame(pts, "EPSG:4326")
+    back = gf.reproject("SPHERE:LAEA_EU").reproject_std()
+    assert back.crs == "EPSG:4326"
+    got = back.df.collect()
+    want = pts.collect()
+    for g, w in zip(sorted(got), sorted(want)):
+        assert abs(g["x"] - w["x"]) < 1e-9 and abs(g["y"] - w["y"]) < 1e-9
