@@ -211,3 +211,32 @@ def test_par_cells_custom_index(spark):
     # cell 3 has no context -> fun returns None -> dropped;
     # cell 9 has no keyed rows -> never runs
     assert got == {10: (1, 5.0), 11: (1, 5.0), 20: (2, 16.0)}
+
+
+def test_schema_col_names_handles_parameterized_types():
+    from chopin_spark.runners import _schema_col_names
+
+    assert _schema_col_names("id long, v decimal(10,2)") == ["id", "v"]
+    assert _schema_col_names(
+        "a int, m map<string,int>, s struct<x:int,y:array<double>>, b string"
+    ) == ["a", "m", "s", "b"]
+    assert _schema_col_names("one long") == ["one"]
+
+
+def test_par_convert_f_actually_reorders(spark):
+    """par_convert_f(f, x='points', y='raster') must bind the runner's
+    positional (keyed, context) call to f's renamed parameters —
+    regression for the adapter that silently passed through."""
+    import pandas as pd
+
+    from chopin_spark.runners import par_convert_f
+
+    def f(raster, points):
+        # distinguishable by column names
+        assert list(points.columns) == ["k"]
+        assert list(raster.columns) == ["c"]
+        return pd.DataFrame({"n": [len(points) * 100 + len(raster)]})
+
+    adapted = par_convert_f(f, x="points", y="raster")
+    out = adapted(pd.DataFrame({"k": [1, 2]}), pd.DataFrame({"c": [9]}))
+    assert out["n"].tolist() == [201]
