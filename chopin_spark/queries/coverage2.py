@@ -151,8 +151,9 @@ def raster_algebra_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESS_ORACLE = """
 WITH o AS (
   SELECT user_id, ts, value,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL 30 MINUTE
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800000000
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session,
          event_id
@@ -165,7 +166,7 @@ s AS (
   FROM o
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_value,
        MIN(ts) AS session_start
 FROM s GROUP BY 1, 2
 """
@@ -178,11 +179,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows partition by user (no global sort)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ → session-TZ timestamp (UTC) → epoch seconds for gap math
-    secs = F.col("ts").cast("timestamp").cast("long")
+    # NTZ → session-TZ timestamp (UTC) → epoch MICROSECONDS: whole-
+    # second truncation disagrees with the oracle's microsecond gap at
+    # sub-second boundaries (confirmed one extra session at sf0.1)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     o = ev.withColumn(
         "new_session",
-        F.when(secs - F.lag(secs).over(w) >= 1800, 1)
+        F.when(us - F.lag(us).over(w) >= 1800 * 1_000_000, 1)
         .when(F.lag("ts").over(w).isNull(), 1)
         .otherwise(0),
     )
@@ -194,7 +197,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum(F.expr("CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)")) / 100.0, 4).alias("sum_value"),
         F.min("ts").alias("session_start"),
     )
 

@@ -83,8 +83,9 @@ _ST_ORACLE = """
 SELECT event_type,
        date_trunc('hour', ts) AS ts_hour,
        COUNT(*) AS n_events,
-       ROUND(AVG(value), 4) AS avg_value,
-       ROUND(SUM(value), 4) AS sum_value
+       CAST((SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) * 200 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         / 10000.0 AS avg_value,
+       ROUND(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -104,8 +105,20 @@ def summarize_st_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # integer-cents accumulation: value is exactly 2-decimal,
+            # so this is lossless AND reduction-order independent
+            # (ROUND(AVG(double),4) flipped a 4th decimal at sf0.1).
+            # The 4-decimal average itself is an INTEGER half-up
+            # division — cents·100/n lands on exact .xxxx5 ties that
+            # double ROUND resolves differently per engine.
+            (
+                F.expr(
+                    f"CAST((SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) * 200 + COUNT(*))"
+                    " DIV (2 * COUNT(*)) AS BIGINT)"
+                )
+                / 10000.0
+            ).alias("avg_value"),
+            F.round(F.sum(F.expr("CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)")) / 100.0, 4).alias("sum_value"),
         )
     )
 

@@ -283,7 +283,8 @@ x AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_within,
-       ROUND(SUM(EXP(-3.0 * dist / {_SEDC_BW!r})), 4) AS sedc
+       ROUND(SUM(CAST(FLOOR(EXP(-3.0 * dist / {_SEDC_BW!r}) * 65536 + 0.5)
+                 AS BIGINT)) / 65536.0, 4) AS sedc
 FROM x
 WHERE dist <= {_SEDC_D!r}
 GROUP BY doc_id
@@ -331,7 +332,14 @@ def summarize_sedc_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_within"),
             F.round(
-                F.sum(F.exp(F.col("_d") * F.lit(-3.0 / _SEDC_BW))), 4
+                F.sum(
+                    F.expr(
+                        f"CAST(FLOOR(EXP(-3.0 * _d / {_SEDC_BW!r})"
+                        " * 65536 + 0.5) AS BIGINT)"
+                    )
+                )
+                / 65536.0,
+                4,
             ).alias("sedc"),
         )
     )

@@ -26,9 +26,12 @@ from chopin_spark.queries import register
 from chopin_spark.s2sql import s2_prefix_sql
 from chopin_spark.tables import load
 
-# documents' LCG planar coords → a lon/lat window on cube face 4
-# (lon -125..-67 ⊂ (-135, -45)); lat kept ≤ 41° so every zone rect and
-# its covering stay interior to one face (expand_covering precondition)
+# documents' LCG planar coords → a lon/lat window (lon -125..-67,
+# lat 24..50).  DOCUMENTS may land on face 2 above ~45°N — doc-side
+# prefixes are face-agnostic.  Only the ZONE rects (_ZONES, lat ≤ 41°)
+# must stay interior to face 4: that is the expand_covering(wrap=False)
+# precondition for their coverings; adding a non-wrapped covering over
+# the FULL doc window would silently miss cross-face neighbors.
 _LON = f"(-125.0 + ({sx.x_expr('doc_id')}) / 800000.0 * 58.0)"
 _LAT = f"(24.0 + ({sx.y_expr('doc_id')}) / 600000.0 * 26.0)"
 
@@ -81,7 +84,8 @@ _PIP_ORACLE = f"""
 SELECT zone_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       ROUND(AVG(lat), 4) AS mean_lat
+       CAST((SUM(CAST(FLOOR((lat) * 10000000 + 0.5) AS BIGINT)) * 2 + 1000 * COUNT(*)) // (2000 * COUNT(*)) AS BIGINT)
+         / 10000.0 AS mean_lat
 FROM (
   {' UNION ALL '.join(
       f"SELECT {zid} AS zone_id, doc_id, n_chars, lat FROM {_BASE} WHERE {p}"
@@ -154,7 +158,17 @@ def s2_covering_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
-            F.round(F.avg("lat"), 4).alias("mean_lat"),
+            # 1e-7-degree lattice quantization: integer sums are
+            # reduction-order independent, and the 4-decimal mean is an
+            # INTEGER half-up division (exact .xxxx5 ties resolve
+            # differently under per-engine double ROUND)
+            (
+                F.expr(
+                    f"CAST((SUM(CAST(FLOOR((lat) * 10000000 + 0.5) AS BIGINT)) * 2 + 1000 * COUNT(*))"
+                    " DIV (2000 * COUNT(*)) AS BIGINT)"
+                )
+                / 10000.0
+            ).alias("mean_lat"),
         )
     )
 

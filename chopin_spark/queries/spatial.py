@@ -55,7 +55,7 @@ def par_make_grid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUAD_ORACLE = f"""
 SELECT {sx.quad_cell_expr(_EVT_X, _EVT_Y, 4)} AS quad_cell,
        COUNT(*) AS n_events,
-       {sx.round4('SUM(value)')} AS sum_value
+       ROUND(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM events
 GROUP BY 1
 """
@@ -75,7 +75,7 @@ def quad_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quad_cell")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.expr("CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)")) / 100.0, 4).alias("sum_value"),
         )
     )
 
@@ -248,8 +248,11 @@ def balanced_assign_approx_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = docs.select(
         "doc_id", F.expr(_DOC_X).alias("x"), F.expr(_DOC_Y).alias("y")
     )
+    # relative_error=0 → exact GK sketches: the oracle's spread bound
+    # (max-min <= 3) only holds for exact ranks — the default 1e-3
+    # sketch error (eps·n = 5 at sf0.1) breaks it
     sizes = (
-        balanced_assign_approx(pts, _BAL_K)
+        balanced_assign_approx(pts, _BAL_K, relative_error=0.0)
         .groupBy("cgridid")
         .agg(F.count(F.lit(1)).alias("n"))
     )

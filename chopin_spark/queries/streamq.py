@@ -50,7 +50,7 @@ _WINDOWED_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS sum_value
+       ROUND(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -94,7 +94,7 @@ SELECT MIN(ts) AS session_start,
        MAX(ts) + INTERVAL {_SESSION_GAP_S} SECOND AS session_end,
        user_id,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS sum_value
+       ROUND(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_value
 FROM s
 GROUP BY user_id, session_no
 """

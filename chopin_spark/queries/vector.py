@@ -130,7 +130,7 @@ def knn3_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEDC_ORACLE = f"""
 WITH d AS (
-  SELECT CAST(n_chars AS DOUBLE) AS n_chars, {_DX} AS x, {_DY} AS y
+  SELECT n_chars, {_DX} AS x, {_DY} AS y
   FROM documents
 ),
 p AS (
@@ -142,7 +142,8 @@ pairs AS (
   FROM d CROSS JOIN p
 )
 SELECT pid AS p_partkey,
-       ROUND(SUM(EXP(-3.0 * dist / {_BW!r}) * n_chars), 4) AS n_chars_sedc,
+       ROUND(SUM(CAST(FLOOR(EXP(-3.0 * dist / {_BW!r}) * 65536 + 0.5) AS BIGINT)
+                 * CAST(n_chars AS BIGINT)) / 65536.0, 4) AS n_chars_sedc,
        COUNT(*) AS n_within
 FROM pairs
 WHERE dist <= {2.0 * _BW!r}

@@ -41,7 +41,16 @@ def _tiles(spark, n_rasters: int = 1, corrupt: tuple = ()):
     key = (spark.sparkContext.applicationId, n_rasters, corrupt)
     if key in _TILES_MEMO:
         return _TILES_MEMO[key]
-    tag = f"n{n_rasters}_c{'-'.join(map(str, corrupt)) or 'none'}"
+    # the tag carries the raster-generation constants: a change to
+    # V_MX/V_MY/V_SEED/V_MOD or the grid shape must MISS the cache
+    # (stale tiles would silently disagree with the DuckDB oracles,
+    # which regenerate values from the current constants)
+    from chopin_spark.raster import TILE, V_SEED
+
+    gen_sig = f"{NPX}x{NPY}t{TILE}v{V_MX}_{V_MY}_{V_SEED}_{V_MOD}"
+    tag = (
+        f"n{n_rasters}_c{'-'.join(map(str, corrupt)) or 'none'}_{gen_sig}"
+    )
     path = os.path.join(_TILES_DIR, tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         raster_tiles_df(

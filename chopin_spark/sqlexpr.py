@@ -171,6 +171,14 @@ def hex_disk_expr(cell: str, k: int = 1, ctor: str = "ARRAY") -> str:
     return f"{ctor}({', '.join(ids)})"
 
 
+def cents_expr(col: str = "value") -> str:
+    """Exact integer cents of a 2-decimal-granular double column —
+    integer sums are reduction-order independent, unlike SUM(double)
+    whose 4th decimal can flip with partitioning (the
+    summarize_st_hourly sf0.1 lesson).  Identical text both engines."""
+    return f"CAST(FLOOR(({col}) * 100 + 0.5) AS BIGINT)"
+
+
 def round4(expr: str) -> str:
     """Defensive rounding applied to every double aggregate in BOTH the
     Spark query and the oracle SQL, so partial-sum ordering differences

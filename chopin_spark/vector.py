@@ -198,9 +198,21 @@ def summarize_sedc(
     pairs = _prep(targets, sources, grid, value_cols, [source_id]).filter(
         F.col("_d") <= threshold
     )
-    wcol = F.exp(F.lit(-3.0) * F.col("_d") / bandwidth)
+    # QUANTIZED decay weights (kernels.QUANT lattice): integer-exact
+    # weighted sums are partition-order independent — a raw double
+    # sum's 4th decimal can flip with shuffle order (the
+    # summarize_st_hourly sf0.1 lesson); value columns here are
+    # integer-valued, so wq·v is exact int64
+    from chopin_spark.kernels import QUANT
+
+    wq = F.expr(
+        f"CAST(FLOOR(EXP(-3.0 * _d / {bandwidth!r}) * {QUANT} + 0.5)"
+        " AS BIGINT)"
+    )
     aggs = [
-        F.round(F.sum(wcol * F.col(v)), 4).alias(f"{v}_sedc")
+        F.round(
+            F.sum(wq * F.col(v).cast("long")) / float(QUANT), 4
+        ).alias(f"{v}_sedc")
         for v in value_cols
     ] + [F.count(F.lit(1)).alias("n_within")]
     return pairs.groupBy(
