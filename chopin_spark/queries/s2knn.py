@@ -35,6 +35,24 @@ from chopin_spark.tables import load
 
 _LEVEL = 5  # ~2.8 deg cells: 3x3 disk usually holds >=1 of the 100 POIs
 
+
+def _geocoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, lon, lat, s2_prefix) — ONE definition of
+    the geocode projection + level-_LEVEL prefix UDF (this block was
+    copy-pasted per query; a drifted copy silently mismatches cell
+    assignments between the sphere queries)."""
+
+    def _prefix(lon, lat):
+        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
+        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
+
+    prefix_udf = F.pandas_udf(_prefix, "long")
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
+        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
+    )
+
 # POIs: supplier table geocoded into the same face-4 window
 _PLON = "(-125.0 + 58.0 * (CAST(((s_suppkey * 48271) % 99991) AS DOUBLE) / 99991.0))"
 _PLAT = "(24.0 + 26.0 * (CAST(((s_suppkey * 16807) % 99991) AS DOUBLE) / 99991.0))"
@@ -126,16 +144,7 @@ def nearest_poi_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     (empty or too-far disks) to the exact broadcast fallback."""
     r_safe = 0.7 * 2.0 * s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
 
-    def _prefix(lon, lat):
-        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
-        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
-
-    prefix_udf = F.pandas_udf(_prefix, "long")
-    docs = (
-        load(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
-        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
-    )
+    docs = _geocoded_docs(spark, sf_dir)
     disks = _poi_disks(spark, sf_dir)
     dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
     best = (
@@ -209,16 +218,7 @@ def knn3_poi_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ranking."""
     r_safe = 0.7 * 2.0 * s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
 
-    def _prefix(lon, lat):
-        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
-        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
-
-    prefix_udf = F.pandas_udf(_prefix, "long")
-    docs = (
-        load(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
-        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
-    )
+    docs = _geocoded_docs(spark, sf_dir)
     dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
 
     def topk(src: DataFrame) -> DataFrame:
@@ -313,16 +313,7 @@ def summarize_sedc_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + 1
     assert rings_needed <= 2, "5×5 disk no longer covers the range cutoff"
 
-    def _prefix(lon, lat):
-        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
-        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
-
-    prefix_udf = F.pandas_udf(_prefix, "long")
-    docs = (
-        load(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
-        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
-    )
+    docs = _geocoded_docs(spark, sf_dir)
     dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
     return (
         docs.join(F.broadcast(_poi_disks(spark, sf_dir)), "s2_prefix")
@@ -361,16 +352,7 @@ def nearest_poi_sphere_pargrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     face row-for-row."""
     r_safe = 0.7 * 2.0 * s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
 
-    def _prefix(lon, lat):
-        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
-        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
-
-    prefix_udf = F.pandas_udf(_prefix, "long")
-    docs = (
-        load(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{_LON} AS lon", f"{_LAT} AS lat")
-        .withColumn("s2_prefix", prefix_udf(F.col("lon"), F.col("lat")))
-    )
+    docs = _geocoded_docs(spark, sf_dir)
     disks = _poi_disks(spark, sf_dir)
 
     def fun(kpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
