@@ -200,3 +200,72 @@ def connected_components_star(
         )
         .withColumn("comp_id", F.coalesce("comp_id", F.col("node")))
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_ppm: int = 850_000,
+    rank_scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank (power iteration on micro-rank units).
+
+    Float PageRank sums are reduction-order dependent; this variant
+    keeps every step deterministic: ranks live in integer units of
+    1/rank_scale, each node sends `rank DIV outdeg` to every out-edge
+    (integer division; multigraph edges each carry one share), and the
+    damped update is
+        r' = rank_scale·(1 − d) + FLOOR(d · Σ inbound + 0.5)
+    where the single double product d·Σ is exact below 2^53 and
+    identical in every engine — the kmeans.py lattice discipline
+    applied to graph iteration.
+
+    Each iteration: one equi-join rank⋈edges + one partial+final sum on
+    dst — the standard distributed PageRank shape; localCheckpoint cuts
+    lineage per round.  Dangling mass is dropped (the simplified
+    textbook iteration) — the oracle replays the identical recurrence,
+    so the fixpoint is bit-reproducible, not normalized.
+    Returns (node, rank) with rank in micro-units.
+    """
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = rank_scale - rank_scale * damping_ppm // 1_000_000
+    d = damping_ppm / 1_000_000.0
+    r = nodes.withColumn("rank", F.lit(rank_scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV deg").alias("share"),
+            )
+        )
+        inbound = contrib.groupBy("node").agg(
+            F.sum("share").alias("inb")
+        )
+        r = (
+            nodes.join(inbound, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST(FLOOR({d!r} * COALESCE(inb, 0) + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return r

@@ -283,3 +283,68 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan at 10^12 pages."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_HTML_EXTRACT_SQL)
+
+
+# --- host link-graph PageRank (integer-exact power iteration) ----------------
+#
+# Links are synthesized deterministically over the 97-host universe
+# (every doc contributes one src→dst edge from two independent LCG
+# draws of its id; self-loops dropped).  Rank iterates in integer
+# micro-units — components.pagerank_int — and the oracle replays the
+# identical recurrence as unrolled CTEs, so all three rounds are
+# value-hash-exact.
+
+_PR_ITERS = 3
+_PR_BASE = 150000  # 1e6 · (1 − 0.85)
+
+_PR_EDGES = """(
+  SELECT (doc_id * 69069) % 97 AS src,
+         (doc_id * 48271) % 97 AS dst
+  FROM documents
+  WHERE (doc_id * 69069) % 97 <> (doc_id * 48271) % 97
+)"""
+
+
+def _pr_oracle() -> str:
+    ctes = [
+        f"e AS (SELECT * FROM {_PR_EDGES})",
+        """n AS (SELECT DISTINCT node FROM
+             (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)",
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+c{it} AS (
+  SELECT e.dst AS node, SUM(r.rank // deg.deg) AS inb
+  FROM e
+  JOIN r{it - 1} r ON r.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY 1
+),
+r{it} AS (
+  SELECT n.node,
+         {_PR_BASE} + CAST(FLOOR(0.85 * COALESCE(c{it}.inb, 0) + 0.5)
+                           AS BIGINT) AS rank
+  FROM n LEFT JOIN c{it} ON c{it}.node = n.node
+)""".strip())
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS host_num, rank AS rank_micro FROM r{_PR_ITERS}"
+    )
+
+
+@register("host_pagerank", _pr_oracle())
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the host link graph, integer-exact (3 damped
+    power iterations in micro-rank units — components.pagerank_int).
+    The canonical web-graph centrality a crawl store computes for
+    quality weighting; every iteration is one rank⋈edges join + one
+    dst-keyed partial+final sum, the shape that holds at 10^9 hosts."""
+    from chopin_spark.components import pagerank_int
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(f"SELECT * FROM {_PR_EDGES}")
+    return pagerank_int(edges, iters=_PR_ITERS).select(
+        F.col("node").alias("host_num"), F.col("rank").alias("rank_micro")
+    )
