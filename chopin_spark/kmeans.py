@@ -109,12 +109,17 @@ def kmeans_assign(
         for i in range(dim)
     ]
     assign = None
-    for _ in range(iters):
+    for it in range(iters):
         assign = q.select(
             "vec_id",
             "q",
             F.expr(_assign_expr(_cent_literal(cent))).alias("cid"),
         )
+        if it == iters - 1:
+            # the final assignment is the result — recomputing (and
+            # collecting) centroids after it is a wasted full-table
+            # aggregation pass
+            break
         cent = (
             assign.groupBy("cid")
             .agg(

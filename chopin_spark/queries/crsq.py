@@ -23,9 +23,10 @@ from chopin_spark.crs import (
 from chopin_spark.queries import register
 from chopin_spark.tables import load
 
-# documents' LCG planar coords → CONUS lon/lat window
-_LON = f"(-125.0 + ({sx.x_expr('doc_id')}) / 800000.0 * 58.0)"
-_LAT = f"(24.0 + ({sx.y_expr('doc_id')}) / 600000.0 * 26.0)"
+# documents' LCG planar coords → CONUS lon/lat window — the SAME
+# strings as the S2 queries (imported, not re-declared: duplicated
+# literals drift silently — pages.py rule)
+from chopin_spark.queries.s2q import _LAT, _LON  # noqa: E402
 
 _AX, _AY = albers_xy_sql(_LON, _LAT)
 

@@ -49,7 +49,15 @@ def _docs_manifest_path(spark: SparkSession, sf_dir: str) -> str:
         return _MEMO[key]
     from chopin_spark.manifest import manifest_path as _mp
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # the tag carries a SOURCE SIGNATURE (mtime+size of the parquet):
+    # basename alone would silently serve another dataset's cached
+    # manifest for a same-named sf_dir, or a stale one after regeneration
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{int(st.st_mtime)}_{st.st_size}"
+    )
     path = os.path.join(_CACHE_ROOT, tag)
     if not (
         os.path.exists(os.path.join(path, "_SUCCESS"))

@@ -85,9 +85,18 @@ def thumbnail_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize planning as a projection over the
     metadata table (decode-once / plan-cheap split: the pixel work of a
     real resize happens once per payload; the *plan* — target dims —
-    is pure column math over small metadata)."""
+    is pure column math over small metadata).  Dims here come straight
+    from the payload byte length as COLUMN arithmetic — routing through
+    extract_meta would drag the per-row sha256 stage along for values
+    this query never uses."""
     docs = load(spark, sf_dir, "documents")
-    meta = extract_meta(attach_payload(docs))
+    meta = attach_payload(docs).select(
+        "doc_id",
+        (64 + F.octet_length("payload") % 512).cast("int").alias("width"),
+        (64 + (F.octet_length("payload").cast("long") * 7) % 512)
+        .cast("int")
+        .alias("height"),
+    )
     return thumbnail_dims(meta).select(
         "doc_id", "width", "height", "out_w", "out_h"
     )

@@ -20,6 +20,7 @@ checkpointLocation and the trigger for continuous micro-batches.
 from __future__ import annotations
 
 import itertools
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,7 +35,13 @@ _SEQ = itertools.count()
 
 def _drain(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
     name = f"{prefix}_{next(_SEQ)}"
-    S.run_available_now(df, name, tempfile.mkdtemp(prefix="ck_stream_"))
+    ck = tempfile.mkdtemp(prefix="ck_stream_")
+    try:
+        S.run_available_now(df, name, ck)
+    finally:
+        # the checkpoint has no value after an availableNow drain into
+        # a memory sink — repeated gate/bench runs would litter /tmp
+        shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
 
 
@@ -185,7 +192,9 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dd = S.stateful_dedup(st, "text_md5", ["n_chars"])
     name = f"stream_dedup_{next(_SEQ)}"
-    S.run_available_now(
-        dd, name, tempfile.mkdtemp(prefix="ck_stream_"), output_mode="update"
-    )
+    ck = tempfile.mkdtemp(prefix="ck_stream_")
+    try:
+        S.run_available_now(dd, name, ck, output_mode="update")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)

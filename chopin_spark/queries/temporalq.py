@@ -24,14 +24,24 @@ WITH cl AS (
 pu AS (
   SELECT event_id, user_id, ts, value FROM events
   WHERE event_type = 'purchase'
+),
+-- deterministic tie-break on (ts, event_id): ARG_MAX(x, ts) alone
+-- picks an ARBITRARY row among equal-ts clicks, while the engine's
+-- asof_join(tie_col='event_id') always takes the max event_id
+ranked AS (
+  SELECT pu.event_id, pu.user_id, pu.ts,
+         pu.value AS purchase_value,
+         cl.event_id AS click_event_id,
+         cl.value AS click_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY pu.event_id
+           ORDER BY cl.ts DESC NULLS LAST, cl.event_id DESC NULLS LAST
+         ) AS rn
+  FROM pu LEFT JOIN cl
+    ON cl.user_id = pu.user_id AND cl.ts <= pu.ts
 )
-SELECT pu.event_id, pu.user_id, pu.ts,
-       pu.value AS purchase_value,
-       ARG_MAX(cl.event_id, cl.ts) AS click_event_id,
-       ARG_MAX(cl.value, cl.ts) AS click_value
-FROM pu LEFT JOIN cl
-  ON cl.user_id = pu.user_id AND cl.ts <= pu.ts
-GROUP BY pu.event_id, pu.user_id, pu.ts, pu.value
+SELECT event_id, user_id, ts, purchase_value, click_event_id, click_value
+FROM ranked WHERE rn = 1
 """
 
 

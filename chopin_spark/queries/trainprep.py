@@ -65,7 +65,7 @@ bench AS (
 train AS (SELECT doc_id, v FROM sh WHERE doc_id % {_BENCH_MOD} != 0),
 sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
 hits AS (
-  SELECT /*+ BROADCAST(b) */ t.doc_id, COUNT(*) AS n_hits
+  SELECT {{HINT}} t.doc_id, COUNT(*) AS n_hits
   FROM train t JOIN bench b ON t.v = b.v
   GROUP BY 1
 )
@@ -99,14 +99,31 @@ FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
 """
 
 
+_BENCH_BROADCAST_MAX = 5_000_000  # distinct shingles
+
+
 @register("benchmark_contamination", _CONTAM_ORACLE)
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set contamination check: per training document, how many of
     its distinct 8-gram shingles occur anywhere in the benchmark set.
     Output rows = contaminated docs only (the drop/flag list a pipeline
-    materializes); docs with zero overlap never leave the map side."""
+    materializes); docs with zero overlap never leave the map side.
+
+    Broadcast is a SIZE-BASED switch (extract_at pattern): a hint would
+    override autoBroadcastJoinThreshold and force-broadcast an
+    over-threshold benchmark universe — the opposite of the documented
+    shuffle fallback.  The count probe is one aggregation over the
+    (small) benchmark subset."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_CONTAM_SPARK)
+    n_bench = spark.sql(
+        f"SELECT COUNT(DISTINCT v) FROM (SELECT"
+        f" explode(array_distinct({shingles_from_uh_spark(_NGRAM)})) AS v"
+        f" FROM (SELECT {token_hashes_spark()} AS _uh FROM documents"
+        f" WHERE doc_id % {_BENCH_MOD} = 0)"
+        f" WHERE size(_uh) >= {_NGRAM})"
+    ).first()[0]
+    hint = "/*+ BROADCAST(b) */ " if n_bench <= _BENCH_BROADCAST_MAX else ""
+    return spark.sql(_CONTAM_SPARK.replace("{HINT}", hint))
 
 
 # --- C4-style span-duplication statistics ------------------------------------
