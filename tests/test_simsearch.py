@@ -171,3 +171,55 @@ def test_kmeans_seeds_from_present_ids(spark):
         for r in kmeans_assign(shifted).collect()
     }
     assert got == base and len(set(base.values())) > 1
+
+
+# --- LSH-banded near-dup pairs ----------------------------------------------
+
+
+def test_near_dup_pairs_recall_on_clustered(spark, clustered):
+    """Within one planted cluster every pair has cos ≈ 0.95+, so the
+    4-band OR-construction catches nearly all of the 25·24/2 true
+    pairs; and every returned pair's cosine must match numpy brute
+    force (banding changes recall, never precision)."""
+    from chopin_spark.simsearch import near_dup_pairs
+
+    df, rows = clustered
+    lbl0 = [r for r in rows if r["label"] == 0]
+    m = np.array([r["embedding"] for r in lbl0])
+    ids = np.array([r["vec_id"] for r in lbl0])
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = n @ n.T
+    true_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(cos[i, j], 4) >= 0.8
+    }
+    got = near_dup_pairs(
+        df.filter("label = 0"), min_cos=0.8, n_planes=16, bands=8
+    ).collect()
+    got_pairs = {(r["v1"], r["v2"]) for r in got}
+    # precision: every emitted pair is a true pair with the exact score
+    by_pair = {
+        (int(ids[i]), int(ids[j])): round(float(cos[i, j]), 4)
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+    }
+    for r in got:
+        assert r["cos_sim"] == pytest.approx(
+            by_pair[(r["v1"], r["v2"])], abs=2e-4
+        )
+    # recall: ≥ 90% of strong pairs survive the banding
+    assert len(got_pairs & true_pairs) >= 0.9 * len(true_pairs)
+
+
+def test_near_dup_pairs_plan_has_no_cartesian(spark, emb):
+    """The VERDICT r02 fix: candidate generation must be a (band, bits)
+    equi-join, never CartesianProduct / BroadcastNestedLoopJoin."""
+    from chopin_spark.simsearch import near_dup_pairs
+
+    plan = near_dup_pairs(
+        emb.filter("label = 0"), min_cos=0.2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
