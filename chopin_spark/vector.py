@@ -22,15 +22,130 @@ grid size, not just "close".
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chopin_spark.grid import RectGrid
+from chopin_spark.grid import RectGrid, _index_col
 
 
 def _dist(x1, y1, x2, y2):
     dx, dy = F.col(x1) - F.col(x2), F.col(y1) - F.col(y2)
     return F.sqrt(dx * dx + dy * dy)
+
+
+def _ring_fallback(
+    misses: DataFrame, context: DataFrame, grid: RectGrid,
+    keyed_id: str, context_id: str, k: int,
+) -> DataFrame:
+    """Exact top-k for rows the padded neighborhood couldn't certify,
+    by iterative cell-disk expansion (VERDICT r02 next-steps #2 —
+    replaces `misses.crossJoin(broadcast(context))`, which OOMs the
+    driver when the context is fact-sized and coverage sparse).
+
+    Round r scans the full Chebyshev index disk of radius R (R doubles
+    per round): misses explode to ≤(2R+1)² clamped cell coordinates and
+    equi-join the context's core-cell index — shuffle-joinable at any
+    context size, no broadcast hint.  A key is accepted when it holds
+    ≥ k candidates with k-th distance STRICTLY below R·min_cell_width:
+    any context point outside the disk is ≥ that bound away, so it can
+    neither beat nor tie (ties would break by id and flip results) the
+    certified top-k.  When the disk covers the whole grid the scan is
+    the exact global top-k and every remaining key accepts.  Rounds are
+    ≤ log2(max(nx, ny)) driver iterations; each miss set is
+    localCheckpoint-ed (eager, metadata-sized) to cut lineage exactly
+    like components.py's CC rounds.
+
+    Returns (keyed_id, rank, nn_id, nn_dist).
+    """
+    min_w = float(
+        min(np.diff(grid.xbreaks).min(), np.diff(grid.ybreaks).min())
+    )
+    max_ring = int(max(grid.nx, grid.ny))
+    x, y = F.col(grid.x_col), F.col(grid.y_col)
+    ctx_cells = context.select(
+        _index_col(x, grid.xbreaks).alias("_cix"),
+        _index_col(y, grid.ybreaks).alias("_ciy"),
+        F.col(context_id).alias("_fid"),
+        x.alias("_cx"),
+        y.alias("_cy"),
+    )
+    cur = (
+        misses.select(keyed_id, grid.x_col, grid.y_col)
+        .withColumn("_ix0", _index_col(x, grid.xbreaks))
+        .withColumn("_iy0", _index_col(y, grid.ybreaks))
+        .localCheckpoint()
+    )
+    accepted = []
+    R = 1
+    while not cur.isEmpty():
+        cand = (
+            cur.withColumn(
+                "_cix",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.lit(0), F.col("_ix0") - R),
+                        F.least(F.lit(grid.nx - 1), F.col("_ix0") + R),
+                    )
+                ),
+            )
+            .withColumn(
+                "_ciy",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.lit(0), F.col("_iy0") - R),
+                        F.least(F.lit(grid.ny - 1), F.col("_iy0") + R),
+                    )
+                ),
+            )
+            .join(ctx_cells, ["_cix", "_ciy"])
+            .withColumn("_d", _dist(grid.x_col, grid.y_col, "_cx", "_cy"))
+        )
+        agg = cand.groupBy(keyed_id).agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_d"), F.col("_fid").alias("_id")))
+                ),
+                1,
+                k,
+            ).alias("_top"),
+            F.count(F.lit(1)).alias("_nc"),
+        )
+        last = R >= max_ring
+        if last:
+            accept = agg
+        else:
+            accept = agg.filter(
+                (F.col("_nc") >= k)
+                & (F.element_at("_top", k).getField("_d") < R * min_w)
+            )
+        accepted.append(accept.select(keyed_id, "_top"))
+        if last:
+            break
+        cur = cur.join(
+            accept.select(keyed_id), keyed_id, "left_anti"
+        ).localCheckpoint()
+        R = min(R * 2, max_ring)
+    if not accepted:  # no misses at all — typed empty result
+        return (
+            misses.select(keyed_id)
+            .limit(0)
+            .crossJoin(
+                context.select(F.col(context_id).alias("nn_id")).limit(0)
+            )
+            .withColumn("rank", F.lit(1).cast("long"))
+            .withColumn("nn_dist", F.lit(0.0))
+            .select(keyed_id, "rank", "nn_id", "nn_dist")
+        )
+    out = accepted[0]
+    for a in accepted[1:]:
+        out = out.unionByName(a)
+    return out.select(keyed_id, F.posexplode("_top").alias("_r", "_s")).select(
+        keyed_id,
+        (F.col("_r") + 1).cast("long").alias("rank"),
+        F.col("_s._id").alias("nn_id"),
+        F.col("_s._d").alias("nn_dist"),
+    )
 
 
 def _prep(
@@ -82,27 +197,12 @@ def nearest_join(
             F.col("m").getField("_d").alias("nn_dist"),
         )
     )
-    # fallback: no in-radius candidate → exact global resolve against the
-    # broadcast context (tiny miss set; at extreme scale swap in ring
-    # expansion on the cell index)
+    # fallback: no in-radius candidate → exact resolve by iterative
+    # cell-disk expansion — equi-join per round, works at any context
+    # size (no broadcast of the context)
     misses = keyed.join(found.select(keyed_id), keyed_id, "left_anti")
-    ctx = F.broadcast(
-        context.select(
-            F.col(context_id).alias("_fid"),
-            F.col(grid.x_col).alias("_cx"),
-            F.col(grid.y_col).alias("_cy"),
-        )
-    )
-    fb = (
-        misses.crossJoin(ctx)
-        .withColumn("_d", _dist(grid.x_col, grid.y_col, "_cx", "_cy"))
-        .groupBy(keyed_id)
-        .agg(F.min(F.struct(F.col("_d"), F.col("_fid"))).alias("m"))
-        .select(
-            keyed_id,
-            F.col("m").getField("_fid").alias("nn_id"),
-            F.col("m").getField("_d").alias("nn_dist"),
-        )
+    fb = _ring_fallback(misses, context, grid, keyed_id, context_id, 1).select(
+        keyed_id, "nn_id", "nn_dist"
     )
     return found.unionByName(fb)
 
@@ -160,21 +260,7 @@ def knn_join(
     # `ok` feeds found and the anti-join; ReuseExchange dedups the
     # aggregation shuffle, so the candidate join still runs once.
     misses = keyed.join(ok.select(keyed_id), keyed_id, "left_anti")
-    ctx = F.broadcast(
-        context.select(
-            F.col(context_id).alias("_fid"),
-            F.col(grid.x_col).alias("_cx"),
-            F.col(grid.y_col).alias("_cy"),
-        )
-    )
-    fb = expand(
-        topk(
-            misses.crossJoin(ctx).withColumn(
-                "_d", _dist(grid.x_col, grid.y_col, "_cx", "_cy")
-            ),
-            "_fid",
-        )
-    )
+    fb = _ring_fallback(misses, context, grid, keyed_id, context_id, k)
     return found.unionByName(fb)
 
 
