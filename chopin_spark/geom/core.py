@@ -140,6 +140,26 @@ def pad_rect(
     return xmin - pad, ymin - pad, xmax + pad, ymax + pad
 
 
+def point_segment_distance(
+    px: np.ndarray, py: np.ndarray,
+    ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray,
+) -> np.ndarray:
+    """Vectorized distance from points (px, py) to segments (a→b),
+    broadcast element-wise (pass compatible shapes; e.g. points (n, 1)
+    vs segments (1, m) for the full matrix).  Degenerate zero-length
+    segments collapse to point distance.  The numpy twin of the
+    column-math expression in chopin_spark/roads.py — the reference
+    reaches this through `terra::nearest` on a road LINESTRING layer
+    (/root/reference/README.md:1065-1118)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t = ((px - ax) * dx + (py - ay) * dy) / np.where(len2 == 0.0, 1.0, len2)
+    t = np.clip(np.where(len2 == 0.0, 0.0, t), 0.0, 1.0)
+    return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
 def points_in_parts(px, py, parts) -> np.ndarray:
     """Membership against a (multi)polygon with holes: inside any part's
     outer ring and not inside one of that part's holes (even-odd).

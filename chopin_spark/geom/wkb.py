@@ -15,12 +15,33 @@ import struct
 import numpy as np
 
 _POINT = 1
+_LINESTRING = 2
 _POLYGON = 3
+_MULTILINESTRING = 5
 _MULTIPOLYGON = 6
 
 
 def point_wkb(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, _POINT, x, y)
+
+
+def linestring_wkb(coords) -> bytes:
+    """coords: (n, 2) vertex array (n ≥ 2), NOT closed — roads/rivers
+    (the reference's nearest demo context is a roads layer,
+    /root/reference/README.md:1065-1118, tests/testdata/ncroads_first.gpkg)."""
+    c = np.asarray(coords, dtype=np.float64)
+    return (
+        struct.pack("<BII", 1, _LINESTRING, len(c))
+        + c.astype("<f8").tobytes()
+    )
+
+
+def multilinestring_wkb(lines) -> bytes:
+    """lines: list of (n, 2) vertex arrays."""
+    out = [struct.pack("<BII", 1, _MULTILINESTRING, len(lines))]
+    for c in lines:
+        out.append(linestring_wkb(c))
+    return b"".join(out)
 
 
 def _close(c: np.ndarray) -> np.ndarray:
@@ -91,6 +112,23 @@ def decode(buf: bytes):
     assert byte_order == 1, "big-endian WKB unsupported"
     if gtype == _POINT:
         return "point", struct.unpack_from("<dd", buf, 5)
+    if gtype == _LINESTRING:
+        (npts,) = struct.unpack_from("<I", buf, 5)
+        line = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=9)
+        return "linestring", line.reshape(npts, 2).copy()
+    if gtype == _MULTILINESTRING:
+        (nlines,) = struct.unpack_from("<I", buf, 5)
+        off, lines = 9, []
+        for _ in range(nlines):
+            bo, gt = struct.unpack_from("<BI", buf, off)
+            assert bo == 1 and gt == _LINESTRING
+            (npts,) = struct.unpack_from("<I", buf, off + 5)
+            line = np.frombuffer(
+                buf, dtype="<f8", count=npts * 2, offset=off + 9
+            )
+            lines.append(line.reshape(npts, 2).copy())
+            off += 9 + npts * 16
+        return "multilinestring", lines
     if gtype == _POLYGON:
         (nrings,) = struct.unpack_from("<I", buf, 5)
         assert nrings >= 1
@@ -107,6 +145,16 @@ def decode(buf: bytes):
             polys.append(rings)
         return "multipolygon", polys
     raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def line_parts(buf: bytes) -> list[np.ndarray]:
+    """Normalized view of a (MULTI)LINESTRING: list of vertex arrays."""
+    kind, g = decode(buf)
+    if kind == "linestring":
+        return [g]
+    if kind == "multilinestring":
+        return g
+    raise ValueError(f"line_parts() is for line geometries, got {kind}")
 
 
 def parts(buf: bytes) -> list[list[np.ndarray]]:
@@ -141,6 +189,10 @@ def wkt(buf: bytes) -> str:
     kind, g = decode(buf)
     if kind == "point":
         return f"POINT ({g[0]:.6f} {g[1]:.6f})"
+    if kind == "linestring":
+        return "LINESTRING " + _ring_wkt(g)
+    if kind == "multilinestring":
+        return "MULTILINESTRING (" + ", ".join(_ring_wkt(c) for c in g) + ")"
     if kind == "polygon":
         rings = g if isinstance(g, list) else [g]
         return "POLYGON (" + ", ".join(_ring_wkt(r) for r in rings) + ")"

@@ -184,7 +184,10 @@ def pages_knn3_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(sx.y_expr("p_partkey")).alias("y"),
     )
     g = make_regular_grid(16, 12, pad=_KNN_RADIUS)
-    out = knn_join(pages, pois, g, "page_id", "pid", _KNN_RADIUS, k=_KNN_K)
+    out = knn_join(
+        pages, pois, g, "page_id", "pid", _KNN_RADIUS, k=_KNN_K,
+        small_context=True,
+    )
     return out.select(
         "page_id",
         F.col("rank").cast("int").alias("rank"),

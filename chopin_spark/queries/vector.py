@@ -81,7 +81,7 @@ def nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = make_regular_grid(_GNX, _GNY, pad=_RADIUS)
     out = nearest_join(
         _docs_pts(spark, sf_dir), _poi_pts(spark, sf_dir), g,
-        "doc_id", "pid", _RADIUS,
+        "doc_id", "pid", _RADIUS, small_context=True,
     )
     return out.select(
         "doc_id",
@@ -118,7 +118,7 @@ def knn3_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = make_regular_grid(_GNX, _GNY, pad=_RADIUS)
     out = knn_join(
         _docs_pts(spark, sf_dir), _poi_pts(spark, sf_dir), g,
-        "doc_id", "pid", _RADIUS, k=3,
+        "doc_id", "pid", _RADIUS, k=3, small_context=True,
     )
     return out.select(
         "doc_id",

@@ -34,6 +34,46 @@ def _dist(x1, y1, x2, y2):
     return F.sqrt(dx * dx + dy * dy)
 
 
+def _broadcast_fallback(
+    misses: DataFrame, context: DataFrame, grid: RectGrid,
+    keyed_id: str, context_id: str, k: int,
+) -> DataFrame:
+    """One-pass exact resolve for a DIMENSION-SIZED context (caller's
+    explicit `small_context=True` declaration): broadcast the context,
+    top-k per miss in a single aggregation — the plan VERDICT r02
+    endorsed for POI tables. Returns (keyed_id, rank, nn_id, nn_dist)."""
+    ctx = F.broadcast(
+        context.select(
+            F.col(context_id).alias("_fid"),
+            F.col(grid.x_col).alias("_cx"),
+            F.col(grid.y_col).alias("_cy"),
+        )
+    )
+    return (
+        misses.crossJoin(ctx)
+        .withColumn("_d", _dist(grid.x_col, grid.y_col, "_cx", "_cy"))
+        .groupBy(keyed_id)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_d"), F.col("_fid").alias("_id"))
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select(keyed_id, F.posexplode("_top").alias("_r", "_s"))
+        .select(
+            keyed_id,
+            (F.col("_r") + 1).cast("long").alias("rank"),
+            F.col("_s._id").alias("nn_id"),
+            F.col("_s._d").alias("nn_dist"),
+        )
+    )
+
+
 def _ring_fallback(
     misses: DataFrame, context: DataFrame, grid: RectGrid,
     keyed_id: str, context_id: str, k: int,
@@ -172,11 +212,18 @@ def _prep(
 def nearest_join(
     keyed: DataFrame, context: DataFrame, grid: RectGrid,
     keyed_id: str, context_id: str, radius: float,
+    small_context: bool = False,
 ) -> DataFrame:
     """Exact nearest-neighbor join (terra::nearest under par_grid,
     /root/reference/README.md:1065-1118). Ties broken by context id —
     deterministic, partition-count-independent. Returns
     (keyed_id, nn_id, nn_dist). grid.pad must equal `radius`.
+
+    `small_context=True` declares the context dimension-sized (a POI
+    table, not a fact table): the miss set then resolves in one
+    broadcast pass instead of the iterative ring expansion — same
+    exact result, zero extra driver rounds. The DEFAULT is the ring
+    path, safe at any context size (VERDICT r02 next-steps #2).
     """
     # Candidates beyond the radius can never appear in a trusted result
     # (validity requires the answer distance ≤ radius), so filter BEFORE
@@ -201,15 +248,19 @@ def nearest_join(
     # cell-disk expansion — equi-join per round, works at any context
     # size (no broadcast of the context)
     misses = keyed.join(found.select(keyed_id), keyed_id, "left_anti")
-    fb = _ring_fallback(misses, context, grid, keyed_id, context_id, 1).select(
-        keyed_id, "nn_id", "nn_dist"
-    )
-    return found.unionByName(fb)
+    if small_context:
+        fb = _broadcast_fallback(
+            misses, context, grid, keyed_id, context_id, 1
+        )
+    else:
+        fb = _ring_fallback(misses, context, grid, keyed_id, context_id, 1)
+    return found.unionByName(fb.select(keyed_id, "nn_id", "nn_dist"))
 
 
 def knn_join(
     keyed: DataFrame, context: DataFrame, grid: RectGrid,
     keyed_id: str, context_id: str, radius: float, k: int,
+    small_context: bool = False,
 ) -> DataFrame:
     """Exact k-nearest-neighbors join. A row's local top-k is global iff
     it found ≥ k candidates and its k-th distance ≤ radius; the rest go
@@ -260,7 +311,10 @@ def knn_join(
     # `ok` feeds found and the anti-join; ReuseExchange dedups the
     # aggregation shuffle, so the candidate join still runs once.
     misses = keyed.join(ok.select(keyed_id), keyed_id, "left_anti")
-    fb = _ring_fallback(misses, context, grid, keyed_id, context_id, k)
+    if small_context:
+        fb = _broadcast_fallback(misses, context, grid, keyed_id, context_id, k)
+    else:
+        fb = _ring_fallback(misses, context, grid, keyed_id, context_id, k)
     return found.unionByName(fb)
 
 

@@ -1,0 +1,141 @@
+"""Point-to-LINESTRING nearest join (VERDICT r02 next-steps #1):
+WKB line decode, segment explode, and exactness of nearest_line_join
+vs numpy brute force at two grid sizes (partitioned == unpartitioned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chopin_spark.geom.core import point_segment_distance
+from chopin_spark.geom.wkb import (
+    decode,
+    line_parts,
+    linestring_wkb,
+    multilinestring_wkb,
+    wkt,
+)
+from chopin_spark.grid import make_regular_grid
+from chopin_spark.roads import nearest_line_join, segments_from_lines
+
+
+def test_wkb_linestring_roundtrip():
+    v = np.array([[0.0, 1.0], [2.0, 3.0], [4.0, 0.5]])
+    kind, got = decode(linestring_wkb(v))
+    assert kind == "linestring"
+    np.testing.assert_array_equal(got, v)
+    assert wkt(linestring_wkb(v)).startswith("LINESTRING (0.000000 1.000000")
+
+
+def test_wkb_multilinestring_roundtrip():
+    a = np.array([[0.0, 0.0], [1.0, 1.0]])
+    b = np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 7.0]])
+    buf = multilinestring_wkb([a, b])
+    kind, got = decode(buf)
+    assert kind == "multilinestring"
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0], a)
+    np.testing.assert_array_equal(got[1], b)
+    assert line_parts(buf)[1].shape == (3, 2)
+    assert wkt(buf).startswith("MULTILINESTRING ((0.000000 0.000000")
+
+
+def test_point_segment_distance_cases():
+    # interior projection, endpoint clamp, degenerate segment
+    d = point_segment_distance(
+        np.array([1.0, -1.0, 3.0]),
+        np.array([1.0, 0.0, 0.0]),
+        np.array([0.0, 0.0, 2.0]),
+        np.array([0.0, 0.0, 2.0]),
+        np.array([2.0, 2.0, 2.0]),
+        np.array([0.0, 0.0, 2.0]),
+    )
+    assert d[0] == pytest.approx(1.0)          # above the middle
+    assert d[1] == pytest.approx(1.0)          # beyond endpoint a
+    assert d[2] == pytest.approx(np.hypot(1.0, 2.0))  # zero-length seg
+
+
+def _fixture_roads(rng, n_roads=12, n_verts=4):
+    roads = []
+    for _ in range(n_roads):
+        anchor = rng.uniform([100_000, 100_000], [700_000, 500_000])
+        offs = rng.uniform(-40_000, 40_000, size=(n_verts, 2))
+        roads.append(anchor + np.cumsum(offs, axis=0))
+    return roads
+
+
+@pytest.fixture(scope="module")
+def roads_case(spark):
+    rng = np.random.default_rng(17)
+    roads = _fixture_roads(rng)
+    lines = spark.createDataFrame(
+        [(i, bytearray(linestring_wkb(v))) for i, v in enumerate(roads)],
+        "line_id long, geom binary",
+    )
+    segs = segments_from_lines(lines, "line_id", "geom")
+    px = rng.uniform(0, 800_000, 400)
+    py = rng.uniform(0, 600_000, 400)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(px, py))],
+        "pid long, x double, y double",
+    )
+    return roads, segs, pts, px, py
+
+
+def _brute_nearest(roads, px, py):
+    """numpy oracle: nearest line per point, ties by line_id."""
+    best_d = np.full(len(px), np.inf)
+    best_id = np.full(len(px), -1)
+    for lid, v in enumerate(roads):
+        for i in range(len(v) - 1):
+            d = point_segment_distance(
+                px, py, v[i, 0], v[i, 1], v[i + 1, 0], v[i + 1, 1]
+            )
+            upd = d < best_d
+            best_d = np.where(upd, d, best_d)
+            best_id = np.where(upd, lid, best_id)
+    return best_id, best_d
+
+
+def test_segments_explode_count(roads_case):
+    roads, segs, *_ = roads_case
+    assert segs.count() == sum(len(v) - 1 for v in roads)
+    row = segs.filter("line_id = 3 AND seg = 1").collect()[0]
+    assert row["ax"] == pytest.approx(roads[3][1, 0])
+    assert row["by"] == pytest.approx(roads[3][2, 1])
+
+
+@pytest.mark.parametrize("gnx,gny", [(8, 6), (16, 12)])
+def test_nearest_line_exact_two_grids(spark, roads_case, gnx, gny):
+    """Exact at every grid size — the par_grid partitioned ==
+    unpartitioned invariant, vs an independent numpy brute force."""
+    roads, segs, pts, px, py = roads_case
+    g = make_regular_grid(gnx, gny, pad=0.0)
+    want_id, want_d = _brute_nearest(roads, px, py)
+    got = {
+        r["pid"]: (r["nn_id"], r["nn_dist"])
+        for r in nearest_line_join(pts, segs, g, "pid", 30_000.0).collect()
+    }
+    assert len(got) == len(px)
+    for i in range(len(px)):
+        assert got[i][0] == want_id[i], f"pid {i}"
+        assert got[i][1] == pytest.approx(want_d[i], rel=1e-12)
+
+
+def test_nearest_line_no_broadcast_needed(spark, roads_case):
+    """Fallback plans with auto-broadcast disabled: no forced
+    BroadcastExchange, no cartesian product."""
+    roads, segs, pts, *_ = roads_case
+    g = make_regular_grid(8, 6, pad=0.0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = nearest_line_join(pts, segs, g, "pid", 30_000.0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan
+        assert df.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
