@@ -209,3 +209,142 @@ def pip_holed_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_inside"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# --- C5: general polygon × polygon area-weighted overlay --------------------
+#
+# summarize_aw over a NON-RECT source layer (chopin intersects arbitrary
+# polygon pairs via terra::intersect, /root/reference/R/processing.R:799-811;
+# VERDICT r02 next-steps #5).  Sources are octagons on a per-source-shifted
+# tract frame: anchor tract (ti, tj) plus offsets dx ∈ [CX, W-2CX],
+# dy ∈ [CY, H-2CY].  That offset window keeps each source chamfer clear of
+# the zone chamfers, so each of the four zone∩source areas has a CLOSED
+# FORM the DuckDB oracle can evaluate:
+#     zone (ti+di, tj+dj):  lx(di) * ly(dj) - CX*CY
+#     lx(0) = W - dx,  lx(1) = dx,  ly(0) = H - dy,  ly(1) = dy
+# (the overlap rectangle loses exactly two chamfer triangles).  The Spark
+# side ignores the closed form: it runs the general Sutherland–Hodgman
+# polygon×polygon clip (geom.core.clip_polygon_convex) in an Arrow-batched
+# pandas UDF — the identities are verified against each other.
+# Areas are quantized to 1/16 m² before summing (integer-exact,
+# shuffle-order-independent).  Quantum choice is a measured safety
+# margin, not a guess: across all 240 fixture pairs the closed-form
+# value sits ≥ 0.0069 quantized units from the nearest FLOOR(+0.5)
+# boundary while the S–H-vs-closed-form drift is ≤ 0.0028 units —
+# the two quantizations provably agree (1/64 had a 0.0008-unit pair
+# that flipped at sf0.01).
+
+_N_SRC = 60
+_W, _H = Z.TRACT_W, Z.TRACT_H
+
+_TI = "(CAST((s_id * 48271) % 14 AS BIGINT) + 1)"
+_TJ = "(CAST((s_id * 16807) % 14 AS BIGINT) + 1)"
+_SDX = (
+    f"({_CX!r} + ({_W - 3 * _CX!r}) *"
+    " (CAST((s_id * 40692) % 9973 AS DOUBLE) / 9973.0))"
+)
+_SDY = (
+    f"({_CY!r} + ({_H - 3 * _CY!r}) *"
+    " (CAST((s_id * 69621) % 9973 AS DOUBLE) / 9973.0))"
+)
+_SVAL = "(CAST((s_id * 2654435761) % 9973 AS BIGINT))"
+
+_AW_ORACLE = f"""
+WITH src AS (
+  SELECT s.s_id, {_TI} AS ti, {_TJ} AS tj,
+         {_SDX} AS dx, {_SDY} AS dy, {_SVAL} AS val
+  FROM (SELECT UNNEST(generate_series(1, {_N_SRC})) AS s_id) s
+),
+cells AS (
+  SELECT s_id, val, ti + di AS zi, tj + dj AS zj,
+         (CASE WHEN di = 0 THEN {_W!r} - dx ELSE dx END)
+         * (CASE WHEN dj = 0 THEN {_H!r} - dy ELSE dy END)
+         - {_CX * _CY!r} AS area
+  FROM src
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS di)
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS dj)
+),
+q AS (
+  SELECT zi, zj, val,
+         CAST(FLOOR(area * 16.0 + 0.5) AS BIGINT) AS qarea
+  FROM cells WHERE area > 0.0
+)
+SELECT {Z.zone_id_expr(f"(zi + 0.5) * {_W!r}", f"(zj + 0.5) * {_H!r}")}
+         AS zone_id,
+       COUNT(*) AS n_src,
+       ROUND(CAST(SUM(val * qarea) AS DOUBLE) / SUM(qarea), 6) AS aw_mean,
+       ROUND(SUM(qarea) / 16.0, 2) AS area_sum
+FROM q GROUP BY 1
+"""
+
+
+@register("summarize_aw_polygons", _AW_ORACLE)
+def summarize_aw_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted overlay of octagon sources onto octagon zones via
+    the GENERAL polygon×polygon clip: per candidate pair the pandas UDF
+    builds both rings and runs Sutherland–Hodgman; the oracle evaluates
+    the chamfer-disjoint closed forms.  Candidates come from the
+    anchor-tract 2×2 stencil (column math) — the pair set is
+    stencil-bounded, never |zones|×|sources|."""
+    src = (
+        spark.range(1, _N_SRC + 1)
+        .selectExpr(
+            "id AS s_id",
+            f"{_TI.replace('s_id', 'id')} AS ti",
+            f"{_TJ.replace('s_id', 'id')} AS tj",
+            f"{_SDX.replace('s_id', 'id')} AS dx",
+            f"{_SDY.replace('s_id', 'id')} AS dy",
+            f"{_SVAL.replace('s_id', 'id')} AS val",
+        )
+        .withColumn("di", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("dj", F.explode(F.array(F.lit(0), F.lit(1))))
+    )
+
+    def clip_areas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chopin_spark.geom.core import polygon_intersection_area
+
+        for pdf in batches:
+            zis, zjs, vals, qareas = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                x0, y0 = r.ti * _W, r.tj * _H
+                zx0, zy0 = (r.ti + r.di) * _W, (r.tj + r.dj) * _H
+                src_ring = octagon_ring(
+                    x0 + r.dx, y0 + r.dy, x0 + r.dx + _W, y0 + r.dy + _H
+                )
+                zone_ring = octagon_ring(zx0, zy0, zx0 + _W, zy0 + _H)
+                area = polygon_intersection_area(src_ring, zone_ring)
+                if area > 0.0:
+                    zis.append(r.ti + r.di)
+                    zjs.append(r.tj + r.dj)
+                    vals.append(r.val)
+                    qareas.append(int(np.floor(area * 16.0 + 0.5)))
+            yield pd.DataFrame(
+                {
+                    "zi": pd.Series(zis, dtype="int64"),
+                    "zj": pd.Series(zjs, dtype="int64"),
+                    "val": pd.Series(vals, dtype="int64"),
+                    "qarea": pd.Series(qareas, dtype="int64"),
+                }
+            )
+
+    pairs = src.mapInPandas(
+        clip_areas, "zi long, zj long, val long, qarea long"
+    )
+    return (
+        pairs.withColumn(
+            "zone_id",
+            F.expr(
+                Z.zone_id_expr(f"(zi + 0.5) * {_W!r}", f"(zj + 0.5) * {_H!r}")
+            ),
+        )
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.round(
+                F.sum(F.col("val") * F.col("qarea")).cast("double")
+                / F.sum("qarea"),
+                6,
+            ).alias("aw_mean"),
+            F.round(F.sum("qarea") / 16.0, 2).alias("area_sum"),
+        )
+    )

@@ -622,3 +622,100 @@ def extract_at_tracts_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_at(
         tiles, rects, rect_id="zone_id", stats=("std",)
     ).select("raster_id", "zone_id", "std_val", "n_pixels")
+
+
+# --- C1 exact coverage fractions for general rings (octagons) ---------------
+#
+# extract_at with EXACT per-pixel coverage fractions over non-rect zones
+# (exactextractr parity, /root/reference/R/processing.R:195-208; VERDICT
+# r02 next-steps #6).  Spark runs the perimeter-bounded S-H clip path
+# (raster.extract_at_polygons_frac); the oracle computes each pixel's
+# octagon coverage in closed form: pixels align with tract edges, so the
+# covered area is the pixel minus the four chamfer-triangle cuts, each an
+# "area below a falling line within a rect" with clamped breakpoints.
+
+_FRACQ = 4096.0
+
+
+def _tri_cut_sql(u0: str, u1: str, v0: str, v1: str) -> str:
+    """Closed-form area of {u*CY + v*CX < CX*CY} ∩ [u0,u1]×[v0,v1]."""
+    cxcy = _OCX * _OCY
+    ua = (
+        f"LEAST(GREATEST(({cxcy!r} - {_OCX!r} * ({v1})) / {_OCY!r},"
+        f" ({u0})), ({u1}))"
+    )
+    ub = (
+        f"LEAST(GREATEST(({cxcy!r} - {_OCX!r} * ({v0})) / {_OCY!r},"
+        f" ({u0})), ({u1}))"
+    )
+    h_ua = f"(({cxcy!r} - {_OCY!r} * {ua}) / {_OCX!r})"
+    h_ub = f"(({cxcy!r} - {_OCY!r} * {ub}) / {_OCX!r})"
+    return (
+        f"(({ua} - ({u0})) * (({v1}) - ({v0}))"
+        f" + ({ub} - {ua}) * (({h_ua} + {h_ub}) / 2.0 - ({v0})))"
+    )
+
+
+_U0 = f"((i % {int(Z.TRACT_W / PW)}) * {PW!r})"
+_U1 = f"({_U0} + {PW!r})"
+_V0 = f"((j % {int(Z.TRACT_H / PH)}) * {PH!r})"
+_V1 = f"({_V0} + {PH!r})"
+_MU0, _MU1 = f"({Z.TRACT_W!r} - {_U1})", f"({Z.TRACT_W!r} - {_U0})"
+_MV0, _MV1 = f"({Z.TRACT_H!r} - {_V1})", f"({Z.TRACT_H!r} - {_V0})"
+
+_PX_COVER = (
+    f"({PW * PH!r}"
+    f" - {_tri_cut_sql(_U0, _U1, _V0, _V1)}"      # SW chamfer
+    f" - {_tri_cut_sql(_MU0, _MU1, _V0, _V1)}"    # SE
+    f" - {_tri_cut_sql(_U0, _U1, _MV0, _MV1)}"    # NW
+    f" - {_tri_cut_sql(_MU0, _MU1, _MV0, _MV1)})"  # NE
+)
+
+_OCT_FRAC_ORACLE = f"""
+WITH px AS ({_PX_GRID}),
+w AS (
+  SELECT i, j,
+         CAST(FLOOR({_PX_COVER} / {PW * PH!r} * {_FRACQ!r} + 0.5)
+              AS BIGINT) AS q,
+         (i * {V_MX} + j * {V_MY}) % {V_MOD} AS val,
+         {Z.zone_id_expr(_PCX, _PCY)} AS zone_id
+  FROM px
+)
+SELECT 'r0' AS raster_id, zone_id,
+       ROUND(CAST(SUM(q * val) AS DOUBLE) / SUM(q), 4) AS frac_mean,
+       ROUND(CAST(SUM(q) AS DOUBLE) / {_FRACQ!r}, 4) AS cov_pixels
+FROM w WHERE q > 0
+GROUP BY 1, 2
+"""
+
+
+@register("extract_at_octagon_frac", _OCT_FRAC_ORACLE)
+def extract_at_octagon_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-coverage-fraction zonal mean over the 256 octagon zones:
+    boundary pixels are Sutherland–Hodgman-clipped (general-ring code
+    path), interior pixels take the vectorized center test; the oracle
+    evaluates the chamfer-cut closed form per pixel."""
+    from chopin_spark.raster import extract_at_polygons_frac
+
+    tiles = _tiles(spark, n_rasters=1)
+    z = Z.zones_df(spark)
+    polys = z.select(
+        F.col("zone_id").alias("poly_id"),
+        "xmin", "ymin", "xmax", "ymax",
+        F.array(
+            F.col("xmin") + _OCX, F.col("xmax") - _OCX, F.col("xmax"),
+            F.col("xmax"), F.col("xmax") - _OCX, F.col("xmin") + _OCX,
+            F.col("xmin"), F.col("xmin"),
+        ).alias("xs"),
+        F.array(
+            F.col("ymin"), F.col("ymin"), F.col("ymin") + _OCY,
+            F.col("ymax") - _OCY, F.col("ymax"), F.col("ymax"),
+            F.col("ymax") - _OCY, F.col("ymin") + _OCY,
+        ).alias("ys"),
+    )
+    return extract_at_polygons_frac(tiles, polys, poly_id="poly_id").select(
+        "raster_id",
+        F.col("poly_id").alias("zone_id"),
+        "frac_mean",
+        "cov_pixels",
+    )

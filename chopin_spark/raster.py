@@ -534,6 +534,168 @@ def extract_at_polygons(
     )
 
 
+FRAC_QUANT = 4096  # coverage-fraction lattice (margin measured ≥ 1/6 unit)
+
+
+def extract_at_polygons_frac(
+    tiles: DataFrame,
+    polys: DataFrame,
+    poly_id: str = "poly_id",
+    broadcast_polys: bool | None = None,
+) -> DataFrame:
+    """C1 extract_at over general single-ring polygons with EXACT
+    per-pixel coverage fractions (VERDICT r02 next-steps #6 — closes
+    the boundary-pixel gap vs `exactextractr`'s exact fractions,
+    /root/reference/R/processing.R:195-208; `extract_at_polygons` keeps
+    the cheaper pixel-center semantics).
+
+    Per (tile, polygon) pair the work is PERIMETER-bounded, not
+    area-bounded: pixels whose rectangle intersects some polygon-edge
+    bbox are flagged boundary and get a Sutherland–Hodgman clip
+    (exact area); every other pixel in the bbox window is uniformly
+    inside or outside (no edge crosses it), so the vectorized
+    center test is exact there.  Fractions are quantized to the
+    FRAC_QUANT lattice so the distributed weighted sums are
+    integer-exact (shuffle-order-independent); the fixture's margin to
+    the nearest rounding boundary (≥1/6 unit vs ≤1e-9-unit clip
+    drift) is asserted offline in tests/test_zonal.py.
+
+    Returns (raster_id, poly_id, frac_mean, cov_pixels): the
+    fraction-weighted mean and the total covered area in pixel units.
+    """
+    cols = [poly_id, "xmin", "ymin", "xmax", "ymax", "xs", "ys"]
+    cand = _explode_rect_tiles(polys.select(*cols))
+    grouped = cand.groupBy("tile_id").agg(
+        F.collect_list(F.struct(*cols)).alias("rects")
+    )
+    cand_per_tile = grouped.select(
+        "tile_id", *[F.col(f"rects.{c}").alias(f"r_{c}") for c in cols]
+    )
+    if broadcast_polys is None:
+        broadcast_polys = polys.count() <= 8192
+    if broadcast_polys:
+        cand_per_tile = F.broadcast(cand_per_tile)
+    joined = tiles.select(
+        "tile_id", "raster_id", "tile_row", "tile_col", "values"
+    ).join(cand_per_tile, "tile_id")
+
+    part_schema = f"raster_id string, {poly_id} string, wsum long, wtot long"
+    area_px = PW * PH
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from chopin_spark.geom.core import (
+            clip_polygon_rect,
+            points_in_polygon,
+            polygon_area,
+        )
+
+        empty = pd.DataFrame(
+            {
+                "raster_id": pd.Series(dtype="object"),
+                poly_id: pd.Series(dtype="object"),
+                "wsum": pd.Series(dtype="int64"),
+                "wtot": pd.Series(dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            if pdf.empty:
+                yield empty
+                continue
+            out_r, out_p, out_w, out_t = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = row[pdf.columns.get_loc(f"r_{poly_id}")]
+                if len(ids) == 0:
+                    continue
+                vals = np.asarray(row.values, dtype=np.int64).reshape(
+                    TILE, TILE
+                )
+                tx0 = row.tile_col * TW
+                ty0 = row.tile_row * TH
+                for pid, bxmin, bymin, bxmax, bymax, xs, ys in zip(
+                    ids, row.r_xmin, row.r_ymin, row.r_xmax, row.r_ymax,
+                    row.r_xs, row.r_ys,
+                ):
+                    i_lo = max(0, int(np.floor((bxmin - tx0) / PW)))
+                    i_hi = min(TILE - 1, int(np.ceil((bxmax - tx0) / PW)) - 1)
+                    j_lo = max(0, int(np.floor((bymin - ty0) / PH)))
+                    j_hi = min(TILE - 1, int(np.ceil((bymax - ty0) / PH)) - 1)
+                    if i_lo > i_hi or j_lo > j_hi:
+                        continue
+                    ni, nj = i_hi - i_lo + 1, j_hi - j_lo + 1
+                    ring = np.column_stack(
+                        [np.asarray(xs), np.asarray(ys)]
+                    )
+                    # center test for the whole window (exact off-boundary)
+                    ci = tx0 + (i_lo + np.arange(ni) + 0.5) * PW
+                    cj = ty0 + (j_lo + np.arange(nj) + 0.5) * PH
+                    gx, gy = np.meshgrid(ci, cj)  # [j, i]
+                    frac = points_in_polygon(
+                        gx.ravel(), gy.ravel(), ring
+                    ).astype(np.float64).reshape(nj, ni)
+                    # flag boundary pixels per edge bbox
+                    bnd = np.zeros((nj, ni), dtype=bool)
+                    rr = ring if (ring[0] != ring[-1]).any() else ring[:-1]
+                    for e in range(len(rr)):
+                        x1, y1 = rr[e]
+                        x2, y2 = rr[(e + 1) % len(rr)]
+                        ei_lo = int(np.floor((min(x1, x2) - tx0) / PW))
+                        ei_hi = int(np.floor((max(x1, x2) - tx0) / PW))
+                        ej_lo = int(np.floor((min(y1, y2) - ty0) / PH))
+                        ej_hi = int(np.floor((max(y1, y2) - ty0) / PH))
+                        ei_lo = max(ei_lo, i_lo)
+                        ei_hi = min(ei_hi, i_hi)
+                        ej_lo = max(ej_lo, j_lo)
+                        ej_hi = min(ej_hi, j_hi)
+                        if ei_lo <= ei_hi and ej_lo <= ej_hi:
+                            bnd[
+                                ej_lo - j_lo : ej_hi - j_lo + 1,
+                                ei_lo - i_lo : ei_hi - i_lo + 1,
+                            ] = True
+                    for bj, bi in zip(*np.nonzero(bnd)):
+                        px0 = tx0 + (i_lo + bi) * PW
+                        py0 = ty0 + (j_lo + bj) * PH
+                        clipped = clip_polygon_rect(
+                            ring, px0, py0, px0 + PW, py0 + PH
+                        )
+                        a = (
+                            polygon_area(clipped)
+                            if len(clipped) >= 3
+                            else 0.0
+                        )
+                        frac[bj, bi] = a / area_px
+                    wq = np.floor(frac * FRAC_QUANT + 0.5).astype(np.int64)
+                    if not wq.any():
+                        continue
+                    win_vals = vals[j_lo : j_hi + 1, i_lo : i_hi + 1]
+                    out_r.append(row.raster_id)
+                    out_p.append(pid)
+                    out_w.append(int((wq * win_vals).sum()))
+                    out_t.append(int(wq.sum()))
+            yield (
+                pd.DataFrame(
+                    {
+                        "raster_id": out_r,
+                        poly_id: out_p,
+                        "wsum": np.asarray(out_w, dtype=np.int64),
+                        "wtot": np.asarray(out_t, dtype=np.int64),
+                    }
+                )
+                if out_r
+                else empty
+            )
+
+    parts = joined.mapInPandas(partials, part_schema)
+    return parts.groupBy("raster_id", poly_id).agg(
+        F.round(
+            F.sum("wsum").cast("double") / F.sum("wtot").cast("double"), 4
+        ).alias("frac_mean"),
+        F.round(
+            F.sum("wtot").cast("double") / float(FRAC_QUANT), 4
+        ).alias("cov_pixels"),
+    )
+
+
 def corrupt_raster_ids(tiles: DataFrame) -> DataFrame:
     """Distinct raster_ids with NULL tiles — the error-row side of the
     par_multirasters contract."""

@@ -4,6 +4,7 @@ round-trips."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -101,3 +102,52 @@ def test_polsby_popper_square_vs_strip():
 
 def test_pad_rect_exactness():
     assert pad_rect(0, 0, 10, 10, 2.5) == (-2.5, -2.5, 12.5, 12.5)
+
+
+# --- general polygon × polygon clip (C5) ------------------------------------
+
+
+def test_clip_polygon_convex_squares():
+    import pytest
+
+    from chopin_spark.geom.core import (
+        clip_polygon_convex,
+        polygon_intersection_area,
+    )
+
+    a = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    b = np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]])
+    assert polygon_intersection_area(a, b) == pytest.approx(1.0)
+    # disjoint -> empty
+    c = np.array([[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]])
+    assert polygon_intersection_area(a, c) == 0.0
+    assert len(clip_polygon_convex(a, c)) == 0
+    # containment: clip window covers subject entirely
+    big = np.array([[-5.0, -5.0], [5.0, -5.0], [5.0, 5.0], [-5.0, 5.0]])
+    assert polygon_intersection_area(a, big) == pytest.approx(4.0)
+
+
+def test_clip_polygon_convex_octagon_identities():
+    """The summarize_aw_polygons fixture identity: with offsets inside
+    the chamfer-disjoint window, each zone∩source area equals the
+    closed form lx·ly − CX·CY (the proof obligation behind the
+    oracle)."""
+    from chopin_spark.geom.core import polygon_intersection_area
+    from chopin_spark.queries.polygons import _CX, _CY, octagon_ring
+    import chopin_spark.zones as Z
+
+    W, H = Z.TRACT_W, Z.TRACT_H
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        dx = _CX + (W - 3 * _CX) * rng.random()
+        dy = _CY + (H - 3 * _CY) * rng.random()
+        src = octagon_ring(dx, dy, dx + W, dy + H)
+        for di, dj, lx, ly in [
+            (0, 0, W - dx, H - dy),
+            (1, 0, dx, H - dy),
+            (0, 1, W - dx, dy),
+            (1, 1, dx, dy),
+        ]:
+            zone = octagon_ring(di * W, dj * H, (di + 1) * W, (dj + 1) * H)
+            got = polygon_intersection_area(src, zone)
+            assert got == pytest.approx(lx * ly - _CX * _CY, abs=1e-3)

@@ -137,3 +137,51 @@ def test_focal_sum_matches_full_raster_numpy(spark):
         assert len(got) == TNX * (NPY // TILE)
         for t, (fs, nf) in got.items():
             assert fs == want_sum[t] and nf == want_full[t]
+
+
+def test_frac_quant_margin_certificate():
+    """The FRAC_QUANT=4096 lattice is provably flip-free for the
+    octagon fixture: every boundary pixel's closed-form coverage sits
+    ≥ 0.1 quantized units from a FLOOR(+0.5) boundary while the
+    S-H-vs-closed-form drift is ≤ 1e-5 units — the offline certificate
+    the raster.extract_at_polygons_frac docstring promises."""
+    import numpy as np
+
+    from chopin_spark.geom.core import clip_polygon_rect, polygon_area
+    from chopin_spark.queries.polygons import _CX, _CY, octagon_ring
+    from chopin_spark.raster import FRAC_QUANT, PH, PW
+    import chopin_spark.zones as Z
+
+    W, H = Z.TRACT_W, Z.TRACT_H
+    cxcy = _CX * _CY
+
+    def tri_cut(u0, u1, v0, v1):
+        ua = min(max((cxcy - _CX * v1) / _CY, u0), u1)
+        ub = min(max((cxcy - _CX * v0) / _CY, u0), u1)
+        h = lambda u: (cxcy - _CY * u) / _CX  # noqa: E731
+        return (ua - u0) * (v1 - v0) + (ub - ua) * (
+            (h(ua) + h(ub)) / 2.0 - v0
+        )
+
+    ring = octagon_ring(0.0, 0.0, W, H)
+    area_px = PW * PH
+    worst_margin, worst_drift = 1.0, 0.0
+    for i in range(int(W / PW)):
+        for j in range(int(H / PH)):
+            u0, v0 = i * PW, j * PH
+            u1, v1 = u0 + PW, v0 + PH
+            cf = area_px - (
+                tri_cut(u0, u1, v0, v1)
+                + tri_cut(W - u1, W - u0, v0, v1)
+                + tri_cut(u0, u1, H - v1, H - v0)
+                + tri_cut(W - u1, W - u0, H - v1, H - v0)
+            )
+            clipped = clip_polygon_rect(ring, u0, v0, u1, v1)
+            sh = polygon_area(clipped) if len(clipped) >= 3 else 0.0
+            worst_drift = max(worst_drift, abs(cf - sh) / area_px * FRAC_QUANT)
+            if 1e-9 < cf < area_px - 1e-9:
+                f = (cf / area_px * FRAC_QUANT + 0.5) % 1.0
+                worst_margin = min(worst_margin, min(f, 1.0 - f))
+    assert worst_margin > 0.1
+    assert worst_drift < 1e-5
+    assert worst_margin > 100 * worst_drift
