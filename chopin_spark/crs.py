@@ -166,6 +166,82 @@ def laea_inverse_xy_sql(
     return lon, lat
 
 
+# --- Albers equal-area conic, ELLIPSOIDAL (EPSG:5070 exact) -----------------
+#
+# Snyder PP 1395 eqs. 14-1..14-21 / 3-12 on the GRS80 ellipsoid — the
+# true EPSG:5070 forward transform (VERDICT r02 next-steps #9; the
+# spherical form above remains the hash-exact oracle workhorse).  The
+# implementation reproduces Snyder's published Clarke-1866 numerical
+# example to 0.1 m (pinned in tests/test_crs.py).  q(φ) needs ln
+# (≤2 ulp engine divergence), so oracle-facing outputs report in km at
+# ROUND(·, 4) like Web Mercator.
+
+
+@dataclass(frozen=True)
+class AlbersEllParams:
+    a: float = 6378137.0              # GRS80 semi-major
+    e2: float = 0.006694380022903416  # GRS80 first eccentricity²
+    lat1: float = 29.5
+    lat2: float = 45.5
+    lat0: float = 23.0
+    lon0: float = -96.0
+
+    def _q(self, phi_deg: float) -> float:
+        e = math.sqrt(self.e2)
+        s = math.sin(math.radians(phi_deg))
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def _m(self, phi_deg: float) -> float:
+        s = math.sin(math.radians(phi_deg))
+        return math.cos(math.radians(phi_deg)) / math.sqrt(
+            1.0 - self.e2 * s * s
+        )
+
+    @property
+    def n(self) -> float:
+        m1, m2 = self._m(self.lat1), self._m(self.lat2)
+        return (m1 * m1 - m2 * m2) / (self._q(self.lat2) - self._q(self.lat1))
+
+    @property
+    def big_c(self) -> float:
+        m1 = self._m(self.lat1)
+        return m1 * m1 + self.n * self._q(self.lat1)
+
+    @property
+    def rho0(self) -> float:
+        return self.a * math.sqrt(self.big_c - self.n * self._q(self.lat0)) / self.n
+
+
+ALBERS_5070 = AlbersEllParams()
+
+
+def q_ell_sql(lat: str, p: AlbersEllParams = ALBERS_5070) -> str:
+    """Snyder eq. 3-12: the authalic q function of latitude."""
+    e = math.sqrt(p.e2)
+    s = f"sin(radians({lat}))"
+    return (
+        f"({1.0 - p.e2!r} * ({s} / (1.0 - {p.e2!r} * {s} * {s})"
+        f" - {1.0 / (2.0 * e)!r}"
+        f" * ln((1.0 - {e!r} * {s}) / (1.0 + {e!r} * {s}))))"
+    )
+
+
+def albers_ell_xy_sql(
+    lon: str, lat: str, p: AlbersEllParams = ALBERS_5070
+) -> tuple[str, str]:
+    """Forward ellipsoidal Albers (true EPSG:5070 with GRS80 defaults).
+    Projection constants n/C/ρ0 are driver-computed literals (identical
+    text both engines); the per-row path is sin/sqrt/ln."""
+    rho = f"({p.a!r} * sqrt({p.big_c!r} - {p.n!r} * {q_ell_sql(lat, p)}) / {p.n!r})"
+    theta = f"({p.n!r} * radians(({lon}) - {p.lon0!r}))"
+    x = f"({rho} * sin({theta}))"
+    y = f"({p.rho0!r} - {rho} * {cos_sql(theta)})"
+    return x, y
+
+
 # --- Web Mercator (spherical EPSG:3857 formulas) ----------------------------
 
 
@@ -189,6 +265,7 @@ def webmercator_inverse_xy_sql(x: str, y: str) -> tuple[str, str]:
 # --- DataFrame-level API (chopin's reproject_std / reproject_to_raster) -----
 
 _FORWARD = {
+    ("EPSG:4326", "EPSG:5070"): albers_ell_xy_sql,
     ("EPSG:4326", "SPHERE:ALBERS_CONUS"): albers_xy_sql,
     ("EPSG:4326", "SPHERE:LAEA_EU"): laea_xy_sql,
     ("EPSG:4326", "SPHERE:WEBMERC"): webmercator_xy_sql,

@@ -134,3 +134,38 @@ def reproject_webmercator_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x") / 1000.0, 4).alias("mx_km"),
         F.round(F.col("y") / 1000.0, 4).alias("my_km"),
     )
+
+
+# --- true EPSG:5070 (ellipsoidal Albers, GRS80) -----------------------------
+
+from chopin_spark.crs import albers_ell_xy_sql  # noqa: E402
+
+_EX, _EY = albers_ell_xy_sql(_LON, _LAT)
+
+_ELL_ORACLE = f"""
+SELECT doc_id,
+       ROUND({_EX} / 1000.0, 4) AS ex_km,
+       ROUND({_EY} / 1000.0, 4) AS ey_km
+FROM documents
+"""
+
+
+@register("reproject_albers5070_coords", _ELL_ORACLE)
+def reproject_albers5070_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TRUE EPSG:5070 coordinates (ellipsoidal Albers on
+    GRS80, Snyder eqs. 14-1..14-21 — validated against Snyder's
+    published Clarke-1866 worked example in tests/test_crs.py).
+    Outputs in km at ROUND(·,4): q(φ) needs ln, whose ≤2-ulp
+    JVM-vs-libm divergence cannot cross that rounding grain."""
+    docs = load(spark, sf_dir, "documents")
+    gf = GeoFrame(
+        docs.select(
+            "doc_id", F.expr(_LON).alias("x"), F.expr(_LAT).alias("y")
+        ),
+        crs="EPSG:4326",
+    ).reproject_std("EPSG:5070")
+    return gf.df.select(
+        "doc_id",
+        F.round(F.col("x") / 1000.0, 4).alias("ex_km"),
+        F.round(F.col("y") / 1000.0, 4).alias("ey_km"),
+    )

@@ -145,3 +145,60 @@ def test_laea_roundtrip(spark):
     want = pts.collect()
     for g, w in zip(sorted(got), sorted(want)):
         assert abs(g["x"] - w["x"]) < 1e-9 and abs(g["y"] - w["y"]) < 1e-9
+
+
+# --- ellipsoidal Albers (EPSG:5070 exact) -----------------------------------
+
+
+def test_albers_ellipsoidal_matches_snyder_example():
+    """Snyder PP 1395, ellipsoidal Albers numerical example (Clarke
+    1866, std parallels 29.5/45.5, origin 23/-96, point 35N 75W):
+    x = 1885472.7 m, y = 1535925.0 m — external ground truth for the
+    EPSG:5070 formula chain."""
+    import math
+
+    from chopin_spark.crs import AlbersEllParams
+
+    p = AlbersEllParams(a=6378206.4, e2=0.00676866)
+    rho = p.a * math.sqrt(p.big_c - p.n * p._q(35.0)) / p.n
+    th = p.n * math.radians(-75.0 - p.lon0)
+    x = rho * math.sin(th)
+    y = p.rho0 - rho * math.cos(th)
+    assert abs(x - 1885472.7) < 0.1
+    assert abs(y - 1535925.0) < 0.1
+
+
+def test_albers_ellipsoidal_sql_matches_python(spark):
+    """The SQL text (Spark side) reproduces the driver-side python
+    formula to sub-mm for GRS80/EPSG:5070 across the CONUS window."""
+    import math
+
+    from chopin_spark.crs import ALBERS_5070, albers_ell_xy_sql
+
+    p = ALBERS_5070
+    pts = [(-120.0, 30.0), (-96.0, 23.0), (-75.0, 45.0), (-67.0, 49.5)]
+    xe, ye = albers_ell_xy_sql("lon", "lat")
+    df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+        "lon", "lat", f"{xe} AS x", f"{ye} AS y"
+    )
+    for r in df.collect():
+        rho = p.a * math.sqrt(p.big_c - p.n * p._q(r["lat"])) / p.n
+        th = p.n * math.radians(r["lon"] - p.lon0)
+        assert abs(r["x"] - rho * math.sin(th)) < 1e-3
+        assert abs(r["y"] - (p.rho0 - rho * math.cos(th))) < 1e-3
+
+
+def test_albers_ellipsoidal_vs_spherical_delta_documented(spark):
+    """The ellipsoid-vs-sphere delta over CONUS is kilometers (max ~30
+    km in y) — the quantitative gap docs/SCALE.md documents for the
+    spherical workhorse; this pins it so the docs stay honest."""
+    from chopin_spark.crs import albers_ell_xy_sql, albers_xy_sql
+
+    sx_, sy_ = albers_xy_sql("lon", "lat")
+    ex_, ey_ = albers_ell_xy_sql("lon", "lat")
+    pts = [(-120.0, 30.0), (-96.0, 37.0), (-75.0, 45.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+        f"abs({sx_} - {ex_}) AS dx", f"abs({sy_} - {ey_}) AS dy"
+    )
+    for r in df.collect():
+        assert r["dx"] < 60_000.0 and r["dy"] < 60_000.0
