@@ -406,3 +406,202 @@ def nearest_poi_sphere_pargrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accepted.unionByName(residue).select(
         "doc_id", "poi_id", F.round("_d", 2).alias("dist_m")
     )
+
+
+# --- sphere ring-expansion fallback (no broadcast of the POI layer) ---------
+#
+# VERDICT r02 next-steps #2 on the sphere: the broadcast residue above
+# is the right plan for a dimension-sized POI table, but a fact-sized
+# context needs a fallback that never ships the context to the driver.
+# _s2_ring_resolve expands each unresolved doc's wrapped cell disk
+# (radius doubles per round), equi-joins the context's CORE cell
+# prefix, and accepts a doc when its best distance is strictly below
+# 0.7 · r · min_cell_side — the same two-full-ring-widths safety
+# construction as R_SAFE, generalized to r rings with the globally
+# sampled minimum cell side.  The terminal radius (the level-5 cell
+# graph's diameter bound) covers the whole sphere, so every doc
+# resolves exactly.
+
+_RING_SAFETY = 0.7
+
+_GLOBAL_MIN_SIDE: dict[int, float] = {}
+
+
+def _global_min_side(level: int) -> float:
+    if level not in _GLOBAL_MIN_SIDE:
+        _GLOBAL_MIN_SIDE[level] = s2.min_cell_side_m(
+            -180.0, 180.0, -89.9, 89.9, level, samples=96
+        )
+    return _GLOBAL_MIN_SIDE[level]
+
+
+def _prefix_to_cell_id(prefix: np.ndarray, level: int) -> np.ndarray:
+    shift = np.uint64(2 * (s2.MAX_LEVEL - level) + 1)
+    sentinel = np.uint64(1) << np.uint64(2 * (s2.MAX_LEVEL - level))
+    return (prefix.astype(np.uint64) << shift) | sentinel
+
+
+def _s2_ring_resolve(
+    misses: DataFrame, ctx: DataFrame, level: int = _LEVEL
+) -> DataFrame:
+    """Exact nearest-context resolve for `misses` (doc_id, lon, lat,
+    s2_prefix) against `ctx` (poi_id, plon, plat, s2_prefix — CORE
+    cell only, not a disk): iterative wrapped-disk expansion, one
+    shuffle equi-join per round, localCheckpoint-ed miss sets.
+    Returns (doc_id, poi_id, _d)."""
+    min_side = _global_min_side(level)
+    terminal = 4 * (1 << level)  # ≥ cell-graph diameter: disk = sphere
+    dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
+    cur = misses.select("doc_id", "lon", "lat", "s2_prefix").localCheckpoint()
+    parts = []
+    r = 2
+    while not cur.isEmpty():
+        radius = r  # bind per closure
+
+        def explode(batches, radius=radius):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                uniq = np.unique(pdf["s2_prefix"].to_numpy())
+                disks = {}
+                for p in uniq:
+                    d = _prefix_to_cell_id(np.array([p]), level)
+                    for _ in range(radius):
+                        d = np.unique(s2.expand_covering(d, wrap=True))
+                    disks[int(p)] = s2.prefix_from_cell_id(d, level)
+                out_doc, out_lon, out_lat, out_c = [], [], [], []
+                for row in pdf.itertuples(index=False):
+                    dd = disks[int(row.s2_prefix)]
+                    out_doc.extend([row.doc_id] * len(dd))
+                    out_lon.extend([row.lon] * len(dd))
+                    out_lat.extend([row.lat] * len(dd))
+                    out_c.extend(dd.tolist())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_doc, dtype="int64"),
+                        "lon": pd.Series(out_lon, dtype="float64"),
+                        "lat": pd.Series(out_lat, dtype="float64"),
+                        "cand_prefix": pd.Series(out_c, dtype="int64"),
+                    }
+                )
+
+        cand = cur.mapInPandas(
+            explode,
+            "doc_id long, lon double, lat double, cand_prefix long",
+        )
+        agg = (
+            cand.join(
+                ctx.withColumnRenamed("s2_prefix", "cand_prefix"),
+                "cand_prefix",
+            )
+            .withColumn("_d", dist)
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("_d", "poi_id")).alias("_best"))
+            .select(
+                "doc_id",
+                F.col("_best.poi_id").alias("poi_id"),
+                F.col("_best._d").alias("_d"),
+            )
+        )
+        last = r >= terminal
+        accept = (
+            agg
+            if last
+            else agg.filter(F.col("_d") < _RING_SAFETY * r * min_side)
+        )
+        parts.append(accept)
+        if last:
+            break
+        cur = cur.join(
+            accept.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint()
+        r = min(r * 2, terminal)
+    if not parts:
+        return (
+            misses.select("doc_id")
+            .limit(0)
+            .crossJoin(ctx.select("poi_id").limit(0))
+            .withColumn("_d", F.lit(0.0))
+            .select("doc_id", "poi_id", "_d")
+        )
+    out = parts[0]
+    for a in parts[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _pois_with_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _prefix(lon, lat):
+        cid = s2.cell_id_from_lonlat(lon.to_numpy(), lat.to_numpy(), _LEVEL)
+        return pd.Series(s2.prefix_from_cell_id(cid, _LEVEL))
+
+    prefix_udf = F.pandas_udf(_prefix, "long")
+    return (
+        load(spark, sf_dir, "supplier")
+        .selectExpr(
+            "s_suppkey AS poi_id", f"{_PLON} AS plon", f"{_PLAT} AS plat"
+        )
+        .withColumn("s2_prefix", prefix_udf(F.col("plon"), F.col("plat")))
+    )
+
+
+@register("nearest_poi_sphere_ring", _NEAREST_ORACLE)
+def nearest_poi_sphere_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle nearest POI with NO broadcast anywhere: stage 1
+    equi-joins doc cells against POI core cells expanded one wrapped
+    ring (shuffle join — no F.broadcast hint), the residue resolves
+    through the iterative ring expansion.  Same brute-force oracle as
+    nearest_poi_sphere: the driver hash proves the zero-broadcast plan
+    returns identical rows."""
+    r_safe = _RING_SAFETY * 2.0 * _global_min_side(_LEVEL)
+    docs = _geocoded_docs(spark, sf_dir)
+    pois = _pois_with_prefix(spark, sf_dir)
+
+    # stage 1: POI cores expanded 2 wrapped rings (the 5×5 disk) via
+    # the same distributed mapInPandas used by the ring rounds
+    def expand2(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {k: [] for k in ("poi_id", "plon", "plat", "s2_prefix")}
+            for row in pdf.itertuples(index=False):
+                d = _prefix_to_cell_id(
+                    np.array([row.s2_prefix]), _LEVEL
+                )
+                for _ in range(2):
+                    d = np.unique(s2.expand_covering(d, wrap=True))
+                pref = s2.prefix_from_cell_id(d, _LEVEL)
+                rows["poi_id"].extend([row.poi_id] * len(pref))
+                rows["plon"].extend([row.plon] * len(pref))
+                rows["plat"].extend([row.plat] * len(pref))
+                rows["s2_prefix"].extend(pref.tolist())
+            yield pd.DataFrame(
+                {
+                    "poi_id": pd.Series(rows["poi_id"], dtype="int64"),
+                    "plon": pd.Series(rows["plon"], dtype="float64"),
+                    "plat": pd.Series(rows["plat"], dtype="float64"),
+                    "s2_prefix": pd.Series(rows["s2_prefix"], dtype="int64"),
+                }
+            )
+
+    disks = pois.mapInPandas(
+        expand2, "poi_id long, plon double, plat double, s2_prefix long"
+    )
+    dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
+    best = (
+        docs.join(disks, "s2_prefix")
+        .withColumn("_d", dist)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("_d", "poi_id")).alias("_best"))
+        .select(
+            "doc_id",
+            F.col("_best.poi_id").alias("poi_id"),
+            F.col("_best._d").alias("_d"),
+        )
+    )
+    accepted = best.filter(F.col("_d") <= F.lit(r_safe))
+    misses = docs.join(accepted.select("doc_id"), "doc_id", "left_anti")
+    residue = _s2_ring_resolve(misses, pois)
+    return accepted.unionByName(residue).select(
+        "doc_id", "poi_id", F.round("_d", 2).alias("dist_m")
+    )

@@ -116,3 +116,25 @@ def test_fallback_runs_without_broadcast(spark, sparse):
         assert got == {kid: v[0][0] for kid, v in want.items()}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sphere_ring_query_no_broadcast(spark):
+    """nearest_poi_sphere_ring: zero-broadcast plan end-to-end (the
+    sphere twin of the planar proof) — with auto-broadcast disabled,
+    no BroadcastExchange and no cartesian product anywhere, and the
+    row count matches the documents table."""
+    from chopin_spark.queries import load_all
+
+    fn = load_all()["nearest_poi_sphere_ring"][0]
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan
+        n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+        assert df.count() == n_docs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
