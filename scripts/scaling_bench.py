@@ -151,6 +151,19 @@ Reproduce: `python scripts/scaling_bench.py {n}`
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
         f.write(md)
+    # raw per-run archive (VERDICT r02 next-steps #8: the numbers in
+    # BASELINE.md must be traceable to committed raw output)
+    raw_path = os.path.join(REPO, "BENCH", "scaling_raw.json")
+    with open(raw_path, "w") as f:
+        json.dump(
+            {
+                "runs": results,
+                "efficiency_2_8": eff28,
+                "efficiency_8_32": eff832,
+            },
+            f,
+            indent=2,
+        )
     print(
         json.dumps(
             {
