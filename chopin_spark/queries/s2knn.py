@@ -442,19 +442,26 @@ def _prefix_to_cell_id(prefix: np.ndarray, level: int) -> np.ndarray:
 
 
 def _s2_ring_resolve(
-    misses: DataFrame, ctx: DataFrame, level: int = _LEVEL
+    misses: DataFrame, ctx: DataFrame, level: int = _LEVEL,
+    min_side: float | None = None, start_r: int = 2,
 ) -> DataFrame:
     """Exact nearest-context resolve for `misses` (doc_id, lon, lat,
     s2_prefix) against `ctx` (poi_id, plon, plat, s2_prefix — CORE
     cell only, not a disk): iterative wrapped-disk expansion, one
     shuffle equi-join per round, localCheckpoint-ed miss sets.
+    `min_side` is the certification bound's cell-side minimum — pass
+    the tighter window-sampled value when BOTH sides are confined to a
+    lon/lat window (the r_safe convention of nearest_poi_sphere);
+    default = globally sampled (valid for any context).
     Returns (doc_id, poi_id, _d)."""
-    min_side = _global_min_side(level)
+    if min_side is None:
+        min_side = _global_min_side(level)
+    start_r = max(2, int(start_r))
     terminal = 4 * (1 << level)  # ≥ cell-graph diameter: disk = sphere
     dist = F.expr(_haversine_sql("lon", "lat", "plon", "plat"))
     cur = misses.select("doc_id", "lon", "lat", "s2_prefix").localCheckpoint()
     parts = []
-    r = 2
+    r = start_r
     while not cur.isEmpty():
         radius = r  # bind per closure
 
@@ -553,7 +560,13 @@ def nearest_poi_sphere_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the iterative ring expansion.  Same brute-force oracle as
     nearest_poi_sphere: the driver hash proves the zero-broadcast plan
     returns identical rows."""
-    r_safe = _RING_SAFETY * 2.0 * _global_min_side(_LEVEL)
+    # both docs and POIs are confined to the CONUS window, so the
+    # window-sampled min cell side bounds every doc→unseen-POI path —
+    # the same r_safe construction nearest_poi_sphere uses (a global
+    # bound here would shrink r_safe ~40% and route half the docs
+    # through the ring rounds for nothing)
+    win_min_side = s2.min_cell_side_m(-125.0, -67.0, 24.0, 50.0, _LEVEL)
+    r_safe = _RING_SAFETY * 2.0 * win_min_side
     docs = _geocoded_docs(spark, sf_dir)
     pois = _pois_with_prefix(spark, sf_dir)
 
@@ -598,10 +611,16 @@ def nearest_poi_sphere_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_best.poi_id").alias("poi_id"),
             F.col("_best._d").alias("_d"),
         )
+        # ring rounds + the final union each re-trigger this stage-1
+        # aggregate; one localCheckpoint = one execution
+        .localCheckpoint()
     )
     accepted = best.filter(F.col("_d") <= F.lit(r_safe))
     misses = docs.join(accepted.select("doc_id"), "doc_id", "left_anti")
-    residue = _s2_ring_resolve(misses, pois)
+    # start at r=4: the r=2 round's doc-disk coverage mirrors the
+    # stage-1 POI-disk coverage the misses already failed, and its
+    # certification bound is exactly r_safe — it can never accept
+    residue = _s2_ring_resolve(misses, pois, min_side=win_min_side, start_r=4)
     return accepted.unionByName(residue).select(
         "doc_id", "poi_id", F.round("_d", 2).alias("dist_m")
     )

@@ -182,7 +182,9 @@ def nearest_line_join(
         .withColumn("_d", _seg_dist_col(grid))
         .filter(F.col("_d") <= radius)
     )
-    found = _min_agg(cand, point_id)
+    # the ring rounds run extra driver actions; materialize the found
+    # set once so the stage-1 join-agg isn't recomputed per action
+    found = _min_agg(cand, point_id).localCheckpoint()
     misses = pts.join(found.select(point_id), point_id, "left_anti")
     fb = _ring_fallback_lines(misses, segments, grid, point_id)
     return found.unionByName(fb)

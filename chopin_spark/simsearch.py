@@ -268,10 +268,22 @@ def near_dup_pairs(
     r = n_planes // bands
     mask = (1 << r) - 1
     sig = embeddings.select(
-        "vec_id", hyperplane_signature(F.col("embedding"), n_planes).alias("_sig")
-    )
-    band_rows = sig.select(
         "vec_id",
+        "embedding",
+        hyperplane_signature(F.col("embedding"), n_planes).alias("_sig"),
+    )
+    # carry the embedding through the band rows: the pair join scores
+    # immediately and a pair colliding in several bands collapses in
+    # the final distinct (identical cos both times — same fold, same
+    # inputs).  One join + one distinct; the join-back variant costs
+    # two more shuffles and benched 3× slower at sf0.1.
+    # norms are per-VECTOR, so compute them once before the pair join
+    # (norm-per-pair costs 2 extra 64-element folds on every candidate
+    # pair — 3× the fold work for nothing)
+    sig_emb = sig.select(
+        "vec_id",
+        "embedding",
+        norm_fold("embedding").alias("nrm"),
         F.explode(
             F.array(
                 *[
@@ -285,31 +297,27 @@ def near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bits")
-    cand = (
-        band_rows.alias("l")
-        .join(
-            band_rows.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bits") == F.col("r.bits"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("v1"), F.col("r.vec_id").alias("v2"))
-        .distinct()
+    ).select("vec_id", "embedding", "nrm", "bb.band", "bb.bits")
+    a = sig_emb.select(
+        "band", "bits",
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    ea = embeddings.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("ea")
-    )
-    eb = embeddings.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("eb")
+    b = sig_emb.select(
+        "band", "bits",
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     cos = F.round(
-        dot_fold("ea", "eb") / (norm_fold("ea") * norm_fold("eb")), 4
+        dot_fold("ea", "eb") / (F.col("na") * F.col("nb")), 4
     )
     return (
-        cand.join(ea, "v1")
-        .join(eb, "v2")
+        a.join(b, ["band", "bits"])
+        .filter(F.col("v1") < F.col("v2"))
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= min_cos)
         .select("v1", "v2", "cos_sim")
+        .distinct()
     )

@@ -247,6 +247,10 @@ def nearest_join(
     # fallback: no in-radius candidate → exact resolve by iterative
     # cell-disk expansion — equi-join per round, works at any context
     # size (no broadcast of the context)
+    if not small_context:
+        # the ring rounds run extra driver actions; materialize the
+        # found set once so stage 1 isn't recomputed per action
+        found = found.localCheckpoint()
     misses = keyed.join(found.select(keyed_id), keyed_id, "left_anti")
     if small_context:
         fb = _broadcast_fallback(
@@ -306,6 +310,8 @@ def knn_join(
         F.col("_d") <= radius
     )
     agg = topk(pairs, f"c_{context_id}")
+    if not small_context:
+        agg = agg.localCheckpoint()  # see nearest_join: one stage-1 run
     ok = agg.filter(F.col("_nc") >= k)
     found = expand(ok)
     # `ok` feeds found and the anti-join; ReuseExchange dedups the
