@@ -75,7 +75,7 @@ def main() -> None:
     # shared-host VM sees minute-scale noisy-neighbor swings — see
     # BENCH/BASELINE.md). Standard warm-run practice; reported in the
     # JSON so the number is auditable.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         best = float("inf")
