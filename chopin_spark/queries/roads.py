@@ -115,3 +115,212 @@ def nearest_road(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn_id").alias("road_id"),
         F.round("nn_dist", 4).alias("dist_m"),
     )
+
+
+# --- line-in-polygon overlay: road length per admin zone --------------------
+#
+# The length-weighted twin of summarize_aw: clip every road segment to
+# the exhaustive tract partition and sum clipped lengths per zone —
+# chopin reaches this with terra::intersect + perim (the overlay join
+# family, /root/reference/R/processing.R:770-897).  Everything is pure
+# column arithmetic (Liang–Barsky parameter clamping, roads.
+# seg_len_in_rect_sql): no pandas UDF anywhere, the identical SQL text
+# evaluates in DuckDB, and because every operation is exact-rounded
+# IEEE arithmetic the doubles match BIT-FOR-BIT — lengths quantize to
+# a 1/1024 m lattice purely to make the distributed SUM
+# order-independent, not to absorb drift.
+
+import chopin_spark.zones as _Z  # noqa: E402
+from chopin_spark.roads import seg_len_in_rect_sql  # noqa: E402
+
+_ZW, _ZH = _Z.TRACT_W, _Z.TRACT_H
+
+_SEGS_SQL = f"""
+  SELECT r.rid AS line_id,
+         {_vx('r.rid', 'k.k')} AS ax, {_vy('r.rid', 'k.k')} AS ay,
+         {_vx('r.rid', '(k.k + 1)')} AS bx2, {_vy('r.rid', '(k.k + 1)')} AS by2
+  FROM generate_series(1, {_N_ROADS}) r(rid)
+  CROSS JOIN generate_series(0, {_N_SEGS - 1}) k(k)
+"""
+
+_LEN_IN_TRACT = seg_len_in_rect_sql(
+    "ax", "ay", "bx2", "by2",
+    f"(zi * {_ZW!r})", f"(zj * {_ZH!r})",
+    f"((zi + 1) * {_ZW!r})", f"((zj + 1) * {_ZH!r})",
+)
+
+_LEN_ORACLE = f"""
+WITH segs AS ({_SEGS_SQL}),
+cells AS (
+  SELECT line_id, ax, ay, bx2, by2, zi.zi, zj.zj
+  FROM segs
+  CROSS JOIN generate_series(0, 15) zi(zi)
+  CROSS JOIN generate_series(0, 15) zj(zj)
+),
+q AS (
+  SELECT zi, zj, line_id,
+         CAST(FLOOR({_LEN_IN_TRACT} * 1024.0 + 0.5) AS BIGINT) AS qlen
+  FROM cells
+)
+SELECT {_Z.zone_id_expr(f"(zi + 0.5) * {_ZW!r}", f"(zj + 0.5) * {_ZH!r}")}
+         AS zone_id,
+       COUNT(DISTINCT CASE WHEN qlen > 0 THEN line_id END) AS n_roads,
+       ROUND(CAST(SUM(qlen) AS DOUBLE) / 1024.0, 2) AS road_len_m
+FROM q GROUP BY 1 HAVING SUM(qlen) > 0
+"""
+
+
+@register("road_length_by_zone", _LEN_ORACLE)
+def road_length_by_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road length per tract zone, entirely JVM-side: segments explode
+    to the tract cells their bbox overlaps (index arithmetic), the
+    Liang–Barsky clip length is a shared-text SQL expression, and the
+    per-zone sum runs on the 1/1024 m integer lattice.  The oracle
+    enumerates segments × all 256 tracts; the extra terms it sums are
+    exact zeros, so candidate pruning is value-invisible."""
+    segs = road_segments(spark)
+    zi_lo = F.floor(F.least("ax", "bx") / _ZW).cast("int")
+    zi_hi = F.floor(F.greatest("ax", "bx") / _ZW).cast("int")
+    zj_lo = F.floor(F.least("ay", "by") / _ZH).cast("int")
+    zj_hi = F.floor(F.greatest("ay", "by") / _ZH).cast("int")
+    cand = (
+        segs.withColumn(
+            "zi",
+            F.explode(
+                F.sequence(
+                    F.greatest(zi_lo, F.lit(0)), F.least(zi_hi, F.lit(15))
+                )
+            ),
+        )
+        .withColumn(
+            "zj",
+            F.explode(
+                F.sequence(
+                    F.greatest(zj_lo, F.lit(0)), F.least(zj_hi, F.lit(15))
+                )
+            ),
+        )
+        .selectExpr(
+            "zi", "zj", "line_id",
+            "ax", "ay", "bx AS bx2", "by AS by2",
+        )
+        .selectExpr(
+            "zi", "zj", "line_id",
+            f"CAST(FLOOR({_LEN_IN_TRACT} * 1024.0 + 0.5) AS BIGINT) AS qlen",
+        )
+    )
+    return (
+        cand.groupBy(
+            F.expr(
+                _Z.zone_id_expr(f"(zi + 0.5) * {_ZW!r}", f"(zj + 0.5) * {_ZH!r}")
+            ).alias("zone_id")
+        )
+        .agg(
+            F.count_distinct(
+                F.when(F.col("qlen") > 0, F.col("line_id"))
+            ).alias("n_roads"),
+            F.round(F.sum("qlen").cast("double") / 1024.0, 2).alias(
+                "road_len_m"
+            ),
+        )
+        .filter(F.col("road_len_m") > 0)
+    )
+
+
+# --- range join: documents within D of any road -----------------------------
+
+_RANGE_D = 30_000.0
+
+_RANGE_ORACLE = f"""
+WITH segs AS ({_SEGS_SQL}),
+d AS (SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents),
+hits AS (
+  SELECT doc_id, line_id
+  FROM d CROSS JOIN segs
+  WHERE {seg_dist_sql('x', 'y', 'ax', 'ay', 'bx2', 'by2')} <= {_RANGE_D!r}
+)
+SELECT doc_id,
+       COUNT(*) AS n_segs,
+       COUNT(DISTINCT line_id) AS n_roads
+FROM hits GROUP BY doc_id
+"""
+
+
+@register("docs_near_roads", _RANGE_ORACLE)
+def docs_near_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band range join to a line layer: per document, how many
+    road segments / distinct roads lie within 30 km.  Segments register
+    in radius-padded cells, docs join their core cell — candidate
+    volume is density-bounded; docs with no road in range drop out
+    (inner-join semantics), exactly as the oracle's."""
+    from chopin_spark.roads import _seg_cells
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    g = make_regular_grid(16, 12)
+    from chopin_spark.grid import _index_col
+
+    pts = docs.withColumn(
+        "_cix", _index_col(F.col("x"), g.xbreaks)
+    ).withColumn("_ciy", _index_col(F.col("y"), g.ybreaks))
+    segc = _seg_cells(road_segments(spark), g, _RANGE_D)
+    hits = (
+        pts.join(segc, ["_cix", "_ciy"])
+        .filter(
+            F.expr(
+                seg_dist_sql("x", "y", "_sax", "_say", "_sbx", "_sby")
+            )
+            <= _RANGE_D
+        )
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count_distinct("_lid").alias("n_roads"),
+    )
+
+
+# --- k nearest roads --------------------------------------------------------
+
+_KNN_K = 3
+
+_KNN_ROAD_ORACLE = f"""
+WITH segs AS ({_SEGS_SQL}),
+d AS (SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents),
+per_line AS (
+  SELECT doc_id, line_id,
+         MIN({seg_dist_sql('x', 'y', 'ax', 'ay', 'bx2', 'by2')}) AS dist
+  FROM d CROSS JOIN segs
+  GROUP BY doc_id, line_id
+),
+rk AS (
+  SELECT doc_id, line_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, line_id) AS rn
+  FROM per_line
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, line_id AS road_id,
+       ROUND(dist, 4) AS dist_m
+FROM rk WHERE rn <= {_KNN_K}
+"""
+
+
+@register("knn3_road", _KNN_ROAD_ORACLE)
+def knn3_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 nearest roads per document (per-line min over segments, then
+    top-k lines) via the cell-index candidate join + ring fallback —
+    oracle is the brute-force per-line window ranking."""
+    from chopin_spark.roads import knn_line_join
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    g = make_regular_grid(16, 12)
+    out = knn_line_join(
+        docs, road_segments(spark), g, "doc_id", _RADIUS, k=_KNN_K
+    )
+    return out.select(
+        "doc_id",
+        "rank",
+        F.col("nn_id").alias("road_id"),
+        F.round("nn_dist", 4).alias("dist_m"),
+    )

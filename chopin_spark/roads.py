@@ -259,3 +259,190 @@ def _ring_fallback_lines(
     for a in accepted[1:]:
         out = out.unionByName(a)
     return out
+
+
+def seg_len_in_rect_sql(
+    ax: str, ay: str, bx: str, by: str,
+    x0: str, y0: str, x1: str, y1: str,
+) -> str:
+    """Length of segment a→b inside the axis-aligned rect
+    [x0,x1]×[y0,y1] — Liang–Barsky parameter clamping as ONE SQL text
+    (pure arithmetic + LEAST/GREATEST/SQRT: bit-identical across Spark
+    and DuckDB, so no quantization-margin analysis is ever needed).
+    Degenerate axes (dx=0 or dy=0) collapse to a containment test."""
+    dx = f"(({bx}) - ({ax}))"
+    dy = f"(({by}) - ({ay}))"
+    txa = f"((({x0}) - ({ax})) / {dx})"
+    txb = f"((({x1}) - ({ax})) / {dx})"
+    tya = f"((({y0}) - ({ay})) / {dy})"
+    tyb = f"((({y1}) - ({ay})) / {dy})"
+    tlox = (
+        f"(CASE WHEN {dx} = 0.0 THEN"
+        f" (CASE WHEN ({ax}) >= ({x0}) AND ({ax}) <= ({x1})"
+        f" THEN 0.0 ELSE 1.0 END)"
+        f" ELSE LEAST({txa}, {txb}) END)"
+    )
+    thix = (
+        f"(CASE WHEN {dx} = 0.0 THEN"
+        f" (CASE WHEN ({ax}) >= ({x0}) AND ({ax}) <= ({x1})"
+        f" THEN 1.0 ELSE 0.0 END)"
+        f" ELSE GREATEST({txa}, {txb}) END)"
+    )
+    tloy = (
+        f"(CASE WHEN {dy} = 0.0 THEN"
+        f" (CASE WHEN ({ay}) >= ({y0}) AND ({ay}) <= ({y1})"
+        f" THEN 0.0 ELSE 1.0 END)"
+        f" ELSE LEAST({tya}, {tyb}) END)"
+    )
+    thiy = (
+        f"(CASE WHEN {dy} = 0.0 THEN"
+        f" (CASE WHEN ({ay}) >= ({y0}) AND ({ay}) <= ({y1})"
+        f" THEN 1.0 ELSE 0.0 END)"
+        f" ELSE GREATEST({tya}, {tyb}) END)"
+    )
+    t_e = f"GREATEST(0.0, {tlox}, {tloy})"
+    t_x = f"LEAST(1.0, {thix}, {thiy})"
+    return (
+        f"(GREATEST(0.0, {t_x} - {t_e})"
+        f" * SQRT({dx} * {dx} + {dy} * {dy}))"
+    )
+
+
+def _topk_lines(per_line: DataFrame, point_id: str, k: int) -> DataFrame:
+    """(point, line, _d) → per point sorted top-k lines + line count."""
+    return per_line.groupBy(point_id).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_d"), F.col("_lid")))
+            ),
+            1,
+            k,
+        ).alias("_top"),
+        F.count(F.lit(1)).alias("_nl"),
+    )
+
+
+def _expand_topk(agg: DataFrame, point_id: str) -> DataFrame:
+    return agg.select(
+        point_id, F.posexplode("_top").alias("_r", "_s")
+    ).select(
+        point_id,
+        (F.col("_r") + 1).cast("long").alias("rank"),
+        F.col("_s._lid").alias("nn_id"),
+        F.col("_s._d").alias("nn_dist"),
+    )
+
+
+def knn_line_join(
+    points: DataFrame, segments: DataFrame, grid: RectGrid,
+    point_id: str, radius: float, k: int,
+) -> DataFrame:
+    """Exact k-nearest ROADS per point (distance to a road = min over
+    its segments).  Stage 1: per-(point, line) minimum over in-radius
+    candidate segments — exact for every line whose true distance ≤
+    radius, because that line's nearest segment is then radius-close
+    and registered in the point's core cell.  A point accepts when it
+    sees ≥ k distinct lines in radius.  Misses resolve by ring
+    expansion with the same strict R·min_cell_width certificate: an
+    unseen line's every segment bbox lies outside the scanned disk
+    (distance ≥ bound), and a seen line's computed minimum is exact
+    whenever it is below the bound (its unseen segments are all ≥ the
+    bound).  Returns (point_id, rank, nn_id, nn_dist), ties by line id.
+    """
+    x, y = F.col(grid.x_col), F.col(grid.y_col)
+    pts = points.select(
+        point_id, grid.x_col, grid.y_col
+    ).withColumn("_cix", _index_col(x, grid.xbreaks)).withColumn(
+        "_ciy", _index_col(y, grid.ybreaks)
+    )
+    per_line = (
+        pts.join(_seg_cells(segments, grid, radius), ["_cix", "_ciy"])
+        .withColumn("_d", _seg_dist_col(grid))
+        .filter(F.col("_d") <= radius)
+        .groupBy(point_id, "_lid")
+        .agg(F.min("_d").alias("_d"))
+    )
+    agg = _topk_lines(per_line, point_id, k).localCheckpoint()
+    ok = agg.filter(F.col("_nl") >= k)
+    found = _expand_topk(ok, point_id)
+    misses = pts.join(ok.select(point_id), point_id, "left_anti")
+    fb = _ring_fallback_lines_topk(misses, segments, grid, point_id, k)
+    return found.unionByName(fb)
+
+
+def _ring_fallback_lines_topk(
+    misses: DataFrame, segments: DataFrame, grid: RectGrid,
+    point_id: str, k: int,
+) -> DataFrame:
+    """Ring expansion emitting top-k LINES (see knn_line_join's
+    exactness argument)."""
+    min_w = float(
+        min(np.diff(grid.xbreaks).min(), np.diff(grid.ybreaks).min())
+    )
+    max_ring = int(max(grid.nx, grid.ny))
+    seg_cells = _seg_cells(segments, grid, 0.0)
+    x, y = F.col(grid.x_col), F.col(grid.y_col)
+    cur = (
+        misses.select(point_id, grid.x_col, grid.y_col)
+        .withColumn("_ix0", _index_col(x, grid.xbreaks))
+        .withColumn("_iy0", _index_col(y, grid.ybreaks))
+        .localCheckpoint()
+    )
+    accepted = []
+    R = 1
+    while not cur.isEmpty():
+        cand = (
+            cur.withColumn(
+                "_cix",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.lit(0), F.col("_ix0") - R),
+                        F.least(F.lit(grid.nx - 1), F.col("_ix0") + R),
+                    )
+                ),
+            )
+            .withColumn(
+                "_ciy",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.lit(0), F.col("_iy0") - R),
+                        F.least(F.lit(grid.ny - 1), F.col("_iy0") + R),
+                    )
+                ),
+            )
+            .join(seg_cells, ["_cix", "_ciy"])
+            .withColumn("_d", _seg_dist_col(grid))
+            .groupBy(point_id, "_lid")
+            .agg(F.min("_d").alias("_d"))
+        )
+        agg = _topk_lines(cand, point_id, k)
+        last = R >= max_ring
+        if last:
+            accept = agg
+        else:
+            accept = agg.filter(
+                (F.col("_nl") >= k)
+                & (F.element_at("_top", k).getField("_d") < R * min_w)
+            )
+        accepted.append(accept)
+        if last:
+            break
+        cur = cur.join(
+            accept.select(point_id), point_id, "left_anti"
+        ).localCheckpoint()
+        R = min(R * 2, max_ring)
+    if not accepted:
+        return (
+            misses.select(point_id)
+            .limit(0)
+            .crossJoin(
+                segments.select(F.col("line_id").alias("nn_id")).limit(0)
+            )
+            .withColumn("rank", F.lit(1).cast("long"))
+            .withColumn("nn_dist", F.lit(0.0))
+            .select(point_id, "rank", "nn_id", "nn_dist")
+        )
+    out = accepted[0]
+    for a in accepted[1:]:
+        out = out.unionByName(a)
+    return _expand_topk(out, point_id)

@@ -139,3 +139,46 @@ def test_nearest_line_no_broadcast_needed(spark, roads_case):
         assert df.count() == 400
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _brute_knn_lines(roads, px, py, k):
+    per_line = np.stack(
+        [
+            np.min(
+                np.stack(
+                    [
+                        point_segment_distance(
+                            px, py, v[i, 0], v[i, 1], v[i + 1, 0], v[i + 1, 1]
+                        )
+                        for i in range(len(v) - 1)
+                    ]
+                ),
+                axis=0,
+            )
+            for v in roads
+        ]
+    )  # (n_roads, n_pts)
+    out = {}
+    for p in range(len(px)):
+        order = sorted((float(per_line[r, p]), r) for r in range(len(roads)))
+        out[p] = order[:k]
+    return out
+
+
+@pytest.mark.parametrize("gnx,gny", [(8, 6), (16, 12)])
+def test_knn_lines_exact_two_grids(spark, roads_case, gnx, gny):
+    from chopin_spark.roads import knn_line_join
+
+    roads, segs, pts, px, py = roads_case
+    g = make_regular_grid(gnx, gny, pad=0.0)
+    want = _brute_knn_lines(roads, px, py, 3)
+    rows = knn_line_join(pts, segs, g, "pid", 30_000.0, k=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["pid"], []).append((r["rank"], r["nn_id"], r["nn_dist"]))
+    assert len(got) == len(px)
+    for pid, triples in got.items():
+        triples.sort()
+        assert [t[1] for t in triples] == [r for _, r in want[pid]]
+        for t, (dist, _) in zip(triples, want[pid]):
+            assert t[2] == pytest.approx(dist, rel=1e-12)
