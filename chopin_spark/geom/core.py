@@ -169,6 +169,95 @@ def polygon_intersection_area(a: np.ndarray, b: np.ndarray) -> float:
     return 0.0 if len(clipped) < 3 else polygon_area(clipped)
 
 
+def _signed_area2(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a SIMPLE ring (convex or concave,
+    any orientation; no self-intersections, no holes).  Returns CCW
+    (3, 2) triangles partitioning the polygon — the decomposition that
+    lets Sutherland–Hodgman (convex clip windows only) serve arbitrary
+    simple clip polygons: area(A∩B) = Σ_t area(A∩t) over B's
+    triangles, disjoint up to zero-measure edges."""
+    r = np.asarray(ring, dtype=np.float64)
+    if (r[0] == r[-1]).all():
+        r = r[:-1]
+    if _signed_area2(r) < 0:
+        r = r[::-1].copy()
+    idx = list(range(len(r)))
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 4 * len(r) * len(r):
+        guard += 1
+        n = len(idx)
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (
+                c[0] - a[0]
+            )
+            if cross <= 0:  # reflex or collinear — not an ear
+                continue
+            # ear test: no other remaining vertex inside OR on the
+            # boundary of abc — an on-edge reflex vertex (common in
+            # rectilinear shapes: the L-corner sits exactly on the
+            # would-be diagonal) makes the remainder degenerate and
+            # silently double-counts area
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                p = r[j]
+                if (p == a).all() or (p == b).all() or (p == c).all():
+                    continue
+                d1 = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                d2 = (c[0] - b[0]) * (p[1] - b[1]) - (c[1] - b[1]) * (p[0] - b[0])
+                d3 = (a[0] - c[0]) * (p[1] - c[1]) - (a[1] - c[1]) * (p[0] - c[0])
+                if d1 >= 0 and d2 >= 0 and d3 >= 0:
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([a, b, c]))
+                idx.pop(k)
+                break
+        else:
+            raise ValueError(
+                "triangulate_ring: no ear found — ring is likely "
+                "self-intersecting (refusing to return a wrong area)"
+            )
+    if len(idx) == 3:
+        tris.append(np.array([r[idx[0]], r[idx[1]], r[idx[2]]]))
+    return tris
+
+
+def _is_convex_ccw(ring: np.ndarray) -> bool:
+    r = np.asarray(ring, dtype=np.float64)
+    if (r[0] == r[-1]).all():
+        r = r[:-1]
+    x0, y0 = r[:, 0], r[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    x2, y2 = np.roll(x0, -2), np.roll(y0, -2)
+    cross = (x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1)
+    return bool((cross >= 0).all())
+
+
+def polygon_intersection_area_general(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact area of A∩B for ARBITRARY simple rings (concave allowed
+    on both sides) — completes C5 beyond convex clip windows.  The
+    clip side decomposes into CCW triangles (always convex), and the
+    subject side may be concave: Sutherland–Hodgman against a convex
+    window can emit zero-width bridge edges for in-and-out subjects,
+    but their signed-area contribution is exactly zero."""
+    bb = np.asarray(b, dtype=np.float64)
+    if _is_convex_ccw(bb):
+        return polygon_intersection_area(a, bb)
+    return float(
+        sum(polygon_intersection_area(a, t) for t in triangulate_ring(bb))
+    )
+
+
 def rect_intersection_area(
     a: tuple[float, float, float, float], b: tuple[float, float, float, float]
 ) -> float:

@@ -151,3 +151,111 @@ def test_clip_polygon_convex_octagon_identities():
             zone = octagon_ring(di * W, dj * H, (di + 1) * W, (dj + 1) * H)
             got = polygon_intersection_area(src, zone)
             assert got == pytest.approx(lx * ly - _CX * _CY, abs=1e-3)
+
+
+def test_triangulate_ring_partitions_area():
+    from chopin_spark.geom.core import polygon_area, triangulate_ring
+
+    lshape = np.array(
+        [[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0], [1.0, 2.0], [0.0, 2.0]]
+    )
+    tris = triangulate_ring(lshape)
+    assert len(tris) == 4
+    assert sum(polygon_area(t) for t in tris) == pytest.approx(3.0)
+    # clockwise input normalizes
+    tris_cw = triangulate_ring(lshape[::-1])
+    assert sum(polygon_area(t) for t in tris_cw) == pytest.approx(3.0)
+    # convex ring still partitions
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    assert sum(polygon_area(t) for t in triangulate_ring(sq)) == pytest.approx(1.0)
+
+
+def test_concave_intersection_vs_rect_decomposition():
+    """polygon_intersection_area_general (ear-clip + per-triangle S–H)
+    against an independent disjoint-rect decomposition oracle, for
+    random concave U-shapes × rects and U × U — the machinery behind
+    summarize_aw_lshapes."""
+    from chopin_spark.geom.core import (
+        polygon_intersection_area_general,
+        rect_intersection_area,
+    )
+
+    def mk_u(rng):
+        x0, y0 = rng.uniform(0, 2, 2)
+        w, h = rng.uniform(1.5, 3, 2)
+        nx0 = x0 + rng.uniform(0.2, w - 0.6)
+        nw = rng.uniform(0.2, x0 + w - nx0 - 0.2)
+        nd = rng.uniform(0.3, h - 0.3)
+        ring = np.array(
+            [
+                [x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                [nx0 + nw, y0 + h], [nx0 + nw, y0 + h - nd],
+                [nx0, y0 + h - nd], [nx0, y0 + h], [x0, y0 + h],
+            ]
+        )
+        rects = [
+            (x0, y0, x0 + w, y0 + h - nd),
+            (x0, y0 + h - nd, nx0, y0 + h),
+            (nx0 + nw, y0 + h - nd, x0 + w, y0 + h),
+        ]
+        return ring, rects
+
+    rng = np.random.default_rng(23)
+    for _ in range(60):
+        u1, r1 = mk_u(rng)
+        u2, r2 = mk_u(rng)
+        want = sum(rect_intersection_area(a, b) for a in r1 for b in r2)
+        assert polygon_intersection_area_general(u1, u2) == pytest.approx(
+            want, abs=1e-9
+        )
+        assert polygon_intersection_area_general(u2, u1) == pytest.approx(
+            want, abs=1e-9
+        )
+
+
+def test_lshape_quantum_certificate():
+    """The summarize_aw_lshapes Q=2 lattice is flip-free: closed-form
+    areas sit ≥ 2.5e-3 units from a FLOOR(+0.5) boundary, the general
+    clip drifts ≤ 1e-3 units — measured over the whole fixture."""
+    from chopin_spark.geom.core import (
+        polygon_intersection_area_general,
+        rect_intersection_area,
+    )
+    import chopin_spark.zones as Z
+
+    W, H = Z.TRACT_W, Z.TRACT_H
+    Q = 2.0
+    worst_margin, worst_drift = 1.0, 0.0
+    for sid in range(1, 61):
+        ti = (sid * 48271) % 14 + 1
+        tj = (sid * 16807) % 14 + 1
+        dx = W * (((sid * 40692) % 9973) / 9973.0) * 0.9 + 0.05 * W
+        dy = H * (((sid * 69621) % 9973) / 9973.0) * 0.9 + 0.05 * H
+        sx0, sy0 = ti * W + dx, tj * H + dy
+        src = (sx0, sy0, sx0 + W, sy0 + H)
+        src_ring = np.array(
+            [[src[0], src[1]], [src[2], src[1]], [src[2], src[3]], [src[0], src[3]]]
+        )
+        for di in (0, 1):
+            for dj in (0, 1):
+                zx0, zy0 = (ti + di) * W, (tj + dj) * H
+                want = rect_intersection_area(
+                    (zx0, zy0, zx0 + W, zy0 + H / 2), src
+                ) + rect_intersection_area(
+                    (zx0, zy0 + H / 2, zx0 + W / 2, zy0 + H), src
+                )
+                l_ring = np.array(
+                    [
+                        [zx0, zy0], [zx0 + W, zy0], [zx0 + W, zy0 + H / 2],
+                        [zx0 + W / 2, zy0 + H / 2], [zx0 + W / 2, zy0 + H],
+                        [zx0, zy0 + H],
+                    ]
+                )
+                got = polygon_intersection_area_general(src_ring, l_ring)
+                worst_drift = max(worst_drift, abs(got - want) * Q)
+                if want > 0:
+                    f = (want * Q + 0.5) % 1.0
+                    worst_margin = min(worst_margin, min(f, 1.0 - f))
+    assert worst_margin > 2.5e-3
+    assert worst_drift < 1e-3
+    assert worst_margin > 2 * worst_drift
