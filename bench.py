@@ -47,6 +47,7 @@ def main() -> None:
     from chopin_spark.queries.zonal import _N_RASTERS, _CORRUPT_RID, _tiles
 
     _tiles(spark, n_rasters=1).count()
+    _tiles(spark, n_rasters=2).count()  # extract_at_weighted's pair
     _tiles(spark, n_rasters=_N_RASTERS, corrupt=(_CORRUPT_RID,)).count()
     # ...and the zonal partials UDF itself: its closure imports
     # chopin_spark (kernels) inside every Python worker on first use —

@@ -719,3 +719,145 @@ def extract_at_octagon_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_mean",
         "cov_pixels",
     )
+
+
+# --- C1 exact order statistics (median / quantile zonal stats) ---------------
+#
+# chopin's `func` passthrough reaches any exact_extract summary,
+# including 'median' and 'quantile' (/root/reference/R/processing.R:
+# 133-142,196). Order statistics don't decompose into sum-partials, but
+# a (zone, DN value) histogram DOES: counts combine associatively
+# (map-side partial agg), and the quantile finish is a per-zone window
+# over the histogram — tiny for real-world 8/16-bit rasters. Engine
+# path: stored tile table -> posexplode (JVM) -> histogram agg ->
+# window finish. Oracle: DuckDB's INDEPENDENT builtin MEDIAN /
+# quantile_cont over regenerated pixels — two different algorithms
+# agreeing on the value.
+
+from pyspark.sql import Window  # noqa: E402
+
+from chopin_spark.raster import tile_pixels, weighted_tiles  # noqa: E402
+
+_MEDIAN_ORACLE = f"""
+WITH px AS ({_PX_GRID}),
+v AS (
+  SELECT (i * {V_MX} + j * {V_MY}) % {V_MOD} AS val,
+         {Z.zone_id_expr(_PCX, _PCY)} AS zone_id
+  FROM px
+)
+SELECT 'r0' AS raster_id, zone_id,
+       ROUND(CAST(MEDIAN(val) AS DOUBLE), 4) AS median_val,
+       ROUND(CAST(quantile_cont(val, 0.9) AS DOUBLE), 4) AS p90_val,
+       COUNT(*) AS n_pixels
+FROM v GROUP BY 2
+"""
+
+
+@register("extract_at_median", _MEDIAN_ORACLE)
+def extract_at_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact zonal median + linearly-interpolated p90 (the
+    quantile_cont h = q*(n-1) convention) from a per-(zone, value)
+    histogram. Median = mean of the two middle order statistics (even
+    n) — matches DuckDB's MEDIAN; both engines' doubles stay exact
+    (integer values < 1e6, sums < 2^53)."""
+    tiles = _tiles(spark, n_rasters=1)
+    px = tile_pixels(tiles).withColumn(
+        "zone_id", F.expr(Z.zone_id_expr(_PCX, _PCY))
+    )
+    hist = px.groupBy("raster_id", "zone_id", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_ord = Window.partitionBy("raster_id", "zone_id").orderBy("val")
+    w_all = Window.partitionBy("raster_id", "zone_id")
+    g = (
+        hist.withColumn("cum", F.sum("cnt").over(w_ord))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn("lo_p", F.expr("(n + 1) DIV 2"))
+        .withColumn("hi_p", F.expr("(n + 2) DIV 2"))
+        .withColumn("h90", (F.col("n") - F.lit(1)).cast("double") * F.lit(0.9))
+        .withColumn("r90", F.floor("h90"))
+    )
+
+    def _at(pos):  # value at 1-based rank `pos` within the zone
+        return F.max(
+            F.when(
+                (F.col("cum") >= pos) & (F.col("cum") - F.col("cnt") < pos),
+                F.col("val"),
+            )
+        )
+
+    agg = g.groupBy("raster_id", "zone_id").agg(
+        _at(F.col("lo_p")).alias("med_lo"),
+        _at(F.col("hi_p")).alias("med_hi"),
+        _at(F.col("r90") + 1).alias("v90_lo"),
+        _at(F.least(F.col("r90") + 2, F.col("n"))).alias("v90_hi"),
+        F.max(F.col("h90") - F.col("r90").cast("double")).alias("f90"),
+        F.max("n").alias("n_pixels"),
+    )
+    return agg.select(
+        "raster_id",
+        "zone_id",
+        F.round(
+            (F.col("med_lo") + F.col("med_hi")).cast("double") / 2.0, 4
+        ).alias("median_val"),
+        F.round(
+            F.col("v90_lo").cast("double")
+            + F.col("f90")
+            * (F.col("v90_hi") - F.col("v90_lo")).cast("double"),
+            4,
+        ).alias("p90_val"),
+        "n_pixels",
+    )
+
+
+# --- C1 weighted zonal mean (second raster as weights) ------------------------
+
+_WMEAN_ORACLE = f"""
+WITH px AS ({_PX_GRID})
+SELECT 'r0' AS raster_id,
+       {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
+       ROUND(CAST(SUM({pixel_value_sql('i', 'j', 0)}
+                      * {pixel_value_sql('i', 'j', 1)}) AS DOUBLE)
+             / CAST(SUM({pixel_value_sql('i', 'j', 1)}) AS DOUBLE),
+             4) AS wmean_val,
+       COUNT(*) AS n_pixels
+FROM px
+GROUP BY 1, 2
+"""
+
+
+@register("extract_at_weighted", _WMEAN_ORACLE)
+def extract_at_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted zonal mean sum(v*w)/sum(w) with raster r1 as the
+    pixel-aligned weight layer — exact_extract's weighted summaries
+    (`x` plus `w` rasters, /root/reference/R/processing.R:133-142).
+    Engine path: one tile_id equi-join fuses the rasters (zip_with
+    product, JVM), then TWO extract_at sum passes (v*w and w) joined on
+    zone — all integer-exact (v*w < 1e12, zone sums < 2^63). On a
+    cluster both tile tables are bucketed by tile_id, so the fuse join
+    is shuffle-free."""
+    t = _tiles(spark, n_rasters=2)
+    v = t.filter(F.col("rid") == 0)
+    w = t.filter(F.col("rid") == 1)
+    rects = Z.zones_df(spark).select(
+        "zone_id", "xmin", "ymin", "xmax", "ymax"
+    )
+    s_vw = extract_at(
+        weighted_tiles(v, w), rects, rect_id="zone_id", stats=("sum",)
+    ).select(
+        "raster_id", "zone_id",
+        F.col("sum_val").alias("vw_sum"), "n_pixels",
+    )
+    s_w = extract_at(
+        w.withColumn("raster_id", F.lit("r0")),
+        rects, rect_id="zone_id", stats=("sum",),
+    ).select("raster_id", "zone_id", F.col("sum_val").alias("w_sum"))
+    return s_vw.join(s_w, ["raster_id", "zone_id"]).select(
+        "raster_id",
+        "zone_id",
+        F.round(
+            F.col("vw_sum").cast("double") / F.col("w_sum").cast("double"),
+            4,
+        ).alias("wmean_val"),
+        "n_pixels",
+    )

@@ -437,6 +437,66 @@ def extract_at(
     return parts.groupBy("raster_id", rect_id).agg(*aggs)
 
 
+def tile_pixels(tiles: DataFrame) -> DataFrame:
+    """Tile table → per-pixel rows (raster_id, i, j, val) via
+    posexplode — entirely JVM column math (no Python stage).
+
+    The carrier for EXACT order statistics over zones (chopin's `func`
+    passthrough to exact_extract accepts 'median'/'quantile',
+    /root/reference/R/processing.R:133-142,196): downstream code keys a
+    (zone, DN value) histogram on these rows, which combines
+    associatively (map-side partials) and, for real-world 8/16-bit
+    rasters, collapses to a tiny final table — the 100-TB shape for
+    exact medians. ``values`` is [local_j, local_i] row-major, so
+    li = pos % TILE and lj = pos div TILE."""
+    return (
+        tiles.filter(F.col("values").isNotNull())
+        .select(
+            "raster_id",
+            "tile_row",
+            "tile_col",
+            F.posexplode("values").alias("pos", "val"),
+        )
+        .select(
+            "raster_id",
+            (
+                F.col("tile_col").cast("long") * TILE
+                + F.col("pos") % TILE
+            ).alias("i"),
+            (
+                F.col("tile_row").cast("long") * TILE
+                + (F.col("pos") / TILE).cast("long")
+            ).alias("j"),
+            "val",
+        )
+    )
+
+
+def weighted_tiles(vtiles: DataFrame, wtiles: DataFrame) -> DataFrame:
+    """Pixel-aligned product raster: values[k] = v[k] * w[k] per tile —
+    the v·w carrier for weighted zonal means (exact_extract's
+    weighted stats take `x` and `w` rasters,
+    /root/reference/R/processing.R:133-142). The multiply is a JVM
+    zip_with over co-keyed tile rows (one equi-join on tile_id; in a
+    stored deployment both rasters are bucketed by tile_id, so the join
+    is shuffle-free). Keeps the VALUE raster's raster_id. Products stay
+    exact: v, w < V_MOD ≈ 1e6 → v·w < 1e12 < 2^53."""
+    w = wtiles.select(
+        "tile_id", F.col("values").alias("_wvals")
+    )
+    return (
+        vtiles.join(w, "tile_id")
+        .withColumn(
+            "values",
+            F.when(
+                F.col("values").isNotNull() & F.col("_wvals").isNotNull(),
+                F.zip_with("values", "_wvals", lambda a, b: a * b),
+            ),
+        )
+        .drop("_wvals")
+    )
+
+
 def extract_at_polygons(
     tiles: DataFrame,
     polys: DataFrame,

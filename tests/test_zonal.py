@@ -185,3 +185,71 @@ def test_frac_quant_margin_certificate():
     assert worst_margin > 0.1
     assert worst_drift < 1e-5
     assert worst_margin > 100 * worst_drift
+
+
+def test_median_query_invariants(spark):
+    """Exact zonal median/p90 vs a numpy replay: the sorted multiset of
+    (n_pixels, median, p90) per zone must match numpy's linear-
+    interpolation percentiles per tract (the quantile_cont convention),
+    and the histogram path must cover every pixel exactly once."""
+    from chopin_spark import zones as Z
+    from chopin_spark.queries.zonal import extract_at_median
+    from chopin_spark.raster import NPX, NPY, PH, PW, V_MOD, V_MX, V_MY
+    from tests.conftest import SF_CORRECT
+
+    rows = extract_at_median(spark, SF_CORRECT).collect()
+    assert sum(r["n_pixels"] for r in rows) == NPX * NPY
+    got = sorted(
+        (r["n_pixels"], r["median_val"], r["p90_val"]) for r in rows
+    )
+
+    i, j = np.meshgrid(np.arange(NPX), np.arange(NPY), indexing="ij")
+    val = ((i * V_MX + j * V_MY) % V_MOD).ravel()
+    gx = np.floor((i + 0.5) * PW / Z.TRACT_W).astype(np.int64)
+    gy = np.floor((j + 0.5) * PH / Z.TRACT_H).astype(np.int64)
+    tract = (gy * Z.TRACT_NX + gx).ravel()
+    want = []
+    for t0 in np.unique(tract):
+        vv = val[tract == t0]
+        want.append(
+            (
+                len(vv),
+                round(float(np.percentile(vv, 50, method="linear")), 4),
+                round(float(np.percentile(vv, 90, method="linear")), 4),
+            )
+        )
+    assert got == sorted(want)
+
+
+def test_weighted_mean_query_invariants(spark):
+    """Weighted zonal mean: exact numpy replay over the full grid."""
+    from chopin_spark.queries.zonal import extract_at_weighted
+    from chopin_spark.raster import NPX, NPY, V_MOD, V_MX, V_MY, V_SEED
+    from chopin_spark import zones as Z
+    from tests.conftest import SF_CORRECT
+
+    rows = {
+        r["zone_id"]: r for r in extract_at_weighted(spark, SF_CORRECT).collect()
+    }
+    assert sum(r["n_pixels"] for r in rows.values()) == NPX * NPY
+    i, j = np.meshgrid(np.arange(NPX), np.arange(NPY), indexing="ij")
+    base = i * V_MX + j * V_MY
+    v = base % V_MOD
+    w = (base + V_SEED) % V_MOD
+    from chopin_spark.zones import TRACT_NX, TRACT_W, TRACT_H
+    from chopin_spark.raster import PW, PH
+
+    gx = np.floor((i + 0.5) * PW / TRACT_W).astype(np.int64)
+    gy = np.floor((j + 0.5) * PH / TRACT_H).astype(np.int64)
+    tract = (gy * TRACT_NX + gx).ravel()
+    vw = (v * w).ravel()
+    wf = w.ravel()
+    sums = {}
+    for t0 in np.unique(tract):
+        m = tract == t0
+        sums[t0] = (vw[m].sum(), wf[m].sum(), int(m.sum()))
+    want = sorted(
+        round(float(a) / float(b), 4) for a, b, _ in sums.values()
+    )
+    got = sorted(r["wmean_val"] for r in rows.values())
+    assert got == want
