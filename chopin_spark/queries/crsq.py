@@ -169,3 +169,47 @@ def reproject_albers5070_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x") / 1000.0, 4).alias("ex_km"),
         F.round(F.col("y") / 1000.0, 4).alias("ey_km"),
     )
+
+
+# --- true EPSG:3035 (ellipsoidal LAEA, GRS80) --------------------------------
+
+from chopin_spark.crs import laea_ell_xy_sql  # noqa: E402
+
+# remap the CONUS lon/lat window onto the EPSG:3035 domain (Europe,
+# lon −10..30, lat 35..70) with driver-literal affine factors — the
+# identical SQL text runs in both engines, so the remap is hash-safe
+_LON_EU = f"((({_LON}) - -125.0) * {40.0 / 58.0!r} + -10.0)"
+_LAT_EU = f"((({_LAT}) - 24.0) * {35.0 / 26.0!r} + 35.0)"
+
+_LX, _LY = laea_ell_xy_sql(_LON_EU, _LAT_EU)
+
+_LAEA_ORACLE = f"""
+SELECT doc_id,
+       ROUND({_LX} / 1000.0, 4) AS lx_km,
+       ROUND({_LY} / 1000.0, 4) AS ly_km
+FROM documents
+"""
+
+
+@register("reproject_laea3035_coords", _LAEA_ORACLE)
+def reproject_laea3035_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TRUE EPSG:3035 coordinates (ellipsoidal LAEA on
+    GRS80, Snyder eqs. 3-11/3-12/24-17..24-21, false easting/northing
+    4321000/3210000 — validated against Snyder's published Clarke-1866
+    worked example in tests/test_crs.py).  Documents are affinely
+    remapped onto a Europe window first (driver-literal factors, same
+    SQL text both engines).  Outputs in km at ROUND(·,4): q(φ) needs
+    ln, whose ≤2-ulp JVM-vs-libm divergence cannot cross that grain."""
+    docs = load(spark, sf_dir, "documents")
+    gf = GeoFrame(
+        docs.select(
+            "doc_id",
+            F.expr(_LON_EU).alias("x"), F.expr(_LAT_EU).alias("y"),
+        ),
+        crs="EPSG:4326",
+    ).reproject_std("EPSG:3035")
+    return gf.df.select(
+        "doc_id",
+        F.round(F.col("x") / 1000.0, 4).alias("lx_km"),
+        F.round(F.col("y") / 1000.0, 4).alias("ly_km"),
+    )

@@ -202,3 +202,122 @@ def test_albers_ellipsoidal_vs_spherical_delta_documented(spark):
     )
     for r in df.collect():
         assert r["dx"] < 60_000.0 and r["dy"] < 60_000.0
+
+
+# --- ellipsoidal LAEA (EPSG:3035 exact) ---------------------------------------
+
+
+def test_laea_ellipsoidal_matches_snyder_example():
+    """Snyder PP 1395, ellipsoidal LAEA numerical example (Clarke 1866,
+    center 40N/-100W, point 30N 110W): x = -965932.1 m,
+    y = -1056814.9 m — external ground truth for the EPSG:3035 formula
+    chain (false easting/northing zeroed to match Snyder's frame)."""
+    import math
+
+    from chopin_spark.crs import LaeaEllParams
+
+    p = LaeaEllParams(
+        a=6378206.4, e2=0.00676866, lat1=40.0, lon0=-100.0, fe=0.0, fn=0.0
+    )
+    sb = p._q(30.0) / p.qp
+    cb = math.sqrt(1.0 - sb * sb)
+    dl = math.radians(-110.0 - p.lon0)
+    b = p.rq * math.sqrt(
+        2.0 / (1.0 + p.sin_b1 * sb + p.cos_b1 * cb * math.cos(dl))
+    )
+    x = b * p.d * cb * math.sin(dl)
+    y = (b / p.d) * (p.cos_b1 * sb - p.sin_b1 * cb * math.cos(dl))
+    assert abs(x - -965932.1) < 0.1
+    assert abs(y - -1056814.9) < 0.1
+
+
+def test_laea_ellipsoidal_sql_matches_python(spark):
+    """The SQL text (Spark side) reproduces the driver-side python
+    formula to sub-mm for GRS80/EPSG:3035 across a Europe window, and
+    the projection center maps exactly to the false origin."""
+    import math
+
+    from chopin_spark.crs import LAEA_3035, laea_ell_xy_sql
+
+    p = LAEA_3035
+    pts = [(-10.0, 35.0), (10.0, 52.0), (25.0, 60.0), (30.0, 70.0)]
+    xe, ye = laea_ell_xy_sql("lon", "lat")
+    df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+        "lon", "lat", f"{xe} AS x", f"{ye} AS y"
+    )
+    for r in df.collect():
+        sb = p._q(r["lat"]) / p.qp
+        cb = math.sqrt(1.0 - sb * sb)
+        dl = math.radians(r["lon"] - p.lon0)
+        b = p.rq * math.sqrt(
+            2.0 / (1.0 + p.sin_b1 * sb + p.cos_b1 * cb * math.cos(dl))
+        )
+        assert abs(r["x"] - (p.fe + b * p.d * cb * math.sin(dl))) < 1e-3
+        assert abs(
+            r["y"]
+            - (p.fn + (b / p.d) * (p.cos_b1 * sb - p.sin_b1 * cb * math.cos(dl)))
+        ) < 1e-3
+        if r["lon"] == p.lon0 and r["lat"] == p.lat1:
+            assert abs(r["x"] - p.fe) < 1e-6 and abs(r["y"] - p.fn) < 1e-6
+
+
+def test_laea_ellipsoidal_degenerates_to_sphere(spark):
+    """With e² → 0 and matching center, the ellipsoidal LAEA collapses
+    to the spherical Snyder 24-2..24-4 form (same radius, FE=FN=0) —
+    a structural check that the authalic machinery is wired right."""
+    from chopin_spark.crs import LaeaEllParams, laea_ell_xy_sql, laea_xy_sql
+
+    # e²=1e-10 (not smaller): below that, the (1/2e)·ln((1−es)/(1+es))
+    # term hits double-precision cancellation noise larger than the
+    # genuine sphere-vs-ellipsoid delta being tested
+    p0 = LaeaEllParams(e2=1e-10, fe=0.0, fn=0.0, lat1=52.0, lon0=10.0)
+    ex_, ey_ = laea_ell_xy_sql("lon", "lat", p0)
+    sx_, sy_ = laea_xy_sql("lon", "lat")
+    pts = [(-10.0, 35.0), (10.0, 52.0), (25.0, 60.0), (30.0, 70.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+        f"abs({ex_} - ({sx_})) AS dx", f"abs({ey_} - ({sy_})) AS dy"
+    )
+    for r in df.collect():
+        assert r["dx"] < 0.01 and r["dy"] < 0.01
+
+
+def test_laea_ellipsoidal_equal_area_property():
+    """|Jacobian| of the forward map equals the GRS80 ellipsoid area
+    element a²(1−e²)cosφ/(1−e²sin²φ)² to 1e-6 relative — the defining
+    property of an equal-area projection, checked by central finite
+    differences at interior Europe points."""
+    import math
+
+    from chopin_spark.crs import LAEA_3035
+
+    p = LAEA_3035
+
+    def fwd(lon, lat):
+        sb = p._q(lat) / p.qp
+        cb = math.sqrt(1.0 - sb * sb)
+        dl = math.radians(lon - p.lon0)
+        b = p.rq * math.sqrt(
+            2.0 / (1.0 + p.sin_b1 * sb + p.cos_b1 * cb * math.cos(dl))
+        )
+        return (
+            b * p.d * cb * math.sin(dl),
+            (b / p.d) * (p.cos_b1 * sb - p.sin_b1 * cb * math.cos(dl)),
+        )
+
+    h = 1e-5
+    for lon, lat in [(0.0, 45.0), (10.0, 52.0), (20.0, 60.0), (-5.0, 40.0)]:
+        x_e, y_e = fwd(lon + h, lat)
+        x_w, y_w = fwd(lon - h, lat)
+        x_n, y_n = fwd(lon, lat + h)
+        x_s, y_s = fwd(lon, lat - h)
+        dxdl = (x_e - x_w) / (2 * h)
+        dydl = (y_e - y_w) / (2 * h)
+        dxdp = (x_n - x_s) / (2 * h)
+        dydp = (y_n - y_s) / (2 * h)
+        jac = abs(dxdl * dydp - dxdp * dydl) * (180.0 / math.pi) ** 2
+        s = math.sin(math.radians(lat))
+        want = (
+            p.a * p.a * (1.0 - p.e2) * math.cos(math.radians(lat))
+            / (1.0 - p.e2 * s * s) ** 2
+        )
+        assert abs(jac - want) / want < 1e-6, (lon, lat, jac, want)
