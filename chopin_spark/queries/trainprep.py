@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from chopin_spark.queries import register
 from chopin_spark.tables import load
 from chopin_spark.textops import (
+    packed_chunk_hashes_duckdb,
+    packed_chunk_hashes_spark,
     shingles_from_uh_duckdb,
     shingles_from_uh_spark,
     token_hashes_duckdb,
@@ -351,3 +353,98 @@ def token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_BPE_SPARK)
+
+
+# --- CCNet/RefinedWeb-style boilerplate line removal --------------------------
+#
+# A crawl pipeline's line-level dedup: split every document into
+# "lines" (non-overlapping 4-token chunks — the corpus has no \n; same
+# tokenizer-agnostic move as the C4 spans above), count in how many
+# DISTINCT documents each line occurs, and drop lines occurring in >= 2
+# documents (RefinedWeb drops exact-duplicate lines; CCNet drops lines
+# duplicated across a shard).  Output per document: line counts plus an
+# ORDER-EXACT fingerprint of the kept lines (polynomial fold over the
+# pos-packed hashes in document order) — the value-level proof that the
+# reconstructed document is the right lines in the right order, without
+# shipping line strings through the shuffle.
+#
+# Scale shape at 10^12 docs: one explode (~tokens/4 rows), one
+# count-distinct agg keyed on the 30-bit line hash (partial+final),
+# one shuffle equi-join back on that key (the frequency side is
+# distinct-keyed, so the hot boilerplate lines skew only the probe
+# side — AQE's skew-join case), one per-doc agg.  Zero Python.
+
+_LINE_N = 4
+_BOILER_T = 2  # boilerplate = line seen in >= T distinct documents
+
+_BOILER_SPARK = f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes_spark()} AS _uh FROM documents
+),
+lines AS (
+  SELECT doc_id, explode({packed_chunk_hashes_spark(_LINE_N)}) AS packed
+  FROM uh WHERE size(_uh) >= {_LINE_N}
+),
+l AS (
+  SELECT doc_id, packed, packed % 2147483648 AS lh FROM lines
+),
+freq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS n_docs FROM l GROUP BY 1
+)
+SELECT l.doc_id,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN f.n_docs < {_BOILER_T} THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN f.n_docs < {_BOILER_T} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS kept_frac,
+       aggregate(
+         array_sort(collect_list(
+           CASE WHEN f.n_docs < {_BOILER_T} THEN l.packed END)),
+         CAST(0 AS BIGINT),
+         (_h, _p) -> (_h * 1000003 + _p % 2147483648) % 1000000007
+       ) AS kept_fp
+FROM l JOIN freq f ON l.lh = f.lh
+GROUP BY l.doc_id
+"""
+
+_BOILER_ORACLE = f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes_duckdb()} AS _uh FROM documents
+),
+lines AS (
+  SELECT doc_id, UNNEST({packed_chunk_hashes_duckdb(_LINE_N)}) AS packed
+  FROM uh WHERE len(_uh) >= {_LINE_N}
+),
+l AS (
+  SELECT doc_id, packed, packed % 2147483648 AS lh FROM lines
+),
+freq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS n_docs FROM l GROUP BY 1
+)
+SELECT l.doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN f.n_docs < {_BOILER_T} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN f.n_docs < {_BOILER_T} THEN 1.0 ELSE 0.0 END)
+             / COUNT(*), 4) AS kept_frac,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_sort(COALESCE(
+             list(l.packed) FILTER (WHERE f.n_docs < {_BOILER_T}),
+             CAST([] AS BIGINT[])))),
+         (_h, _p) -> (_h * 1000003 + _p % 2147483648) % 1000000007
+       ) AS kept_fp
+FROM l JOIN freq f ON l.lh = f.lh
+GROUP BY l.doc_id
+"""
+
+
+@register("boilerplate_line_removal", _BOILER_ORACLE)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet / RefinedWeb): drop every
+    4-token line occurring in >= 2 distinct documents, and emit per-doc
+    kept counts plus an order-exact fingerprint of the surviving lines.
+    The fingerprint folds the pos-packed line hashes in document order,
+    so a hash match proves content AND reconstruction order without
+    materializing the filtered text."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BOILER_SPARK)

@@ -111,6 +111,40 @@ def shingles_from_uh_duckdb(n: int = 5, arr: str = "_uh") -> str:
     )
 
 
+# "Lines" for boilerplate removal: the synthetic corpus has no \n, so a
+# line is a NON-OVERLAPPING n-token chunk (CCNet dedups newline-split
+# lines; the chunking is the tokenizer-agnostic analogue, same move as
+# trainprep's fixed-16-token C4 spans).  Each chunk is packed as
+# pos * 2^31 + chunk_hash (hash < P30 < 2^31), so one BIGINT carries
+# both document order and identity — sortable, foldable, dialect-free.
+_POS_PACK = 2_147_483_648  # 2^31
+
+
+def packed_chunk_hashes_spark(n: int = 4, arr: str = "_uh") -> str:
+    """Spark SQL: token-hash array → array of pos-packed line hashes
+    (1-based chunk index; docs shorter than n tokens → empty array)."""
+    return (
+        f"transform(sequence(1, size({arr}) div {n}), _i -> "
+        f"_i * CAST({_POS_PACK} AS BIGINT) + "
+        + _shingle_fold(
+            arr, f"((_i - 1) * {n} + 1)", n,
+            "element_at({arr}, cast(({idx}) as int))",
+        )
+        + ")"
+    )
+
+
+def packed_chunk_hashes_duckdb(n: int = 4, arr: str = "_uh") -> str:
+    """DuckDB twin of :func:`packed_chunk_hashes_spark` (len // n can be
+    0 → generate_series(1, 0) is empty, same as Spark's sequence)."""
+    return (
+        f"list_transform(generate_series(1, len({arr}) // {n}), _i -> "
+        f"_i * CAST({_POS_PACK} AS BIGINT) + "
+        + _shingle_fold(arr, f"((_i - 1) * {n} + 1)", n, "({arr})[{idx}]")
+        + ")"
+    )
+
+
 def tokens_col(text: str = "text"):
     return F.split(F.col(text), " ")
 

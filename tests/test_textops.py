@@ -104,3 +104,23 @@ def test_simhash_is_deterministic(spark, docs):
         for r in simhash(docs.limit(50).repartition(7)).collect()
     }
     assert a == b
+
+
+def test_boilerplate_removal_actually_drops_lines(spark):
+    """The boilerplate threshold must FIRE on the fixture corpus (a
+    threshold that never triggers would make the oracle parity check
+    vacuous): some documents lose lines, none gains, and the kept
+    fingerprint differs from the all-lines fingerprint exactly for the
+    documents that lost something."""
+    from chopin_spark.queries.trainprep import boilerplate_line_removal
+    from tests.conftest import SF_CORRECT
+
+    out = boilerplate_line_removal(spark, SF_CORRECT).collect()
+    assert len(out) > 0
+    dropped = [r for r in out if r["n_kept"] < r["n_lines"]]
+    assert dropped, "no boilerplate line fired — threshold vacuous"
+    kept_all = [r for r in out if r["n_kept"] == r["n_lines"]]
+    assert kept_all, "every line dropped — threshold degenerate"
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_lines"]
+        assert abs(r["kept_frac"] - round(r["n_kept"] / r["n_lines"], 4)) < 1e-9
