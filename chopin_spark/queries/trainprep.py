@@ -448,3 +448,147 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing the filtered text."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_BOILER_SPARK)
+
+
+# --- deterministic stratified sampling (language rebalancing) ----------------
+#
+# The curation step every multilingual corpus build runs (CCNet's
+# per-language shards, the C4/mC4 language buckets): downsample
+# over-represented languages to target rates.  Sampling must be
+# DETERMINISTIC — a hash-derived per-document key against a per-stratum
+# threshold — so a resumed/replayed job keeps exactly the same rows
+# (the checkpoint/lineage story) and so two engines can agree row-for-
+# row, which `rand()` can never do.  One linear scan, one per-lang agg:
+# no shuffle of the kept rows at all at 10^12 docs (the agg is by the
+# ~100-key lang column; map-side partials collapse it).
+#
+# key = ((doc_id mod P30)·1103515245 + 12345) mod P30 stays < 2^61 at
+# any doc_id, and its low four decimal digits are the basis-point
+# threshold domain.
+
+_RATE_BP = {"en": 4000, "zh": 6000, "de": 8000, "es": 8000, "fr": 8000}
+_RATE_DEFAULT_BP = 10000
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_RATE_BP.items()))
+    + f" ELSE {_RATE_DEFAULT_BP} END"
+)
+_SAMPLE_KEY = "(((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007)"
+
+_STRAT_SPARK = f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_SAMPLE_KEY} % 10000 < {_RATE_CASE}
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       SUM(kept) AS n_kept,
+       ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS kept_frac,
+       aggregate(
+         array_sort(collect_list(CASE WHEN kept = 1 THEN doc_id END)),
+         CAST(0 AS BIGINT),
+         (_h, _p) -> (_h * 1000003 + _p % 2147483648) % 1000000007
+       ) AS kept_fp
+FROM k GROUP BY lang
+"""
+
+_STRAT_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_SAMPLE_KEY} % 10000 < {_RATE_CASE}
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(SUM(CAST(kept AS DOUBLE)) / COUNT(*), 4) AS kept_frac,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_sort(COALESCE(
+             list(doc_id) FILTER (WHERE kept = 1),
+             CAST([] AS BIGINT[])))),
+         (_h, _p) -> (_h * 1000003 + _p % 2147483648) % 1000000007
+       ) AS kept_fp
+FROM k GROUP BY lang
+"""
+
+
+@register("stratified_sample_by_lang", _STRAT_ORACLE)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (hash-keyed basis-point
+    thresholds; en→40%, zh→60%, de/es/fr→80%).  Emits per-lang totals,
+    kept counts, and an order-exact fingerprint of the kept doc_ids —
+    the value-level proof both engines select the IDENTICAL rows, not
+    just the same count."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_STRAT_SPARK)
+
+
+# --- sequence packing (concat-and-chunk into training windows) ---------------
+#
+# The GPT-style data-loader step: concatenate documents (per shard, in
+# a deterministic order) and chop the token stream into fixed
+# SEQ_LEN-token training windows; documents may straddle a window
+# boundary.  This is pure prefix-sum — one window function per shard —
+# NOT a sequential bin-packing loop: each document's byte/token offset
+# is cumsum(ntok) - ntok within its shard, and the windows it occupies
+# are offset DIV SEQ_LEN .. (offset + ntok - 1) DIV SEQ_LEN.  At 10^12
+# docs: one hash shuffle on the shard key, one in-partition running
+# sum (shards are explicit parallelism, NB ≫ executors), zero Python.
+
+_SEQ_LEN = 256
+_N_SHARDS = 8
+_SHARD_KEY = f"(((doc_id % 1000000007) * 16807) % 1000000007) % {_N_SHARDS}"
+
+_PACK_SPARK = f"""
+WITH t AS (
+  SELECT doc_id, {_SHARD_KEY} AS shard,
+         CAST(size(split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, ntok,
+         SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - ntok AS start_off
+  FROM t
+)
+SELECT doc_id, shard, ntok, start_off,
+       start_off DIV {_SEQ_LEN} AS first_seq,
+       (start_off + ntok - 1) DIV {_SEQ_LEN} - start_off DIV {_SEQ_LEN} + 1
+         AS seqs_spanned
+FROM o
+"""
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_SHARD_KEY} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, ntok,
+         CAST(SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - ntok AS start_off
+  FROM t
+)
+SELECT doc_id, shard, ntok, start_off,
+       start_off // {_SEQ_LEN} AS first_seq,
+       (start_off + ntok - 1) // {_SEQ_LEN} - start_off // {_SEQ_LEN} + 1
+         AS seqs_spanned
+FROM o
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-shard deterministic doc
+    order, running token offsets, and the SEQ_LEN-token training
+    windows each document lands in.  Window-function prefix sums — the
+    distributed formulation of the sequential packing loop."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_PACK_SPARK)

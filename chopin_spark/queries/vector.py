@@ -165,3 +165,60 @@ def summarize_sedc_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("pid").alias("p_partkey"), "n_chars_sedc", "n_within"
     )
+
+
+# --- IDW interpolation (exposure surface at document locations) --------------
+
+_IDW_RADIUS = 50_000.0
+_IDW_D0 = 10_000.0  # half-weight distance of the inverse-quadratic kernel
+
+_IDW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+p AS (
+  SELECT p_size, {_PX} AS px, {_PY} AS py FROM part
+),
+pairs AS (
+  SELECT doc_id, p_size,
+         SQRT((x - px) * (x - px) + (y - py) * (y - py)) AS dist
+  FROM d CROSS JOIN p
+),
+w AS (
+  SELECT doc_id, p_size,
+         CAST(FLOOR(65536 / (1.0 + (dist * dist) / {_IDW_D0 * _IDW_D0!r})
+                    + 0.5) AS BIGINT) AS wq
+  FROM pairs WHERE dist <= {_IDW_RADIUS!r}
+)
+SELECT doc_id,
+       ROUND(SUM(wq * CAST(p_size AS BIGINT)) / CAST(SUM(wq) AS DOUBLE),
+             4) AS p_size_idw,
+       COUNT(*) AS n_within
+FROM w GROUP BY 1
+"""
+
+
+@register("idw_interpolation_poi", _IDW_ORACLE)
+def idw_interpolation_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW-interpolated POI measurement (p_size) at every document
+    location: inverse-quadratic kernel, 50 km radius, quantized
+    integer-exact weighted sums (see vector.interpolate_idw). The
+    other half of chopin's exposure loop — sedc pushes values onto
+    sources, IDW evaluates the surface at the 10^12-row fact side —
+    with the identical cell-index range-join scale shape."""
+    from chopin_spark.vector import interpolate_idw
+
+    g = make_regular_grid(8, 6, pad=_IDW_RADIUS)
+    pois = load(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("p_size"),
+        F.expr(_PX).alias("x"),
+        F.expr(_PY).alias("y"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    out = interpolate_idw(
+        docs, pois, g, "doc_id", ["p_size"],
+        radius=_IDW_RADIUS, d0=_IDW_D0,
+    )
+    return out.select("doc_id", "p_size_idw", "n_within")

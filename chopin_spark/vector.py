@@ -364,3 +364,48 @@ def summarize_sedc(
     return pairs.groupBy(
         F.col(f"c_{source_id}").alias(source_id)
     ).agg(*aggs)
+
+
+def interpolate_idw(
+    targets: DataFrame, sources: DataFrame, grid: RectGrid,
+    target_id: str, value_cols: list[str],
+    radius: float, d0: float,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of source measurements at
+    target locations (terra::interpIDW's workflow; the complement of
+    summarize_sedc — C4 decays values ONTO sources, IDW estimates a
+    surface AT targets, the other half of chopin's exposure-assessment
+    loop, /root/reference/R/processing.R:604-696 context).
+
+    v̂(t) = Σ w(d)·v_s / Σ w(d) over sources within `radius`, with the
+    inverse-quadratic kernel w = 1/(1 + (d/d0)²) (bounded at d→0, so no
+    singularity guard is needed). Weights are lattice-quantized
+    (kernels.QUANT): numerator and denominator are exact int64 sums —
+    partition-order independent — and the final division of two exact
+    integers is one deterministic double op, so the result is
+    hash-stable across engines and shuffle orders.
+
+    Join shape matches summarize_sedc with the roles flipped: the fact
+    `targets` stay exactly-once in their core cell; the dimension-sized
+    `sources` are exploded to padded cells. Targets with no source in
+    range drop out (inner-join semantics, like the reference's sedc).
+    grid.pad must equal `radius`.
+    """
+    from chopin_spark.kernels import QUANT
+
+    pairs = _prep(
+        targets, sources, grid, [target_id], list(value_cols)
+    ).filter(F.col("_d") <= radius)
+    wq = F.expr(
+        f"CAST(FLOOR({QUANT} / (1.0 + (_d * _d) / {d0 * d0!r}) + 0.5)"
+        " AS BIGINT)"
+    )
+    aggs = [
+        F.round(
+            F.sum(wq * F.col(f"c_{v}").cast("long"))
+            / F.sum(wq).cast("double"),
+            4,
+        ).alias(f"{v}_idw")
+        for v in value_cols
+    ] + [F.count(F.lit(1)).alias("n_within")]
+    return pairs.groupBy(target_id).agg(*aggs)
