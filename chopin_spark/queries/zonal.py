@@ -861,3 +861,78 @@ def extract_at_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wmean_val"),
         "n_pixels",
     )
+
+
+# --- terra::terrain analog: Horn slope/aspect over the partitioned raster ----
+#
+# Engine side: strip-only halo exchange + integer Horn stencil
+# (raster.terrain_tiles).  Oracle side: every interior pixel's eight
+# neighbors regenerated in closed form from the value function — no
+# halos — so a mis-assembled strip, a flipped stencil sign, or an
+# octant-boundary disagreement all break the hash.
+
+from chopin_spark.raster import terrain_tiles  # noqa: E402
+
+
+def _pv(di: int, dj: int) -> str:
+    return pixel_value_sql(f"(i + {di})", f"(j + {dj})", 0)
+
+
+_GX = (
+    f"(({_pv(1, -1)} + 2 * {_pv(1, 0)} + {_pv(1, 1)})"
+    f" - ({_pv(-1, -1)} + 2 * {_pv(-1, 0)} + {_pv(-1, 1)}))"
+)
+_GY = (
+    f"(({_pv(-1, 1)} + 2 * {_pv(0, 1)} + {_pv(1, 1)})"
+    f" - ({_pv(-1, -1)} + 2 * {_pv(0, -1)} + {_pv(1, -1)}))"
+)
+
+_OCTANT = """
+CASE WHEN ax >= ay AND gx > 0 AND gy >= 0 THEN 0
+     WHEN ax <  ay AND gy > 0 AND gx >= 0 THEN 1
+     WHEN ax <  ay AND gy > 0 AND gx <  0 THEN 2
+     WHEN ax >= ay AND gx < 0 AND gy >= 0 THEN 3
+     WHEN ax >= ay AND gx < 0 AND gy <  0 THEN 4
+     WHEN ax <  ay AND gy < 0 AND gx <= 0 THEN 5
+     WHEN ax <  ay AND gy < 0 AND gx >  0 THEN 6
+     ELSE 7 END
+"""
+
+_TERRAIN_ORACLE = f"""
+WITH px AS (
+  SELECT g1.i, g2.j
+  FROM generate_series(1, {NPX - 2}) AS g1(i),
+       generate_series(1, {NPY - 2}) AS g2(j)
+),
+g AS (
+  SELECT i, j, {_GX} AS gx, {_GY} AS gy FROM px
+),
+c AS (
+  SELECT i, j, gx, gy, ABS(gx) AS ax, ABS(gy) AS ay,
+         CASE WHEN gx = 0 AND gy = 0 THEN 1 ELSE 0 END AS flat,
+         {_OCTANT} AS oct
+  FROM g
+)
+SELECT 'r0' AS raster_id,
+       (CAST(FLOOR(j / {TILE}.0) AS BIGINT) * {_TNX}
+        + CAST(FLOOR(i / {TILE}.0) AS BIGINT)) AS tile_id,
+       CAST(COUNT(*) AS INT) AS n_full,
+       CAST(SUM(gx * gx + gy * gy) AS BIGINT) AS slope_energy,
+       CAST(SUM(flat) AS BIGINT) AS n_flat,
+       {", ".join(
+         f"CAST(SUM(CASE WHEN oct = {o} AND flat = 0 THEN 1 ELSE 0 END)"
+         f" AS BIGINT) AS s{o}" for o in range(8)
+       )}
+FROM c GROUP BY 1, 2
+"""
+
+
+@register("raster_terrain_horn", _TERRAIN_ORACLE)
+def raster_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terra::terrain analog: Horn slope energy Σ(gx²+gy²) and 8-octant
+    aspect class counts per tile, computed distributed with strip-only
+    halo exchange — integer-exact end to end (aspect uses sign
+    comparisons, never atan2, so there is no float boundary to
+    disagree on)."""
+    tiles = _tiles(spark, n_rasters=1)
+    return terrain_tiles(tiles)

@@ -787,6 +787,50 @@ def focal_sum_tiles(tiles: DataFrame) -> DataFrame:
     """
     import numpy as np
 
+    def convolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = TILE
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, tid, fs, nf = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                p, m = assemble_padded(row)
+                focal = sum(
+                    p[a : a + T, b : b + T]
+                    for a in range(3)
+                    for b in range(3)
+                )
+                cnt = sum(
+                    m[a : a + T, b : b + T]
+                    for a in range(3)
+                    for b in range(3)
+                )
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                fs.append(int(focal.sum()))
+                nf.append(int((cnt == 9).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "focal_sum": pd.Series(fs, dtype="int64"),
+                    "n_full": pd.Series(nf, dtype="int32"),
+                }
+            )
+
+    out_schema = (
+        "raster_id string, tile_id long, focal_sum long, n_full int"
+    )
+    return halo_joined(tiles).mapInPandas(convolve, out_schema)
+
+
+def halo_joined(tiles: DataFrame) -> DataFrame:
+    """Stage 1 of any 3×3 stencil op: tiles joined with the boundary
+    strips their neighbors emitted (see focal_sum_tiles for the scale
+    rationale — shuffle volume is the halo SURFACE, not tile volume).
+    Each output row has (raster_id, tile_id, tile_row, tile_col,
+    values, halos) ready for :func:`assemble_padded`."""
+    import numpy as np
+
     strip_schema = (
         "raster_id string, tile_id long, edr int, edc int,"
         " strip array<long>"
@@ -837,60 +881,127 @@ def focal_sum_tiles(tiles: DataFrame) -> DataFrame:
             F.collect_list(F.struct("edr", "edc", "strip")).alias("halos")
         )
     )
-    joined = tiles.select(
+    return tiles.select(
         "raster_id", "tile_id", "tile_row", "tile_col", "values"
     ).join(halo, ["raster_id", "tile_id"], "left")
 
-    out_schema = (
-        "raster_id string, tile_id long, focal_sum long, n_full int"
-    )
 
-    def convolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        T = TILE
+def assemble_padded(row) -> tuple:
+    """Stage-2 helper: a halo_joined row → ((TILE+2)² padded int64
+    array, in-bounds mask).  Raster boundary = mask 0 (window
+    truncation, terra's na.rm=TRUE edge semantics)."""
+    T = TILE
+    p = np.zeros((T + 2, T + 2), dtype=np.int64)
+    m = np.zeros((T + 2, T + 2), dtype=np.int64)
+    p[1:-1, 1:-1] = np.asarray(row.values, dtype=np.int64).reshape(T, T)
+    m[1:-1, 1:-1] = 1
+    halos = row.halos if row.halos is not None else []
+    for h in halos:
+        edr, edc, s = h["edr"], h["edc"], np.asarray(
+            h["strip"], dtype=np.int64
+        )
+        jj = 0 if edr == -1 else T + 1
+        ii = 0 if edc == -1 else T + 1
+        if edr != 0 and edc != 0:
+            p[jj, ii], m[jj, ii] = s[0], 1
+        elif edr != 0:
+            p[jj, 1:-1], m[jj, 1:-1] = s, 1
+        else:
+            p[1:-1, ii], m[1:-1, ii] = s, 1
+    return p, m
+
+
+def terrain_tiles(tiles: DataFrame) -> DataFrame:
+    """terra::terrain analog (slope/aspect, Horn's method) on the
+    partitioned raster — same strip-only halo exchange as
+    focal_sum_tiles, different stencil finish, ALL integer:
+
+    - gx = Σ east column · [1,2,1] − Σ west column · [1,2,1]
+      gy = Σ north row · [1,2,1] − Σ south row · [1,2,1]   (Horn 1981)
+    - slope_energy = Σ (gx² + gy²) over full-window pixels — the
+      integer carrier of mean squared gradient (÷(8·cellsize)² is a
+      driver-side constant, left to the caller so the distributed sum
+      stays exact int64)
+    - aspect classified into 8 compass octants by SIGN COMPARISONS
+      (|gx| vs |gy| and sign pairs) — no atan2, so the class counts are
+      engine-exact; flat (gx=gy=0) counted separately.
+
+    Returns per tile: (raster_id, tile_id, n_full, slope_energy,
+    n_flat, s0..s7).  Only pixels with a full in-raster 3×3 window
+    contribute (global raster edge excluded, like terra's edge NA)."""
+    T = TILE
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["values"].notna()]
-            rid, tid, fs, nf = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                p = np.zeros((T + 2, T + 2), dtype=np.int64)
-                m = np.zeros((T + 2, T + 2), dtype=np.int64)
-                p[1:-1, 1:-1] = np.asarray(
-                    row.values, dtype=np.int64
-                ).reshape(T, T)
-                m[1:-1, 1:-1] = 1
-                halos = row.halos if row.halos is not None else []
-                for h in halos:
-                    edr, edc, s = h["edr"], h["edc"], np.asarray(
-                        h["strip"], dtype=np.int64
-                    )
-                    jj = 0 if edr == -1 else T + 1
-                    ii = 0 if edc == -1 else T + 1
-                    if edr != 0 and edc != 0:
-                        p[jj, ii], m[jj, ii] = s[0], 1
-                    elif edr != 0:
-                        p[jj, 1:-1], m[jj, 1:-1] = s, 1
-                    else:
-                        p[1:-1, ii], m[1:-1, ii] = s, 1
-                focal = sum(
-                    p[a : a + T, b : b + T]
-                    for a in range(3)
-                    for b in range(3)
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "raster_id", "tile_id", "n_full", "slope_energy",
+                    "n_flat", *[f"s{o}" for o in range(8)],
                 )
+            }
+            for row in pdf.itertuples(index=False):
+                p, m = assemble_padded(row)
+
+                def sh(dj, di):
+                    return p[1 + dj : 1 + dj + T, 1 + di : 1 + di + T]
+
                 cnt = sum(
                     m[a : a + T, b : b + T]
                     for a in range(3)
                     for b in range(3)
                 )
-                rid.append(row.raster_id)
-                tid.append(row.tile_id)
-                fs.append(int(focal.sum()))
-                nf.append(int((cnt == 9).sum()))
+                full = cnt == 9
+                gx = (
+                    sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
+                    - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1))
+                )
+                gy = (
+                    sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
+                    - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1))
+                )
+                gx, gy = gx[full], gy[full]
+                ax, ay = np.abs(gx), np.abs(gy)
+                flat = (gx == 0) & (gy == 0)
+                octant = np.select(
+                    [
+                        (ax >= ay) & (gx > 0) & (gy >= 0),
+                        (ax < ay) & (gy > 0) & (gx >= 0),
+                        (ax < ay) & (gy > 0) & (gx < 0),
+                        (ax >= ay) & (gx < 0) & (gy >= 0),
+                        (ax >= ay) & (gx < 0) & (gy < 0),
+                        (ax < ay) & (gy < 0) & (gx <= 0),
+                        (ax < ay) & (gy < 0) & (gx > 0),
+                    ],
+                    list(range(7)),
+                    default=7,
+                )
+                out["raster_id"].append(row.raster_id)
+                out["tile_id"].append(row.tile_id)
+                out["n_full"].append(int(full.sum()))
+                out["slope_energy"].append(int((gx * gx + gy * gy).sum()))
+                out["n_flat"].append(int(flat.sum()))
+                for o in range(8):
+                    out[f"s{o}"].append(int(((octant == o) & ~flat).sum()))
             yield pd.DataFrame(
                 {
-                    "raster_id": rid,
-                    "tile_id": pd.Series(tid, dtype="int64"),
-                    "focal_sum": pd.Series(fs, dtype="int64"),
-                    "n_full": pd.Series(nf, dtype="int32"),
+                    "raster_id": out["raster_id"],
+                    "tile_id": pd.Series(out["tile_id"], dtype="int64"),
+                    "n_full": pd.Series(out["n_full"], dtype="int32"),
+                    "slope_energy": pd.Series(
+                        out["slope_energy"], dtype="int64"
+                    ),
+                    "n_flat": pd.Series(out["n_flat"], dtype="int64"),
+                    **{
+                        f"s{o}": pd.Series(out[f"s{o}"], dtype="int64")
+                        for o in range(8)
+                    },
                 }
             )
 
-    return joined.mapInPandas(convolve, out_schema)
+    out_schema = (
+        "raster_id string, tile_id long, n_full int, slope_energy long,"
+        " n_flat long, " + ", ".join(f"s{o} long" for o in range(8))
+    )
+    return halo_joined(tiles).mapInPandas(finish, out_schema)

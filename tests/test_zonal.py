@@ -253,3 +253,54 @@ def test_weighted_mean_query_invariants(spark):
     )
     got = sorted(r["wmean_val"] for r in rows.values())
     assert got == want
+
+
+def test_terrain_full_grid_replay(spark):
+    """Horn slope/aspect vs a numpy replay over the WHOLE regenerated
+    grid — the halo-exchange stencil must agree exactly with the dense
+    computation it distributes, including octant boundaries."""
+    from chopin_spark.queries.zonal import raster_terrain_horn
+    from chopin_spark.raster import NPX, NPY, V_MOD, V_MX, V_MY
+    from tests.conftest import SF_CORRECT
+
+    rows = raster_terrain_horn(spark, SF_CORRECT).collect()
+    assert len(rows) == 768
+    got_energy = sum(r["slope_energy"] for r in rows)
+    got_full = sum(r["n_full"] for r in rows)
+    got_oct = [sum(r[f"s{o}"] for r in rows) for o in range(8)]
+    got_flat = sum(r["n_flat"] for r in rows)
+
+    i, j = np.meshgrid(np.arange(NPX), np.arange(NPY), indexing="ij")
+    v = (i * V_MX + j * V_MY) % V_MOD
+
+    def z(di, dj):
+        return v[1 + di : NPX - 1 + di, 1 + dj : NPY - 1 + dj]
+
+    gx = (z(1, -1) + 2 * z(1, 0) + z(1, 1)) - (
+        z(-1, -1) + 2 * z(-1, 0) + z(-1, 1)
+    )
+    gy = (z(-1, 1) + 2 * z(0, 1) + z(1, 1)) - (
+        z(-1, -1) + 2 * z(0, -1) + z(1, -1)
+    )
+    assert got_full == (NPX - 2) * (NPY - 2)
+    assert got_energy == int((gx * gx + gy * gy).sum())
+    ax, ay = np.abs(gx), np.abs(gy)
+    flat = (gx == 0) & (gy == 0)
+    octant = np.select(
+        [
+            (ax >= ay) & (gx > 0) & (gy >= 0),
+            (ax < ay) & (gy > 0) & (gx >= 0),
+            (ax < ay) & (gy > 0) & (gx < 0),
+            (ax >= ay) & (gx < 0) & (gy >= 0),
+            (ax >= ay) & (gx < 0) & (gy < 0),
+            (ax < ay) & (gy < 0) & (gx <= 0),
+            (ax < ay) & (gy < 0) & (gx > 0),
+        ],
+        list(range(7)),
+        default=7,
+    )
+    assert got_flat == int(flat.sum())
+    for o in range(8):
+        assert got_oct[o] == int(((octant == o) & ~flat).sum())
+    # aspect classes must be non-degenerate: >1 octant actually occurs
+    assert sum(1 for o in got_oct if o > 0) > 1
