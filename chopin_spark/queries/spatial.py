@@ -261,3 +261,92 @@ def balanced_assign_approx_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total_docs"),
         ((F.max("n") - F.min("n")) <= F.lit(3)).alias("spread_ok"),
     )
+
+
+# --- global Moran's I (spatial autocorrelation of the page surface) ----------
+#
+# The statistic an exposure analyst computes right after chopin's zonal
+# summaries: is the per-tract page mass spatially clustered?  Global
+# Moran's I with rook-adjacency weights over the 16×16 tract grid,
+# EXACT: with D_i = n·x_i − S (n = 256 zones, S = Σx), the 1/n factors
+# cancel, so I = (n·Σ_pairs D_i·D_j) / (W·Σ D_i²) is a ratio of exact
+# int64 sums — shuffle-order independent, one final double division.
+#
+# Scale shape: the fact scan aggregates to the zone grid (tiny), the
+# adjacency join is zone×4-offsets — at 10^12 docs the heavy stage is
+# the same per-zone agg every zonal query pays; the Moran finish is
+# dimension-sized.  Empty tracts participate with x = 0 (the full-grid
+# LEFT JOIN), as the statistic requires.
+
+from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W  # noqa: E402
+
+_MORAN_BODY = """
+z AS (
+  SELECT c.gx, c.gy, COALESCE(SUM(d.n_chars), 0) AS x
+  FROM cells c LEFT JOIN d ON d.gx = c.gx AND d.gy = c.gy
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT gx, gy,
+         CAST({n} AS BIGINT) * x - (SELECT SUM(x) FROM z) AS dd
+  FROM z
+),
+nb AS (
+  SELECT t.gx + o.dx AS ngx, t.gy + o.dy AS ngy, t.dd
+  FROM t CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)
+),
+pairs AS (
+  SELECT nb.dd AS d1, t2.dd AS d2
+  FROM nb JOIN t t2 ON nb.ngx = t2.gx AND nb.ngy = t2.gy
+)
+SELECT CAST({n} AS BIGINT) AS n_zones,
+       (SELECT COUNT(*) FROM pairs) AS w_links,
+       (SELECT CAST(SUM(d1 * d2) AS BIGINT) FROM pairs) AS num,
+       (SELECT CAST(SUM(dd * dd) AS BIGINT) FROM t) AS den,
+       ROUND(
+         CAST({n} AS DOUBLE) * (SELECT SUM(d1 * d2) FROM pairs)
+         / (CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+            * (SELECT SUM(dd * dd) FROM t)),
+         6) AS moran_i
+"""
+
+_NZ = TRACT_NX * TRACT_NY
+
+_MORAN_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_MORAN_BODY.format(n=_NZ)}
+"""
+
+_MORAN_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_MORAN_BODY.format(n=_NZ)}
+"""
+
+
+@register("moran_i_tracts", _MORAN_ORACLE)
+def moran_i_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (rook weights) of per-tract page mass —
+    integer-exact numerator/denominator via the n·x−S centering
+    identity; the adjacency join and all sums are engine-shared SQL."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_MORAN_SPARK)

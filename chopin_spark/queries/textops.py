@@ -589,3 +589,70 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), "comp_id"
     )
+
+
+# --- model-based quality filtering (hashed linear classifier) ----------------
+#
+# The DCLM / FineWeb-Edu curation step: a linear classifier over hashed
+# token features scores every document and a threshold keeps the head.
+# The MODEL is data: a 2^14-bucket weight vector applied as a sparse
+# dot product — at 10^12 docs this is one broadcast of a 16k-entry
+# weight table (here folded to a closed-form expression, the
+# deterministic stand-in for trained weights) and one linear scan with
+# JVM higher-order functions; per-doc score = Σ w[h(tok) mod 2^14],
+# integer-exact, zero shuffle before the final keep-rate rollup.
+
+_QC_BUCKETS = 16384
+_QC_W = "((({b}) * 2654435761) % 1999 - 999)"  # weights in [-999, 999]
+
+_QCLS_SPARK = f"""
+WITH uh AS (
+  SELECT doc_id, lang, {token_hashes_spark()} AS _uh FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(size(_uh) AS BIGINT) AS n_tok,
+         aggregate(
+           transform(_uh, _u -> {_QC_W.format(b='_u % ' + str(_QC_BUCKETS))}),
+           CAST(0 AS BIGINT), (_a, _w) -> _a + _w
+         ) AS w_sum
+  FROM uh
+)
+SELECT doc_id, lang, n_tok, w_sum,
+       ROUND(CAST(w_sum AS DOUBLE) / n_tok, 4) AS q_score,
+       CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM s
+"""
+
+_QCLS_ORACLE = f"""
+WITH uh AS (
+  SELECT doc_id, lang, {token_hashes_duckdb()} AS _uh FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(_uh) AS BIGINT) AS n_tok,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(_uh,
+               _u -> {_QC_W.format(b='_u % ' + str(_QC_BUCKETS))})),
+           (_a, _w) -> _a + _w
+         ) AS w_sum
+  FROM uh
+)
+SELECT doc_id, lang, n_tok, w_sum,
+       ROUND(CAST(w_sum AS DOUBLE) / n_tok, 4) AS q_score,
+       CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM s
+"""
+
+
+@register("quality_classifier_scores", _QCLS_ORACLE)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier: per-document sparse
+    dot product against a 2^14-bucket weight vector (closed-form
+    deterministic weights standing in for a trained model), integer
+    score sum, mean-weight score, threshold keep flag.  One scan, all
+    JVM HOFs — the model-based filtering stage of a curation
+    pipeline."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_QCLS_SPARK)

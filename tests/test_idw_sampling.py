@@ -115,3 +115,67 @@ def test_pack_sequences_offsets_are_contiguous(spark):
             straddlers += want_span > 1
             off += r["ntok"]
     assert straddlers > 0
+
+
+def test_quality_classifier_threshold_fires(spark):
+    """Model-based filtering must be non-vacuous (both classes occur),
+    scores must equal the numpy replay of the hashed linear model, and
+    the keep flag must follow the threshold."""
+    from chopin_spark.queries.textops import (
+        _QC_BUCKETS, quality_classifier_scores,
+    )
+
+    rows = quality_classifier_scores(spark, SF_CORRECT).collect()
+    assert len(rows) == 500
+    kept = sum(r["kept"] for r in rows)
+    assert 0 < kept < len(rows)  # threshold separates, not degenerate
+    P30 = 1_000_000_007
+    for r in rows[:50]:
+        assert r["kept"] == (1 if r["w_sum"] > 0 else 0)
+        assert r["q_score"] == pytest.approx(
+            round(r["w_sum"] / r["n_tok"], 4), abs=0
+        )
+    # replay one document's score end-to-end from raw text
+    import duckdb
+
+    doc = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_CORRECT}/documents.parquet' LIMIT 1"
+    ).fetchone()
+    want = 0
+    for tok in doc[1].split(" "):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % P30
+        want += ((h % _QC_BUCKETS) * 2654435761) % 1999 - 999
+    got = next(r for r in rows if r["doc_id"] == doc[0])
+    assert got["w_sum"] == want
+
+
+def test_moran_i_matches_numpy(spark):
+    """Moran's I vs a dense numpy replay (true-mean deviations): the
+    n·x−S integer identity must reproduce the textbook statistic to
+    float precision, and the page surface must be non-degenerate."""
+    import duckdb
+
+    from chopin_spark.queries.spatial import moran_i_tracts
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    r = moran_i_tracts(spark, SF_CORRECT).collect()[0]
+    assert r["n_zones"] == 256
+    # 15×16 interior edges per orientation, 2 orientations, 2 directions
+    assert r["w_links"] == 2 * 2 * 15 * 16  # = 960 directed links
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF_CORRECT}/documents.parquet'"
+    ).df()
+    ids = docs["doc_id"].to_numpy()
+    x, y = _coords(ids, sx._MX, sx._MY)
+    gx = np.floor(x / TRACT_W).astype(int)
+    gy = np.floor(y / TRACT_H).astype(int)
+    z = np.zeros((TRACT_NX, TRACT_NY), dtype=np.int64)
+    np.add.at(z, (gx, gy), docs["n_chars"].to_numpy().astype(np.int64))
+    d = z - z.mean()
+    num = (d[1:, :] * d[:-1, :]).sum() * 2 + (d[:, 1:] * d[:, :-1]).sum() * 2
+    den = (d * d).sum()
+    want = (256 / 960) * num / den
+    assert r["moran_i"] == pytest.approx(round(want, 6), abs=1e-6)
+    assert den > 0
