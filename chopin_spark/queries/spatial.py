@@ -350,3 +350,90 @@ def moran_i_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity; the adjacency join and all sums are engine-shared SQL."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_MORAN_SPARK)
+
+
+# --- Getis-Ord Gi* hotspot detection ----------------------------------------
+#
+# Moran's I says WHETHER the surface clusters; Gi* says WHERE.  Same
+# tract grid, rook neighborhood PLUS self (the * variant).  The z-score
+# is exact-integer until one final sqrt:
+#   A_i = n·Σ_{j∈N(i)∪{i}} x_j − S·W_i          (integer)
+#   V   = n·Σx² − S²                            (integer)
+#   z_i = A_i / sqrt(V·(n·W_i − W_i²)/(n−1))
+# (the standard Gi* with binary weights after multiplying num/den by n;
+# S = Σx).  Both engines evaluate the same three float ops on the same
+# exact integers, so ROUND(·, 6) is hash-safe.
+
+_GISTAR_BODY = """
+z AS (
+  SELECT c.gx, c.gy, COALESCE(SUM(d.n_chars), 0) AS x
+  FROM cells c LEFT JOIN d ON d.gx = c.gx AND d.gy = c.gy
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS s,
+         CAST({n} AS BIGINT) * CAST(SUM(x * x) AS BIGINT)
+           - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS v
+  FROM z
+),
+nb AS (
+  SELECT z.gx + o.dx AS ngx, z.gy + o.dy AS ngy, z.x
+  FROM z CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+                    AS o(dx, dy)
+),
+hood AS (
+  SELECT z2.gx, z2.gy,
+         CAST(SUM(nb.x) AS BIGINT) AS nsum,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM nb JOIN z z2 ON nb.ngx = z2.gx AND nb.ngy = z2.gy
+  GROUP BY 1, 2
+)
+SELECT h.gx, h.gy, h.w AS w_i,
+       CAST({n} AS BIGINT) * h.nsum - t.s * h.w AS a_i,
+       ROUND(
+         (CAST({n} AS BIGINT) * h.nsum - t.s * h.w)
+         / SQRT(CAST(t.v AS DOUBLE)
+                * (CAST({n} AS BIGINT) * h.w - h.w * h.w)
+                / ({n} - 1.0)),
+         6) AS gi_z
+FROM hood h CROSS JOIN tot t
+"""
+
+_GISTAR_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_GISTAR_BODY.format(n=_NZ)}
+"""
+
+_GISTAR_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_GISTAR_BODY.format(n=_NZ)}
+"""
+
+
+@register("getis_ord_hotspots", _GISTAR_ORACLE)
+def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tract Getis-Ord Gi* z-scores of page mass (rook + self
+    neighborhood) — the hotspot-detection finish of the zonal summary
+    family, exact-integer to the final sqrt."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_GISTAR_SPARK)

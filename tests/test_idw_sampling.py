@@ -179,3 +179,41 @@ def test_moran_i_matches_numpy(spark):
     want = (256 / 960) * num / den
     assert r["moran_i"] == pytest.approx(round(want, 6), abs=1e-6)
     assert den > 0
+
+
+def test_getis_ord_matches_numpy(spark):
+    """Gi* z-scores vs the textbook formula on a dense numpy surface —
+    edge/corner tracts exercise the variable W_i path; hot and cold
+    tracts must both occur (|z| > 1 somewhere in both signs at this
+    fixture, else the statistic is degenerate)."""
+    import duckdb
+
+    from chopin_spark.queries.spatial import getis_ord_hotspots
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    rows = getis_ord_hotspots(spark, SF_CORRECT).collect()
+    assert len(rows) == 256
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF_CORRECT}/documents.parquet'"
+    ).df()
+    ids = docs["doc_id"].to_numpy()
+    x, y = _coords(ids, sx._MX, sx._MY)
+    gx = np.floor(x / TRACT_W).astype(int)
+    gy = np.floor(y / TRACT_H).astype(int)
+    z = np.zeros((TRACT_NX, TRACT_NY), dtype=np.float64)
+    np.add.at(z, (gx, gy), docs["n_chars"].to_numpy().astype(np.float64))
+    n = 256
+    xbar, s2 = z.mean(), (z * z).mean() - z.mean() ** 2
+    S = np.sqrt(s2)
+    for r in rows:
+        i, j = r["gx"], r["gy"]
+        nsum, w = z[i, j], 1
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            if 0 <= i + di < TRACT_NX and 0 <= j + dj < TRACT_NY:
+                nsum += z[i + di, j + dj]
+                w += 1
+        assert r["w_i"] == w
+        want = (nsum - xbar * w) / (S * np.sqrt((n * w - w * w) / (n - 1)))
+        assert r["gi_z"] == pytest.approx(round(float(want), 6), abs=1e-6)
+    zs = [r["gi_z"] for r in rows]
+    assert max(zs) > 1.0 and min(zs) < -1.0
