@@ -198,3 +198,58 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
+
+
+# --- stream-stream interval join (attribution) -------------------------------
+
+_SSJOIN_ORACLE = """
+SELECT v.user_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(epoch_us(c.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_lag_us,
+       ROUND(CAST(SUM(epoch_us(c.ts) - epoch_us(v.ts)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0), 4) AS avg_lag_s
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+
+@register("stream_view_click_join", _SSJOIN_ORACLE)
+def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→click attribution within
+    30 min per user), drained append-mode, then rolled up per user —
+    streaming==batch join equivalence under the driver's value hash.
+    Lag sums are exact integer microseconds."""
+    out = _drain_append(
+        S.view_click_interval_join(
+            _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
+        ),
+        "stream_ssj",
+        spark,
+    )
+    return out.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.unix_micros("c_ts") - F.unix_micros("v_ts")
+        ).alias("sum_lag_us"),
+        F.round(
+            F.sum(F.unix_micros("c_ts") - F.unix_micros("v_ts")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            4,
+        ).alias("avg_lag_s"),
+    )
+
+
+def _drain_append(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
+    name = f"{prefix}_{next(_SEQ)}"
+    ck = tempfile.mkdtemp(prefix="ck_stream_")
+    try:
+        S.run_available_now(df, name, ck, output_mode="append")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name)

@@ -183,3 +183,41 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def view_click_interval_join(
+    views: DataFrame, clicks: DataFrame, gap_min: int = 30
+) -> DataFrame:
+    """Stream-stream INTERVAL JOIN: click events joined to the view
+    events they follow within `gap_min` minutes, per user — the
+    attribution join every event pipeline runs, and the one Structured
+    Streaming operator class the windowed/session/stateful queries
+    don't exercise.  Both sides carry a watermark and the join
+    condition time-bounds both streams, so the state store can expire
+    rows: state size is O(events inside the watermark horizon), not
+    O(stream) — the property that lets the join run forever at crawl
+    scale.  Append-mode output (join rows emit exactly once when both
+    matches are final under the watermark)."""
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return v.join(
+        c,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts"
+            f" AND c_ts <= v_ts + interval {gap_min} minutes"
+        ),
+    )
