@@ -222,3 +222,67 @@ def idw_interpolation_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         radius=_IDW_RADIUS, d0=_IDW_D0,
     )
     return out.select("doc_id", "p_size_idw", "n_within")
+
+
+# --- empirical semivariogram (spatial structure of the page surface) ---------
+
+_VG_MAXLAG = 100_000.0
+_VG_BINW = 10_000.0
+
+_VARIOGRAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_DX} AS x, {_DY} AS y FROM documents
+),
+pairs AS (
+  SELECT a.n_chars AS xa, b.n_chars AS xb,
+         SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT CAST(FLOOR(dist / {_VG_BINW!r}) AS BIGINT) AS lag_bin,
+       COUNT(*) AS n_pairs,
+       CAST(SUM((xa - xb) * (xa - xb)) AS BIGINT) AS sq_sum,
+       ROUND(CAST(SUM((xa - xb) * (xa - xb)) AS DOUBLE)
+             / (2.0 * COUNT(*)), 4) AS gamma
+FROM pairs
+WHERE dist <= {_VG_MAXLAG!r}
+GROUP BY 1
+"""
+
+
+@register("semivariogram_docs", _VARIOGRAM_ORACLE)
+def semivariogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram γ(h) of per-page n_chars in 10 km lag
+    bins up to 100 km — the spatial-structure diagnostic (kriging prep)
+    an exposure analyst runs after chopin's summaries.  The pair space
+    is the bounded-radius SELF-join of the fact table: cell-index
+    equi-join with padded context cells (vector._prep), never a global
+    cross join — pair volume is O(n · density · πR²), the same shape
+    that bounds sedc/knn at 10^12 rows.  Squared increments of integer
+    values make Σ(x_i−x_j)² exact int64; one double division finishes
+    γ."""
+    from chopin_spark.vector import _prep
+
+    docs = _docs_pts(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "x", "y"
+    )
+    g = make_regular_grid(8, 6, pad=_VG_MAXLAG)
+    pairs = _prep(
+        docs, docs, g, ["doc_id", "n_chars"], ["doc_id", "n_chars"]
+    ).filter(
+        (F.col("_d") <= _VG_MAXLAG) & (F.col("doc_id") < F.col("c_doc_id"))
+    )
+    dx = F.col("n_chars") - F.col("c_n_chars")
+    return (
+        pairs.groupBy(
+            F.floor(F.col("_d") / _VG_BINW).cast("long").alias("lag_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dx * dx).alias("sq_sum"),
+            F.round(
+                F.sum(dx * dx).cast("double")
+                / (F.lit(2.0) * F.count(F.lit(1))),
+                4,
+            ).alias("gamma"),
+        )
+    )
