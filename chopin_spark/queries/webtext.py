@@ -348,3 +348,85 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=_PR_ITERS).select(
         F.col("node").alias("host_num"), F.col("rank").alias("rank_micro")
     )
+
+
+# --- triangle counting on the host link graph --------------------------------
+#
+# The third classic distributed graph kernel next to the CC and
+# PageRank rounds above: per-host triangle counts on the simple
+# undirected host graph.  Degree-ordered orientation (orient each edge
+# toward the higher-(degree, id) endpoint) makes the wedge join's
+# fan-out O(m^1.5) worst-case instead of O(Σ deg²) — hub hosts, the
+# skew case at crawl scale, stop generating wedges as soon as they
+# outrank their neighbors.  Each triangle is counted exactly once as
+# (u→v, v→w, u→w); the whole kernel is three equi-joins + one agg,
+# dialect-neutral SQL shared verbatim by both engines.
+#
+# The PageRank edge rule cannot be reused here: its dst is a fixed
+# linear function of src mod 97 (a functional graph — cycles only,
+# ZERO triangles by construction).  The triangle kernel draws its two
+# endpoints from independent digits of doc_id instead.
+
+_TRI_SRC = "(doc_id * 69069) % 97"
+_TRI_DST = "((CAST(FLOOR(doc_id / 97.0) AS BIGINT) * 48271) + doc_id) % 97"
+
+_TRI_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM (
+    SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst
+    FROM documents WHERE {_TRI_SRC} <> {_TRI_DST}
+  ) raw
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) n
+  GROUP BY node
+),
+ore AS (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v)
+              THEN v ELSE u END AS t
+  FROM und
+  JOIN deg d1 ON d1.node = u
+  JOIN deg d2 ON d2.node = v
+),
+tri AS (
+  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+  FROM ore e1
+  JOIN ore e2 ON e2.s = e1.t
+  JOIN ore e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+pn AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri
+)
+SELECT node AS host_id, COUNT(*) AS tri_cnt
+FROM pn GROUP BY node
+"""
+
+
+_TRI_ORE_SQL = _TRI_SQL[: _TRI_SQL.index("tri AS (")].rstrip().rstrip(",") + "\nSELECT s, t FROM ore"
+
+_TRI_FINISH_SQL = (
+    "WITH " + _TRI_SQL[_TRI_SQL.index("tri AS (") :].replace("ore e1", "ore_m e1")
+    .replace("ore e2", "ore_m e2")
+    .replace("ore e3", "ore_m e3")
+)
+
+
+@register("host_triangle_counts", _TRI_SQL)
+def host_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts via degree-ordered wedge joins — each
+    triangle found exactly once, hub-skew bounded by the orientation.
+    The oriented edge list materializes ONCE (localCheckpoint — it is
+    host-dimension-sized) before the three-way join; Spark inlines
+    CTEs, so running _TRI_SQL directly would recompute the distinct
+    edge shuffle for every one of the seven references.  The oracle
+    runs the single shared _TRI_SQL text (DuckDB materializes CTEs)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    ore = spark.sql(_TRI_ORE_SQL).localCheckpoint()
+    ore.createOrReplaceTempView("ore_m")
+    return spark.sql(_TRI_FINISH_SQL)
