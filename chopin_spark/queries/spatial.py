@@ -437,3 +437,83 @@ def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, exact-integer to the final sqrt."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_GISTAR_SPARK)
+
+
+# --- local Moran (LISA cluster/outlier classification) -----------------------
+#
+# The per-zone companion of global Moran's I: which tracts sit in
+# high-high / low-low clusters vs high-low / low-high outliers.
+# Same integer identity: with D_i = n·x_i − S,
+#   I_i = n · D_i · Σ_{j∈N(i)} D_j / Σ_k D_k²
+# (binary rook weights, population m2) — numerator and denominator are
+# exact int64, the quadrant label is two sign tests, and the only
+# float op is the final division.
+
+_LISA_BODY = """
+z AS (
+  SELECT c.gx, c.gy, COALESCE(SUM(d.n_chars), 0) AS x
+  FROM cells c LEFT JOIN d ON d.gx = c.gx AND d.gy = c.gy
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT gx, gy,
+         CAST({n} AS BIGINT) * x - (SELECT SUM(x) FROM z) AS dd
+  FROM z
+),
+nb AS (
+  SELECT t.gx + o.dx AS ngx, t.gy + o.dy AS ngy, t.dd
+  FROM t CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)
+),
+hood AS (
+  SELECT t2.gx, t2.gy, t2.dd, CAST(SUM(nb.dd) AS BIGINT) AS nsum
+  FROM nb JOIN t t2 ON nb.ngx = t2.gx AND nb.ngy = t2.gy
+  GROUP BY 1, 2, 3
+)
+SELECT h.gx, h.gy,
+       CAST(CAST({n} AS BIGINT) * h.dd * h.nsum AS BIGINT) AS num,
+       ROUND(CAST({n} AS BIGINT) * h.dd * h.nsum
+             / CAST((SELECT SUM(dd * dd) FROM t) AS DOUBLE), 6) AS lisa_i,
+       CASE WHEN h.dd >= 0 AND h.nsum >= 0 THEN 'HH'
+            WHEN h.dd < 0 AND h.nsum < 0 THEN 'LL'
+            WHEN h.dd >= 0 THEN 'HL'
+            ELSE 'LH' END AS quadrant
+FROM hood h
+"""
+
+_LISA_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_LISA_BODY.format(n=_NZ)}
+"""
+
+_LISA_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_LISA_BODY.format(n=_NZ)}
+"""
+
+
+@register("lisa_local_moran", _LISA_ORACLE)
+def lisa_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran I_i with HH/LL/HL/LH quadrant labels per tract —
+    cluster/outlier detection, exact-integer numerator/denominator."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_LISA_SPARK)

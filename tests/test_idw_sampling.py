@@ -217,3 +217,46 @@ def test_getis_ord_matches_numpy(spark):
         assert r["gi_z"] == pytest.approx(round(float(want), 6), abs=1e-6)
     zs = [r["gi_z"] for r in rows]
     assert max(zs) > 1.0 and min(zs) < -1.0
+
+
+def test_lisa_matches_numpy(spark):
+    """Local Moran I_i vs the textbook per-zone formula; quadrant
+    labels must follow the deviation signs, and all four quadrants
+    should occur on this fixture."""
+    import duckdb
+
+    from chopin_spark.queries.spatial import lisa_local_moran
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    rows = lisa_local_moran(spark, SF_CORRECT).collect()
+    assert len(rows) == 256
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF_CORRECT}/documents.parquet'"
+    ).df()
+    ids = docs["doc_id"].to_numpy()
+    x, y = _coords(ids, sx._MX, sx._MY)
+    gx = np.floor(x / TRACT_W).astype(int)
+    gy = np.floor(y / TRACT_H).astype(int)
+    z = np.zeros((TRACT_NX, TRACT_NY), dtype=np.float64)
+    np.add.at(z, (gx, gy), docs["n_chars"].to_numpy().astype(np.float64))
+    d = z - z.mean()
+    m2 = (d * d).mean()
+    quads = set()
+    for r in rows:
+        i, j = r["gx"], r["gy"]
+        nsum = 0.0
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            if 0 <= i + di < TRACT_NX and 0 <= j + dj < TRACT_NY:
+                nsum += d[i + di, j + dj]
+        # I_i = d_i · Σ_nb d_j / m2  (m2 = Σd²/n, population)
+        want = d[i, j] * nsum / m2
+        assert r["lisa_i"] == pytest.approx(round(float(want), 6), abs=1e-6)
+        want_q = (
+            "HH" if d[i, j] >= 0 and nsum >= 0
+            else "LL" if d[i, j] < 0 and nsum < 0
+            else "HL" if d[i, j] >= 0
+            else "LH"
+        )
+        assert r["quadrant"] == want_q
+        quads.add(r["quadrant"])
+    assert quads == {"HH", "LL", "HL", "LH"}
