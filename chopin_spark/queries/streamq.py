@@ -223,12 +223,11 @@ def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     30 min per user), drained append-mode, then rolled up per user —
     streaming==batch join equivalence under the driver's value hash.
     Lag sums are exact integer microseconds."""
+    ev = _events_stream(spark, sf_dir)  # ONE source; the two join
+    # sides are filtered projections of it (self-join) — halves the
+    # file scan vs instantiating the stream twice
     out = _drain_append(
-        S.view_click_interval_join(
-            _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
-        ),
-        "stream_ssj",
-        spark,
+        S.view_click_interval_join(ev, ev), "stream_ssj", spark
     )
     return out.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
