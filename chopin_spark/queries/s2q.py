@@ -244,3 +244,50 @@ def s2_hierarchy_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="hkey STRING, n_docs BIGINT, mean_chars DOUBLE",
         region_col="s2_path", length_left=5,
     )
+
+
+# --- geohash cells (third interop-grade DGGS backend) ------------------------
+#
+# P7 par_make_dggrid offers multiple discrete-global-grid backends
+# (/root/reference/R/gridding.R:1023-1100); alongside quadkey and the
+# bit-compatible S2 index this adds GEOHASH — fully specified by its
+# public algorithm (no library constants), so the emitted base32
+# tokens are bit-identical to Elasticsearch/Redis/PostGIS geohashes
+# (pinned against published vectors in tests/test_sqlexpr.py).  The
+# float quantization runs ONCE in the CTE; the interleave is exact
+# int64 at any evaluation count.
+
+from chopin_spark.sqlexpr import (  # noqa: E402
+    geohash_expr, geohash_latbits_expr, geohash_lonbits_expr,
+)
+
+_GH_P = 5
+_GH = geohash_expr("lonb", "latb", _GH_P)
+
+_GH_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, n_chars, {_LON} AS lon, {_LAT} AS lat FROM documents
+),
+b AS (
+  SELECT doc_id, n_chars,
+         {geohash_lonbits_expr('lon', _GH_P)} AS lonb,
+         {geohash_latbits_expr('lat', _GH_P)} AS latb
+  FROM pts
+)
+SELECT {_GH} AS geohash,
+       SUBSTR({_GH}, 1, 2) AS parent2,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b
+GROUP BY 1, 2
+"""
+
+
+@register("geohash_cell_rollup", _GH_SQL)
+def geohash_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-geohash-cell rollup (precision 5, ~5 km cells) with the
+    2-char parent prefix — prefix truncation IS the parent relation,
+    the property that makes geohash a rollup-friendly DGGS.  Shared
+    SQL text both engines; real interop tokens."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_GH_SQL)

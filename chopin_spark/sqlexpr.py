@@ -185,3 +185,90 @@ def round4(expr: str) -> str:
     (non-associative fp addition across partitions) cannot flip the
     driver's value hash."""
     return f"ROUND({expr}, 4)"
+
+
+# --- geohash (base32 DGGS tokens — interop-grade) ----------------------------
+#
+# Standard public geohash (Niemeyer 2008): binary subdivision of
+# lon/lat, bits interleaved lon-first, 5-bit groups mapped to the
+# base32 alphabet.  Unlike the planar hex analog (see COVERAGE's H3
+# note), geohash needs NO library constants — the algorithm is fully
+# specified — so the emitted tokens are bit-compatible with every
+# geohash implementation (Elasticsearch, Redis, PostGIS); pinned
+# against published test vectors in tests/test_sqlexpr.py.
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_py(lon: float, lat: float, precision: int = 8) -> str:
+    """Reference Python encoder (tests + driver-side use)."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lonb = min(int((lon + 180.0) / 360.0 * (1 << nlon)), (1 << nlon) - 1)
+    latb = min(int((lat + 90.0) / 180.0 * (1 << nlat)), (1 << nlat) - 1)
+    acc = 0
+    for i in range(nbits):
+        if i % 2 == 0:  # even positions: lon, MSB first
+            bit = (lonb >> (nlon - 1 - i // 2)) & 1
+        else:
+            bit = (latb >> (nlat - 1 - i // 2)) & 1
+        acc = (acc << 1) | bit
+    return "".join(
+        GEOHASH_B32[(acc >> (5 * (precision - 1 - c))) & 31]
+        for c in range(precision)
+    )
+
+
+def geohash_lonbits_expr(lon: str, precision: int = 8) -> str:
+    nlon = (5 * precision + 1) // 2
+    return (
+        f"LEAST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {1 << nlon}) AS"
+        f" BIGINT), {(1 << nlon) - 1})"
+    )
+
+
+def geohash_latbits_expr(lat: str, precision: int = 8) -> str:
+    nlat = 5 * precision // 2
+    return (
+        f"LEAST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * {1 << nlat}) AS"
+        f" BIGINT), {(1 << nlat) - 1})"
+    )
+
+
+def geohash_expr(lonb: str, latb: str, precision: int = 8) -> str:
+    """Geohash token from PRE-QUANTIZED bit columns (see
+    geohash_lonbits_expr / geohash_latbits_expr — compute those once in
+    a CTE; the float quantization must evaluate exactly once, while
+    this expression re-derives the integer interleave per character,
+    which is exact int64 math at any evaluation count).  One shared SQL
+    text for Spark and DuckDB; the base32 lookup is SUBSTR over the
+    alphabet literal."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    terms = []
+    for i in range(nbits):
+        if i % 2 == 0:
+            src, shift = f"({lonb})", nlon - 1 - i // 2
+        else:
+            src, shift = f"({latb})", nlat - 1 - i // 2
+        w = nbits - 1 - i
+        terms.append(
+            f"(CAST(FLOOR({src} / {1 << shift}.0) AS BIGINT) % 2)"
+            + (f" * CAST({1 << w} AS BIGINT)" if w else "")
+        )
+    acc = "(" + " + ".join(terms) + ")"
+    # char c = (acc mod 2^(k+5)) div 2^k, k = 5·(p−1−c) — pure BIGINT
+    # mod + an exact double division of a small multiple of 2^k (a bare
+    # FLOOR(acc / 2^k) would round acc through double first, which
+    # corrupts the low bits once 5·p > 53)
+    chars = []
+    for c in range(precision):
+        k = 5 * (precision - 1 - c)
+        m = f"({acc} % CAST({1 << (k + 5)} AS BIGINT))"
+        chars.append(
+            f"SUBSTR('{GEOHASH_B32}', CAST(({m} - ({m} % {1 << k}))"
+            f" / {1 << k}.0 AS INT) + 1, 1)"
+        )
+    return "(" + " || ".join(chars) + ")"

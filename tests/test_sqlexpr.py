@@ -141,3 +141,34 @@ SELECT COUNT(*) FROM d WHERE dist > SQRT(7.0) * 1.0000001
 """
     ).fetchone()[0]
     assert bad == 0
+
+
+def test_geohash_published_vectors():
+    """Interop pins: tokens must match the published geohash examples
+    (the same class of external ground truth as test_s2's cell pin)."""
+    from chopin_spark.sqlexpr import geohash_py
+
+    assert geohash_py(10.40744, 57.64911, 11) == "u4pruydqqvj"
+    assert geohash_py(-5.603, 42.605, 5) == "ezs42"
+    assert geohash_py(-0.1278, 51.5074, 6) == geohash_py(-0.1278, 51.5074, 7)[:6]
+
+
+def test_geohash_sql_matches_python(spark):
+    """The shared SQL text reproduces the reference encoder on a lon/
+    lat sweep, in SPARK (DuckDB equality is exercised by the
+    geohash_cell_rollup oracle)."""
+    from chopin_spark.sqlexpr import (
+        geohash_expr, geohash_latbits_expr, geohash_lonbits_expr, geohash_py,
+    )
+
+    pts = [
+        (-124.9 + i * 9.7, 24.1 + (i * 2.63) % 25.0) for i in range(12)
+    ] + [(10.40744, 57.64911), (-5.603, 42.605)]
+    for p in (5, 8, 11):
+        df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+            "lon", "lat",
+            f"{geohash_lonbits_expr('lon', p)} AS lonb",
+            f"{geohash_latbits_expr('lat', p)} AS latb",
+        ).selectExpr("lon", "lat", f"{geohash_expr('lonb', 'latb', p)} AS gh")
+        for r in df.collect():
+            assert r["gh"] == geohash_py(r["lon"], r["lat"], p)
