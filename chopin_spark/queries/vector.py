@@ -9,6 +9,8 @@ scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -285,4 +287,85 @@ def semivariogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("gamma"),
         )
+    )
+
+
+# --- Ripley's K / L (point-pattern clustering across scales) -----------------
+
+_RK_MAX = 100_000.0
+_RK_STEP = 20_000.0
+_EXT_AREA = 800_000.0 * 600_000.0  # working extent, m²
+
+_RIPLEY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM d),
+pairs AS (
+  SELECT CAST(FLOOR(SQRT((a.x - b.x) * (a.x - b.x)
+                         + (a.y - b.y) * (a.y - b.y)) / {_RK_STEP!r})
+              AS BIGINT) AS bin
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+        <= {_RK_MAX!r}
+),
+bins AS (
+  SELECT bin, COUNT(*) AS cnt FROM pairs GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(cnt) OVER (ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+  FROM bins
+)
+SELECT CAST((bin + 1) * {_RK_STEP!r} AS BIGINT) AS r_m,
+       cum_pairs,
+       ROUND({_EXT_AREA!r} * 2.0 * cum_pairs
+             / (CAST((SELECT n FROM n) AS DOUBLE)
+                * (SELECT n FROM n)), 4) AS k_hat,
+       ROUND(SQRT({_EXT_AREA!r} * 2.0 * cum_pairs
+                  / (CAST((SELECT n FROM n) AS DOUBLE)
+                     * (SELECT n FROM n)) / PI()), 4) AS l_hat
+FROM cum
+"""
+
+
+@register("ripley_k_docs", _RIPLEY_ORACLE)
+def ripley_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K̂(r) and L̂(r) for the document point pattern at
+    r = 20..100 km (no edge correction — the statistic is defined on
+    the closed working extent).  Pair counting rides the SAME
+    bounded-radius cell-index self-join as the semivariogram; the
+    cumulative finish is a 5-row window.  Complete-spatial-randomness
+    reference: L̂(r) ≈ r."""
+    from chopin_spark.vector import _prep
+
+    docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
+    g = make_regular_grid(8, 6, pad=_RK_MAX)
+    pairs = _prep(docs, docs, g, ["doc_id"], ["doc_id"]).filter(
+        (F.col("_d") <= _RK_MAX) & (F.col("doc_id") < F.col("c_doc_id"))
+    )
+    n = docs.count()  # driver scalar: one count of the fact table
+    bins = pairs.groupBy(
+        F.floor(F.col("_d") / _RK_STEP).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum_pairs", F.sum("cnt").over(w).cast("long"))
+    k = F.round(
+        F.lit(_EXT_AREA) * 2.0 * F.col("cum_pairs") / (float(n) * n), 4
+    )
+    el = F.round(
+        F.sqrt(
+            F.lit(_EXT_AREA) * 2.0 * F.col("cum_pairs")
+            / (float(n) * n) / math.pi
+        ),
+        4,
+    )
+    return cum.select(
+        ((F.col("bin") + 1) * F.lit(_RK_STEP)).cast("long").alias("r_m"),
+        "cum_pairs",
+        k.alias("k_hat"),
+        el.alias("l_hat"),
     )
