@@ -517,3 +517,92 @@ def lisa_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster/outlier detection, exact-integer numerator/denominator."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_LISA_SPARK)
+
+
+# --- Mann-Kendall trend per tract (emerging-hotspot analysis) ----------------
+#
+# The space-time finish of the hotspot family (ArcGIS "emerging hot
+# spot" workflow): per tract, the Mann-Kendall trend statistic
+# S = Σ_{i<j} sign(c_j − c_i) over the DAILY event-count series —
+# upward S > 0, downward S < 0, all integer (sign comparisons on
+# integer counts; ties contribute 0).  The day×tract lattice is built
+# exhaustively (absent days count 0 — a zone going quiet IS a trend).
+#
+# Scale shape: facts collapse to the (tract, day) cube first (one
+# partial+final agg); the pair stage is the TIME self-join — O(T²) per
+# zone with T = #days (30 here), a dimension-sized quadratic, joined
+# on the zone key.
+
+_MK_DAYS = 30  # events span 2024-01-01 .. 2024-01-30
+
+_MK_BODY = """
+cube0 AS (
+  SELECT c.gx, c.gy, dy.d,
+         COALESCE(SUM(e.one), 0) AS cnt
+  FROM cells c
+  CROSS JOIN days dy
+  LEFT JOIN e ON e.gx = c.gx AND e.gy = c.gy AND e.d = dy.d
+  GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.gx, a.gy,
+         CASE WHEN b.cnt > a.cnt THEN 1
+              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+  FROM cube0 a
+  JOIN cube0 b ON b.gx = a.gx AND b.gy = a.gy AND b.d > a.d
+)
+SELECT gx, gy,
+       CAST(SUM(sgn) AS BIGINT) AS mk_s,
+       CAST(SUM(CASE WHEN sgn <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_untied_pairs,
+       CASE WHEN SUM(sgn) > 0 THEN 'up'
+            WHEN SUM(sgn) < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM pairs
+GROUP BY 1, 2
+"""
+
+_MK_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+days AS (
+  SELECT explode(sequence(1, {_MK_DAYS})) AS d
+),
+e AS (
+  SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         day(ts) AS d, 1 AS one
+  FROM events WHERE month(ts) = 1
+),
+{_MK_BODY}
+"""
+
+_MK_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+days AS (
+  SELECT d FROM generate_series(1, {_MK_DAYS}) AS gd(d)
+),
+e AS (
+  SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         CAST(day(ts) AS BIGINT) AS d, 1 AS one
+  FROM events WHERE month(ts) = 1
+),
+{_MK_BODY}
+"""
+
+
+@register("mann_kendall_tract_trend", _MK_ORACLE)
+def mann_kendall_tract_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tract Mann-Kendall trend of daily event counts over the
+    30-day window — integer sign-pair sums on the exhaustive space-time
+    cube (absent days = 0)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MK_SPARK)
