@@ -109,3 +109,48 @@ def trajectory_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence is total-ordered in both engines."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_TRAJ_SQL)
+
+
+# --- ordered funnel (view → signup → purchase) -------------------------------
+#
+# Event-sequence analytics: how many users complete each stage IN
+# ORDER (a signup only counts after that user's first view; a purchase
+# only after that ordered signup).  Expressed as three
+# conditional-minimum passes — each is one agg on user_id plus one
+# equi-join back, the combiner-friendly shape (no per-user sort, no
+# window over the whole event stream; at 10^12 events each stage is a
+# partial+final MIN on the already-bucketed user key).  Timestamps
+# compare at native microsecond precision — no floats anywhere.
+
+_FUNNEL_SQL = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t1
+  WHERE e.event_type = 'signup' GROUP BY 1
+),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id AND e.ts > u2.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM u1) AS n_view,
+       (SELECT COUNT(*) FROM u2) AS n_view_signup,
+       (SELECT COUNT(*) FROM u3) AS n_full_funnel,
+       ROUND(CAST((SELECT COUNT(*) FROM u2) AS DOUBLE)
+             / (SELECT COUNT(*) FROM u1), 4) AS conv_signup,
+       ROUND(CAST((SELECT COUNT(*) FROM u3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM u2), 4) AS conv_purchase
+"""
+
+
+@register("funnel_view_signup_purchase", _FUNNEL_SQL)
+def funnel_view_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel with per-stage conversion rates —
+    shared SQL text both engines (see _FUNNEL_SQL)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_FUNNEL_SQL)
