@@ -936,3 +936,78 @@ def raster_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on)."""
     tiles = _tiles(spark, n_rasters=1)
     return terrain_tiles(tiles)
+
+
+# --- C1 categorical zonal stats: majority / minority / variety ---------------
+#
+# exact_extract's 'majority'/'minority'/'variety' summaries (reachable
+# through chopin's func passthrough, /root/reference/R/processing.R:
+# 133-142) operate on CATEGORICAL rasters.  The continuous DN is
+# reclassified into 10 landcover-style classes (val % 10 — pure column
+# math, terra::classify analog); the per-(zone, class) histogram then
+# combines associatively (map-side partials; final table is zones x 10
+# rows regardless of raster size — the 100-TB shape).  Ties broken
+# deterministically toward the SMALLER class id in both engines.
+
+_MODE_ORACLE = f"""
+WITH px AS ({_PX_GRID}),
+h AS (
+  SELECT {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
+         ({pixel_value_sql('i', 'j', 0)}) % 10 AS cls,
+         COUNT(*) AS cnt
+  FROM px GROUP BY 1, 2
+),
+r AS (
+  SELECT zone_id, cls, cnt,
+         ROW_NUMBER() OVER (PARTITION BY zone_id
+                            ORDER BY cnt DESC, cls ASC) AS rmaj,
+         ROW_NUMBER() OVER (PARTITION BY zone_id
+                            ORDER BY cnt ASC, cls ASC) AS rmin
+  FROM h
+)
+SELECT 'r0' AS raster_id, zone_id,
+       CAST(MAX(CASE WHEN rmaj = 1 THEN cls END) AS BIGINT)
+         AS majority_cls,
+       CAST(MAX(CASE WHEN rmaj = 1 THEN cnt END) AS BIGINT)
+         AS majority_cnt,
+       CAST(MAX(CASE WHEN rmin = 1 THEN cls END) AS BIGINT)
+         AS minority_cls,
+       CAST(COUNT(*) AS BIGINT) AS variety,
+       CAST(SUM(cnt) AS BIGINT) AS n_pixels
+FROM r GROUP BY 2
+"""
+
+
+@register("extract_at_mode", _MODE_ORACLE)
+def extract_at_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical zonal stats (exact_extract majority/minority/
+    variety): reclassify DN -> 10 classes in the JVM, build the
+    (zone, class) histogram, finish with struct-max argmax —
+    max(struct(cnt, -cls)) picks the largest count and the smallest
+    class on ties, min(struct(cnt, cls)) the minority.  One shuffle on
+    the histogram key; the finish agg sees <= 10 rows per zone."""
+    tiles = _tiles(spark, n_rasters=1)
+    px = tile_pixels(tiles).withColumn(
+        "zone_id", F.expr(Z.zone_id_expr(_PCX, _PCY))
+    )
+    hist = (
+        px.withColumn("cls", F.col("val") % 10)
+        .groupBy("raster_id", "zone_id", "cls")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = hist.groupBy("raster_id", "zone_id").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("cls")).alias("nc")))
+        .alias("maj"),
+        F.min(F.struct(F.col("cnt"), F.col("cls"))).alias("mino"),
+        F.count(F.lit(1)).alias("variety"),
+        F.sum("cnt").alias("n_pixels"),
+    )
+    return agg.select(
+        "raster_id",
+        "zone_id",
+        (-F.col("maj.nc")).cast("long").alias("majority_cls"),
+        F.col("maj.cnt").cast("long").alias("majority_cnt"),
+        F.col("mino.cls").cast("long").alias("minority_cls"),
+        F.col("variety").cast("long").alias("variety"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+    )
