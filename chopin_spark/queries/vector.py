@@ -369,3 +369,71 @@ def ripley_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_hat"),
         el.alias("l_hat"),
     )
+
+
+# --- DBSCAN (density-based clusters of the document point pattern) -----------
+
+_DB_EPS = 50_000.0
+_DB_MINPTS = 6
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+prs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+  WHERE SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+        <= {_DB_EPS!r}
+),
+core AS (
+  SELECT a FROM prs GROUP BY a HAVING COUNT(*) + 1 >= {_DB_MINPTS}
+),
+ce AS (
+  SELECT p.a AS src, p.b AS dst FROM prs p
+  JOIN core c1 ON c1.a = p.a
+  JOIN core c2 ON c2.a = p.b
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM ce
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN ce e ON e.src = r.b
+),
+comp0 AS (SELECT a AS node, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY 1),
+comps AS (
+  SELECT node, comp_id FROM comp0
+  UNION ALL
+  SELECT a, a FROM core WHERE a NOT IN (SELECT node FROM comp0)
+),
+border AS (
+  SELECT p.a, MIN(c.comp_id) AS comp_id
+  FROM prs p JOIN comps c ON c.node = p.b
+  WHERE p.a NOT IN (SELECT a FROM core)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(cm.comp_id, b.comp_id, -1) AS BIGINT) AS cluster_id,
+       CASE WHEN cm.node IS NOT NULL THEN 'core'
+            WHEN b.a IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM d
+LEFT JOIN comps cm ON cm.node = d.doc_id
+LEFT JOIN border b ON b.a = d.doc_id
+"""
+
+
+@register("dbscan_docs", _DBSCAN_ORACLE)
+def dbscan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based distributed DBSCAN (ε = 50 km, min_pts = 6) over the
+    document point pattern — per-point (cluster_id, core/border/noise)
+    labels. ε-graph from the bounded cell-index self-join; clusters =
+    star-CC over core–core edges; border points take the MIN cluster
+    id among core neighbors (deterministic replacement for sequential
+    DBSCAN's visit-order rule — see chopin_spark.dbscan). Oracle:
+    DuckDB recursive-CTE transitive closure over identically-recomputed
+    core edges — a second, independent fixpoint algorithm."""
+    from chopin_spark.dbscan import dbscan
+
+    docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
+    g = make_regular_grid(16, 12, pad=_DB_EPS)
+    return dbscan(docs, g, "doc_id", eps=_DB_EPS, min_pts=_DB_MINPTS)
