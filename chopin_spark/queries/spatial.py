@@ -606,3 +606,65 @@ def mann_kendall_tract_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube (absent days = 0)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_MK_SPARK)
+
+
+# --- per-zone convex hull (hull-of-hulls two-level reduce) --------------------
+
+_HULL_CROSS = (
+    "((q.ix - p.ix) * (r.iy - p.iy) - (q.iy - p.iy) * (r.ix - p.ix))"
+)
+
+_HULL_ORACLE = f"""
+WITH d AS (
+  SELECT {sx.grid_cell_expr(_DOC_X, _DOC_Y, NX, NY)} AS zone_id,
+         CAST(FLOOR({_DOC_X}) AS BIGINT) AS ix,
+         CAST(FLOOR({_DOC_Y}) AS BIGINT) AS iy
+  FROM documents
+),
+pts AS (SELECT DISTINCT zone_id, ix, iy FROM d),
+e AS (
+  SELECT p.zone_id, p.ix AS px, p.iy AS py, q.ix AS qx, q.iy AS qy
+  FROM pts p JOIN pts q
+    ON p.zone_id = q.zone_id AND (p.ix <> q.ix OR p.iy <> q.iy)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts r
+    WHERE r.zone_id = p.zone_id
+      AND (r.ix <> p.ix OR r.iy <> p.iy)
+      AND (r.ix <> q.ix OR r.iy <> q.iy)
+      AND ({_HULL_CROSS} < 0
+        OR ({_HULL_CROSS} = 0
+           AND NOT (r.ix BETWEEN LEAST(p.ix, q.ix)
+                             AND GREATEST(p.ix, q.ix)
+                AND r.iy BETWEEN LEAST(p.iy, q.iy)
+                             AND GREATEST(p.iy, q.iy))))
+  )
+)
+SELECT zone_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(px * qy - py * qx) AS BIGINT) AS area2,
+       ROUND(SUM(SQRT(CAST((qx - px) * (qx - px)
+                           + (qy - py) * (qy - py) AS DOUBLE))), 4)
+         AS perim_m
+FROM e GROUP BY 1
+"""
+
+
+@register("zone_convex_hulls", _HULL_ORACLE)
+def zone_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-grid-cell convex hull of the document point pattern
+    (terra::convHull per group), distributed as a hull-of-hulls
+    two-level reduce (chopin_spark.hull): local monotone-chain hulls
+    per Arrow batch, final hull over the tiny vertex union — the only
+    shuffle carries hull vertices.  Integer-meter quantization makes
+    orientation tests and the shoelace 2×area EXACT int64 in both
+    engines.  Oracle: the O(n³) hull-EDGE characterization (directed
+    edge iff every other point is strictly left, or collinear within
+    the segment box) — an entirely different hull algorithm."""
+    from chopin_spark.hull import convex_hull_stats
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(sx.grid_cell_expr(_DOC_X, _DOC_Y, NX, NY)).alias("zone_id"),
+        F.expr(f"CAST(FLOOR({_DOC_X}) AS BIGINT)").alias("ix"),
+        F.expr(f"CAST(FLOOR({_DOC_Y}) AS BIGINT)").alias("iy"),
+    )
+    return convex_hull_stats(docs)
