@@ -656,3 +656,86 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_QCLS_SPARK)
+
+
+# --- BM25 top-k retrieval (inverted-index scoring over the corpus) -----------
+#
+# The IR primitive of a web-corpus engine: score every document against
+# a fixed keyword query with Okapi BM25 (Lucene IDF variant) and return
+# the top-k.  Distributed shape: explode tokens -> FILTER TO QUERY
+# TERMS FIRST (the selective predicate prunes ~90% of postings before
+# any shuffle) -> per-(doc, term) tf; df and the global (N, avgdl)
+# scalars ride a broadcast; one final per-doc sum + top-k.  At 100 TB
+# the shuffled volume is the POSTINGS OF THE QUERY TERMS only — the
+# inverted-index access path, never the corpus.
+
+_BM_TERMS = ("dup", "spark", "merge")
+_BM_K1, _BM_B, _BM_K = 1.2, 0.75, 20
+
+_BM_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM_TERMS)
+
+
+def _bm25_sql(split_fn: str) -> str:
+    """Shared SQL text; `split_fn` is the dialect's split-to-list call."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {split_fn} AS tk FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST({{size_fn}}(tk) AS BIGINT) AS dl FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+post AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, {{unnest_fn}} AS t FROM toks)
+  WHERE t IN ({_BM_TERMS_SQL})
+  GROUP BY 1, 2
+),
+df AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         SUM(
+           LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (p.tf * ({_BM_K1!r} + 1.0))
+           / (p.tf + {_BM_K1!r}
+              * (1.0 - {_BM_B!r} + {_BM_B!r} * d.dl / s.avgdl))
+         ) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM post p
+  JOIN df f ON f.t = p.t
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id, ROUND(score, 4) AS score_bm25, n_terms
+FROM scored
+ORDER BY rank
+LIMIT {_BM_K}
+"""
+
+
+_BM25_SPARK = _bm25_sql("split(text, ' ')").format(
+    size_fn="size", unnest_fn="explode(tk)"
+)
+_BM25_ORACLE = _bm25_sql("string_split(text, ' ')").format(
+    size_fn="len", unnest_fn="UNNEST(tk)"
+)
+
+
+@register("bm25_topk", _BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed query {dup, spark, merge} (mixed
+    document frequencies: rare + common terms).  Scores rounded to 4
+    decimals BEFORE ranking so cross-engine ordering is deterministic
+    (ties broken by doc_id); the only doubles are LN and divisions on
+    identical inputs."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BM25_SPARK)
