@@ -26,7 +26,7 @@ _MODULES = (
     "relational", "spatial", "hierarchy", "vector", "zonal", "textops",
     "simsearch", "multimodal", "coverage", "coverage2", "runner", "polygons",
     "crsq", "s2q", "webtext", "s2knn", "pagespipe", "temporalq",
-    "manifestq", "trainprep", "streamq", "roads",
+    "manifestq", "trainprep", "streamq", "roads", "rasterops", "lmq",
 )
 
 

@@ -1,0 +1,190 @@
+"""Raster grid-alignment verbs: terra::resample (bilinear) and
+terra::aggregate (block downsample), plus a terra::distance analog
+(per-pixel distance to the nearest POI) driven through the cell-index
+nearest machinery.
+
+The resample/aggregate oracles regenerate the LCG raster from
+generate_series and replay the SAME integer arithmetic (rational
+bilinear weights over denominator 10, non-linear block max/min), so
+every comparison is exact — no float tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark import sqlexpr as sx
+from chopin_spark.grid import make_regular_grid
+from chopin_spark.queries import register
+from chopin_spark.queries.zonal import _tiles
+from chopin_spark.raster import (
+    NPX, NPY, PH, PW, RNX, RNY, TILE, TNX,
+    aggregate_blocks_tiles, pixel_value_sql, resample_bilinear_tiles,
+)
+from chopin_spark.tables import load
+from chopin_spark.vector import nearest_join
+
+# --- terra::resample, bilinear ------------------------------------------------
+
+_V00 = pixel_value_sql("i0", "j0", 0)
+_V10 = pixel_value_sql("i0 + 1", "j0", 0)
+_V01 = pixel_value_sql("i0", "j0 + 1", 0)
+_V11 = pixel_value_sql("i0 + 1", "j0 + 1", 0)
+
+_RESAMPLE_ORACLE = f"""
+WITH tgt AS (
+  SELECT it, jt,
+         (16 * it + 3) // 10 AS i0, (16 * it + 3) % 10 AS fx,
+         (16 * jt + 3) // 10 AS j0, (16 * jt + 3) % 10 AS fy
+  FROM generate_series(0, {RNX - 1}) s(it),
+       generate_series(0, {RNY - 1}) t(jt)
+),
+num AS (
+  SELECT (j0 // {TILE}) * {TNX} + (i0 // {TILE}) AS tile_id,
+         ({_V00} * (10 - fx) * (10 - fy)
+          + {_V10} * fx * (10 - fy)
+          + {_V01} * (10 - fx) * fy
+          + {_V11} * fx * fy) AS num,
+         (it * 31 + jt * 17) % 97 AS wt
+  FROM tgt
+)
+SELECT 'r0' AS raster_id, tile_id,
+       COUNT(*) AS n_tgt,
+       CAST(SUM(num) AS BIGINT) AS num_sum,
+       CAST(SUM(num * wt) AS BIGINT) AS num_chk
+FROM num
+GROUP BY 1, 2
+"""
+
+
+@register("raster_resample_bilinear", _RESAMPLE_ORACLE)
+def raster_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resample of the 1024×768 raster onto a 640×480 grid
+    (terra::resample analog — the grid-alignment verb chopin's
+    extract_at pipelines assume terra already ran,
+    /root/reference/R/processing.R:148-228).  Each target pixel is
+    owned by the tile of its floor source pixel; the +1 neighbors come
+    from the 1-px strip halo exchange (shuffle = tile surface).  The
+    rational target grid (source coord = (16t+3)/10) makes the
+    bilinear numerators exact integers over denominator 100."""
+    return resample_bilinear_tiles(_tiles(spark)).select(
+        "raster_id", "tile_id", "n_tgt", "num_sum", "num_chk"
+    )
+
+
+# --- terra::aggregate, fact=4, fun=max/min -----------------------------------
+
+_FB = TILE // 4  # blocks per tile edge
+
+_AGGBLK_ORACLE = f"""
+WITH px AS (
+  SELECT i, j, {pixel_value_sql('i', 'j', 0)} AS val
+  FROM generate_series(0, {NPX - 1}) s(i),
+       generate_series(0, {NPY - 1}) t(j)
+),
+blk AS (
+  SELECT i // 4 AS bi, j // 4 AS bj,
+         MAX(val) AS bmax, MIN(val) AS bmin
+  FROM px GROUP BY 1, 2
+)
+SELECT 'r0' AS raster_id,
+       (bj // {_FB}) * {TNX} + (bi // {_FB}) AS tile_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(bmax) AS BIGINT) AS sum_bmax,
+       CAST(SUM(bmin) AS BIGINT) AS sum_bmin,
+       CAST(SUM((bmax - bmin) * ((bi * 13 + bj * 7) % 31)) AS BIGINT) AS chk
+FROM blk
+GROUP BY 1, 2
+"""
+
+
+@register("raster_aggregate_blocks", _AGGBLK_ORACLE)
+def raster_aggregate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terra::aggregate(fact=4, fun=max/min) analog: 4×4 block
+    downsample as a ZERO-SHUFFLE per-tile map (factor | TILE keeps
+    every block interior to one tile — the narrow-transformation
+    contrast to the halo-exchange stencils).  Non-linear block stats
+    verify the blocking itself; a block SUM would telescope into the
+    tile sum and prove nothing."""
+    return aggregate_blocks_tiles(_tiles(spark), factor=4).select(
+        "raster_id", "tile_id", "n_blocks", "sum_bmax", "sum_bmin", "chk"
+    )
+
+
+# --- terra::distance analog: sampled pixel grid → nearest POI ----------------
+
+# every 8th pixel in each axis → 128×96 = 12,288 sample points; shared
+# SQL text for the sample-center coordinates keeps both engines on the
+# same doubles.
+_SSTEP = 8
+_SNX, _SNY = NPX // _SSTEP, NPY // _SSTEP
+_SX = f"((i * {_SSTEP} + 4 + 0.5) * {PW!r})"
+_SY = f"((j * {_SSTEP} + 4 + 0.5) * {PH!r})"
+_PX = sx.x_expr("p_partkey")
+_PY = sx.y_expr("p_partkey")
+_DRADIUS = 40_000.0
+
+_DIST_ORACLE = f"""
+WITH px AS (
+  SELECT (j * {_SNX} + i) AS pix_id, {_SX} AS x, {_SY} AS y
+  FROM generate_series(0, {_SNX - 1}) s(i),
+       generate_series(0, {_SNY - 1}) t(j)
+),
+p AS (
+  SELECT p_partkey AS pid, {_PX} AS px, {_PY} AS py FROM part
+),
+nn AS (
+  SELECT pix_id,
+         MIN(SQRT((x - px) * (x - px) + (y - py) * (y - py))) AS d
+  FROM px CROSS JOIN p
+  GROUP BY 1
+)
+SELECT CAST(pix_id % 64 AS BIGINT) AS bucket,
+       COUNT(*) AS n_px,
+       CAST(SUM(CAST(FLOOR(d * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_dist_mm,
+       ROUND(MAX(d), 4) AS max_dist
+FROM nn
+GROUP BY 1
+"""
+
+
+@register("raster_distance_to_poi", _DIST_ORACLE)
+def raster_distance_to_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terra::distance analog: per-pixel distance to the nearest POI,
+    evaluated on a coarse sample of the pixel grid (every 8th center)
+    through the SAME cell-index nearest machinery as nearest_poi — at
+    100 TB the pixel side is a generated narrow table (spark.range, no
+    Python), the join is the padded-cell equi-join, and misses resolve
+    by ring expansion, never a context broadcast."""
+    px = (
+        spark.range(_SNX * _SNY)
+        .selectExpr(
+            f"CAST(id % {_SNX} AS BIGINT) AS i",
+            f"CAST(id DIV {_SNX} AS BIGINT) AS j",
+        )
+        .selectExpr(
+            f"(j * {_SNX} + i) AS pix_id",
+            f"{_SX} AS x",
+            f"{_SY} AS y",
+        )
+    )
+    poi = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.expr(_PX).alias("x"),
+        F.expr(_PY).alias("y"),
+    )
+    g = make_regular_grid(16, 12, pad=_DRADIUS)
+    nn = nearest_join(
+        px, poi, g, "pix_id", "pid", _DRADIUS, small_context=True
+    )
+    return (
+        nn.groupBy((F.col("pix_id") % 64).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.sum(
+                F.floor(F.col("nn_dist") * 1000 + 0.5).cast("long")
+            ).cast("long").alias("sum_dist_mm"),
+            F.round(F.max("nn_dist"), 4).alias("max_dist"),
+        )
+    )

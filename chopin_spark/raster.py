@@ -1005,3 +1005,160 @@ def terrain_tiles(tiles: DataFrame) -> DataFrame:
         " n_flat long, " + ", ".join(f"s{o} long" for o in range(8))
     )
     return halo_joined(tiles).mapInPandas(finish, out_schema)
+
+
+# --- terra::resample (bilinear) and terra::aggregate analogs -----------------
+
+# Resample target grid: 640×480 over the same extent (NPX/RNX = NPY/RNY
+# = 1.6 = 16/10).  The source coordinate of target center (it, jt) is
+# gx = (it+0.5)·NPX/RNX − 0.5 = (16·it + 3)/10 — an exact rational with
+# denominator 10, so the bilinear weights are integers over DEN=10 per
+# axis and the resampled numerator Σ v·wx·wy (denominator 100) is
+# integer-exact: v < V_MOD ≈ 1e6, ×100 → 1e8 ≪ 2^53.
+RNX, RNY = 640, 480
+_RS_DEN = 10  # per-axis weight denominator
+
+
+def resample_src_coords(t: np.ndarray) -> tuple:
+    """Target index → (floor source index, fractional numerator /10)."""
+    gn = 16 * t.astype(np.int64) + 3
+    return gn // _RS_DEN, gn % _RS_DEN
+
+
+def resample_bilinear_tiles(tiles: DataFrame) -> DataFrame:
+    """terra::resample(method="bilinear") analog on the partitioned
+    raster (chopin feeds terra rasters whose grids rarely match —
+    /root/reference/R/processing.R:148-228 extracts at caller-supplied
+    grids; resample is the missing grid-alignment verb).
+
+    Distribution: each target pixel is OWNED by the tile containing its
+    floor source pixel (i0, j0); the +1 neighbors are at most one pixel
+    east/south, i.e. inside the 1-px halo that :func:`halo_joined`
+    already ships as boundary STRIPS (shuffle = tile surface, not
+    volume — same scale argument as focal_sum_tiles).  No target pixel
+    is computed twice, none is dropped: ownership is a partition of the
+    target grid because floor is a function.
+
+    All-integer bilinear: numerator = Σ₄ v·wx·wy with wx+wx' = wy+wy'
+    = 10, denominator 100 (a driver-side constant divide left to the
+    caller).  Per tile returns (raster_id, tile_id, n_tgt, num_sum,
+    num_chk) where num_chk position-weights each numerator by
+    ((it·31 + jt·17) % 97) — a placement-sensitive checksum that
+    catches off-by-one ownership or halo wiring, not just value drift.
+    """
+    T = TILE
+
+    its = np.arange(RNX, dtype=np.int64)
+    jts = np.arange(RNY, dtype=np.int64)
+    i0_all, fx_all = resample_src_coords(its)
+    j0_all, fy_all = resample_src_coords(jts)
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, tid, ntg, nsum, nchk = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                p, m = assemble_padded(row)
+                c, r = row.tile_col, row.tile_row
+                sel_i = (i0_all >= c * T) & (i0_all < (c + 1) * T)
+                sel_j = (j0_all >= r * T) & (j0_all < (r + 1) * T)
+                if not (sel_i.any() and sel_j.any()):
+                    continue
+                li = i0_all[sel_i] - c * T + 1
+                lj = j0_all[sel_j] - r * T + 1
+                fx = fx_all[sel_i][None, :]
+                fy = fy_all[sel_j][:, None]
+                JJ, II = lj[:, None], li[None, :]
+                if not (
+                    m[JJ, II].all() and m[JJ, II + 1].all()
+                    and m[JJ + 1, II].all() and m[JJ + 1, II + 1].all()
+                ):
+                    raise RuntimeError(
+                        f"resample halo missing for tile {row.tile_id}"
+                    )
+                num = (
+                    p[JJ, II] * (_RS_DEN - fx) * (_RS_DEN - fy)
+                    + p[JJ, II + 1] * fx * (_RS_DEN - fy)
+                    + p[JJ + 1, II] * (_RS_DEN - fx) * fy
+                    + p[JJ + 1, II + 1] * fx * fy
+                )
+                wt = (
+                    its[sel_i][None, :] * 31 + jts[sel_j][:, None] * 17
+                ) % 97
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                ntg.append(int(num.size))
+                nsum.append(int(num.sum()))
+                nchk.append(int((num * wt).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "n_tgt": pd.Series(ntg, dtype="int64"),
+                    "num_sum": pd.Series(nsum, dtype="int64"),
+                    "num_chk": pd.Series(nchk, dtype="int64"),
+                }
+            )
+
+    out_schema = (
+        "raster_id string, tile_id long, n_tgt long, num_sum long,"
+        " num_chk long"
+    )
+    return halo_joined(tiles).mapInPandas(finish, out_schema)
+
+
+def aggregate_blocks_tiles(tiles: DataFrame, factor: int = 4) -> DataFrame:
+    """terra::aggregate(fact=factor, fun=max/min) analog: downsample by
+    non-overlapping factor×factor blocks.  With factor | TILE every
+    block is interior to one tile, so this is a ZERO-SHUFFLE per-tile
+    map — the stencil case that needs no halo at all (the scale contrast
+    to focal/resample; at 100 TB it is a pure narrow transformation).
+
+    Non-linear block stats (max/min) are kept — a block SUM would
+    telescope into the plain tile sum and verify nothing about the
+    blocking.  Returns per tile (raster_id, tile_id, n_blocks,
+    sum_bmax, sum_bmin, chk) with chk = Σ (bmax − bmin)·((bi·13 +
+    bj·7) % 31) over global block indices — sensitive to block
+    placement, not just the value multiset.
+    """
+    if TILE % factor:
+        raise ValueError("factor must divide TILE")
+    T, fB = TILE, TILE // factor
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, tid, nb, smx, smn, chk = [], [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                v = np.asarray(row.values, dtype=np.int64).reshape(T, T)
+                b = v.reshape(fB, factor, fB, factor)
+                bmax = b.max(axis=(1, 3))
+                bmin = b.min(axis=(1, 3))
+                bj0 = row.tile_row * fB
+                bi0 = row.tile_col * fB
+                wt = (
+                    (bi0 + np.arange(fB))[None, :] * 13
+                    + (bj0 + np.arange(fB))[:, None] * 7
+                ) % 31
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                nb.append(fB * fB)
+                smx.append(int(bmax.sum()))
+                smn.append(int(bmin.sum()))
+                chk.append(int(((bmax - bmin) * wt).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "n_blocks": pd.Series(nb, dtype="int64"),
+                    "sum_bmax": pd.Series(smx, dtype="int64"),
+                    "sum_bmin": pd.Series(smn, dtype="int64"),
+                    "chk": pd.Series(chk, dtype="int64"),
+                }
+            )
+
+    out_schema = (
+        "raster_id string, tile_id long, n_blocks long, sum_bmax long,"
+        " sum_bmin long, chk long"
+    )
+    return tiles.mapInPandas(finish, out_schema)

@@ -1,0 +1,135 @@
+"""Resample / aggregate-blocks / distance-raster: full-grid numpy
+replays independent of the DuckDB oracles (the parity gate is the
+third check)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from chopin_spark.raster import (
+    NPX, NPY, RNX, RNY, TILE, TNX, TNY, V_MOD, V_MX, V_MY,
+    aggregate_blocks_tiles, raster_tiles_df, resample_bilinear_tiles,
+    resample_src_coords,
+)
+
+
+def _full_grid() -> np.ndarray:
+    gi = np.arange(NPX, dtype=np.int64)
+    gj = np.arange(NPY, dtype=np.int64)
+    return (gi[None, :] * V_MX + gj[:, None] * V_MY) % V_MOD  # [j, i]
+
+
+def _resample_replay():
+    """Whole-raster bilinear numerators, no tiling — the independent
+    path the distributed halo version must reproduce."""
+    v = _full_grid()
+    i0, fx = resample_src_coords(np.arange(RNX))
+    j0, fy = resample_src_coords(np.arange(RNY))
+    FX, FY = fx[None, :], fy[:, None]
+    num = (
+        v[j0[:, None], i0[None, :]] * (10 - FX) * (10 - FY)
+        + v[j0[:, None], i0[None, :] + 1] * FX * (10 - FY)
+        + v[j0[:, None] + 1, i0[None, :]] * (10 - FX) * FY
+        + v[j0[:, None] + 1, i0[None, :] + 1] * FX * FY
+    )
+    return num, i0, j0
+
+
+def test_resample_coords_in_bounds():
+    i0, fx = resample_src_coords(np.arange(RNX))
+    j0, fy = resample_src_coords(np.arange(RNY))
+    # +1 neighbors never leave the raster: no edge clamping needed
+    assert i0.min() >= 0 and i0.max() + 1 <= NPX - 1
+    assert j0.min() >= 0 and j0.max() + 1 <= NPY - 1
+    assert set(np.unique(fx)) <= {1, 3, 5, 7, 9}
+
+
+def test_resample_matches_full_grid_replay(spark):
+    num, i0, j0 = _resample_replay()
+    tile_of = (j0[:, None] // TILE) * TNX + (i0[None, :] // TILE)
+    wt = (
+        np.arange(RNX)[None, :] * 31 + np.arange(RNY)[:, None] * 17
+    ) % 97
+    got = {
+        r.tile_id: (r.n_tgt, r.num_sum, r.num_chk)
+        for r in resample_bilinear_tiles(
+            raster_tiles_df(spark)
+        ).collect()
+    }
+    assert sum(g[0] for g in got.values()) == RNX * RNY
+    for tid in np.unique(tile_of):
+        sel = tile_of == tid
+        assert got[tid] == (
+            int(sel.sum()),
+            int(num[sel].sum()),
+            int((num * wt)[sel].sum()),
+        )
+
+
+def test_aggregate_blocks_matches_full_grid_replay(spark):
+    v = _full_grid()
+    b = v.reshape(NPY // 4, 4, NPX // 4, 4)
+    bmax, bmin = b.max(axis=(1, 3)), b.min(axis=(1, 3))
+    fB = TILE // 4
+    bi = np.arange(NPX // 4)[None, :]
+    bj = np.arange(NPY // 4)[:, None]
+    tile_of = (bj // fB) * TNX + (bi // fB)
+    wt = (bi * 13 + bj * 7) % 31
+    rows = aggregate_blocks_tiles(raster_tiles_df(spark), factor=4).collect()
+    assert len(rows) == TNX * TNY
+    got = {
+        r.tile_id: (r.n_blocks, r.sum_bmax, r.sum_bmin, r.chk)
+        for r in rows
+    }
+    for tid in np.unique(tile_of):
+        sel = np.broadcast_to(tile_of, bmax.shape) == tid
+        assert got[tid] == (
+            int(sel.sum()),
+            int(bmax[sel].sum()),
+            int(bmin[sel].sum()),
+            int(((bmax - bmin) * wt)[sel].sum()),
+        )
+
+
+def test_aggregate_blocks_rejects_bad_factor(spark):
+    with pytest.raises(ValueError):
+        aggregate_blocks_tiles(raster_tiles_df(spark), factor=5)
+
+
+def test_distance_to_poi_brute_force(spark):
+    """Engine distance raster == numpy brute force at sf0.001."""
+    import duckdb
+
+    from chopin_spark.queries.rasterops import raster_distance_to_poi
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.bucket: (r.n_px, r.sum_dist_mm, round(r.max_dist, 4))
+        for r in raster_distance_to_poi(spark, SF_SMOKE).collect()
+    }
+    from chopin_spark.queries.rasterops import (
+        _PX, _PY, _SNX, _SNY, _SSTEP,
+    )
+    from chopin_spark.raster import PH, PW
+
+    con = duckdb.connect()
+    pois = con.execute(
+        f"SELECT {_PX}, {_PY} FROM "
+        f"'{SF_SMOKE}/part.parquet'"
+    ).fetchnumpy()
+    px_, py_ = list(pois.values())
+    i = np.arange(_SNX)[None, :]
+    j = np.arange(_SNY)[:, None]
+    x = (i * _SSTEP + 4 + 0.5) * PW
+    y = (j * _SSTEP + 4 + 0.5) * PH
+    d = np.sqrt(
+        (x[..., None] - px_) ** 2 + (y[..., None] - py_) ** 2
+    ).min(axis=-1)
+    pix = j * _SNX + i
+    bucket = np.broadcast_to(pix % 64, d.shape)
+    for b in range(64):
+        sel = bucket == b
+        assert got[b][0] == int(sel.sum())
+        assert got[b][1] == int(np.floor(d[sel] * 1000 + 0.5).sum())
+        assert got[b][2] == round(float(d[sel].max()), 4)
