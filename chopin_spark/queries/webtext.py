@@ -430,3 +430,90 @@ def host_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ore = spark.sql(_TRI_ORE_SQL).localCheckpoint()
     ore.createOrReplaceTempView("ore_m")
     return spark.sql(_TRI_FINISH_SQL)
+
+
+# --- robots.txt-style longest-prefix path rules --------------------------------
+
+# deterministic path segments under each host (the /p/<id> leaf keeps
+# the shared url recipe untouched): section a in 0..6, topic b in 0..12
+_SEG_A = "CAST((doc_id * 7919) % 7 AS BIGINT)"
+_SEG_B = "CAST((doc_id * 104729) % 13 AS BIGINT)"
+
+# (prefix, decision) — longest matching prefix wins, default allow;
+# depth-2 rules override their depth-1 parent ('/s0/t5' re-allows
+# inside denied '/s0', '/s4/t11' inside denied '/s4')
+_RULES = (
+    ("/s0", "deny"), ("/s0/t5", "allow"),
+    ("/s1", "deny"),
+    ("/s2/t3", "deny"),
+    ("/s4", "deny"), ("/s4/t11", "allow"),
+    ("/s5/t7", "deny"),
+)
+
+_RULES_VALUES = ", ".join(f"('{p}', '{d}')" for p, d in _RULES)
+
+_ROBOTS_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, n_chars,
+         '/s' || {_SEG_A} AS pre1,
+         '/s' || {_SEG_A} || '/t' || {_SEG_B} AS pre2
+  FROM documents
+),
+rules(prefix, decision) AS (VALUES {_RULES_VALUES}),
+cand AS (
+  SELECT doc_id, UNNEST([pre1, pre2]) AS prefix FROM docs
+),
+matched AS (
+  SELECT c.doc_id,
+         ARG_MAX(r.decision, LENGTH(r.prefix)) AS decision
+  FROM cand c JOIN rules r ON c.prefix = r.prefix
+  GROUP BY 1
+)
+SELECT COALESCE(m.decision, 'allow') AS decision, d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM docs d LEFT JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("robots_prefix_rules", _ROBOTS_ORACLE)
+def robots_prefix_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style LONGEST-PREFIX-MATCH filtering: each page's
+    path expands to its (depth-bounded) prefix chain, equi-joins the
+    broadcast rule table, and the longest matched prefix decides —
+    `max_by(decision, length)` is the argmax-without-a-window shape
+    (combiner-friendly; no per-group sort).  Unmatched pages fall
+    through to allow via the left join.
+
+    Scale shape: rules are a crawl-config dimension (broadcast); the
+    fact side shuffles once on doc_id for the argmax and once for the
+    rollup — prefix explosion is a bounded ×depth flatMap, never a
+    regex scan over the rule set per row."""
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "n_chars",
+        f"'/s' || {_SEG_A} AS pre1",
+        f"'/s' || {_SEG_A} || '/t' || {_SEG_B} AS pre2",
+    )
+    rules = spark.createDataFrame(list(_RULES), "prefix string, decision string")
+    cand = docs.select(
+        "doc_id", F.explode(F.array("pre1", "pre2")).alias("prefix")
+    )
+    matched = (
+        cand.join(F.broadcast(rules), "prefix")
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("decision", F.length("prefix")).alias("decision")
+        )
+    )
+    return (
+        docs.join(matched, "doc_id", "left")
+        .groupBy(
+            F.coalesce("decision", F.lit("allow")).alias("decision"),
+            "lang",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
