@@ -269,3 +269,72 @@ def pagerank_int(
             .localCheckpoint()
         )
     return r
+
+
+def hits_int(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg hubs & authorities) — PageRank's
+    sibling web-graph centrality, same micro-unit discipline as
+    :func:`pagerank_int`.
+
+    Each iteration: authority(i) = Σ hub over in-edges, hub(i) = Σ
+    authority over out-edges, each vector renormalized to total
+    `scale` by integer floor division (the 1-row total crosses in as a
+    broadcast — metadata, not data).  Nodes outside the respective
+    join (no in-edges / no out-edges) carry exact zero, matching the
+    oracle's inner-join-then-COALESCE arithmetic.  All products stay
+    below 2^53: raw ≤ scale·|edges| on round one and ≤ scale after
+    normalization.
+
+    Returns (node, auth, hub) in micro-units after `iters` rounds —
+    bit-reproducible at any partitioning.
+    """
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(F.sum("raw").alias("_tot"))
+        return (
+            raw.crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(f"(raw * {scale}) DIV _tot").alias(col),
+            )
+        )
+
+    h = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a = _normalize(a_raw, "auth").localCheckpoint()
+        h_raw = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        h = _normalize(h_raw, "hub").localCheckpoint()
+    return (
+        nodes.join(a, "node", "left")
+        .join(h, "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Deterministic distributed sketches + snapshot versioning.
+
+* ``hll_distinct_urls`` — a from-scratch HyperLogLog whose hash, register
+  assignment, and rank function are SHARED SQL text (polynomial char
+  folds from chopin_spark.textops), so the sketch is bit-reproducible in
+  both engines — unlike approx_count_distinct, whose HLL++ internals are
+  engine-private.  The inverse-power sum Σ2^−M is a sum of dyadic
+  rationals (exact in float64 regardless of reduction order), so even
+  the final estimate is deterministic to the last bit.
+* ``url_snapshot_scd2`` — slowly-changing-dimension (type 2) validity
+  windows over crawl snapshots: lead() builds [valid_from, valid_to)
+  per host, integer carriers pin the version ordering exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chopin_spark.pages import epoch_sql, url_sql
+from chopin_spark.queries import register
+from chopin_spark.textops import charfold_duckdb, charfold_spark
+
+_M = 64  # registers
+_ALPHA_M = 0.709  # HLL alpha for m=64
+
+
+def _hll_sql(charfold, series: str) -> str:
+    """One SQL text, two dialect seams: the charfold builder and the
+    0..m−1 register series (Spark: explode(sequence), DuckDB:
+    generate_series) — the sketch arithmetic itself is common."""
+    url = url_sql("doc_id")
+    h1 = charfold("_u", 31)
+    h2 = charfold("_u", 37)
+    return f"""
+WITH u AS (
+  SELECT {url} AS _u FROM documents
+),
+hashed AS (
+  SELECT {h1} AS h1, {h2} AS h2 FROM u
+),
+regs AS (
+  SELECT h1 % {_M} AS reg,
+         MAX(CASE WHEN h2 = 0 THEN 31
+                  ELSE 31 - LENGTH(BIN(h2)) END) AS m_j
+  FROM hashed GROUP BY 1
+),
+allregs AS (
+  {series}
+),
+filled AS (
+  SELECT a.reg, COALESCE(r.m_j, 0) AS m_j
+  FROM allregs a LEFT JOIN regs r ON a.reg = r.reg
+),
+sketch AS (
+  SELECT SUM(POWER(2.0, -m_j)) AS sum_inv,
+         SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS n_zero,
+         CAST(SUM(m_j * ((reg * 13) % 31)) AS BIGINT) AS reg_chk
+  FROM filled
+),
+exact AS (SELECT COUNT(DISTINCT _u) AS n_exact FROM u)
+SELECT CAST({_M} AS BIGINT) AS m,
+       CAST(n_zero AS BIGINT) AS n_zero,
+       reg_chk,
+       ROUND({_ALPHA_M} * {_M} * {_M} / sum_inv, 4) AS est_raw,
+       ROUND(CASE WHEN {_ALPHA_M} * {_M} * {_M} / sum_inv <= 2.5 * {_M}
+                       AND n_zero > 0
+                  THEN {_M} * LN(CAST({_M} AS DOUBLE) / n_zero)
+                  ELSE {_ALPHA_M} * {_M} * {_M} / sum_inv END, 4)
+         AS est_corrected,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       ROUND(({_ALPHA_M} * {_M} * {_M} / sum_inv - n_exact)
+             / n_exact, 4) AS rel_err
+FROM sketch CROSS JOIN exact
+"""
+
+
+_DDB_SERIES = f"SELECT i AS reg FROM generate_series(0, {_M - 1}) s(i)"
+_SPK_SERIES = f"SELECT explode(sequence(0, {_M - 1})) AS reg"
+
+
+@register("hll_distinct_urls", _hll_sql(charfold_duckdb, _DDB_SERIES))
+def hll_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog cardinality sketch over page URLs —
+    the custom distributed sketch operator: register = h1 mod 64,
+    rank = leading-zero count of an independent 30-bit fold (BIN +
+    LENGTH, no float log), per-register MAX merges associatively
+    (partial agg map-side), and the estimate is a closed-form fold of
+    the 64-entry register vector (a GROUP BY on a 64-value key — the
+    sketch state is bytes, not data).  The exact distinct runs
+    alongside to report the observed relative error of the sketch."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_hll_sql(charfold_spark, _SPK_SERIES))
+
+
+_SCD2_ORACLE = f"""
+WITH snaps AS (
+  SELECT doc_id % 97 AS host_num,
+         {epoch_sql('doc_id')} AS epoch,
+         doc_id
+  FROM documents
+),
+v AS (
+  SELECT host_num, epoch, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY host_num ORDER BY epoch, doc_id)
+           AS version,
+         LEAD(epoch) OVER (PARTITION BY host_num ORDER BY epoch, doc_id)
+           AS valid_to
+  FROM snaps
+)
+SELECT host_num,
+       COUNT(*) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 0
+                     ELSE valid_to - epoch END) AS BIGINT)
+         AS covered_seconds,
+       CAST(MAX(epoch) AS BIGINT) AS current_from,
+       CAST(SUM(version * (epoch % 86400)) AS BIGINT) AS order_chk
+FROM v
+GROUP BY 1
+"""
+
+
+@register("url_snapshot_scd2", _SCD2_ORACLE)
+def url_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 validity windows over crawl snapshots: per host
+    (the 97-host graph universe, so every host carries many versions),
+    lead() closes each version's [valid_from, valid_to) interval (the
+    crawl-history verb behind 'text as of time T' queries).  One
+    host-keyed sort-window — at 10^12 rows this partitions by host
+    hash with AQE absorbing hot hosts; the order checksum Σ
+    version·(epoch mod 86400) pins the within-host ordering
+    exactly, not just the interval sums."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SCD2_ORACLE)

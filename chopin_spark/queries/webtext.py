@@ -517,3 +517,69 @@ def robots_prefix_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# --- host link-graph HITS (hubs & authorities, integer-exact) -----------------
+
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        f"e AS (SELECT * FROM {_PR_EDGES})",
+        """n AS (SELECT DISTINCT node FROM
+             (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n)",
+    ]
+    for it in range(1, _HITS_ITERS + 1):
+        ctes.append(f"""
+ar{it} AS (
+  SELECT e.dst AS node, SUM(h.hub) AS raw
+  FROM e JOIN h{it - 1} h ON h.node = e.src GROUP BY 1
+),
+a{it} AS (
+  SELECT node, (raw * 1000000) // (SELECT SUM(raw) FROM ar{it}) AS auth
+  FROM ar{it}
+),
+hr{it} AS (
+  SELECT e.src AS node, SUM(a.auth) AS raw
+  FROM e JOIN a{it} a ON a.node = e.dst GROUP BY 1
+),
+h{it} AS (
+  SELECT node, (raw * 1000000) // (SELECT SUM(raw) FROM hr{it}) AS hub
+  FROM hr{it}
+)""".strip())
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT n.node AS host_num,
+       CAST(COALESCE(a{_HITS_ITERS}.auth, 0) AS BIGINT) AS auth_micro,
+       CAST(COALESCE(h{_HITS_ITERS}.hub, 0) AS BIGINT) AS hub_micro
+FROM n
+LEFT JOIN a{_HITS_ITERS} ON a{_HITS_ITERS}.node = n.node
+LEFT JOIN h{_HITS_ITERS} ON h{_HITS_ITERS}.node = n.node"""
+    )
+
+
+@register("host_hits", _hits_oracle())
+def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the same host link graph as
+    host_pagerank — the query-dependent web centrality pair
+    (Kleinberg).  Integer micro-units with per-round renormalization
+    by floor division (components.hits_int); each round is two
+    rank⋈edges joins + two keyed sums, the distributed shape that
+    holds at 10^9 hosts.  The oracle replays the identical recurrence
+    as unrolled CTEs — value-hash exact, no float tolerance."""
+    from chopin_spark.components import hits_int
+
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.selectExpr(
+        "(doc_id * 69069) % 97 AS src",
+        "(doc_id * 48271) % 97 AS dst",
+    ).filter("src <> dst")
+    out = hits_int(edges, iters=_HITS_ITERS)
+    return out.select(
+        F.col("node").alias("host_num"),
+        F.col("auth").alias("auth_micro"),
+        F.col("hub").alias("hub_micro"),
+    )
