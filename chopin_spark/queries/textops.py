@@ -739,3 +739,50 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_BM25_SPARK)
+
+
+# --- prefix-filtered (AllPairs/PPJoin) exact Jaccard join ---------------------
+
+_PREFIX_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4])) AS shingle
+  FROM toks WHERE LEN(w) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(i AS BIGINT) AS inter,
+       CAST(s1.n_sh + s2.n_sh - i AS BIGINT) AS uni,
+       ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE 10 * i >= 6 * (s1.n_sh + s2.n_sh - i)
+"""
+
+
+@register("dedup_jaccard_prefix_filter", _PREFIX_JACCARD_ORACLE)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering at J ≥ 0.6: docs index only
+    their p = |s| − ceil(0.6·|s|) + 1 globally-rarest shingles; the
+    prefix-to-prefix equi-join is complete by theorem (the smallest
+    common shingle of a qualifying pair lies in both prefixes), then
+    an exact verify join computes |A∩B| for candidates only.  The
+    ORACLE is the brute-force inverted-index join over ALL postings —
+    a value-hash match proves the prefix filter lost no pair.  The
+    threshold test is the integer cross-multiplication 10·i ≥ 6·u on
+    both sides — no float knife-edge."""
+    from chopin_spark.textops import jaccard_prefix_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, threshold_tenths=6)

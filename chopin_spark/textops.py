@@ -382,3 +382,88 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         term = F.shiftleft(bit, k)
         fp = term if fp is None else fp.bitwiseOR(term)
     return sums.select(id_col, fp.alias("simhash"))
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold_tenths: int,
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo WWW'07 / Xiao WWW'08) — the other canonical scale path
+    beside the df-capped inverted index (:func:`ngram_jaccard_pairs`)
+    and MinHash-LSH (:func:`minhash_lsh_pairs`), and unlike LSH it is
+    EXACT: complete by theorem, verified, no recall loss.
+
+    Tokens sort by global (df, token) — rarest first; each doc indexes
+    only its first p = |s| − ceil(t·|s|) + 1 tokens.  If J(A,B) ≥ t,
+    the smallest common token w must sit in BOTH prefixes (were w
+    outside A's prefix, all of A∩B would fit in A's suffix of size
+    ceil(t·|A|)−1 < ceil(t·|A|) ≤ |A∩B| — contradiction), so the
+    prefix-to-prefix equi-join loses nothing.  Candidate volume is
+    O(Σ df_prefix²) over PREFIX postings only — rare tokens, small df —
+    instead of O(Σ df²) over all postings; no df cap, no dropped pairs.
+
+    `threshold_tenths` keeps the threshold rational (6 → 0.6): the
+    final filter is the integer cross-multiplication 10·i ≥ t10·u, no
+    float knife-edge.  Returns (d1, d2, inter, uni, jaccard ROUND 4).
+
+    Scale: one df shuffle on token, one per-doc sort of its OWN tokens
+    (array_sort over a collected doc-local list — docs are bounded,
+    this is not a global sort), the prefix self-join, and a verify join
+    that touches only candidate pairs.
+    """
+    t10 = threshold_tenths
+    sh = shingles(docs, id_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "shingle")
+    per_doc = ranked.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_df", "shingle"))
+        ).alias("toks"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    p = (
+        F.col("sz")
+        - F.expr(f"({t10} * sz + 9) DIV 10")
+        + F.lit(1)
+    ).cast("int")
+    prefix = per_doc.select(
+        F.col(id_col),
+        "sz",
+        F.explode(F.slice("toks", F.lit(1), p)).alias("tk"),
+    ).select(id_col, "sz", F.col("tk.shingle").alias("shingle"))
+    a = prefix.select(
+        F.col(id_col).alias("d1"), F.col("sz").alias("s1"), "shingle"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("d2"), F.col("sz").alias("s2"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    s1 = sh.select(F.col(id_col).alias("d1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2", "s1", "s2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    uni = F.col("s1") + F.col("s2") - F.col("inter")
+    return (
+        inter.withColumn("uni", uni.cast("long"))
+        .filter(F.lit(10) * F.col("inter") >= F.lit(t10) * F.col("uni"))
+        .select(
+            "d1", "d2",
+            F.col("inter").cast("long").alias("inter"),
+            "uni",
+            F.round(
+                F.col("inter").cast("double") / F.col("uni"), 4
+            ).alias("jaccard"),
+        )
+    )
