@@ -592,3 +592,107 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed formulation of the sequential packing loop."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_PACK_SPARK)
+
+
+# --- Gopher quality-rule battery (MassiveText filter gate) --------------------
+
+# Gopher/MassiveText document filters (Rae et al. 2021 §A1.1) adapted to
+# the synthetic corpus, every ratio test an integer cross-multiplication:
+#   R1 word count in [30, 120]
+#   R2 mean word length in [4.3, 4.7] (10·sum_len between 43·n and 47·n
+#      — band tuned to the synthetic vocab so the rule discriminates)
+#   R3 ≥ 2 distinct stopwords present ('a', 'the', 'key', 'row')
+#   R4 most-common word ≤ 20% of tokens (5·top_cnt ≤ n)
+_GOPHER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         SUM(c) AS n_words,
+         SUM(LENGTH(w) * c) AS sum_len,
+         MAX(c) AS top_cnt,
+         SUM(CASE WHEN w IN ('a', 'the', 'key', 'row') THEN 1 ELSE 0 END)
+           AS n_stop_distinct
+  FROM wc GROUP BY 1, 2
+),
+flags AS (
+  SELECT lang,
+         CASE WHEN n_words BETWEEN 30 AND 120 THEN 0 ELSE 1 END AS f_len,
+         CASE WHEN 10 * sum_len >= 43 * n_words
+               AND 10 * sum_len <= 47 * n_words THEN 0 ELSE 1 END AS f_wlen,
+         CASE WHEN n_stop_distinct >= 2 THEN 0 ELSE 1 END AS f_stop,
+         CASE WHEN 5 * top_cnt <= n_words THEN 0 ELSE 1 END AS f_rep
+  FROM per_doc
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f_len) AS BIGINT) AS fail_len,
+       CAST(SUM(f_wlen) AS BIGINT) AS fail_wordlen,
+       CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(f_rep) AS BIGINT) AS fail_repetition,
+       CAST(SUM(CASE WHEN f_len + f_wlen + f_stop + f_rep = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags
+GROUP BY 1
+"""
+
+
+@register("gopher_quality_gate", _GOPHER_ORACLE)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality-rule battery as one combined gate:
+    word-count bounds, mean-word-length band, stopword presence, and
+    top-word repetition — each ratio tested by integer
+    cross-multiplication (no float thresholds to disagree on).  One
+    explode + one (doc, word) hash agg + one per-doc agg + one per-lang
+    rollup; every stage partial-aggregates map-side, and at 10^12 docs
+    the only wide exchange is the (doc_id, word) count — bounded by
+    document length, no corpus-global state."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = wc.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.length("w") * F.col("c")).alias("sum_len"),
+        F.max("c").alias("top_cnt"),
+        F.sum(
+            F.when(F.col("w").isin("a", "the", "key", "row"), 1).otherwise(0)
+        ).alias("n_stop_distinct"),
+    )
+    f_len = F.when(
+        F.col("n_words").between(30, 120), 0
+    ).otherwise(1)
+    f_wlen = F.when(
+        (10 * F.col("sum_len") >= 43 * F.col("n_words"))
+        & (10 * F.col("sum_len") <= 47 * F.col("n_words")), 0
+    ).otherwise(1)
+    f_stop = F.when(F.col("n_stop_distinct") >= 2, 0).otherwise(1)
+    f_rep = F.when(5 * F.col("top_cnt") <= F.col("n_words"), 0).otherwise(1)
+    flags = per_doc.select(
+        "lang",
+        f_len.alias("f_len"), f_wlen.alias("f_wlen"),
+        f_stop.alias("f_stop"), f_rep.alias("f_rep"),
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_len").cast("long").alias("fail_len"),
+        F.sum("f_wlen").cast("long").alias("fail_wordlen"),
+        F.sum("f_stop").cast("long").alias("fail_stopwords"),
+        F.sum("f_rep").cast("long").alias("fail_repetition"),
+        F.sum(
+            F.when(
+                F.col("f_len") + F.col("f_wlen")
+                + F.col("f_stop") + F.col("f_rep") == 0, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_pass"),
+    )

@@ -124,3 +124,45 @@ def test_boilerplate_removal_actually_drops_lines(spark):
     for r in out:
         assert 0 <= r["n_kept"] <= r["n_lines"]
         assert abs(r["kept_frac"] - round(r["n_kept"] / r["n_lines"], 4)) < 1e-9
+
+
+def test_prefix_filter_agrees_with_inverted_index(spark):
+    """Two independent exact-Jaccard algorithms (prefix filter vs
+    full inverted-index join) must produce the same pair set at the
+    same threshold."""
+    from chopin_spark.tables import load
+    from chopin_spark.textops import jaccard_prefix_pairs, ngram_jaccard_pairs
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    via_prefix = {
+        (r.d1, r.d2): (r.inter, r.uni)
+        for r in jaccard_prefix_pairs(docs, threshold_tenths=6).collect()
+    }
+    brute = {
+        (r.d1, r.d2): round(r.jaccard, 4)
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        if 10 * round(r.jaccard, 4) >= 6  # jaccard >= 0.6
+    }
+    assert set(via_prefix) == set(brute)
+    assert via_prefix  # non-vacuous: near-dup pairs exist in the fixture
+    for (d1, d2), (i, u) in via_prefix.items():
+        assert 10 * i >= 6 * u
+
+
+def test_gopher_gate_rules_all_discriminate(spark):
+    """Every Gopher rule must fire somewhere AND pass somewhere —
+    an all-zero or all-fail rule column verifies nothing."""
+    from chopin_spark.queries.trainprep import gopher_quality_gate
+    from tests.conftest import SF_CORRECT
+
+    rows = gopher_quality_gate(spark, SF_CORRECT).collect()
+    tot = {
+        c: sum(getattr(r, c) for r in rows)
+        for c in ("n_docs", "fail_len", "fail_wordlen",
+                  "fail_stopwords", "fail_repetition", "n_pass")
+    }
+    for c in ("fail_len", "fail_wordlen", "fail_stopwords",
+              "fail_repetition"):
+        assert 0 < tot[c] < tot["n_docs"], c
+    assert 0 < tot["n_pass"] < tot["n_docs"]
