@@ -1,0 +1,135 @@
+"""Douglas–Peucker simplification query: bounded-round distributed DP
+(chopin_spark.simplify) vs a DuckDB oracle that replays the IDENTICAL
+bounded algorithm as unrolled CTE rounds (the pagerank/hits oracle
+discipline applied to recursive geometry).
+
+Fixture: 40 deterministic integer polylines × 33 vertices (LCG jitter
+around a monotone x spine) — regenerable in either engine from
+generate_series/spark.range, exact int64 arithmetic end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark.queries import register
+from chopin_spark.simplify import dp_simplify_summary
+
+_NL, _M = 40, 33
+_TAU2 = 90_000  # τ = 300
+_ROUNDS = 4  # DP depth for the fixture's split tree; both engines share it
+
+_VX = "(i * 500 + ((l * 7 + i * 13) % 41) - 20)"
+_VY = "(l * 10000 + ABS((i * 125 + l * 237) % 4000 - 2000) - 1000 + ((l * 13 + i * 29) % 41) - 20)"
+
+
+def _dp_oracle() -> str:
+    ctes = [
+        f"""v AS (
+  SELECT l AS line_id, i AS idx,
+         CAST({_VX} AS BIGINT) AS x, CAST({_VY} AS BIGINT) AS y
+  FROM generate_series(0, {_NL - 1}) a(l),
+       generate_series(0, {_M - 1}) b(i)
+)""",
+        f"""iv0 AS (
+  SELECT s.line_id, s.idx AS s, e.idx AS e,
+         s.x AS sx, s.y AS sy, e.x AS ex, e.y AS ey
+  FROM v s JOIN v e ON s.line_id = e.line_id
+  WHERE s.idx = 0 AND e.idx = {_M - 1}
+)""",
+    ]
+    for r in range(1, _ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"""
+cand{r} AS (
+  SELECT iv.line_id, iv.s, iv.e, iv.sx, iv.sy, iv.ex, iv.ey,
+         v.idx, v.x, v.y,
+         ((iv.ex - iv.sx) * (v.y - iv.sy)
+          - (iv.ey - iv.sy) * (v.x - iv.sx)) AS cr,
+         ((iv.ex - iv.sx) * (iv.ex - iv.sx)
+          + (iv.ey - iv.sy) * (iv.ey - iv.sy)) AS l2
+  FROM iv{p} iv
+  JOIN v ON v.line_id = iv.line_id AND v.idx > iv.s AND v.idx < iv.e
+),
+best{r} AS (
+  SELECT * FROM (
+    SELECT line_id, s, e, sx, sy, ex, ey, idx, x, y,
+           cr * cr AS cross2, l2,
+           ROW_NUMBER() OVER (PARTITION BY line_id, s, e
+                              ORDER BY cr * cr DESC, idx) AS rn
+    FROM cand{r}
+  ) WHERE rn = 1
+),
+fin{r} AS (
+  SELECT line_id, s, e FROM best{r} WHERE cross2 <= {_TAU2} * l2
+  UNION ALL
+  SELECT iv.line_id, iv.s, iv.e FROM iv{p} iv
+  LEFT JOIN (SELECT DISTINCT line_id, s, e FROM cand{r}) c
+    ON c.line_id = iv.line_id AND c.s = iv.s AND c.e = iv.e
+  WHERE c.line_id IS NULL
+),
+iv{r} AS (
+  SELECT line_id, s, idx AS e, sx, sy, x AS ex, y AS ey
+  FROM best{r} WHERE cross2 > {_TAU2} * l2
+  UNION ALL
+  SELECT line_id, idx AS s, e, x AS sx, y AS sy, ex, ey
+  FROM best{r} WHERE cross2 > {_TAU2} * l2
+)""".strip())
+    fins = "\nUNION ALL\n".join(
+        f"SELECT line_id, s, e FROM fin{r}" for r in range(1, _ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+alldone AS ({fins}),
+kept AS (
+  SELECT DISTINCT line_id, idx FROM (
+    SELECT line_id, s AS idx FROM alldone
+    UNION ALL SELECT line_id, e FROM alldone
+    UNION ALL SELECT line_id, s FROM iv{_ROUNDS}
+    UNION ALL SELECT line_id, e FROM iv{_ROUNDS}
+    UNION ALL
+    SELECT v.line_id, v.idx
+    FROM iv{_ROUNDS} iv JOIN v
+      ON v.line_id = iv.line_id AND v.idx > iv.s AND v.idx < iv.e
+  )
+),
+kv AS (
+  SELECT k.line_id, k.idx, v.x, v.y,
+         LAG(v.x) OVER (PARTITION BY k.line_id ORDER BY k.idx) AS px,
+         LAG(v.y) OVER (PARTITION BY k.line_id ORDER BY k.idx) AS py
+  FROM kept k JOIN v ON v.line_id = k.line_id AND v.idx = k.idx
+)
+SELECT line_id,
+       COUNT(*) AS n_kept,
+       CAST(SUM(idx * idx) AS BIGINT) AS idx_chk,
+       CAST(SUM(CASE WHEN px IS NULL THEN 0
+                ELSE (x - px) * (x - px) + (y - py) * (y - py) END)
+            AS BIGINT) AS len2_sum
+FROM kv
+GROUP BY 1"""
+    )
+
+
+def _vertices(spark: SparkSession) -> DataFrame:
+    return spark.range(_NL * _M).selectExpr(
+        f"CAST(id DIV {_M} AS BIGINT) AS l",
+        f"CAST(id % {_M} AS BIGINT) AS i",
+    ).selectExpr(
+        "l AS line_id",
+        "i AS idx",
+        f"CAST({_VX} AS BIGINT) AS x",
+        f"CAST({_VY} AS BIGINT) AS y",
+    )
+
+
+@register("simplify_dp_roads", _dp_oracle())
+def simplify_dp_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Douglas–Peucker (terra::simplifyGeom parity) on the
+    deterministic polyline fixture: bounded-round interval refinement,
+    exact-integer cross²-vs-τ²L² deviation tests, smallest-index tie
+    break.  The oracle unrolls the SAME rounds as CTEs, so the kept
+    set, its checksum, and the simplified squared-length sum are
+    value-hash exact — recursion replayed, not approximated."""
+    return dp_simplify_summary(_vertices(spark), _TAU2, _ROUNDS)
