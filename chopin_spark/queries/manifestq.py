@@ -119,3 +119,63 @@ def s2_manifest_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# --- compaction planning (Iceberg rewrite_data_files binPack) -----------------
+
+_TARGET = 20_000  # target bytes per compaction group
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT lang, doc_id // 4 AS file_id,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, file_id, bytes,
+         SUM(bytes) OVER (PARTITION BY lang ORDER BY file_id
+                          ROWS UNBOUNDED PRECEDING) - bytes AS cum_before
+  FROM files
+)
+SELECT lang, CAST(cum_before // {_TARGET} AS BIGINT) AS grp,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(MIN(file_id) AS BIGINT) AS first_file,
+       CAST(MAX(file_id) AS BIGINT) AS last_file
+FROM cum
+GROUP BY 1, 2
+"""
+
+
+@register("compaction_bin_pack", _COMPACT_ORACLE)
+def compaction_bin_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (Iceberg rewrite_data_files
+    binPack): within each table partition (lang), files in sort-key
+    order fold into target-size groups by an exclusive running-sum
+    window — group = cum_before DIV target, the deterministic
+    first-fit-in-order rule.  The window partitions by `lang`, so at
+    10^12 rows the global sort the textbook formulation needs
+    disappears: each partition plans independently, which is exactly
+    how table maintenance shards in production."""
+    docs = load(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        "lang", F.expr("doc_id DIV 4").alias("file_id")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = files.withColumn(
+        "cum_before", F.sum("bytes").over(w) - F.col("bytes")
+    )
+    return cum.groupBy(
+        "lang", F.expr(f"cum_before DIV {_TARGET}").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("bytes"),
+        F.min("file_id").cast("long").alias("first_file"),
+        F.max("file_id").cast("long").alias("last_file"),
+    )
