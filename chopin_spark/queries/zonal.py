@@ -1011,3 +1011,65 @@ def extract_at_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("variety").cast("long").alias("variety"),
         F.col("n_pixels").cast("long").alias("n_pixels"),
     )
+
+
+# --- C1 landscape diversity: Simpson index per zone ---------------------------
+#
+# Landscape-ecology zonal diversity (FRAGSTATS SIDI; reachable through
+# chopin's func passthrough, /root/reference/R/processing.R:133-142)
+# over the same 10-class reclassification as extract_at_mode.  Simpson
+# D = 1 - SUM(n_i^2)/N^2 is a RATIONAL function of the histogram, so
+# the engine carries exact BIGINT sum-of-squares all the way and pays
+# exactly one IEEE division at the end — deterministic across engines,
+# unlike Shannon entropy whose ln() has no cross-engine bit contract.
+# Scale shape: identical to the mode query — associative (zone, class)
+# histogram with map-side partials, finish agg over <=10 rows/zone.
+
+_SIMPSON_ORACLE = f"""
+WITH px AS ({_PX_GRID}),
+h AS (
+  SELECT {Z.zone_id_expr(_PCX, _PCY)} AS zone_id,
+         ({pixel_value_sql('i', 'j', 0)}) % 10 AS cls,
+         COUNT(*) AS cnt
+  FROM px GROUP BY 1, 2
+)
+SELECT 'r0' AS raster_id, zone_id,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+       CAST(SUM(cnt) AS BIGINT) AS n_pixels,
+       ROUND(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                   / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)),
+             6) AS simpson
+FROM h GROUP BY 2
+"""
+
+
+@register("extract_at_diversity", _SIMPSON_ORACLE)
+def extract_at_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal Simpson diversity over the reclassified landcover raster:
+    one histogram shuffle, exact integer sum-of-squares, single final
+    division (the only float op — reproducible bit-for-bit)."""
+    tiles = _tiles(spark, n_rasters=1)
+    px = tile_pixels(tiles).withColumn(
+        "zone_id", F.expr(Z.zone_id_expr(_PCX, _PCY))
+    )
+    hist = (
+        px.withColumn("cls", F.col("val") % 10)
+        .groupBy("raster_id", "zone_id", "cls")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = hist.groupBy("raster_id", "zone_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+        F.sum("cnt").alias("n_pixels"),
+    )
+    return agg.select(
+        "raster_id",
+        "zone_id",
+        F.col("sum_sq").cast("long").alias("sum_sq"),
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        F.round(
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n_pixels").cast("double") * F.col("n_pixels").cast("double")),
+            6,
+        ).alias("simpson"),
+    )
