@@ -135,3 +135,96 @@ def url_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SCD2_ORACLE)
+
+
+# --- content drift across crawl snapshots (SimHash Hamming deltas) -----------
+#
+# The crawl-maintenance question behind recrawl scheduling: how much
+# does a host's content change between consecutive captures?  Chains
+# the SCD2 snapshot ordering (above) with the 60-bit SimHash
+# fingerprint (queries.textops): drift = popcount(fp_v XOR fp_v+1).
+# Scale shape: fingerprinting is one token-hash groupBy; the chaining
+# is one host-keyed lead() window — both partition by host hash at
+# 10^12 rows, no global sort.  Dialect seam: XOR is `^` in Spark but
+# `xor()` in DuckDB (`^` is power there); popcount is bit_count in both.
+
+from chopin_spark.queries.textops import (  # noqa: E402
+    _SIMHASH_FP,
+    _SIMHASH_SUMS,
+)
+from chopin_spark.textops import token_hash60_duckdb  # noqa: E402
+
+_DRIFT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+h AS (SELECT doc_id, {token_hash60_duckdb('t')} AS h FROM tok),
+sums AS (
+  SELECT doc_id,
+       {_SIMHASH_SUMS}
+  FROM h GROUP BY 1
+),
+fp AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM sums),
+snaps AS (
+  SELECT doc_id % 97 AS host_num,
+         {epoch_sql('doc_id')} AS epoch,
+         doc_id
+  FROM documents
+),
+v AS (
+  SELECT s.host_num, f.simhash,
+         LEAD(f.simhash) OVER (PARTITION BY s.host_num
+                               ORDER BY s.epoch, s.doc_id) AS next_fp
+  FROM snaps s JOIN fp f ON s.doc_id = f.doc_id
+),
+d AS (
+  SELECT host_num,
+         CAST(bit_count(xor(simhash, next_fp)) AS BIGINT) AS ham
+  FROM v WHERE next_fp IS NOT NULL
+)
+SELECT host_num,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(ham) AS BIGINT) AS total_drift_bits,
+       CAST(MAX(ham) AS BIGINT) AS max_drift_bits,
+       CAST(SUM(CASE WHEN ham > 12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_major_rewrites
+FROM d GROUP BY 1
+"""
+
+
+@register("url_content_drift", _DRIFT_ORACLE)
+def url_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host content drift between consecutive crawl captures:
+    SimHash fingerprints chained by a host-keyed lead() window, drift =
+    popcount of the XOR of neighbors (> 12/60 bits ≈ major rewrite)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from chopin_spark.tables import load
+    from chopin_spark.textops import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    fp = simhash(docs)
+    snaps = docs.select(
+        (F.col("doc_id") % 97).alias("host_num"),
+        F.expr(epoch_sql("doc_id")).alias("epoch"),
+        "doc_id",
+    )
+    w = Window.partitionBy("host_num").orderBy("epoch", "doc_id")
+    v = (
+        snaps.join(fp, "doc_id")
+        .withColumn("next_fp", F.lead("simhash").over(w))
+        .filter(F.col("next_fp").isNotNull())
+        .withColumn(
+            "ham",
+            F.expr("CAST(bit_count(simhash ^ next_fp) AS BIGINT)"),
+        )
+    )
+    return v.groupBy("host_num").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("ham").cast("long").alias("total_drift_bits"),
+        F.max("ham").cast("long").alias("max_drift_bits"),
+        F.sum(F.when(F.col("ham") > 12, 1).otherwise(0))
+        .cast("long")
+        .alias("n_major_rewrites"),
+    )
