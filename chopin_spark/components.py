@@ -338,3 +338,106 @@ def hits_int(
             F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
         )
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+) -> DataFrame:
+    """Multi-source BFS over a directed edge list: (node, depth) with
+    depth = minimum hop count from any seed, for every node within
+    `max_depth` hops.  The crawl-scheduling primitive ("how deep past
+    the seed list is this page?" — Common Crawl publishes exactly this
+    as its harmonic-centrality depth feature); chopin has no graph
+    layer, so this extends SURVEY.md §2's runner family the same way
+    pagerank_int does.
+
+    Shape per round: frontier ⋈ edges (equi-join on src) → distinct →
+    anti-join against the visited set → that IS the next frontier.  The
+    anti-join makes first-touch == minimum depth, so no min-combine
+    pass is needed.  Rounds = max_depth (a constant, not a data-driven
+    fixpoint), each one shuffle on the node key; lineage is cut per
+    round (localCheckpoint) so the plan never stacks.  At 10^9 hosts
+    every structure here is node-keyed and partial-aggregable — the
+    standard Pregel-style BFS plan.
+    """
+    edges = edges.select("src", "dst").localCheckpoint()
+    visited = (
+        seeds.select("node").distinct().withColumn("depth", F.lit(0)).localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():  # scalar per round, not a data collect
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited
+
+
+def pointer_jump(
+    succ: DataFrame,
+    node: str = "node",
+    nxt: str = "nxt",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Resolve every node of a functional graph (each node has exactly
+    one successor; terminals are self-loops) to its terminal, with the
+    exact hop count — by path doubling: ptr ← ptr(ptr),
+    hops ← hops + hops(ptr).  A chain of length L resolves in
+    ⌈log2 L⌉ rounds, each one self-equi-join on the pointer key —
+    the classic parallel list-ranking plan, and the redirect-chain /
+    canonical-URL resolution step of a crawl store (301 chains resolve
+    to their final target without O(chain) sequential rounds).
+
+    Requires the successor relation to be CLOSED (every `nxt` value
+    appears as a `node`) and terminal-at-self-loop; cycles other than
+    self-loops never converge and raise after `max_rounds` (loud
+    failure, no silent truncation — same discipline as
+    connected_components).  Returns (node, target, hops).
+    """
+    cur = succ.select(
+        F.col(node).alias("node"),
+        F.col(nxt).alias("ptr"),
+        F.when(F.col(nxt) == F.col(node), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("hops"),
+    ).localCheckpoint()
+    terminals = (
+        succ.filter(F.col(node) == F.col(nxt))
+        .select(F.col(node).alias("ptr"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        if cur.join(terminals, "ptr", "left_anti").isEmpty():
+            return cur.select("node", F.col("ptr").alias("target"), "hops")
+        other = cur.select(
+            F.col("node").alias("ptr"),
+            F.col("ptr").alias("_p2"),
+            F.col("hops").alias("_h2"),
+        )
+        cur = (
+            cur.join(other, "ptr")
+            .select(
+                "node",
+                F.col("_p2").alias("ptr"),
+                (F.col("hops") + F.col("_h2")).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    if cur.join(terminals, "ptr", "left_anti").isEmpty():
+        return cur.select("node", F.col("ptr").alias("target"), "hops")
+    raise RuntimeError(
+        f"pointer_jump did not converge in {max_rounds} rounds —"
+        " the successor graph has a non-self-loop cycle or an open"
+        " successor (a nxt value that is not a node); raise max_rounds"
+        " only if chains are genuinely longer than 2^max_rounds"
+    )
