@@ -591,6 +591,70 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- canonical-document selection per duplicate cluster ----------------------
+#
+# The dedup ENDGAME a training pipeline actually executes: clusters →
+# pick ONE representative per cluster (the longest document, doc_id
+# tie-break) → everything else is the drop list.  The argmax is a
+# packed-ordinal MAX_BY (n_chars·10^6 − doc_id), which partial-
+# aggregates map-side — no per-cluster sort/window at 10^12 docs.
+
+_CANON_SQL = f"""
+WITH RECURSIVE {_PAIR_CTES},
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a
+),
+q AS (
+  SELECT c.comp_id, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT comp_id,
+       CAST(arg_max(doc_id, n_chars * 1000000 - doc_id) AS BIGINT)
+         AS canonical_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(doc_id) - arg_max(doc_id, n_chars * 1000000 - doc_id)
+            AS BIGINT) AS dropped_id_sum
+FROM q GROUP BY comp_id
+"""
+
+
+@register("dedup_cluster_canonical", _CANON_SQL)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster dedup: MinHash-LSH verified pairs →
+    connected components → per-cluster canonical document = longest
+    text (min doc_id on ties), everything else summarized as the drop
+    set.  The selection is max_by over a packed ordinal — an argmax
+    WITHOUT a window, one combiner-friendly shuffle on comp_id.  The
+    oracle recomputes the identical pipeline with a recursive-CTE
+    closure standing in for the distributed components algorithm."""
+    from chopin_spark.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, threshold=0.9).select("d1", "d2")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "comp_id"
+    )
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    ordinal = "n_chars * 1000000 - doc_id"
+    return j.groupBy("comp_id").agg(
+        F.expr(f"max_by(doc_id, {ordinal})").cast("long").alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum("doc_id") - F.expr(f"max_by(doc_id, {ordinal})")
+        ).cast("long").alias("dropped_id_sum"),
+    )
+
+
 # --- model-based quality filtering (hashed linear classifier) ----------------
 #
 # The DCLM / FineWeb-Edu curation step: a linear classifier over hashed

@@ -166,3 +166,34 @@ def test_gopher_gate_rules_all_discriminate(spark):
               "fail_repetition"):
         assert 0 < tot[c] < tot["n_docs"], c
     assert 0 < tot["n_pass"] < tot["n_docs"]
+
+
+def test_canonical_selection_semantics(spark):
+    """Canonical = longest member (min doc_id on ties); the drop-set
+    checksum and member counts must be consistent with the raw
+    component labeling."""
+    from chopin_spark.queries.textops import (
+        dedup_cluster_canonical,
+        dedup_components,
+    )
+
+    comp_rows = dedup_components(spark, SF_CORRECT).collect()
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in comp_rows:
+        members.setdefault(r.comp_id, []).append(r.doc_id)
+
+    got = {
+        r.comp_id: (r.canonical_doc, r.n_members, r.dropped_id_sum)
+        for r in dedup_cluster_canonical(spark, SF_CORRECT).collect()
+    }
+    assert set(got) == set(members)
+    for cid, docs in members.items():
+        canon = max(docs, key=lambda d: (chars[d], -d))
+        assert got[cid] == (canon, len(docs), sum(docs) - canon), cid
+        assert len(docs) >= 2  # pair-graph components are never singletons
