@@ -256,6 +256,61 @@ def extract_at_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C1 extract_at POINT sampling (radius = 0, the basic terra verb) ---------
+#
+# terra::extract(raster, points) with no buffer — look up the single
+# pixel containing each point.  The engine path is the PRODUCTION one:
+# point → (i, j) pixel index by pure arithmetic → tile_id equi-join
+# into the stored tile table → element_at into the tile's value array;
+# zero Python, and at 10^12 points the join shuffles only the narrow
+# point keys (the tile dimension broadcasts).  The oracle recomputes
+# the DN closed-form from (i, j) — a hash match proves the tile-id /
+# row-major-offset arithmetic of the real lookup path.
+
+_PTS_ORACLE = f"""
+WITH poi AS (
+  SELECT p_partkey, {_POIX} AS px, {_POIY} AS py FROM part
+),
+ij AS (
+  SELECT p_partkey,
+         CAST(FLOOR(px / {PW!r}) AS BIGINT) AS i,
+         CAST(FLOOR(py / {PH!r}) AS BIGINT) AS j
+  FROM poi
+)
+SELECT CAST(p_partkey AS STRING) AS pid, i, j,
+       CAST(((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS BIGINT) AS val
+FROM ij
+"""
+
+
+@register("extract_at_points", _PTS_ORACLE)
+def extract_at_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-sample the raster (terra::extract radius-0 branch) through
+    the real storage path: index arithmetic → tile_id join → in-array
+    offset.  ``values`` is [local_j, local_i] row-major (raster.py), so
+    offset = (j % TILE)·TILE + (i % TILE), 1-based for element_at."""
+    from chopin_spark.raster import TILE, TNX
+
+    poi = load(spark, sf_dir, "part").selectExpr(
+        "CAST(p_partkey AS STRING) AS pid",
+        f"CAST(FLOOR({_POIX} / {PW!r}) AS BIGINT) AS i",
+        f"CAST(FLOOR({_POIY} / {PH!r}) AS BIGINT) AS j",
+    ).withColumn(
+        "tile_id",
+        (F.col("j") / TILE).cast("long") * TNX + (F.col("i") / TILE).cast("long"),
+    )
+    tiles = _tiles(spark, n_rasters=1).select("tile_id", "values")
+    return poi.join(tiles, "tile_id").select(
+        "pid",
+        "i",
+        "j",
+        F.element_at(
+            "values",
+            ((F.col("j") % TILE) * TILE + F.col("i") % TILE + 1).cast("int"),
+        ).alias("val"),
+    )
+
+
 # --- C1 coverage-fraction weighting (exactextractr parity) ------------------
 
 _FXW = (
