@@ -696,3 +696,92 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_pass"),
     )
+
+
+# --- DSIR importance resampling (Xie et al. 2023) ----------------------------
+#
+# Data Selection via Importance Resampling: score every raw document by
+# the log-likelihood ratio of a TARGET bag-of-hashed-ngrams model vs
+# the RAW model, then keep the head.  Target here = the English slice
+# (the "high-quality domain" stand-in); features = hashed token bigrams
+# folded to 2^10 buckets (DSIR's hashed generative model).  Both bucket
+# count tables are add-1-smoothed; the per-doc score is the
+# feature-count-weighted mean LLR.
+#
+# 100 TB shape: one (doc, bucket) count agg (bucket fan-out = doc
+# bigrams), one 1024-key global agg for the two models, the 1024-row
+# LLR table broadcast back onto the per-doc counts, one per-doc agg.
+# Float discipline: the per-bucket LLR is QUANTIZED to integer
+# micro-units (FLOOR(llr·10^6) — the sedc quantized-weight move) so
+# every per-doc sum is integer-exact; the only remaining float ops are
+# 1024 per-bucket FLOOR(ln·10^6) calls (flip probability ~1e-6 vs the
+# per-DOC rounding boundaries that DID flip at sf0.1 with raw float
+# sums) and one final IEEE division of two exact integers, which is
+# bit-identical across engines.
+
+_DSIR_B = 1024
+
+
+def _dsir_sql(tok_hashes: str, bigrams: str, unnest_bigram: str) -> str:
+    return f"""
+WITH uh AS (
+  SELECT doc_id, lang, {tok_hashes} AS _uh FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, g % {_DSIR_B} AS b
+  FROM (
+    SELECT doc_id, lang, {unnest_bigram} AS g
+    FROM (SELECT doc_id, lang, {bigrams} AS _bg FROM uh)
+  )
+),
+nb AS (
+  SELECT doc_id, lang, b, COUNT(*) AS n FROM feats GROUP BY 1, 2, 3
+),
+model AS (
+  SELECT b,
+         SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS t,
+         SUM(n) AS r
+  FROM nb GROUP BY 1
+),
+tot AS (SELECT SUM(t) AS tt, SUM(r) AS rt FROM model),
+llr AS (
+  SELECT b,
+         CAST(FLOOR((LN(CAST(t + 1 AS DOUBLE) / (tt + {_DSIR_B}))
+                     - LN(CAST(r + 1 AS DOUBLE) / (rt + {_DSIR_B})))
+                    * 1000000) AS BIGINT) AS lq
+  FROM model CROSS JOIN tot
+),
+scored AS (
+  SELECT nb.doc_id, nb.lang,
+         CAST(SUM(nb.n) AS BIGINT) AS n_feats,
+         CAST(SUM(nb.n * llr.lq) AS BIGINT) AS sq
+  FROM nb JOIN llr ON llr.b = nb.b
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_feats,
+       sq AS dsir_micro_sum,
+       ROUND(CAST(sq AS DOUBLE) / 1000000 / n_feats, 4) + 0 AS dsir_score
+FROM scored
+"""
+
+
+_DSIR_ORACLE = _dsir_sql(
+    token_hashes_duckdb(),
+    shingles_from_uh_duckdb(2),
+    "UNNEST(_bg)",
+)
+_DSIR_SPARK = _dsir_sql(
+    token_hashes_spark(),
+    shingles_from_uh_spark(2),
+    "explode(_bg)",
+)
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score (mean hashed-bigram LLR of
+    target-vs-raw bag models, both trained in-engine in the same plan).
+    Resampling reads the score column with a threshold or a stratified
+    top-k — composable with stratified_sample_by_lang."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_DSIR_SPARK)

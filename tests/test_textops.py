@@ -197,3 +197,21 @@ def test_canonical_selection_semantics(spark):
         canon = max(docs, key=lambda d: (chars[d], -d))
         assert got[cid] == (canon, len(docs), sum(docs) - canon), cid
         assert len(docs) >= 2  # pair-graph components are never singletons
+
+
+def test_dsir_scores_separate_target_slice(spark):
+    """The English (target) slice must score higher on average than
+    the non-target slice — otherwise the LLR model learned nothing —
+    and every document must be scored."""
+    from chopin_spark.queries.trainprep import dsir_importance_weights
+
+    rows = dsir_importance_weights(spark, SF_CORRECT).collect()
+    n_docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+    )
+    assert len(rows) == n_docs  # no doc dropped (none are feature-free)
+    en = [r.dsir_score for r in rows if r.lang == "en"]
+    rest = [r.dsir_score for r in rows if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    assert all(r.n_feats >= 1 for r in rows)
