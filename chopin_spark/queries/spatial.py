@@ -111,19 +111,31 @@ _HEXP_SIZE = 10_000.0
 
 
 def _hexp_sql() -> str:
+    # One GROUP BY between every parent hop.  Semantically the same
+    # rollup (each cell has exactly one parent, so per-parent distinct
+    # descendants partition exactly and partial counts sum), but the
+    # aggregation is also a projection-collapse barrier: without it
+    # Catalyst's CollapseProject inlines parent(parent(cell(x, y)))
+    # into one expression whose term count multiplies per hop (the
+    # cube-round CASE references each axis ~10x), and plan compile
+    # alone cost seconds per run.  This is also the 100-TB shape —
+    # multi-resolution rollup as associative partial aggregation.
     cell = sx.hex_cell_expr(_DOC_X, _DOC_Y, _HEXP_SIZE)
     return f"""
-SELECT gparent,
-       COUNT(*) AS n_pages,
-       COUNT(DISTINCT parent) AS n_parents,
-       COUNT(DISTINCT hex_cell) AS n_cells
-FROM (
-  SELECT hex_cell, parent, {sx.hex_parent_expr('parent')} AS gparent
-  FROM (
-    SELECT hex_cell, {sx.hex_parent_expr('hex_cell')} AS parent
-    FROM (SELECT {cell} AS hex_cell FROM documents)
-  )
+WITH cells AS (
+  SELECT {cell} AS hex_cell, COUNT(*) AS n
+  FROM documents GROUP BY 1
+),
+par AS (
+  SELECT {sx.hex_parent_expr('hex_cell')} AS parent,
+         COUNT(*) AS n_cells, SUM(n) AS n
+  FROM cells GROUP BY 1
 )
+SELECT {sx.hex_parent_expr('parent')} AS gparent,
+       CAST(SUM(n) AS BIGINT) AS n_pages,
+       COUNT(*) AS n_parents,
+       CAST(SUM(n_cells) AS BIGINT) AS n_cells
+FROM par
 GROUP BY 1
 """
 
