@@ -583,3 +583,135 @@ def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("auth").alias("auth_micro"),
         F.col("hub").alias("hub_micro"),
     )
+
+
+# --- Bloom-filter incremental dedup (recrawl vs stored corpus) ---------------
+#
+# The recrawl staple: which pages of the NEW snapshot are already in
+# the corpus?  The exact answer is an anti-join on content identity —
+# at 10^12 stored docs that join shuffles the full probe side against
+# the full corpus.  The Bloom path compresses the corpus membership
+# set to a FIXED-size bit set (m = 2^16 here; m scales with corpus
+# size, never with probe size): 3 bit positions per stored doc via
+# Kirsch–Mitzenmacher double hashing pos_k = (h1 + k*h2) mod m, and a
+# probe doc is "seen" iff all 3 of its positions are set.  The bit set
+# is corpus-size-INDEPENDENT state that broadcasts to every executor
+# (the ≤ m distinct-position table below IS that bitmap in relational
+# clothing), so probing is three broadcast-hash lookups per row — zero
+# shuffle of either fact table.  False positives are inherent to the
+# sketch and DETERMINISTIC given the shared hash recipe, so the oracle
+# reproduces them bit-for-bit; exact_seen (join on the (h1, h2) 60-bit
+# content identity) is carried alongside, so the query also measures
+# the sketch's FP behavior.  Membership is keyed on the content HEAD
+# fingerprint (first 8 tokens) rather than the full text — the
+# truncation-robust identity a crawl store dedups on (pages recrawled
+# with different tail boilerplate share the head).  Reference anchor:
+# chopin has no sketch layer; this extends the engine for crawl-store
+# maintenance.
+
+_BLOOM_M = 65_536
+_BLOOM_K = 8  # head-fingerprint token count
+_H1 = "_h1"  # charfold(head, 31)  — computed once, reused
+_H2 = "_h2"  # charfold(head, 131)
+
+
+def _bloom_oracle() -> str:
+    from chopin_spark.textops import charfold_duckdb
+
+    h1, h2 = charfold_duckdb("pref", 31), charfold_duckdb("pref", 131)
+    pos = [f"(({_H1} + {k} * {_H2}) % {_BLOOM_M})" for k in range(3)]
+    return f"""
+WITH pref AS (
+  SELECT doc_id, CAST(SUBSTR(source, 4) AS INT) AS snap,
+         array_to_string(string_split(text, ' ')[1:{_BLOOM_K}], ' ')
+           AS pref
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, snap, {h1} AS {_H1}, {h2} AS {_H2} FROM pref
+),
+oldd AS (SELECT * FROM hashed WHERE snap < 10),
+newd AS (
+  SELECT doc_id, {_H1}, {_H2},
+         {pos[0]} AS p0, {pos[1]} AS p1, {pos[2]} AS p2
+  FROM hashed WHERE snap >= 10
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {pos[0]} AS pos FROM oldd
+    UNION ALL SELECT {pos[1]} FROM oldd
+    UNION ALL SELECT {pos[2]} FROM oldd
+  )
+),
+ident AS (SELECT DISTINCT {_H1} AS i1, {_H2} AS i2 FROM oldd)
+SELECT n.doc_id,
+       CAST(CASE WHEN b0.pos IS NOT NULL AND b1.pos IS NOT NULL
+                  AND b2.pos IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS bloom_seen,
+       CAST(CASE WHEN ident.i1 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS exact_seen
+FROM newd n
+LEFT JOIN bits b0 ON b0.pos = n.p0
+LEFT JOIN bits b1 ON b1.pos = n.p1
+LEFT JOIN bits b2 ON b2.pos = n.p2
+LEFT JOIN ident ON ident.i1 = n.{_H1} AND ident.i2 = n.{_H2}
+"""
+
+
+@register("bloom_incremental_dedup", _bloom_oracle())
+def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag new-snapshot docs already present in the stored corpus via
+    a fixed-size Bloom membership sketch (3 double-hashed positions
+    into m = 2^16), with the exact content-identity verdict alongside.
+    Scale shape: the distinct-position table is ≤ m rows no matter the
+    corpus size — explicitly broadcast — so the probe side never
+    shuffles; the exact-identity table is corpus-sized in general, so
+    production keeps only the Bloom verdict and routes the (tiny)
+    positive slice through the exact join."""
+    from chopin_spark.textops import charfold_spark
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(SUBSTR(source, 4) AS INT) AS snap",
+        f"array_join(slice(split(text, ' '), 1, {_BLOOM_K}), ' ') AS pref",
+    ).selectExpr(
+        "doc_id",
+        "snap",
+        f"{charfold_spark('pref', 31)} AS {_H1}",
+        f"{charfold_spark('pref', 131)} AS {_H2}",
+    )
+    pos = [
+        ((F.col(_H1) + k * F.col(_H2)) % _BLOOM_M).alias(f"p{k}")
+        for k in range(3)
+    ]
+    old = docs.filter("snap < 10")
+    new = docs.filter("snap >= 10").select("doc_id", _H1, _H2, *pos)
+    bits = (
+        old.select(pos[0].alias("pos"))
+        .unionAll(old.select(pos[1].alias("pos")))
+        .unionAll(old.select(pos[2].alias("pos")))
+        .distinct()
+    )
+    ident = old.select(
+        F.col(_H1).alias("i1"), F.col(_H2).alias("i2")
+    ).distinct()
+    out = new
+    for k in range(3):
+        bk = F.broadcast(bits.withColumnRenamed("pos", f"pos{k}"))
+        out = out.join(bk, F.col(f"p{k}") == F.col(f"pos{k}"), "left")
+    out = out.join(
+        F.broadcast(ident),
+        (F.col(_H1) == F.col("i1")) & (F.col(_H2) == F.col("i2")),
+        "left",
+    )
+    seen = (
+        F.col("pos0").isNotNull()
+        & F.col("pos1").isNotNull()
+        & F.col("pos2").isNotNull()
+    )
+    return out.select(
+        "doc_id",
+        F.when(seen, 1).otherwise(0).cast("int").alias("bloom_seen"),
+        F.when(F.col("i1").isNotNull(), 1).otherwise(0).cast("int")
+        .alias("exact_seen"),
+    )

@@ -8,6 +8,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from chopin_spark.pages import enrich, synth_pages
+from tests.conftest import SF_CORRECT
 
 
 def test_schema_matches_input_hint(spark):
@@ -66,3 +67,16 @@ def test_enrich_columns_consistent(spark):
     assert out.filter(
         (F.col("cgridid") < 0) | (F.col("cgridid") >= 16 * 12)
     ).count() == 0
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    """Bloom membership can FP (deterministically) but never FN: every
+    exact cross-snapshot dup must be bloom-flagged, and the sketch must
+    actually fire at gate scale (non-vacuity)."""
+    from chopin_spark.queries.webtext import bloom_incremental_dedup
+
+    rows = bloom_incremental_dedup(spark, SF_CORRECT).collect()
+    assert rows and all(
+        r.bloom_seen >= r.exact_seen for r in rows
+    )
+    assert sum(r.exact_seen for r in rows) >= 1
