@@ -324,3 +324,115 @@ def knn3_road(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn_id").alias("road_id"),
         F.round("nn_dist", 4).alias("dist_m"),
     )
+
+
+# --- raster extraction along lines (terra::extract over LINESTRINGs) --------
+#
+# terra::extract(raster, lines) returns the values of every cell the
+# line touches (terra rasterizes the line; /root/reference's C1 verb
+# family, R/processing.R:184-208, applied to the roads layer its own
+# nearest demo ships).  Traversal here is deterministic half-pixel
+# stepping: each segment is sampled every min-pixel-edge/2 metres
+# (step count = CEIL(len / step), endpoints included), sample points
+# map to pixel (i, j) by floor arithmetic, and pixels dedup per line.
+# Half-pixel spacing cannot skip a column or row the segment crosses
+# for near-axis-aligned lines and matches terra's line-rasterization
+# semantics on the synthetic layer; the recipe is part of the shared
+# SQL text, so both engines traverse the IDENTICAL pixel set (IEEE
+# expression order is the same on both sides).
+#
+# Scale shape: sample explosion is bounded by length/step per segment
+# (data-parallel, no shuffle), the dedup + value lookup shuffle keys
+# are (line_id, i, j) — narrow — and the tile table joins by tile_id
+# exactly like extract_at_points: at 10^12 line-cells the tile side is
+# the broadcast dimension.  The engine goes through the STORED tile
+# path (tile_id equi-join + element_at into the tile array); the
+# oracle recomputes the DN closed form, so a hash match proves the
+# whole traversal + storage lookup chain.
+
+_LSTEP = 390.625  # PW / 2 — half the pixel edge
+
+_NSTEPS = (
+    "GREATEST(1, CAST(CEIL(SQRT((bx2 - ax) * (bx2 - ax)"
+    f" + (by2 - ay) * (by2 - ay)) / {_LSTEP!r}) AS BIGINT))"
+)
+_T = "(CAST(s AS DOUBLE) / n)"
+_LPX = f"(ax + {_T} * (bx2 - ax))"
+_LPY = f"(ay + {_T} * (by2 - ay))"
+
+
+def _lines_extract_oracle() -> str:
+    from chopin_spark.raster import PH, PW, V_MOD, V_MX, V_MY
+
+    return f"""
+WITH segs AS ({_SEGS_SQL}),
+st AS (
+  SELECT line_id, ax, ay, bx2, by2, {_NSTEPS} AS n FROM segs
+),
+samp AS (
+  SELECT line_id, ax, ay, bx2, by2, n,
+         UNNEST(generate_series(0, n)) AS s
+  FROM st
+),
+pix AS (
+  SELECT DISTINCT line_id,
+         CAST(FLOOR({_LPX} / {PW!r}) AS BIGINT) AS i,
+         CAST(FLOOR({_LPY} / {PH!r}) AS BIGINT) AS j
+  FROM samp
+)
+SELECT line_id,
+       COUNT(*) AS n_pixels,
+       CAST(SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS BIGINT) AS sum_val,
+       ROUND(CAST(SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS DOUBLE)
+             / COUNT(*), 4) AS mean_val
+FROM pix GROUP BY 1
+"""
+
+
+@register("extract_at_lines", _lines_extract_oracle())
+def extract_at_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal stats of the raster along each road LINESTRING: half-pixel
+    segment sampling → distinct touched pixels per line → stored-tile
+    lookup (tile_id equi-join + element_at) → per-line mean/sum/count.
+    The oracle replays the identical traversal against the DN closed
+    form — the hash match covers sampling, dedup, tile addressing and
+    the in-array offset."""
+    from chopin_spark.queries.zonal import _tiles
+    from chopin_spark.raster import PH, PW, TILE, TNX
+
+    segs = road_segments(spark).selectExpr(
+        "line_id", "ax", "ay", "bx AS bx2", "by AS by2"
+    )
+    pix = (
+        segs.selectExpr("*", f"{_NSTEPS} AS n")
+        .selectExpr(
+            "line_id", "ax", "ay", "bx2", "by2", "n",
+            "explode(sequence(CAST(0 AS BIGINT), n)) AS s",
+        )
+        .selectExpr(
+            "line_id",
+            f"CAST(FLOOR({_LPX} / {PW!r}) AS BIGINT) AS i",
+            f"CAST(FLOOR({_LPY} / {PH!r}) AS BIGINT) AS j",
+        )
+        .distinct()
+        .withColumn(
+            "tile_id",
+            (F.col("j") / TILE).cast("long") * TNX
+            + (F.col("i") / TILE).cast("long"),
+        )
+    )
+    tiles = _tiles(spark, n_rasters=1).select("tile_id", "values")
+    vals = pix.join(tiles, "tile_id").select(
+        "line_id",
+        F.element_at(
+            "values",
+            ((F.col("j") % TILE) * TILE + F.col("i") % TILE + 1).cast("int"),
+        ).alias("val"),
+    )
+    return vals.groupBy("line_id").agg(
+        F.count(F.lit(1)).alias("n_pixels"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.round(
+            F.sum("val").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_val"),
+    )

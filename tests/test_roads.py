@@ -182,3 +182,44 @@ def test_knn_lines_exact_two_grids(spark, roads_case, gnx, gny):
         assert [t[1] for t in triples] == [r for _, r in want[pid]]
         for t, (dist, _) in zip(triples, want[pid]):
             assert t[2] == pytest.approx(dist, rel=1e-12)
+
+
+def test_extract_at_lines_traversal_connected(spark):
+    """Half-pixel stepping means consecutive samples move < one pixel
+    edge per axis, so each segment's pixel chain must be 8-connected —
+    no holes along the line — and every vertex pixel must be present."""
+    import math
+
+    from chopin_spark.queries.roads import (
+        _LSTEP, _N_ROADS, _N_SEGS, extract_at_lines,
+    )
+    from chopin_spark.queries.roads import road_segments
+    from chopin_spark.raster import PH, PW
+    from tests.conftest import SF_CORRECT
+
+    segs = road_segments(spark).collect()
+    got = {
+        r["line_id"]: r["n_pixels"]
+        for r in extract_at_lines(spark, SF_CORRECT).collect()
+    }
+    assert len(got) == _N_ROADS
+
+    pix_by_line: dict[int, set] = {}
+    for s in segs:
+        n = max(1, math.ceil(
+            math.hypot(s.bx - s.ax, s.by - s.ay) / _LSTEP
+        ))
+        prev = None
+        for k in range(n + 1):
+            t = k / n
+            ij = (
+                math.floor((s.ax + t * (s.bx - s.ax)) / PW),
+                math.floor((s.ay + t * (s.by - s.ay)) / PH),
+            )
+            if prev is not None:
+                assert abs(ij[0] - prev[0]) <= 1
+                assert abs(ij[1] - prev[1]) <= 1
+            prev = ij
+            pix_by_line.setdefault(s.line_id, set()).add(ij)
+    # the numpy replay agrees with the engine's per-line pixel counts
+    assert got == {lid: len(p) for lid, p in pix_by_line.items()}
