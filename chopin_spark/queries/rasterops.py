@@ -19,7 +19,7 @@ from chopin_spark.grid import make_regular_grid
 from chopin_spark.queries import register
 from chopin_spark.queries.zonal import _tiles
 from chopin_spark.raster import (
-    NPX, NPY, PH, PW, RNX, RNY, TILE, TNX,
+    NPX, NPY, PH, PW, RNX, RNY, TILE, TNX, V_MOD, V_MX, V_MY, V_SEED,
     aggregate_blocks_tiles, pixel_value_sql, resample_bilinear_tiles,
 )
 from chopin_spark.tables import load
@@ -189,5 +189,69 @@ def raster_distance_to_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("nn_dist") * 1000 + 0.5).cast("long")
             ).cast("long").alias("sum_dist_mm"),
             F.round(F.max("nn_dist"), 4).alias("max_dist"),
+        )
+    )
+
+
+# --- terra::crosstab: contingency table of two categorical rasters ----------
+#
+# Landcover-change analysis staple (terra::crosstab(c(r0, r1))): count
+# pixels per (class-of-raster-0, class-of-raster-1) pair after
+# quantizing each DN into 8 classes.  The Spark plan joins the two
+# STORED tile tables on tile_id (co-partitioned by construction — at
+# production scale a bucketed storage join, never a pixel shuffle),
+# fuses the class pair per pixel inside one JVM zip_with, and explodes
+# only into the partial hash aggregate: pixel rows never cross the
+# wire, each task pre-reduces to ≤ 64 keys, and the final exchange
+# carries 64 rows × tasks.  The oracle regenerates both rasters from
+# generate_series and replays the identical integer class arithmetic —
+# exact, no float anywhere.
+
+_CLS_W = (V_MOD // 8) + 1  # 125001 → classes 0..7 for v < V_MOD
+
+_XTAB_ORACLE = f"""
+WITH px AS (
+  SELECT i.i, j.j
+  FROM generate_series(0, {NPX - 1}) i(i)
+  CROSS JOIN generate_series(0, {NPY - 1}) j(j)
+),
+v AS (
+  SELECT ((i * {V_MX} + j * {V_MY}) % {V_MOD}) // {_CLS_W} AS class_a,
+         ((i * {V_MX} + j * {V_MY} + {V_SEED}) % {V_MOD}) // {_CLS_W}
+           AS class_b
+  FROM px
+)
+SELECT CAST(class_a AS BIGINT) AS class_a,
+       CAST(class_b AS BIGINT) AS class_b,
+       COUNT(*) AS n_pixels
+FROM v GROUP BY 1, 2
+"""
+
+
+@register("raster_crosstab", _XTAB_ORACLE)
+def raster_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel contingency table of raster r0 vs r1 through the stored
+    tile tables: tile_id equi-join, one zip_with fusing both class
+    codes into a single small-integer key, explode straight into the
+    partial aggregation.  ``V_SEED`` is r1's DN offset (raster.py:52),
+    so the oracle's closed form is the same surface the tiles store."""
+    two = _tiles(spark, n_rasters=2)
+    t0 = two.filter("rid = 0").select("tile_id", F.col("values").alias("v0"))
+    t1 = two.filter("rid = 1").select("tile_id", F.col("values").alias("v1"))
+    fused = t0.join(t1, "tile_id").select(
+        F.explode(
+            F.expr(
+                f"zip_with(v0, v1, (a, b) ->"
+                f" (a DIV {_CLS_W}) * 8 + (b DIV {_CLS_W}))"
+            )
+        ).alias("ck")
+    )
+    return (
+        fused.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n_pixels"))
+        .select(
+            F.expr("ck DIV 8").cast("bigint").alias("class_a"),
+            (F.col("ck") % 8).cast("bigint").alias("class_b"),
+            "n_pixels",
         )
     )
