@@ -1128,3 +1128,127 @@ def extract_at_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("simpson"),
     )
+
+
+# --- dasymetric areal interpolation (raster-weighted summarize_aw) ----------
+#
+# The population-weighted exposure workflow chopin's vignettes center
+# on: redistribute an EXTENSIVE source-zone variable (tract population)
+# onto target zones, weighting each source∩target piece not by bare
+# intersection area (summarize_aw's assumption of uniform density) but
+# by an ancillary raster mass inside the piece — classic dasymetric
+# refinement (nightlights / landcover weighting):
+#
+#   pop(tgt) = Σ_src pop(src) · W(src ∩ tgt) / W(src),   W = Σ pixels DN
+#
+# Fixture geometry: sources = the 256 tracts (64×48 px — pixel-edge
+# aligned), targets = the 8×6 analysis cells (128×128 px), so every
+# intersection is an exact pixel rectangle and W comes through the
+# PRODUCTION zonal path (extract_at over the stored tile table,
+# chunked-numpy partials).  All mass arithmetic is integer: DN sums
+# are exact BIGINTs, population quantizes to micro-units, and each
+# piece's contribution is one BIGINT floor-division — the final
+# per-target sum is reduction-order independent, so the oracle (which
+# regenerates pixels from generate_series and replays the identical
+# integer ops) hash-matches exactly.
+#
+# Scale shape: W(src∩tgt) is one zonal aggregation keyed by the piece
+# id (at 10^12 pixels: tile-join + partial aggs, the extract_at plan);
+# W(src) is a ≤|src| re-aggregation; population is a broadcast
+# dimension; the redistribution itself is pure column math.  Mass
+# conservation (Σ tgt == Σ src up to quantization) is pinned in tests.
+
+_DASY_TPXW = 64    # tract width, pixels
+_DASY_TPXH = 48    # tract height, pixels
+_DASY_CPX = 128    # analysis-cell edge, pixels
+
+_DASY_ORACLE = f"""
+WITH px AS (
+  SELECT i.i, j.j
+  FROM generate_series(0, {NPX - 1}) i(i)
+  CROSS JOIN generate_series(0, {NPY - 1}) j(j)
+),
+w AS (
+  SELECT (j // {_DASY_TPXH}) * 16 + (i // {_DASY_TPXW}) AS src,
+         (j // {_DASY_CPX}) * 8 + (i // {_DASY_CPX}) AS tgt,
+         SUM((i * {V_MX} + j * {V_MY}) % {V_MOD}) AS w_int
+  FROM px GROUP BY 1, 2
+),
+ws AS (SELECT src, SUM(w_int) AS w_src FROM w GROUP BY 1),
+pop AS (
+  SELECT t.t AS src,
+         CAST(FLOOR({Z.pop_expr('t.t')} * 10000 + 0.5) AS BIGINT)
+           AS pop_micro
+  FROM generate_series(0, 255) t(t)
+),
+contrib AS (
+  SELECT w.tgt,
+         (pop.pop_micro * w.w_int) // ws.w_src AS cm
+  FROM w
+  JOIN ws ON ws.src = w.src
+  JOIN pop ON pop.src = w.src
+)
+SELECT CAST(tgt AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_src,
+       ROUND(CAST(SUM(cm) AS DOUBLE) / 10000, 4) AS dasy_pop
+FROM contrib GROUP BY 1
+"""
+
+
+@register("dasymetric_population", _DASY_ORACLE)
+def dasymetric_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dasymetric redistribution of tract population onto analysis
+    cells, raster-weighted: piece weights via the production zonal path
+    (extract_at over stored tiles), per-source normalization, one
+    BIGINT floor-division per piece, per-target exact-integer sum."""
+    # intersection pieces: tract (ti, tj) × cell (ci = ti DIV 2, cj in
+    # the tract's y-overlap range) — closed-form, pixel-edge aligned
+    pieces = (
+        spark.range(256)
+        .selectExpr(
+            "CAST(id % 16 AS INT) AS ti",
+            "CAST(id DIV 16 AS INT) AS tj",
+        )
+        .selectExpr(
+            "ti", "tj",
+            "ti DIV 2 AS ci",
+            f"""explode(sequence(
+                 (tj * {_DASY_TPXH}) DIV {_DASY_CPX},
+                 ((tj + 1) * {_DASY_TPXH} - 1) DIV {_DASY_CPX})) AS cj""",
+        )
+        .selectExpr(
+            "tj * 16 + ti AS src",
+            "cj * 8 + ci AS tgt",
+            f"CAST(ti * {_DASY_TPXW} * {PW!r} AS DOUBLE) AS xmin",
+            f"""CAST(GREATEST(tj * {_DASY_TPXH}, cj * {_DASY_CPX})
+                * {PH!r} AS DOUBLE) AS ymin""",
+            f"CAST((ti + 1) * {_DASY_TPXW} * {PW!r} AS DOUBLE) AS xmax",
+            f"""CAST(LEAST((tj + 1) * {_DASY_TPXH}, (cj + 1) * {_DASY_CPX})
+                * {PH!r} AS DOUBLE) AS ymax""",
+        )
+        .withColumn("rect_id", F.concat_ws("_", "src", "tgt"))
+    )
+    tiles = _tiles(spark, n_rasters=1)
+    w = extract_at(tiles, pieces, rect_id="rect_id", stats=("sum",)).select(
+        "rect_id", F.col("sum_val").alias("w_int")
+    )
+    w = w.join(F.broadcast(pieces.select("rect_id", "src", "tgt")), "rect_id")
+    ws = w.groupBy("src").agg(F.sum("w_int").alias("w_src"))
+    pop = spark.range(256).selectExpr(
+        "id AS src",
+        f"CAST(FLOOR({Z.pop_expr('id')} * 10000 + 0.5) AS BIGINT)"
+        " AS pop_micro",
+    )
+    contrib = (
+        w.join(ws, "src")
+        .join(F.broadcast(pop), "src")
+        .selectExpr("tgt", "(pop_micro * w_int) DIV w_src AS cm")
+    )
+    return contrib.groupBy("tgt").agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.round(F.sum("cm").cast("double") / 10000, 4).alias("dasy_pop"),
+    ).select(
+        F.col("tgt").cast("bigint").alias("cell"),
+        F.col("n_src").cast("bigint").alias("n_src"),
+        "dasy_pop",
+    )

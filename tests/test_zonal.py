@@ -304,3 +304,25 @@ def test_terrain_full_grid_replay(spark):
         assert got_oct[o] == int(((octant == o) & ~flat).sum())
     # aspect classes must be non-degenerate: >1 octant actually occurs
     assert sum(1 for o in got_oct if o > 0) > 1
+
+
+def test_dasymetric_mass_conservation(spark):
+    """Dasymetric redistribution is extensive: total redistributed
+    population equals total source population up to one micro-unit
+    floor loss per piece (≤ 512 pieces · 1e-4)."""
+    from chopin_spark.queries.zonal import dasymetric_population
+    from chopin_spark.zones import pop_expr
+    from tests.conftest import SF_CORRECT
+
+    out = dasymetric_population(spark, SF_CORRECT).collect()
+    total_tgt = sum(r.dasy_pop for r in out)
+    total_src = (
+        spark.range(256)
+        .selectExpr(f"{pop_expr('id')} AS pop")
+        .groupBy()
+        .sum("pop")
+        .collect()[0][0]
+    )
+    assert 0 <= total_src - total_tgt < 512 * 1e-4 + 1e-6
+    assert len(out) == 48  # every analysis cell receives mass
+    assert all(6 <= r.n_src <= 8 for r in out)  # 2 x-tracts × 3-4 y-tracts
