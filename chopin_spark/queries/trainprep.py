@@ -785,3 +785,59 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k — composable with stratified_sample_by_lang."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_DSIR_SPARK)
+
+
+# --- DSIR resampling: Gumbel top-k over the importance scores ----------------
+#
+# Xie et al. 2023 resample with probability ∝ exp(score/T); the
+# Gumbel-top-k trick makes that a deterministic ranking: key_i =
+# score_i + T·g_i with g_i = -ln(-ln(u_i)) and u_i hash-uniform — the
+# top k keys ARE a weighted sample without replacement.  u_i derives
+# from doc_id by the shared LCG recipe, so the "randomness" is
+# replay/resume-identical and the oracle reproduces the exact sample.
+# Quantization discipline: the score term reuses dsir's exact integer
+# micro-sum (floored per-doc mean), the Gumbel term floors to micro
+# units, and the final ordering key is a BIGINT with doc_id as the
+# total tiebreak — cross-engine ties are impossible.
+#
+# Scale shape: scoring is the dsir plan (bounded 1024-key model aggs);
+# the selection is a distributed top-k (TakeOrdered — per-partition
+# heaps + one k-row merge at the driver), NEVER a global sort: at
+# 10^12 docs the only full-width pass is the per-partition heap scan.
+
+_DSIR_TOPK = 100
+_DSIR_TEMP_INV = 100  # 1/T — the corpus' ~0.1-LLR score spread needs
+# T ≈ 0.01 for score to dominate the unit-scale Gumbel noise while
+# borderline docs still churn (the stochastic part of the resample)
+_GUMBEL_U = (
+    "((CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) + 1.0) / 1000004.0)"
+)
+_GUMBEL_Q = (
+    f"CAST(FLOOR(-LN(-LN({_GUMBEL_U})) * 1000000) AS BIGINT)"
+)
+
+
+def _dsir_topk_sql(inner: str) -> str:
+    return f"""
+WITH scored AS ({inner}),
+keyed AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(CAST(dsir_micro_sum AS DOUBLE) / n_feats) AS BIGINT)
+           * {_DSIR_TEMP_INV} + {_GUMBEL_Q} AS key_micro
+  FROM scored
+)
+SELECT doc_id, lang, key_micro
+FROM keyed
+ORDER BY key_micro DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register("dsir_gumbel_topk", _dsir_topk_sql(_DSIR_ORACLE))
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample-without-replacement of the corpus ∝ exp(DSIR
+    score): deterministic Gumbel keys over the in-plan importance
+    scores, selected by distributed top-k (orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_dsir_topk_sql(_DSIR_SPARK))

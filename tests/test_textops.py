@@ -215,3 +215,19 @@ def test_dsir_scores_separate_target_slice(spark):
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
     assert all(r.n_feats >= 1 for r in rows)
+
+
+def test_dsir_gumbel_topk_upweights_target(spark):
+    """The Gumbel-top-k resample must over-represent the target (en)
+    slice relative to its corpus base rate — otherwise the temperature
+    lets noise drown the importance scores."""
+    from chopin_spark.queries.trainprep import _DSIR_TOPK, dsir_gumbel_topk
+
+    rows = dsir_gumbel_topk(spark, SF_CORRECT).collect()
+    assert len(rows) == _DSIR_TOPK
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    base = docs.filter("lang = 'en'").count() / docs.count()
+    frac = sum(1 for r in rows if r.lang == "en") / len(rows)
+    assert frac > base + 0.15
+    # keys are strictly decreasing-or-tie-broken: no duplicate doc
+    assert len({r.doc_id for r in rows}) == _DSIR_TOPK
