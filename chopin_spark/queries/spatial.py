@@ -680,3 +680,137 @@ def zone_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(FLOOR({_DOC_Y}) AS BIGINT)").alias("iy"),
     )
     return convex_hull_stats(docs)
+
+
+# --- emerging hot spot analysis (per-day Gi* × Mann-Kendall) ------------------
+#
+# The full ESRI space-time workflow the Gi* and MK pieces above build
+# toward: per DAY, a Gi* surface over the tract grid; per TRACT, the
+# Mann-Kendall trend of its 30-day Gi* series; final label = (last-day
+# hotspot class) × (trend).  Within a tract the Gi* denominator's
+# neighborhood term k_i = n·w_i − w_i² is a POSITIVE constant across
+# days, so MK's sign comparisons run on u_d = A_d / sqrt(V_d) with k_i
+# cancelled — every u_d is a deterministic IEEE double from exact
+# integers (sqrt is correctly rounded), identical in both engines, so
+# cross-day sign tests cannot diverge.  Final-day z restores the full
+# denominator for the 90% gate (|z| > 1.645).
+#
+# Scale shape: ONE fact aggregation to the (tract, day) cube; all
+# later stages are dimension-sized (256 tracts × 30 days; the MK pair
+# join is T² per tract = 435 rows).  At 10^12 events only the cube agg
+# touches facts.
+
+_EHS_BODY = """
+cube0 AS (
+  SELECT c.gx, c.gy, dy.d,
+         COALESCE(SUM(e.one), 0) AS cnt
+  FROM cells c
+  CROSS JOIN days dy
+  LEFT JOIN e ON e.gx = c.gx AND e.gy = c.gy AND e.d = dy.d
+  GROUP BY 1, 2, 3
+),
+stot AS (
+  SELECT d, CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST({n} AS BIGINT) * CAST(SUM(cnt * cnt) AS BIGINT)
+           - CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT) AS v
+  FROM cube0 GROUP BY 1
+),
+nb AS (
+  SELECT cube0.gx + o.dx AS ngx, cube0.gy + o.dy AS ngy, cube0.d,
+         cube0.cnt
+  FROM cube0 CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+                        AS o(dx, dy)
+),
+hood AS (
+  SELECT c2.gx, c2.gy, c2.d,
+         CAST(SUM(nb.cnt) AS BIGINT) AS nsum,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM nb JOIN cube0 c2
+    ON nb.ngx = c2.gx AND nb.ngy = c2.gy AND nb.d = c2.d
+  GROUP BY 1, 2, 3
+),
+ug AS (
+  SELECT h.gx, h.gy, h.d,
+         CAST({n} AS BIGINT) * h.nsum - st.s * h.w AS a_i,
+         h.w, st.v,
+         CAST(CAST({n} AS BIGINT) * h.nsum - st.s * h.w AS DOUBLE)
+           / SQRT(CAST(st.v AS DOUBLE)) AS u
+  FROM hood h JOIN stot st ON st.d = h.d
+),
+mk AS (
+  SELECT a.gx, a.gy, CAST(SUM(
+           CASE WHEN b.u > a.u THEN 1
+                WHEN b.u < a.u THEN -1 ELSE 0 END) AS BIGINT) AS mk_s
+  FROM ug a JOIN ug b ON b.gx = a.gx AND b.gy = a.gy AND b.d > a.d
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT gx, gy,
+         ROUND(CAST(a_i AS DOUBLE)
+               / SQRT(CAST(v AS DOUBLE)
+                      * (CAST({n} AS BIGINT) * w - w * w)
+                      / ({n} - 1.0)), 6) AS z_final
+  FROM ug WHERE d = {days}
+)
+SELECT mk.gx, mk.gy, mk.mk_s, fin.z_final,
+       CASE WHEN fin.z_final > 1.645 THEN
+              CASE WHEN mk.mk_s > 0 THEN 'intensifying-hot'
+                   WHEN mk.mk_s < 0 THEN 'diminishing-hot'
+                   ELSE 'persistent-hot' END
+            WHEN fin.z_final < -1.645 THEN
+              CASE WHEN mk.mk_s < 0 THEN 'intensifying-cold'
+                   WHEN mk.mk_s > 0 THEN 'diminishing-cold'
+                   ELSE 'persistent-cold' END
+            ELSE
+              CASE WHEN mk.mk_s > 0 THEN 'warming'
+                   WHEN mk.mk_s < 0 THEN 'cooling'
+                   ELSE 'no-pattern' END
+       END AS pattern
+FROM mk JOIN fin ON fin.gx = mk.gx AND fin.gy = mk.gy
+"""
+
+_EHS_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+days AS (
+  SELECT explode(sequence(1, {_MK_DAYS})) AS d
+),
+e AS (
+  SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         day(ts) AS d, 1 AS one
+  FROM events WHERE month(ts) = 1
+),
+{_EHS_BODY.format(n=_NZ, days=_MK_DAYS)}
+"""
+
+_EHS_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+days AS (
+  SELECT d FROM generate_series(1, {_MK_DAYS}) AS gd(d)
+),
+e AS (
+  SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         CAST(day(ts) AS BIGINT) AS d, 1 AS one
+  FROM events WHERE month(ts) = 1
+),
+{_EHS_BODY.format(n=_NZ, days=_MK_DAYS)}
+"""
+
+
+@register("emerging_hotspots", _EHS_ORACLE)
+def emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot spot analysis: daily Gi* surfaces over the tract
+    grid, Mann-Kendall trend per tract across its Gi* series, ESRI-style
+    pattern label from (final-day class × trend).  One fact aggregation
+    to the space-time cube; every later stage is dimension-sized."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_EHS_SPARK)
