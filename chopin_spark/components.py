@@ -441,3 +441,50 @@ def pointer_jump(
         " successor (a nxt value that is not a node); raise max_rounds"
         " only if chains are genuinely longer than 2^max_rounds"
     )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, max_rounds: int = 20
+) -> DataFrame:
+    """k-core of an undirected simple graph by iterative peeling:
+    repeatedly drop nodes of degree < k until fixpoint.  Returns
+    (v, d) — surviving nodes with their degree INSIDE the core.
+
+    edges: distinct undirected pairs (a, b) with a < b.
+
+    Scale shape: each round is one two-sided membership semi-join on
+    the edge list + one node-keyed degree aggregation — both standard
+    shuffles on narrow keys; survivors localCheckpoint per round so
+    lineage never stacks.  Peeling converges in at most the degeneracy
+    ordering depth; exceeding ``max_rounds`` raises loudly instead of
+    returning a half-peeled set (the connected_components discipline).
+    """
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = nodes.count()
+    for _ in range(max_rounds):
+        e = edges.join(
+            nodes.withColumnRenamed("v", "a"), "a"
+        ).join(nodes.withColumnRenamed("v", "b"), "b")
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint()
+        )
+        core = deg.filter(F.col("d") >= k)
+        n_next = core.count()
+        if n_next == n_prev:
+            return core
+        nodes = core.select("v").localCheckpoint()
+        n_prev = n_next
+        if n_next == 0:
+            return core
+    raise RuntimeError(
+        f"kcore_peel: no fixpoint within {max_rounds} rounds"
+    )

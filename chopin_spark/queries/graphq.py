@@ -133,3 +133,77 @@ def redirect_resolve_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target").cast("long").alias("final_target"),
         F.col("hops").cast("long").alias("n_hops"),
     )
+
+
+# --- k-core decomposition of the host graph ----------------------------------
+#
+# The graph-pruning staple between connected components and PageRank:
+# the k-core (maximal subgraph where every node keeps degree ≥ k)
+# separates a crawl's link-farm/core hosts from its periphery.  The
+# fixture graph is scale-INDEPENDENT (doc_id < 500 universe — same
+# edge set at every sf, like the 200-node redirect universe) and
+# degree-SKEWED (one endpoint drawn as floor(sqrt(uniform)), density
+# ∝ 2v+1), so peeling is non-trivial: at k = 7 three rounds strip 23
+# of 97 hosts.  Engine: components.kcore_peel — per round one
+# two-sided membership join + one degree agg, localCheckpoint lineage
+# cuts, loud non-convergence.  Oracle: the SAME peeling unrolled as
+# fixed CTE rounds (fixpoint is reached by round 3; later rounds are
+# exact no-ops, so the unroll depth is not load-bearing).
+
+_KCORE_K = 7
+_KCORE_ROUNDS = 6
+_KCORE_EDGES = """(
+  SELECT DISTINCT
+    LEAST((doc_id * 69069) % 97,
+          CAST(FLOOR(SQRT((doc_id * 48271 + 17) % 9409)) AS BIGINT)) AS a,
+    GREATEST((doc_id * 69069) % 97,
+          CAST(FLOOR(SQRT((doc_id * 48271 + 17) % 9409)) AS BIGINT)) AS b
+  FROM documents
+  WHERE doc_id < 500
+    AND (doc_id * 69069) % 97
+        <> CAST(FLOOR(SQRT((doc_id * 48271 + 17) % 9409)) AS BIGINT)
+)"""
+
+
+def _kcore_oracle() -> str:
+    # MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    # references the previous one 3x — un-materialized, the unroll
+    # re-evaluates the base scan 3^rounds times (measured: 471 s vs
+    # <1 s materialized)
+    ctes = [
+        f"e AS MATERIALIZED (SELECT * FROM {_KCORE_EDGES})",
+        "n0 AS MATERIALIZED (SELECT a AS v FROM e UNION SELECT b FROM e)",
+    ]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(f"""e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e
+  JOIN n{r} x ON x.v = e.a JOIN n{r} y ON y.v = e.b
+),
+d{r} AS MATERIALIZED (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT a AS v FROM e{r} UNION ALL SELECT b AS v FROM e{r})
+  GROUP BY 1
+),
+n{r + 1} AS MATERIALIZED (SELECT v FROM d{r} WHERE d >= {_KCORE_K})""")
+    last = _KCORE_ROUNDS - 1
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v AS host_num, CAST(d AS BIGINT) AS core_degree
+FROM d{last} WHERE d >= {_KCORE_K}"""
+    )
+
+
+@register("host_kcore", _kcore_oracle())
+def host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-core of the skewed host graph: surviving hosts with their
+    in-core degree, by iterative peeling (components.kcore_peel)."""
+    from chopin_spark.components import kcore_peel
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(f"SELECT * FROM {_KCORE_EDGES}")
+    out = kcore_peel(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS + 4)
+    return out.select(
+        F.col("v").alias("host_num"),
+        F.col("d").cast("long").alias("core_degree"),
+    )

@@ -841,3 +841,55 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — per-partition heaps, no global sort)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_dsir_topk_sql(_DSIR_SPARK))
+
+
+# --- temperature-scaled language mixing (mC4 / LLaMA alpha-sampling) ---------
+#
+# Multilingual corpora are rebalanced by sampling language l with rate
+# ∝ p_l^(α−1) (α < 1 boosts low-resource languages).  α = 0.5 makes
+# the rate EXACTLY sqrt(n_min / n_l) after normalizing the rarest
+# language to rate 1 — and IEEE sqrt is correctly rounded, so both
+# engines derive bit-identical rates from the integer counts (no pow(),
+# whose last-ulp behavior is library-specific).  Rates quantize to
+# basis points; the per-doc keep decision is the stratified-sampling
+# hash-threshold (replay/resume-identical, no rand()).
+#
+# Scale shape: one lang-key count agg (5 keys), the 5-row rate table
+# broadcast back, one scan with an integer compare, one lang-key
+# rollup.  Zero fact shuffle beyond the count partials.
+
+_ALPHA_MIX = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+),
+rates AS (
+  SELECT lang, n,
+         CAST(FLOOR(10000 * SQRT(CAST((SELECT MIN(n) FROM counts)
+                                      AS DOUBLE) / n)) AS BIGINT)
+           AS rate_bp
+  FROM counts
+),
+kept AS (
+  SELECT d.lang, r.n, r.rate_bp, d.doc_id,
+         CASE WHEN ((d.doc_id * 48271) % 10007) % 10000 < r.rate_bp
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rates r ON r.lang = d.lang
+)
+SELECT lang,
+       CAST(MIN(n) AS BIGINT) AS n_total,
+       MIN(rate_bp) AS rate_bp,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep * doc_id) AS BIGINT) AS kept_id_sum
+FROM kept
+GROUP BY 1
+"""
+
+
+@register("alpha_mix_by_lang", _ALPHA_MIX)
+def alpha_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 0.5) language rebalancing with the
+    sampling rates derived IN-PLAN from corpus counts; kept set
+    identified order-free by per-lang kept-id sums.  The rarest
+    language keeps rate 1.0 by construction."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ALPHA_MIX)

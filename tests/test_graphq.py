@@ -113,3 +113,35 @@ def test_pointer_jump_cycle_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         pointer_jump(succ, max_rounds=4)
+
+
+def test_kcore_matches_python_peel(spark):
+    """kcore_peel against an independent sequential peeling replay, and
+    non-vacuity: the skewed fixture actually loses nodes over >1 round."""
+    import collections
+
+    from chopin_spark.queries.graphq import _KCORE_EDGES, _KCORE_K, host_kcore
+    from tests.conftest import SF_CORRECT
+
+    spark.read.parquet(f"{SF_CORRECT}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    edges = [
+        (r.a, r.b) for r in spark.sql(f"SELECT * FROM {_KCORE_EDGES}").collect()
+    ]
+    nodes = {v for e in edges for v in e}
+    n_start = len(nodes)
+    rounds = 0
+    while True:
+        deg = collections.Counter()
+        for a, b in edges:
+            if a in nodes and b in nodes:
+                deg[a] += 1
+                deg[b] += 1
+        keep = {v for v in nodes if deg[v] >= _KCORE_K}
+        if keep == nodes:
+            break
+        nodes = keep
+        rounds += 1
+    got = {r.host_num: r.core_degree for r in host_kcore(spark, SF_CORRECT).collect()}
+    assert got == {v: deg[v] for v in nodes}
+    assert rounds >= 2 and 0 < len(nodes) < n_start
