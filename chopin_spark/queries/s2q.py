@@ -291,3 +291,50 @@ def geohash_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL text both engines; real interop tokens."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_GH_SQL)
+
+
+# --- web-mercator slippy tiles (fourth interop-grade DGGS backend) ----------
+#
+# XYZ/Bing tile scheme alongside quadkey, S2, geohash for P7
+# par_make_dggrid (/root/reference/R/gridding.R:1023-1100).  ty avoids
+# JVM-vs-libm transcendental drift via the literal sine-boundary
+# ladder (chopin_spark/sqlexpr.py note); the SQL text is shared
+# verbatim so the driver hash is exact.
+
+from chopin_spark.sqlexpr import (  # noqa: E402
+    xyz_quadkey_expr, xyz_tx_expr, xyz_ty_expr,
+)
+
+_XYZ_Z = 6
+_XYZ_QK = xyz_quadkey_expr("tx", "ty", _XYZ_Z)
+
+_XYZ_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, n_chars, {_LON} AS lon, {_LAT} AS lat FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars,
+         {xyz_tx_expr('lon', _XYZ_Z)} AS tx,
+         {xyz_ty_expr('lat', _XYZ_Z)} AS ty
+  FROM pts
+)
+SELECT {_XYZ_QK} AS quadkey,
+       SUBSTR({_XYZ_QK}, 1, 3) AS parent3,
+       MIN(tx) AS tx, MIN(ty) AS ty,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM t
+GROUP BY 1, 2
+"""
+
+
+@register("xyz_tile_rollup", _XYZ_SQL)
+def xyz_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slippy-tile rollup at zoom 6 with the zoom-3 quadkey parent
+    prefix — tokens interoperate with every XYZ tile stack (OSM,
+    Bing), and prefix truncation is the parent relation, so
+    multi-resolution pruning is string arithmetic.  One shuffle on the
+    (spatially coherent) tile key; assignment is codegen'd column math
+    with zero transcendentals at query time."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_XYZ_SQL)

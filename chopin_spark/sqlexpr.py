@@ -16,6 +16,8 @@ is a function — this fixes the reference's known boundary-drop case
 
 from __future__ import annotations
 
+import math
+
 from chopin_spark import EXTENT
 
 # LCG multipliers (Knuth / glibc); id * MULT stays far below 2^63 for any
@@ -272,3 +274,95 @@ def geohash_expr(lonb: str, latb: str, precision: int = 8) -> str:
             f" / {1 << k}.0 AS INT) + 1, 1)"
         )
     return "(" + " || ".join(chars) + ")"
+
+
+# --- web-mercator slippy tiles (XYZ / Bing quadkey — interop-grade) ----------
+#
+# The OSM/Google/Bing tile scheme: tx = floor((lon+180)/360 * 2^z);
+# ty = floor((1 - asinh(tan lat)/pi)/2 * 2^z).  Like geohash (and the
+# DGGS role of par_make_dggrid, /root/reference/R/gridding.R:1023-1100)
+# the scheme is fully specified by a public formula — no library
+# constants — so emitted (z, x, y) ids and quadkey tokens name the same
+# tiles every slippy-map stack serves.
+#
+# Cross-engine exactness: tx is plain arithmetic (safe), but ty's
+# asinh/tan are NOT bit-identical between the JVM and C libm (see
+# chopin_spark/crs.py module note: ln/tan differ by <=2 ulp, enough to
+# flip a FLOOR at a tile boundary).  So ty is computed WITHOUT
+# transcendentals at query time: the 2^z - 1 boundary latitudes are
+# precomputed driver-side with Python math and baked into the SQL text
+# as double literals of their SINES; ty = #{k : sin(lat) < sin(phi_k)}.
+# sin() is bit-identical across engines and literal comparisons are
+# exact, so the shared SQL text hashes identically in Spark and DuckDB
+# at full double precision — no rounding tolerance needed.
+
+WEBMERC_MAX_LAT = 85.05112877980659  # atan(sinh(pi)) in degrees
+
+
+def xyz_tile_py(lon: float, lat: float, z: int) -> tuple[int, int]:
+    """Reference Python encoder (tests + driver-side use)."""
+    n = 1 << z
+    tx = min(max(int((lon + 180.0) / 360.0 * n), 0), n - 1)
+    lat = min(max(lat, -WEBMERC_MAX_LAT), WEBMERC_MAX_LAT)
+    y = (1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0 * n
+    ty = min(max(int(y), 0), n - 1)
+    return tx, ty
+
+
+def xyz_tx_expr(lon: str, z: int) -> str:
+    """Tile column — pure arithmetic, exact cross-engine."""
+    n = 1 << z
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {n}.0)"
+        f" AS BIGINT), 0), {n - 1})"
+    )
+
+
+def _xyz_row_boundary_lat(k: int, z: int) -> float:
+    """Latitude of the boundary between tile rows k-1 and k (row edge
+    where the fractional mercator y equals k)."""
+    return math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * k / (1 << z)))))
+
+
+def xyz_ty_expr(lat: str, z: int) -> str:
+    """Tile row via the literal sine-boundary ladder (see module note).
+
+    O(2^z) comparison terms: intended for the coarse rollup levels
+    (z <= 8) where the ladder is small; at finer zooms derive the fine
+    row inside a coarse tile by splitting the parent ladder, or use the
+    numpy encoder mirror of xyz_tile_py.
+    """
+    # sin(phi_k) = tanh(pi * (1 - 2k/2^z)) exactly (sin∘atan∘sinh);
+    # NOT SQL RADIANS(): Java toRadians is (x/180)*pi but DuckDB is
+    # x*(pi/180) — different FP roundings.  An explicit literal
+    # multiply is the same computation in both engines.
+    # <= not <: a point exactly ON boundary k has fractional y == k and
+    # FLOOR puts it in row k (e.g. lat 0 -> row 2^z/2), so the k-th
+    # ladder term must count equality.
+    rad = f"(({lat}) * {math.pi / 180.0!r})"
+    terms = [
+        f"(CASE WHEN SIN({rad}) <="
+        f" {math.tanh(math.pi * (1.0 - 2.0 * k / (1 << z)))!r}"
+        f" THEN 1 ELSE 0 END)"
+        for k in range(1, 1 << z)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def xyz_quadkey_expr(tx: str, ty: str, z: int) -> str:
+    """Bing quadkey token: one base-4 char per zoom level, digit =
+    2*ybit + xbit, MSB first — prefix truncation IS the parent tile
+    (pinned against the published (x=3, y=5, z=3) -> '213' example)."""
+    chars = [
+        f"CAST((CAST(FLOOR(({ty}) / {1 << b}.0) AS BIGINT) % 2) * 2"
+        f" + (CAST(FLOOR(({tx}) / {1 << b}.0) AS BIGINT) % 2) AS STRING)"
+        for b in range(z - 1, -1, -1)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+def xyz_quadkey_py(tx: int, ty: int, z: int) -> str:
+    return "".join(
+        str(2 * ((ty >> b) & 1) + ((tx >> b) & 1))
+        for b in range(z - 1, -1, -1)
+    )

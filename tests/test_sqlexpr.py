@@ -172,3 +172,43 @@ def test_geohash_sql_matches_python(spark):
         ).selectExpr("lon", "lat", f"{geohash_expr('lonb', 'latb', p)} AS gh")
         for r in df.collect():
             assert r["gh"] == geohash_py(r["lon"], r["lat"], p)
+
+
+def test_xyz_tile_published_vectors():
+    """Interop pins: the Bing Tile System doc example (x=3, y=5,
+    level 3) -> quadkey '213'; the OSM wiki slippy-map Berlin example
+    (13.4, 52.52) at z10 -> tile (550, 335); corner conventions."""
+    from chopin_spark.sqlexpr import xyz_quadkey_py, xyz_tile_py
+
+    assert xyz_quadkey_py(3, 5, 3) == "213"
+    assert xyz_tile_py(13.4, 52.52, 10) == (550, 335)
+    assert xyz_tile_py(0.0, 0.0, 1) == (1, 1)       # lat 0 is row 2^z/2
+    assert xyz_tile_py(-180.0, 89.0, 4) == (0, 0)   # clamped above max lat
+    assert xyz_tile_py(179.999, -89.0, 4) == (15, 15)
+
+
+def test_xyz_tile_sql_matches_python(spark):
+    """The sine-ladder ty + arithmetic tx reproduce the reference
+    encoder, and quadkey prefix == parent tile at z-1."""
+    from chopin_spark.sqlexpr import (
+        xyz_quadkey_expr, xyz_quadkey_py, xyz_tile_py, xyz_tx_expr,
+        xyz_ty_expr,
+    )
+
+    pts = [
+        (-179.3 + i * 23.7, -84.0 + (i * 11.93) % 168.0) for i in range(15)
+    ] + [(13.4, 52.52), (0.0, 0.0), (-122.4183, 37.7753)]
+    z = 6
+    df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+        "lon", "lat",
+        f"{xyz_tx_expr('lon', z)} AS tx",
+        f"{xyz_ty_expr('lat', z)} AS ty",
+    ).selectExpr("lon", "lat", "tx", "ty",
+                 f"{xyz_quadkey_expr('tx', 'ty', z)} AS qk")
+    for r in df.collect():
+        etx, ety = xyz_tile_py(r["lon"], r["lat"], z)
+        assert (r["tx"], r["ty"]) == (etx, ety), (r["lon"], r["lat"])
+        qk = xyz_quadkey_py(etx, ety, z)
+        assert r["qk"] == qk
+        # prefix property: z-1 parent tile
+        assert qk[: z - 1] == xyz_quadkey_py(etx >> 1, ety >> 1, z - 1)
