@@ -1,0 +1,170 @@
+"""Cost-distance over a raster cost surface — block-wise Dijkstra.
+
+The ``terra::costDist`` analog (reference family: chopin wraps terra's
+raster verbs, e.g. extract_at / focal — /root/reference/R/processing.R;
+cost distance is the accumulation member of that family): least
+accumulated-cost distance from source cells over a cost raster, with
+4-neighbor moves of weight ``cost(a) + cost(b)``.  Integer costs give
+integer-exact distances (no float tolerance anywhere).
+
+Spark-first shape — the published "block-parallel Dijkstra" scheme:
+
+* cells live as rows (x, y, cost, dist), tiled into blocks;
+* each round, every block runs a LOCAL exact Dijkstra (heapq over at
+  most tile_w·tile_h + perimeter nodes) seeded by its own settled
+  cells plus a one-cell halo of neighbor-block dists — a grouped
+  ``applyInPandas``, one shuffle on the block key;
+* blocks whose frontier improved push new boundary values to their
+  neighbors next round; the loop ends when a round improves nothing.
+
+Rounds scale with how many block boundaries optimal paths cross (≈ the
+block-graph diameter), NOT with cell count — the property that makes
+the operator survive a 10^5×10^5-cell surface on 1000 executors: each
+round is one co-partitioned shuffle of (x, y, dist) rows, and within-
+block work is numpy/heapq on a few hundred cells.  Lineage is cut per
+round (localCheckpoint, same discipline as components.py); hitting
+``max_rounds`` without convergence raises instead of returning a
+silently-unfinished surface.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INF = (1 << 62)
+
+
+def _local_dijkstra(pdf):
+    """Exact Dijkstra on one block (home + halo rows); returns improved
+    home rows only."""
+    import pandas as pd
+
+    xs = pdf["x"].to_numpy()
+    ys = pdf["y"].to_numpy()
+    cost = pdf["cost"].to_numpy()
+    dist = pdf["dist"].to_numpy()
+    home = pdf["is_home"].to_numpy()
+
+    idx = {(int(x), int(y)): i for i, (x, y) in enumerate(zip(xs, ys))}
+    # halo rows may duplicate a coordinate (a corner cell adjoins two
+    # blocks); keep the minimum dist per coordinate
+    best = {}
+    for i, key in enumerate(zip(xs, ys)):
+        key = (int(key[0]), int(key[1]))
+        if key not in best or dist[i] < dist[best[key]]:
+            best[key] = i
+
+    d = {k: int(dist[i]) for k, i in best.items()}
+    heap = [(v, k) for k, v in d.items() if v < INF]
+    heapq.heapify(heap)
+    while heap:
+        dv, (x, y) = heapq.heappop(heap)
+        if dv > d[(x, y)]:
+            continue
+        for nx_, ny_ in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+            j = best.get((nx_, ny_))
+            if j is None:
+                continue
+            w = int(cost[idx[(x, y)]]) + int(cost[j])
+            nd = dv + w
+            if nd < d[(nx_, ny_)]:
+                d[(nx_, ny_)] = nd
+                heapq.heappush(heap, (nd, (nx_, ny_)))
+
+    out_x, out_y, out_d = [], [], []
+    seen = set()
+    for i in range(len(xs)):
+        if not home[i]:
+            continue
+        key = (int(xs[i]), int(ys[i]))
+        if key in seen:
+            continue
+        seen.add(key)
+        nd = d[key]
+        if nd < int(dist[i]):
+            out_x.append(key[0])
+            out_y.append(key[1])
+            out_d.append(nd)
+    return pd.DataFrame({"x": out_x, "y": out_y, "dist": out_d})
+
+
+def cost_distance(
+    cells: DataFrame,
+    tile_w: int,
+    tile_h: int,
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Least accumulated-cost distance to every cell.
+
+    ``cells``: columns x, y (int), cost (int > 0), dist (int; 0 at
+    source cells, anything >= INF elsewhere).  Returns (x, y, dist)
+    with dist == INF for unreachable cells.
+    """
+    spark = cells.sparkSession
+    bx = F.floor(F.col("x") / tile_w)
+    by = F.floor(F.col("y") / tile_h)
+    cur = cells.select(
+        "x", "y",
+        F.col("cost").cast("long").alias("cost"),
+        F.col("dist").cast("long").alias("dist"),
+    ).localCheckpoint()
+
+    schema = "x long, y long, dist long"
+    for _ in range(max_rounds):
+        # membership: home block always; border cells also join the
+        # orthogonally adjacent block (the one-cell halo a 4-neighbor
+        # relaxation needs) — the same explode-membership trick as
+        # grid.assign_padded, so the halo exchange IS the one shuffle.
+        mem = cur.select(
+            "x", "y", "cost", "dist",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.struct(bx.alias("bx"), by.alias("by")),
+                        F.struct(
+                            F.floor((F.col("x") + 1) / tile_w).alias("bx"),
+                            by.alias("by"),
+                        ),
+                        F.struct(
+                            F.floor((F.col("x") - 1) / tile_w).alias("bx"),
+                            by.alias("by"),
+                        ),
+                        F.struct(
+                            bx.alias("bx"),
+                            F.floor((F.col("y") + 1) / tile_h).alias("by"),
+                        ),
+                        F.struct(
+                            bx.alias("bx"),
+                            F.floor((F.col("y") - 1) / tile_h).alias("by"),
+                        ),
+                    )
+                )
+            ).alias("blk"),
+        ).withColumn(
+            "is_home",
+            (F.col("blk.bx") == bx) & (F.col("blk.by") == by),
+        )
+        improved = (
+            mem.groupBy("blk")
+            .applyInPandas(lambda pdf: _local_dijkstra(pdf), schema)
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            return cur.select("x", "y", "dist")
+        cur = (
+            cur.alias("c")
+            .join(improved.alias("i"), ["x", "y"], "left")
+            .select(
+                "x", "y", "cost",
+                F.coalesce(F.col("i.dist"), F.col("c.dist")).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"cost_distance did not converge in {max_rounds} rounds — raise "
+        "max_rounds (optimal paths cross more block boundaries than "
+        "expected); refusing to return an unfinished surface"
+    )

@@ -27,7 +27,7 @@ _MODULES = (
     "simsearch", "multimodal", "coverage", "coverage2", "runner", "polygons",
     "crsq", "s2q", "webtext", "s2knn", "pagespipe", "temporalq",
     "manifestq", "trainprep", "streamq", "roads", "rasterops", "lmq",
-    "dissolveq", "sketchq", "simplifyq", "graphq",
+    "dissolveq", "sketchq", "simplifyq", "graphq", "costdistq",
 )
 
 
