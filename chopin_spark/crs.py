@@ -396,3 +396,58 @@ class GeoFrame:
         """chopin reproject_to_raster (/root/reference/R/check.R:171-180):
         align this frame's CRS to another layer's."""
         return self.reproject(other.crs)
+
+
+# --- UTM zone assignment (interop-grade grid zone designators) ---------------
+#
+# The MGRS/UTM grid-zone designator (zone number 1-60 + latitude band
+# C..X) is fully specified by public arithmetic — including the two
+# spec exceptions (zone 32V widened over SW Norway; the four Svalbard
+# X-band zones 31/33/35/37) — so emitted tokens name the same zones as
+# any GIS stack.  Pure CASE/FLOOR arithmetic: bit-exact across engines,
+# codegen'd, and a natural coarse partitioning key for global data
+# (each zone is a 6-degree lon slab — the classic "reproject per UTM
+# zone" sharding rule for metric-accurate local processing).
+
+_UTM_BANDS = "CDEFGHJKLMNPQRSTUVWX"  # 8-deg bands from -80, no I/O
+
+
+def utm_py(lon: float, lat: float) -> str | None:
+    """Reference Python encoder; None outside UTM latitude coverage."""
+    if lat < -80.0 or lat > 84.0:
+        return None
+    zone = min(max(int((lon + 180.0) // 6) + 1, 1), 60)
+    band = _UTM_BANDS[min(int((lat + 80.0) // 8), 19)]
+    if band == "V" and 3.0 <= lon < 12.0:
+        zone = 32
+    elif band == "X":
+        if 0.0 <= lon < 9.0:
+            zone = 31
+        elif 9.0 <= lon < 21.0:
+            zone = 33
+        elif 21.0 <= lon < 33.0:
+            zone = 35
+        elif 33.0 <= lon < 42.0:
+            zone = 37
+    return f"{zone}{band}"
+
+
+def utm_designator_sql(lon: str, lat: str) -> str:
+    """Grid-zone designator as shared SQL (NULL outside -80..84 lat)."""
+    zone = (
+        f"LEAST(GREATEST(CAST(FLOOR((({lon}) + 180.0) / 6.0) AS BIGINT)"
+        f" + 1, 1), 60)"
+    )
+    band_i = f"LEAST(CAST(FLOOR((({lat}) + 80.0) / 8.0) AS BIGINT), 19)"
+    band = f"SUBSTR('{_UTM_BANDS}', CAST({band_i} AS INT) + 1, 1)"
+    zone_fixed = f"""CASE
+      WHEN {band} = 'V' AND ({lon}) >= 3.0 AND ({lon}) < 12.0 THEN 32
+      WHEN {band} = 'X' AND ({lon}) >= 0.0 AND ({lon}) < 9.0 THEN 31
+      WHEN {band} = 'X' AND ({lon}) >= 9.0 AND ({lon}) < 21.0 THEN 33
+      WHEN {band} = 'X' AND ({lon}) >= 21.0 AND ({lon}) < 33.0 THEN 35
+      WHEN {band} = 'X' AND ({lon}) >= 33.0 AND ({lon}) < 42.0 THEN 37
+      ELSE {zone} END"""
+    return (
+        f"(CASE WHEN ({lat}) < -80.0 OR ({lat}) > 84.0 THEN NULL"
+        f" ELSE CAST({zone_fixed} AS STRING) || {band} END)"
+    )

@@ -213,3 +213,36 @@ def reproject_laea3035_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x") / 1000.0, 4).alias("lx_km"),
         F.round(F.col("y") / 1000.0, 4).alias("ly_km"),
     )
+
+
+# --- UTM grid-zone rollup (interop tokens; Norway/Svalbard exceptions) -------
+
+from chopin_spark.crs import utm_designator_sql  # noqa: E402
+
+# widen the affine remap to lat 35..84 so the V-band Norway widening
+# AND the Svalbard X-band zones actually occur in the data window
+_LAT_UTM = f"((({_LAT}) - 24.0) * {49.0 / 26.0!r} + 35.0)"
+
+_UTM_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, n_chars, {_LON_EU} AS lon, {_LAT_UTM} AS lat
+  FROM documents
+)
+SELECT {utm_designator_sql('lon', 'lat')} AS utm_zone,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM pts
+GROUP BY 1
+"""
+
+
+@register("utm_zone_rollup", _UTM_SQL)
+def utm_zone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-UTM-grid-zone rollup over a Europe-window remap (so the 32V
+    and Svalbard 31X/33X/35X/37X spec exceptions are exercised by real
+    rows, pinned against published city designators in
+    tests/test_crs.py).  Zone tokens are the classic "process each UTM
+    zone in its own metric CRS" sharding key; assignment is pure
+    CASE/FLOOR column math — bit-exact, codegen'd, one agg shuffle."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_UTM_SQL)

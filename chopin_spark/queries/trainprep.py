@@ -708,9 +708,14 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count tables are add-1-smoothed; the per-doc score is the
 # feature-count-weighted mean LLR.
 #
-# 100 TB shape: one (doc, bucket) count agg (bucket fan-out = doc
-# bigrams), one 1024-key global agg for the two models, the 1024-row
-# LLR table broadcast back onto the per-doc counts, one per-doc agg.
+# 100 TB shape: the two models aggregate STRAIGHT to 1024 buckets
+# (map-side combine collapses the bigram explosion before any
+# shuffle), the 1024-row LLR table broadcasts back onto the exploded
+# bigrams, and the per-doc score is one doc-key agg whose partial
+# aggregation compresses each doc inside its own partition — the
+# (doc, bucket) intermediate that would shuffle ~n_bigrams rows is
+# never materialized.  (That intermediate was the original plan here:
+# 77 s at sf0.1; this shape is ~6 s for identical output.)
 # Float discipline: the per-bucket LLR is QUANTIZED to integer
 # micro-units (FLOOR(llr·10^6) — the sedc quantized-weight move) so
 # every per-doc sum is integer-exact; the only remaining float ops are
@@ -722,7 +727,9 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 1024
 
 
-def _dsir_sql(tok_hashes: str, bigrams: str, unnest_bigram: str) -> str:
+def _dsir_sql(
+    tok_hashes: str, bigrams: str, unnest_bigram: str, hint: str = ""
+) -> str:
     return f"""
 WITH uh AS (
   SELECT doc_id, lang, {tok_hashes} AS _uh FROM documents
@@ -734,14 +741,11 @@ feats AS (
     FROM (SELECT doc_id, lang, {bigrams} AS _bg FROM uh)
   )
 ),
-nb AS (
-  SELECT doc_id, lang, b, COUNT(*) AS n FROM feats GROUP BY 1, 2, 3
-),
 model AS (
   SELECT b,
-         SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS t,
-         SUM(n) AS r
-  FROM nb GROUP BY 1
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t,
+         COUNT(*) AS r
+  FROM feats GROUP BY 1
 ),
 tot AS (SELECT SUM(t) AS tt, SUM(r) AS rt FROM model),
 llr AS (
@@ -752,10 +756,10 @@ llr AS (
   FROM model CROSS JOIN tot
 ),
 scored AS (
-  SELECT nb.doc_id, nb.lang,
-         CAST(SUM(nb.n) AS BIGINT) AS n_feats,
-         CAST(SUM(nb.n * llr.lq) AS BIGINT) AS sq
-  FROM nb JOIN llr ON llr.b = nb.b
+  SELECT {hint}f.doc_id, f.lang,
+         COUNT(*) AS n_feats,
+         CAST(SUM(llr.lq) AS BIGINT) AS sq
+  FROM feats f JOIN llr ON llr.b = f.b
   GROUP BY 1, 2
 )
 SELECT doc_id, lang, n_feats,
@@ -774,7 +778,55 @@ _DSIR_SPARK = _dsir_sql(
     token_hashes_spark(),
     shingles_from_uh_spark(2),
     "explode(_bg)",
+    hint="/*+ BROADCAST(llr) */ ",
 )
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side scored frame as DataFrame ops, NOT the shared SQL
+    text: Spark's SQL analyzer inlines CTE projections, so the nested
+    token-hash HOF would be substituted into every element access of
+    the shingle transform and re-evaluated per BIGRAM — a measured
+    quadratic 60× blowup at sf0.1.  The DataFrame select chain keeps
+    `_uh` a single projected expression (verified by counting
+    `transform(split` occurrences in the executed plan,
+    tests/test_plans.py::test_no_hof_inline_blowup).  Values are
+    identical to _DSIR_ORACLE."""
+    docs = load(spark, sf_dir, "documents")
+    uh = docs.select(
+        "doc_id", "lang", F.expr(token_hashes_spark()).alias("_uh")
+    )
+    feats = uh.select(
+        "doc_id", "lang",
+        F.explode(F.expr(shingles_from_uh_spark(2))).alias("g"),
+    ).select("doc_id", "lang", (F.col("g") % _DSIR_B).alias("b"))
+    model = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t"),
+        F.count(F.lit(1)).alias("r"),
+    )
+    tot = model.agg(
+        F.sum("t").alias("tt"), F.sum("r").alias("rt")
+    )
+    llr = model.crossJoin(F.broadcast(tot)).selectExpr(
+        "b",
+        f"CAST(FLOOR((LN(CAST(t + 1 AS DOUBLE) / (tt + {_DSIR_B}))"
+        f" - LN(CAST(r + 1 AS DOUBLE) / (rt + {_DSIR_B})))"
+        f" * 1000000) AS BIGINT) AS lq",
+    )
+    return (
+        feats.join(F.broadcast(llr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lq").alias("sq"),
+        )
+        .selectExpr(
+            "doc_id", "lang", "n_feats",
+            "sq AS dsir_micro_sum",
+            "ROUND(CAST(sq AS DOUBLE) / 1000000 / n_feats, 4) + 0"
+            " AS dsir_score",
+        )
+    )
 
 
 @register("dsir_importance_weights", _DSIR_ORACLE)
@@ -783,8 +835,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target-vs-raw bag models, both trained in-engine in the same plan).
     Resampling reads the score column with a threshold or a stratified
     top-k — composable with stratified_sample_by_lang."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_DSIR_SPARK)
+    return _dsir_scored(spark, sf_dir)
 
 
 # --- DSIR resampling: Gumbel top-k over the importance scores ----------------
@@ -839,8 +890,14 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score): deterministic Gumbel keys over the in-plan importance
     scores, selected by distributed top-k (orderBy+limit compiles to
     TakeOrderedAndProject — per-partition heaps, no global sort)."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_dsir_topk_sql(_DSIR_SPARK))
+    keyed = _dsir_scored(spark, sf_dir).selectExpr(
+        "doc_id", "lang",
+        "CAST(FLOOR(CAST(dsir_micro_sum AS DOUBLE) / n_feats) AS BIGINT)"
+        f" * {_DSIR_TEMP_INV} + {_GUMBEL_Q} AS key_micro",
+    )
+    return keyed.orderBy(
+        F.col("key_micro").desc(), F.col("doc_id")
+    ).limit(_DSIR_TOPK)
 
 
 # --- temperature-scaled language mixing (mC4 / LLaMA alpha-sampling) ---------
@@ -893,3 +950,112 @@ def alpha_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     language keeps rate 1.0 by construction."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_ALPHA_MIX)
+
+
+# --- ExactSubstr-style duplicated-span REMOVAL accounting --------------------
+#
+# span_dup_stats counts duplicated windows; the deduplication paper's
+# actual edit (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better") REMOVES every maximal span covered by
+# duplicated windows.  This operator computes that edit's accounting:
+# overlapping 16-token windows (stride 4), windows whose hash occurs
+# >= 2 times anywhere in the corpus (same doc included — true
+# ExactSubstr policy, unlike span_dup_stats' cross-doc rule), merged
+# per document into maximal islands by the classic gaps-and-islands
+# window chain, then per-doc removed-token counts.  Distributed shape:
+# one window-hash df agg + one per-doc sort of ONLY the duplicated
+# starts (bounded by doc length), never a global sort.
+
+_XS_W, _XS_STRIDE = 16, 4
+
+
+def _exact_substr_sql(token_hashes: str, slice_fold: str) -> str:
+    return f"""
+WITH uh AS (
+  SELECT doc_id, {token_hashes} AS _uh FROM documents
+),
+ex AS (
+  SELECT doc_id, _uh, {{SEQ}} AS span_idx
+  FROM uh
+),
+ch AS (
+  SELECT doc_id, span_idx * {_XS_STRIDE} AS s,
+         {{N_TOK}} AS n_tokens,
+         {slice_fold} AS h
+  FROM ex
+),
+df AS (SELECT h, COUNT(*) AS cnt FROM ch GROUP BY 1),
+starts AS (
+  SELECT ch.doc_id, ch.s, ch.n_tokens
+  FROM ch JOIN df ON ch.h = df.h
+  WHERE df.cnt >= 2
+),
+isl AS (
+  SELECT doc_id, s, n_tokens,
+         CASE WHEN s > COALESCE(MAX(s + {_XS_W}) OVER (
+                  PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM starts
+),
+isl2 AS (
+  SELECT doc_id, s, n_tokens,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl_id,
+         MIN(s) AS a,
+         LEAST(MAX(s) + {_XS_W}, MIN(n_tokens)) AS b,
+         MIN(n_tokens) AS n_tokens
+  FROM isl2 GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(b - a) AS BIGINT) AS removed_tokens,
+       ROUND(CAST(SUM(b - a) AS DOUBLE) / MIN(n_tokens), 4)
+         AS removed_frac
+FROM spans
+GROUP BY 1
+"""
+
+
+_XS_MAXI = f"CAST(FLOOR((size(_uh) - {_XS_W}) / {_XS_STRIDE}.0) AS INT)"
+_XS_SPARK = (
+    _exact_substr_sql(
+        token_hashes_spark(),
+        f"aggregate(slice(_uh, span_idx * {_XS_STRIDE} + 1, {_XS_W}),"
+        f" CAST(0 AS BIGINT), (h, x) -> (h * 31 + x) % 1000000007)",
+    )
+    .replace("{SEQ}", f"explode(sequence(0, GREATEST({_XS_MAXI}, 0)))")
+    .replace("{N_TOK}", "size(_uh)")
+)
+
+_XS_MAXI_D = f"CAST(FLOOR((len(_uh) - {_XS_W}) / {_XS_STRIDE}.0) AS BIGINT)"
+_XS_ORACLE = (
+    _exact_substr_sql(
+        token_hashes_duckdb(),
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),"
+        f" _uh[span_idx * {_XS_STRIDE} + 1"
+        f" : span_idx * {_XS_STRIDE} + {_XS_W}]),"
+        f" (h, x) -> (h * 31 + x) % 1000000007)",
+    )
+    .replace(
+        "{SEQ}",
+        f"UNNEST(generate_series(0, GREATEST({_XS_MAXI_D}, 0)))",
+    )
+    .replace("{N_TOK}", "len(_uh)")
+)
+
+
+@register("exact_substring_removal", _XS_ORACLE)
+def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document removal accounting for ExactSubstr dedup: maximal
+    merged spans of corpus-duplicated 16-token windows and the token
+    count an ExactSubstr pass would delete.  The island merge runs per
+    document over only that document's duplicated window starts, so
+    the window sort is bounded by doc length at any corpus size."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_XS_SPARK)

@@ -715,3 +715,118 @@ def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("i1").isNotNull(), 1).otherwise(0).cast("int")
         .alias("exact_seen"),
     )
+
+
+# --- anchor extraction → host link graph -------------------------------------
+#
+# The real-payload twin of the LCG edge fixtures (graphq.py,
+# host_pagerank): here the link graph is EXTRACTED FROM THE HTML — each
+# page's html carries three <a href> anchors (deterministic targets in
+# a 997-host universe), the engine recovers the hrefs with
+# regexp_extract_all + explode (JVM codegen, zero Python), and the
+# oracle never runs a regex at all: it re-derives each anchor target
+# arithmetically from doc_id.  A value-hash match means the regex
+# parser agrees with the generator on every row — the same
+# two-independent-parsers discipline as url_host_tld_rollup.
+
+_ANCHOR_DST = [
+    f"('h' || CAST((doc_id * {m} + {c}) % 997 AS STRING) || '.example.com')"
+    for m, c in ((31, 7), (131, 63), (523, 11))
+]
+
+_ANCHOR_HTML = (
+    "('<html><body><p>' || text || '</p>'"
+    + " || "
+    + " || ".join(
+        f"'<a href=\"https://' || {d} || '/x\">l</a>'" for d in _ANCHOR_DST
+    )
+    + " || '</body></html>')"
+)
+
+_LINK_ORACLE = f"""
+WITH hits AS (
+  SELECT {_ANCHOR_DST[0]} AS dst_host FROM documents
+  UNION ALL
+  SELECT {_ANCHOR_DST[1]} FROM documents
+  UNION ALL
+  SELECT {_ANCHOR_DST[2]} FROM documents
+)
+SELECT dst_host, COUNT(*) AS n_inlinks
+FROM hits
+GROUP BY 1
+"""
+
+
+@register("html_link_edges", _LINK_ORACLE)
+def html_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-link counts per target host, extracted from page html.
+
+    Engine: build html → ``regexp_extract_all(html,
+    '<a href="https?://([^/"]+)', 1)`` → explode → one partial+final
+    count agg on the host key.  Map-side regex fuses into the scan; the
+    explode is 3× row growth of a 20-byte column (the html payload is
+    projected away first), so at 10^12 pages the shuffle carries hosts,
+    not pages.  Oracle: arithmetic re-derivation of the anchor targets
+    — no regex — so a hash match proves extraction is exact."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return (
+        spark.sql(f"SELECT {_ANCHOR_HTML} AS html FROM documents")
+        .select(
+            F.explode(
+                F.expr(
+                    "regexp_extract_all(html,"
+                    " '<a href=\"https?://([^/\"]+)', 1)"
+                )
+            ).alias("dst_host")
+        )
+        .groupBy("dst_host")
+        .agg(F.count(F.lit(1)).alias("n_inlinks"))
+    )
+
+
+# --- Wilson-score host quality ranking ---------------------------------------
+#
+# Crawl prioritization: rank hosts by the LOWER confidence bound of
+# their quality pass rate, not the raw rate — a 2/2 host must not
+# outrank a 95/100 host.  Wilson interval at z=1.96; +, −, ×, ÷, sqrt
+# are all IEEE-correctly-rounded, so the shared SQL text is bit-exact
+# in both engines at full double precision (same determinism argument
+# as chopin_spark/crs.py).
+
+# 97-host universe (the pagerank fixture's cardinality, independent
+# multiplier) — the full 99991-host recipe leaves every host a
+# singleton at test scale, which would make the interval vacuous
+_WILSON_HOST = "('h' || CAST((doc_id * 40503) % 97 AS STRING) || '.example.com')"
+
+_WILSON_SQL = f"""
+WITH per_host AS (
+  SELECT {_WILSON_HOST} AS host,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars <= 5000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM documents
+  GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+w AS (
+  SELECT host, n_docs, n_pass,
+         CAST(n_pass AS DOUBLE) / n_docs AS p,
+         CAST(n_docs AS DOUBLE) AS n
+  FROM per_host
+)
+SELECT host, n_docs, n_pass,
+       (p + 1.9208 / n - 1.96 * SQRT((p * (1.0 - p) + 0.9604 / n) / n))
+         / (1.0 + 3.8416 / n) AS wilson_lb
+FROM w
+"""
+
+
+@register("host_quality_wilson", _WILSON_SQL)
+def host_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality pass rate with its Wilson lower confidence
+    bound (z = 1.96) — the crawl-frontier scoring rule that is robust
+    to small hosts.  One partial+final agg on the host key, then pure
+    column math; no window, no sort, no Python.  At 10^12 pages the
+    host cardinality (~10^8) is the shuffle size, not the page count."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_WILSON_SQL)

@@ -321,3 +321,35 @@ def test_laea_ellipsoidal_equal_area_property():
             / (1.0 - p.e2 * s * s) ** 2
         )
         assert abs(jac - want) / want < 1e-6, (lon, lat, jac, want)
+
+
+def test_utm_designator_published_vectors():
+    """Interop pins: well-known city designators incl. both spec
+    exceptions (Norway 32V widening, Svalbard X-band zones)."""
+    from chopin_spark.crs import utm_py
+
+    assert utm_py(-74.0060, 40.7128) == "18T"   # New York
+    assert utm_py(2.2945, 48.8584) == "31U"     # Paris
+    assert utm_py(-0.1278, 51.5074) == "30U"    # London
+    assert utm_py(5.7331, 58.9700) == "32V"     # Stavanger: widened 32V
+    assert utm_py(4.0, 55.9) == "31U"           # just south of V: no widening
+    assert utm_py(15.6, 78.22) == "33X"         # Longyearbyen (Svalbard)
+    assert utm_py(7.0, 79.0) == "31X"           # X band: 32 does not exist
+    assert utm_py(34.0, 80.0) == "37X"
+    assert utm_py(151.2093, -33.8688) == "56H"  # Sydney
+    assert utm_py(0.0, 85.0) is None            # above band X
+    assert utm_py(0.0, -80.5) is None           # below band C
+
+
+def test_utm_sql_matches_python(spark):
+    from chopin_spark.crs import utm_designator_sql, utm_py
+
+    pts = [
+        (-179.9 + i * 17.3, -79.5 + (i * 7.93) % 163.0) for i in range(21)
+    ] + [(5.7331, 58.97), (15.6, 78.22), (7.0, 79.0), (2.2945, 48.8584),
+         (0.0, 85.5), (11.9999, 63.9999), (12.0, 63.9999)]
+    df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+        "lon", "lat", f"{utm_designator_sql('lon', 'lat')} AS utm"
+    )
+    for r in df.collect():
+        assert r["utm"] == utm_py(r["lon"], r["lat"]), (r["lon"], r["lat"])
