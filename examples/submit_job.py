@@ -34,9 +34,14 @@ def main() -> None:
     from chopin_spark.checkpoint import CheckpointedRun, cell_batches
     from chopin_spark.pages import enrich, synth_pages
 
-    pages = (
-        load_table(spark, src) if src else synth_pages(spark, 1_000_000)
-    )
+    # 'synth:N' generates the deterministic pages table in-plan (CI /
+    # submit smoke); 'iceberg:ns.tbl' reads the catalog; else parquet.
+    if src is None:
+        pages = synth_pages(spark, 1_000_000)
+    elif src.startswith("synth:"):
+        pages = synth_pages(spark, int(src.split(":", 1)[1]))
+    else:
+        pages = load_table(spark, src)
     enriched = enrich(pages)
 
     def job(s: SparkSession, cells: list[int]):
