@@ -105,3 +105,26 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "ArrowEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_no_hof_inline_blowup(spark):
+    """Spark's SQL analyzer inlines CTE projections; if a nested
+    higher-order token-hash expression gets substituted into the
+    element accessor of a shingle transform, tokenization re-runs per
+    ELEMENT — a measured quadratic 60× slowdown (the dsir queries hit
+    this at 77 s/sf0.1 before being rebuilt as DataFrame chains).  Pin:
+    no registered text query's executed plan may contain a tokenizer
+    inside an element access."""
+    for name in (
+        "dsir_importance_weights", "dsir_gumbel_topk",
+        "benchmark_contamination", "span_dup_stats",
+        "exact_substring_removal", "minhash_lsh_dedup",
+        "minhash_lsh_candidates", "doc_chunk_windows",
+        "dedup_ngram_jaccard", "dedup_jaccard_prefix_filter",
+        "lm_perplexity_bigram", "boilerplate_line_removal",
+    ):
+        p = plan_of(entry_mod.queries()[name](spark, SF_SMOKE))
+        n_bad = p.count("element_at(transform(split") + p.count(
+            "slice(transform(split"
+        )
+        assert n_bad == 0, f"{name}: {n_bad} per-element tokenizer sites"
