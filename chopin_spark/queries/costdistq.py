@@ -72,3 +72,105 @@ def cost_distance_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~block-graph diameter), each round one co-partitioned shuffle —
     the shape that survives a 10^10-cell surface."""
     return cost_distance(build_cells(spark), tile_w=8, tile_h=8)
+
+
+# --- D8 flow accumulation (terra::flowAccumulation analog) -------------------
+#
+# DEM = an exact permutation of 0..W·H-1 (z = ((x + y·W)·389) mod 768,
+# gcd(389, 768) = 1 → all-distinct elevations, so steepest descent is
+# a forest).  The D8 target is pure column math — z of any neighbor is
+# the same closed form, so the argmax-with-tiebreak compiles to a CASE
+# chain shared verbatim by both engines; no join, no geometry.
+# Engine: chopin_spark.flowacc.flow_accumulation (block-local
+# topological sums + halo rounds).  Oracle: recursive-CTE downstream
+# walks from every cell; COUNT(*) per visited cell == upstream count
+# incl. self — an independent formulation of the same accumulation.
+
+from chopin_spark.flowacc import D8, flow_accumulation  # noqa: E402
+
+
+def _zf(x: str, y: str) -> str:
+    return f"((({x}) + ({y}) * {W}) * 389) % {W * H}"
+
+
+def _d8_exprs(x: str = "x", y: str = "y") -> tuple[str, str]:
+    """(fx_expr, fy_expr): steepest-descent D8 target, NULL at pits.
+
+    Argmax-with-tiebreak as ONE GREATEST over encoded candidates
+    ``score·8 + (7 − i)`` — max score wins, and on equal scores the
+    larger (7 − i), i.e. the SMALLER neighbor index, wins: exactly
+    d8_downstream's first-max rule.  Invalid candidates encode < 0
+    (any valid drop ≥ 1 encodes ≥ 40), so ``g < 0`` means pit.  The
+    naive form (compare each score against GREATEST, then CASE on the
+    winner) expanded to a ~10^3-node expression whose whole-stage
+    codegen COMPILE took ~15 s per distinct plan — the encoded argmax
+    is ~30 small terms."""
+    enc = []
+    for i, (dx, dy, wt) in enumerate(D8):
+        nx_, ny_ = f"(({x}) + {dx})", f"(({y}) + {dy})"
+        inb = (
+            f"({nx_} >= 0 AND {nx_} < {W} AND {ny_} >= 0 AND {ny_} < {H})"
+        )
+        drop = f"(({_zf(x, y)}) - ({_zf(nx_, ny_)}))"
+        enc.append(
+            f"(CASE WHEN {inb} AND {drop} > 0"
+            f" THEN {drop} * {wt * 8} + {7 - i} ELSE {(7 - i) - 8} END)"
+        )
+    g = "GREATEST(" + ", ".join(enc) + ")"
+    # simple-CASE on the encoding: g appears ONCE per output column
+    # (negative g → no WHEN matches → NULL → pit), keeping the total
+    # expression ~30 terms
+    # pit safety: an all-invalid cell has g == -1 exactly (candidate
+    # i=0 always encodes 7-0-8 = -1 and is the largest invalid), so
+    # g % 8 == -1 matches no WHEN arm → NULL; no extra guard needed
+    out = []
+    for deltas, base in ((tuple(d[0] for d in D8), x),
+                         (tuple(d[1] for d in D8), y)):
+        case = f"(CASE {g} % 8 " + " ".join(
+            f"WHEN {7 - i} THEN ({base}) + {dv}"
+            for i, dv in enumerate(deltas)
+        ) + " END)"
+        out.append(case)
+    return out[0], out[1]
+
+
+_FX, _FY = _d8_exprs()
+
+_FLOW_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+f AS (
+  SELECT x, y, CAST({_FX} AS BIGINT) AS fx, CAST({_FY} AS BIGINT) AS fy
+  FROM cells
+),
+walk AS (
+  SELECT x AS sx, y AS sy, x, y FROM f
+  UNION ALL
+  SELECT w.sx, w.sy, f.fx, f.fy
+  FROM walk w JOIN f ON f.x = w.x AND f.y = w.y
+  WHERE f.fx IS NOT NULL
+)
+SELECT x, y, CAST(COUNT(*) AS BIGINT) AS acc
+FROM walk
+GROUP BY 1, 2
+"""
+
+
+@register("flow_accumulation_d8", _FLOW_ORACLE)
+def flow_accumulation_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream-drainage count per cell over the deterministic DEM.
+    Engine rounds scale with block-boundary crossings of drainage
+    paths (flowacc.py); the in-plan D8 target derivation is shared
+    column math — zero joins before the iterative stage."""
+    cells = spark.range(0, W * H, 1, 8).selectExpr(
+        f"CAST(id % {W} AS BIGINT) AS x",
+        f"CAST(id DIV {W} AS BIGINT) AS y",
+    ).selectExpr(
+        "x", "y",
+        f"CAST({_zf('x', 'y')} AS BIGINT) AS z",
+        f"CAST({_FX} AS BIGINT) AS fx",
+        f"CAST({_FY} AS BIGINT) AS fy",
+    )
+    return flow_accumulation(cells, tile_w=8, tile_h=8)

@@ -1059,3 +1059,71 @@ def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window sort is bounded by doc length at any corpus size."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_XS_SPARK)
+
+
+# --- deterministic epoch shuffle → training-shard plan -----------------------
+#
+# The pipeline's last stage: assign every kept document to a training
+# shard and fix the WITHIN-SHARD read order, reproducibly (a re-run,
+# a resumed run, and the oracle must produce byte-identical shard
+# manifests — the same replay discipline as the stratified sampler; no
+# rand()).  Order key = an LCG mix of doc_id and the epoch seed;
+# shard = key mod n_shards (uniform, so shards balance to ±√n).
+#
+# The per-shard ORDER-SENSITIVE fingerprint (polynomial fold over the
+# ordered doc ids) is what proves the order: any transposition changes
+# it.  At 10^12 docs the shard writer is `repartition(shard)` +
+# `sortWithinPartitions(key)` with the fold computed incrementally by
+# the writer task — the collect_list here is the test-scale stand-in,
+# bounded by corpus/n_shards.
+
+_EPOCH_SEED = 20260818
+_N_SHARDS = 16
+_EPOCH_KEY = f"((doc_id * 2654435761 + {_EPOCH_SEED}) % 999999937)"
+
+_SHARD_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         {_EPOCH_KEY} AS k,
+         {_EPOCH_KEY} % {_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT), LIST(doc_id ORDER BY k, doc_id)),
+         (h, d) -> (h * 1000003 + d) % 1000000007) AS order_fp
+FROM keyed
+GROUP BY 1
+"""
+
+_SHARD_SPARK = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         {_EPOCH_KEY} AS k,
+         {_EPOCH_KEY} % {_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       aggregate(
+         transform(array_sort(collect_list(struct(k, doc_id))),
+                   s -> s.doc_id),
+         CAST(0 AS BIGINT),
+         (h, d) -> (h * 1000003 + d) % 1000000007) AS order_fp
+FROM keyed
+GROUP BY 1
+"""
+
+
+@register("epoch_shard_plan", _SHARD_ORACLE)
+def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-shuffle shard manifest: per shard, the doc
+    count, byte mass, and an order-sensitive fingerprint of the exact
+    read order.  One shuffle on the shard key; order is a per-shard
+    local sort (sortWithinPartitions at the writer — never a global
+    sort)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SHARD_SPARK)
