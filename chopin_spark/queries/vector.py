@@ -437,3 +437,160 @@ def dbscan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
     g = make_regular_grid(16, 12, pad=_DB_EPS)
     return dbscan(docs, g, "doc_id", eps=_DB_EPS, min_pts=_DB_MINPTS)
+
+
+# --- simple kriging (BLUP surface evaluation, exact closed-form solve) -------
+#
+# The geostatistical upgrade of IDW: weights come from solving the
+# 3×3 covariance system C·w = c per prediction point (simple kriging
+# with known mean).  The covariance model is the rational kernel
+# cov(d²) = 1 / (1 + d²/a²) — no transcendentals, so with the formula
+# TEXT shared between engines every +,−,×,÷ is IEEE-correctly-rounded
+# and the solve is bit-identical (the crs.py determinism argument).
+# The 3×3 solve is CLOSED-FORM (Cramer's rule on a symmetric matrix
+# with a constant diagonal D = 1 + nugget) — pure column math, zero
+# Python, zero extra shuffles beyond the kNN stage it reuses.
+#
+# Scale shape: stage 1 is the exact knn_join (cell-index candidates +
+# fallback); stage 2 is a broadcast join onto the POI dimension and a
+# 3-way conditional-agg pivot (one doc-key agg); stage 3 is map-only
+# arithmetic.  At 10^12 rows nothing new shuffles.
+
+_KRIG_A2 = float(40_000.0 ** 2)  # covariance range a²
+_KRIG_D = 1.0625  # constant diagonal: 1 + nugget
+
+
+def _krig_pred_sql(mu: str) -> str:
+    """Shared formula text over columns px,py,x1,y1,v1,...,x3,y3,v3."""
+    def d2(ax, ay, bx, by):
+        return (
+            f"(({ax} - {bx}) * ({ax} - {bx})"
+            f" + ({ay} - {by}) * ({ay} - {by}))"
+        )
+
+    def cov(d2s):
+        return f"(1.0 / (1.0 + {d2s} / {_KRIG_A2!r}))"
+
+    c12 = cov(d2("x1", "y1", "x2", "y2"))
+    c13 = cov(d2("x1", "y1", "x3", "y3"))
+    c23 = cov(d2("x2", "y2", "x3", "y3"))
+    r1 = cov(d2("px", "py", "x1", "y1"))
+    r2 = cov(d2("px", "py", "x2", "y2"))
+    r3 = cov(d2("px", "py", "x3", "y3"))
+    D = f"{_KRIG_D!r}"
+    det = (
+        f"({D} * ({D} * {D} - {c23} * {c23})"
+        f" - {c12} * ({c12} * {D} - {c23} * {c13})"
+        f" + {c13} * ({c12} * {c23} - {D} * {c13}))"
+    )
+    w1 = (
+        f"(({r1} * ({D} * {D} - {c23} * {c23})"
+        f" - {c12} * ({r2} * {D} - {c23} * {r3})"
+        f" + {c13} * ({r2} * {c23} - {D} * {r3})) / {det})"
+    )
+    w2 = (
+        f"(({D} * ({r2} * {D} - {r3} * {c23})"
+        f" - {r1} * ({c12} * {D} - {c23} * {c13})"
+        f" + {c13} * ({c12} * {r3} - {r2} * {c13})) / {det})"
+    )
+    w3 = (
+        f"(({D} * ({D} * {r3} - {c23} * {r2})"
+        f" - {c12} * ({c12} * {r3} - {r2} * {c13})"
+        f" + {r1} * ({c12} * {c23} - {D} * {c13})) / {det})"
+    )
+    return (
+        f"ROUND({mu} + {w1} * (v1 - {mu}) + {w2} * (v2 - {mu})"
+        f" + {w3} * (v3 - {mu}), 4)"
+    )
+
+
+_KRIG_MU = (
+    "(SELECT SUM(CAST(p_size AS BIGINT)) / CAST(COUNT(*) AS DOUBLE)"
+    " FROM part)"
+)
+
+_KRIG_ORACLE = f"""
+WITH mu AS (SELECT {_KRIG_MU} AS m),
+d AS (
+  SELECT doc_id, {_DX} AS px, {_DY} AS py FROM documents
+),
+p AS (
+  SELECT p_partkey AS pid, CAST(p_size AS DOUBLE) AS v,
+         {_PX} AS x, {_PY} AS y
+  FROM part
+),
+pairs AS (
+  SELECT doc_id, px, py, pid, v, x, y,
+         SQRT((px - x) * (px - x) + (py - y) * (py - y)) AS dist
+  FROM d CROSS JOIN p
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY dist, pid) AS rn
+  FROM pairs
+),
+piv AS (
+  SELECT doc_id, MIN(px) AS px, MIN(py) AS py,
+         MAX(CASE WHEN rn = 1 THEN x END) AS x1,
+         MAX(CASE WHEN rn = 1 THEN y END) AS y1,
+         MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+         MAX(CASE WHEN rn = 2 THEN x END) AS x2,
+         MAX(CASE WHEN rn = 2 THEN y END) AS y2,
+         MAX(CASE WHEN rn = 2 THEN v END) AS v2,
+         MAX(CASE WHEN rn = 3 THEN x END) AS x3,
+         MAX(CASE WHEN rn = 3 THEN y END) AS y3,
+         MAX(CASE WHEN rn = 3 THEN v END) AS v3
+  FROM r WHERE rn <= 3
+  GROUP BY 1
+)
+SELECT doc_id, {_krig_pred_sql('mu.m')} AS sk_pred
+FROM piv CROSS JOIN mu
+"""
+
+
+@register("kriging_simple_poi", _KRIG_ORACLE)
+def kriging_simple_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-kriging surface evaluation of the POI measurement at
+    every document location: exact 3-NN (cell-index + fallback), then
+    a closed-form Cramer solve of the 3×3 covariance system in shared
+    SQL arithmetic — bit-identical across engines, no linear-algebra
+    library, no Python."""
+    g = make_regular_grid(_GNX, _GNY, pad=_RADIUS)
+    docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
+    pois = _poi_pts(spark, sf_dir)
+    vals = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_size").cast("double").alias("v"),
+    )
+    mu = float(
+        load(spark, sf_dir, "part")
+        .selectExpr(
+            "SUM(CAST(p_size AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) AS m"
+        )
+        .first()["m"]
+    )
+    nn = knn_join(
+        docs, pois, g, "doc_id", "pid", _RADIUS, k=3, small_context=True
+    )
+    enriched = nn.join(
+        F.broadcast(
+            pois.join(vals, "pid").select(
+                F.col("pid").alias("nn_id"), "x", "y", "v"
+            )
+        ),
+        "nn_id",
+    )
+    piv = enriched.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("rank") == i, F.col(c))).alias(f"{c}{i}")
+            for i in (1, 2, 3)
+            for c in ("x", "y", "v")
+        ]
+    )
+    pts = docs.select(
+        "doc_id", F.col("x").alias("px"), F.col("y").alias("py")
+    )
+    return (
+        piv.join(pts, "doc_id")
+        .selectExpr("doc_id", f"{_krig_pred_sql(repr(mu))} AS sk_pred")
+    )
