@@ -338,3 +338,58 @@ def xyz_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero transcendentals at query time."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_XYZ_SQL)
+
+
+# --- Hilbert-clustered write-layout planner ----------------------------------
+#
+# The executable form of docs/SCALE.md's storage story: files laid out
+# along the S2 Hilbert curve make every spatial predicate prune to a
+# contiguous id range.  The planner is TWO-PHASE so it scales: phase 1
+# collapses 10^12 rows to per-cell (prefix, n_docs, bytes) aggregates
+# — distributed, partial+final; phase 2 bin-packs cells into
+# target-capacity files with a running-sum window over the CELL
+# MANIFEST (metadata-sized: <= 4^level rows, like compaction_bin_pack's
+# file manifest — never a row-level global sort).  Each planned file
+# is one contiguous [range_min, range_max] Hilbert interval.
+
+_LAYOUT_CAP = 20_000  # target file capacity (chars ~ bytes proxy;
+# sized so the sf0.01 corpus plans ~10 files — the bin edges, not the
+# absolute size, are what the oracle pins)
+
+_LAYOUT_SQL = f"""
+WITH cells AS (
+  SELECT s2_prefix,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM ({s2_prefix_sql(_BASE, 'lon', 'lat', _LEVEL)})
+  GROUP BY 1
+),
+ordered AS (
+  SELECT s2_prefix, n_docs, bytes,
+         COALESCE(SUM(bytes) OVER (ORDER BY s2_prefix
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM cells
+),
+assigned AS (
+  SELECT s2_prefix, n_docs, bytes,
+         CAST(FLOOR(prev / {_LAYOUT_CAP}.0) AS BIGINT) AS file_id
+  FROM ordered
+)
+SELECT file_id,
+       MIN(s2_prefix) AS range_min,
+       MAX(s2_prefix) AS range_max,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(bytes) AS BIGINT) AS sum_bytes
+FROM assigned
+GROUP BY 1
+"""
+
+
+@register("s2_write_layout_plan", _LAYOUT_SQL)
+def s2_write_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan spatially-clustered output files: contiguous S2-Hilbert
+    cell ranges bin-packed to a byte target.  A reader's covering join
+    then prunes to exactly the touched file ranges via min/max stats
+    (s2_manifest_pruned_rollup demonstrates the read side)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_LAYOUT_SQL)
