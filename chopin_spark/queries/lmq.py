@@ -116,3 +116,194 @@ def lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(nll) / F.count(F.lit(1)), 4).alias("nll_per_tok"),
         )
     )
+
+
+# --- in-engine quality-classifier TRAINING (quantized logistic GD) -----------
+#
+# The scoring half lives in textops (quality_classifier_scores applies
+# a fixed hashed-linear model); this is the TRAINING half: two
+# unrolled rounds of full-batch logistic gradient descent over hashed
+# bigram features, label = (lang = 'en'), the fastText-style
+# recipe every crawl pipeline uses to bootstrap a quality filter.
+#
+# Exactness discipline (the repo rule: partition-order-independent,
+# zero cross-engine tolerance):
+# * weights live in INTEGER micro-units; gradients are sums of
+#   per-document integer contributions q_d = FLOOR((p_d − y_d)·10^6) ·
+#   n_{d,b} — the double-valued p_d is built ONLY from IEEE-correctly-
+#   rounded ops (+, −, ×, ÷, ABS) via the rational "fast sigmoid"
+#   p = 1/2 + z / (2·(1 + |z|)) — no exp/ln, so the FLOOR cannot flip
+#   between engines;
+# * the margin z = Σ n·w / (10^6 · n_feats) is one exact integer sum
+#   per doc divided once.
+#
+# Scale shape per round: one broadcast join of the (≤ 2^9-row) weight
+# table onto the exploded features + a doc-key agg (margins), one
+# doc-key broadcast-back + bucket-key agg (gradients) — both partial+
+# final on uniform keys; rounds are unrolled, no driver-side state but
+# the plan itself.
+
+from chopin_spark.textops import (  # noqa: E402
+    shingles_from_uh_duckdb, shingles_from_uh_spark,
+    token_hashes_duckdb, token_hashes_spark,
+)
+
+_LR_B = 512
+_LR_STEP = 4.0  # learning-rate divisor: delta_w = -FLOOR(g / (STEP·N))
+
+_P_FROM_Z = "(0.5 + ({z}) / (2.0 * (1.0 + ABS({z}))))"
+
+
+def _lr_round_ctes(rnd: int, prev_w: str | None) -> str:
+    """CTEs for one GD round: q{rnd} (per-doc quantized residual),
+    g{rnd} (per-bucket integer gradient), w{rnd} (updated weights)."""
+    if prev_w is None:  # w = 0 ⇒ z = 0 ⇒ p = 1/2 on every doc
+        q = f"""
+q{rnd} AS (
+  SELECT doc_id, y, CAST(FLOOR((0.5 - y) * 1000000) AS BIGINT) AS q
+  FROM nd
+)"""
+    else:
+        z = f"(CAST(zn AS DOUBLE) / (1000000.0 * n_feats))"
+        p = _P_FROM_Z.format(z=z)
+        q = f"""
+z{rnd} AS (
+  SELECT c.doc_id, MIN(c.y) AS y, MIN(nd.n_feats) AS n_feats,
+         CAST(SUM(c.n * COALESCE(w.w, 0)) AS BIGINT) AS zn
+  FROM cnt c
+  JOIN nd ON nd.doc_id = c.doc_id
+  LEFT JOIN {prev_w} w ON w.b = c.b
+  GROUP BY 1
+),
+q{rnd} AS (
+  SELECT doc_id, y,
+         CAST(FLOOR(({p} - y) * 1000000) AS BIGINT) AS q
+  FROM z{rnd}
+)"""
+    prev = f"COALESCE(w.w, 0)" if prev_w else "0"
+    join_prev = f"LEFT JOIN {prev_w} w ON w.b = g.b" if prev_w else ""
+    return f"""{q},
+g{rnd} AS (
+  SELECT c.b, CAST(SUM(c.n * q.q) AS BIGINT) AS g
+  FROM cnt c JOIN q{rnd} q ON q.doc_id = c.doc_id
+  GROUP BY 1
+),
+w{rnd} AS (
+  SELECT g.b,
+         CAST({prev} - FLOOR(CAST(g.g AS DOUBLE)
+              / ({_LR_STEP!r} * (SELECT nn FROM ntot))) AS BIGINT) AS w
+  FROM g{rnd} g {join_prev}
+)"""
+
+
+def _lr_sql(tok_hashes: str, bigrams: str, unnest: str) -> str:
+    return f"""
+WITH uh AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         {tok_hashes} AS _uh
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, y, g % {_LR_B} AS b
+  FROM (
+    SELECT doc_id, y, {unnest} AS g
+    FROM (SELECT doc_id, y, {bigrams} AS _bg FROM uh)
+  )
+),
+cnt AS (
+  SELECT doc_id, MIN(y) AS y, b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM feats GROUP BY doc_id, b
+),
+nd AS (
+  SELECT doc_id, MIN(y) AS y, CAST(SUM(n) AS BIGINT) AS n_feats
+  FROM cnt GROUP BY 1
+),
+ntot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nd),
+{_lr_round_ctes(1, None)},
+{_lr_round_ctes(2, 'w1')}
+SELECT b, w AS w_micro
+FROM w2
+"""
+
+
+_LR_ORACLE = _lr_sql(
+    token_hashes_duckdb(), shingles_from_uh_duckdb(2), "UNNEST(_bg)"
+)
+_LR_SPARK = _lr_sql(
+    token_hashes_spark(), shingles_from_uh_spark(2), "explode(_bg)"
+)
+
+
+@register("quality_classifier_train", _LR_ORACLE)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-bucket weights (integer micro-units) of the two-round
+    quantized logistic trainer.
+
+    The Spark text is the same recipe but is REBUILT as DataFrame ops
+    below to keep the token-hash HOF un-inlined (the dsir lesson,
+    tests/test_plans.py::test_no_hof_inline_blowup): feats
+    materializes through an explode barrier, then the unrolled rounds
+    are plain joins/aggs on it."""
+    docs = load(spark, sf_dir, "documents")
+    uh = docs.selectExpr(
+        "doc_id", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        f"{token_hashes_spark()} AS _uh",
+    )
+    feats = uh.select(
+        "doc_id", "y",
+        F.explode(F.expr(shingles_from_uh_spark(2))).alias("g"),
+    ).select("doc_id", "y", (F.col("g") % _LR_B).alias("b"))
+    cnt = feats.groupBy("doc_id", "b").agg(
+        F.min("y").alias("y"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nd = cnt.groupBy("doc_id").agg(
+        F.min("y").alias("y"), F.sum("n").cast("long").alias("n_feats")
+    )
+    n_total = float(nd.count())
+
+    # round 1: w = 0 ⇒ p = 1/2
+    q1 = nd.selectExpr(
+        "doc_id", "CAST(FLOOR((0.5 - y) * 1000000) AS BIGINT) AS q"
+    )
+    g1 = (
+        cnt.join(q1, "doc_id")
+        .groupBy("b")
+        .agg(F.sum(F.col("n") * F.col("q")).cast("long").alias("g"))
+    )
+    w1 = g1.selectExpr(
+        "b",
+        f"CAST(0 - FLOOR(CAST(g AS DOUBLE) / ({_LR_STEP!r} * {n_total!r}))"
+        " AS BIGINT) AS w",
+    )
+
+    # round 2
+    z2 = (
+        cnt.join(nd.select("doc_id", "n_feats"), "doc_id")
+        .join(F.broadcast(w1), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("y").alias("y"),
+            F.min("n_feats").alias("n_feats"),
+            F.sum(F.col("n") * F.coalesce(F.col("w"), F.lit(0)))
+            .cast("long")
+            .alias("zn"),
+        )
+    )
+    zexpr = "(CAST(zn AS DOUBLE) / (1000000.0 * n_feats))"
+    q2 = z2.selectExpr(
+        "doc_id",
+        f"CAST(FLOOR(({_P_FROM_Z.format(z=zexpr)} - y) * 1000000)"
+        " AS BIGINT) AS q",
+    )
+    g2 = (
+        cnt.join(q2, "doc_id")
+        .groupBy("b")
+        .agg(F.sum(F.col("n") * F.col("q")).cast("long").alias("g"))
+    )
+    w2 = g2.join(F.broadcast(w1.withColumnRenamed("w", "w_prev")), "b", "left")
+    return w2.selectExpr(
+        "b",
+        "CAST(COALESCE(w_prev, 0)"
+        f" - FLOOR(CAST(g AS DOUBLE) / ({_LR_STEP!r} * {n_total!r}))"
+        " AS BIGINT) AS w_micro",
+    )

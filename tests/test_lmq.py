@@ -20,3 +20,49 @@ def test_lm_perplexity_semantics(spark):
         assert 0 <= r.n_oov <= r.n_bigrams
     # OOV path exercised somewhere in the corpus
     assert any(r.n_oov > 0 for r in rows)
+
+
+def test_quality_classifier_train_separates(spark):
+    """Two quantized GD rounds must beat chance on their own training
+    set (the en-vs-rest bigram distributions differ strongly); also
+    pins that weights carry both signs — a degenerate all-one-sign
+    model would mean the gradient step collapsed."""
+    import pyspark.sql.functions as F
+
+    from chopin_spark.queries.lmq import quality_classifier_train
+    from chopin_spark.queries.lmq import _LR_B  # noqa: F401
+    from chopin_spark.tables import load
+    from chopin_spark.textops import (
+        shingles_from_uh_spark, token_hashes_spark,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    w = quality_classifier_train(spark, sf)
+    signs = w.selectExpr(
+        "SUM(CASE WHEN w_micro > 0 THEN 1 ELSE 0 END) AS pos",
+        "SUM(CASE WHEN w_micro < 0 THEN 1 ELSE 0 END) AS neg",
+    ).first()
+    assert signs["pos"] > 0 and signs["neg"] > 0
+
+    docs = load(spark, sf, "documents").selectExpr(
+        "doc_id", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        f"{token_hashes_spark()} AS _uh",
+    )
+    feats = docs.select(
+        "doc_id", "y",
+        F.explode(F.expr(shingles_from_uh_spark(2))).alias("g"),
+    ).select("doc_id", "y", (F.col("g") % _LR_B).alias("b"))
+    scored = (
+        feats.join(F.broadcast(w), feats["b"] == w["b"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("y").alias("y"),
+            F.sum(F.coalesce(F.col("w_micro"), F.lit(0))).alias("zn"),
+        )
+        .selectExpr(
+            "CASE WHEN (CASE WHEN zn > 0 THEN 1 ELSE 0 END) = y"
+            " THEN 1 ELSE 0 END AS hit"
+        )
+    )
+    acc = scored.agg(F.avg("hit")).first()[0]
+    assert acc > 0.6, f"training accuracy {acc} not better than chance"
