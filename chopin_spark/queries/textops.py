@@ -850,3 +850,94 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return jaccard_prefix_pairs(docs, threshold_tenths=6)
+
+
+# --- cross-split leakage audit (near-dups straddling train/val/test) ---------
+#
+# The QA check downstream of pages_split_leakage_safe: a host-keyed
+# split guarantees no HOST straddles splits, but near-duplicate TEXT
+# can still leak across hosts (mirrors, syndication).  This audit
+# composes the verified MinHash near-dup pairs (jaccard >= 0.9) with
+# the split assignment and rolls up pair counts per (split, split)
+# cell — the off-diagonal cells are the leakage a curator must fix
+# (drop the eval-side copy).  Pair ids are summed order-free so the
+# value hash pins WHICH pairs leak, not just how many.
+
+from chopin_spark.pages import host_sql  # noqa: E402
+from chopin_spark.textops import charfold_duckdb, charfold_spark  # noqa: E402
+
+
+def _split_map_sql(fold_fn) -> str:
+    """doc_id -> split, the pages_split_leakage_safe recipe keyed on
+    the derived host (every page of a host in one split)."""
+    return f"""
+SELECT doc_id,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, (({fold_fn('host')}) * 2654435761) % 1000 AS b
+  FROM (SELECT doc_id, {host_sql('doc_id')} AS host FROM documents)
+)
+"""
+
+
+_LEAK_TAIL = """
+SELECT LEAST(m1.split, m2.split) AS split_a,
+       GREATEST(m1.split, m2.split) AS split_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(p.d1 + p.d2) AS BIGINT) AS pair_id_sum
+FROM pairs p
+JOIN smap m1 ON m1.doc_id = p.d1
+JOIN smap m2 ON m2.doc_id = p.d2
+GROUP BY 1, 2
+"""
+
+_LEAK_ORACLE = f"""
+WITH {_SH_CTE},
+sig AS (
+  SELECT doc_id,
+       {_SIG_COLS}
+  FROM sh GROUP BY 1
+),
+bands AS (
+{_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.v = a.v
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / (s1.n_sh + s2.n_sh - i), 4) >= 0.9
+),
+smap AS ({_split_map_sql(charfold_duckdb)})
+{_LEAK_TAIL}
+"""
+
+
+@register("split_leakage_audit", _LEAK_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs per (split, split) cell.  Engine: the verified
+    MinHash pair pipeline (bucketed LSH join, never n²) composed with
+    the broadcast split map — one extra dimension join + a 6-key
+    rollup on top of minhash_lsh_dedup's plan."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_verified(docs, threshold=0.9).select("d1", "d2")
+    docs.createOrReplaceTempView("documents")
+    smap = spark.sql(_split_map_sql(charfold_spark))
+    pairs.createOrReplaceTempView("pairs")
+    smap.createOrReplaceTempView("smap")
+    return spark.sql(_LEAK_TAIL)
