@@ -173,16 +173,32 @@ def run_available_now(
     """Drain everything currently available into an in-memory sink
     (test/bench harness; swap for .format('parquet')/.toTable on a
     cluster).  output_mode: 'complete' for aggregations, 'update' for
-    applyInPandasWithState operators."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    applyInPandasWithState operators.
+
+    State-store partition count follows spark.sql.shuffle.partitions
+    and is FROZEN into the checkpoint at first start; every stateful
+    stage opens that many RocksDB/HDFS state handles per microbatch.
+    At test scale 32 partitions × several stateful stages is pure
+    fixed overhead (~2-4 s per drained query), so the drain pins a
+    small count for ITS OWN fresh checkpoint and restores the session
+    setting after — a per-job knob a cluster deployment would set in
+    the stream's own config, sized to peak state volume / executor
+    count, not inherited from the batch default."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def view_click_interval_join(
