@@ -594,3 +594,167 @@ def kriging_simple_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         piv.join(pts, "doc_id")
         .selectExpr("doc_id", f"{_krig_pred_sql(repr(mu))} AS sk_pred")
     )
+
+
+# --- ordinary kriging (unbiased: Σw = 1 via Lagrange border) -----------------
+#
+# The production geostatistics default: no known mean; the 3-neighbor
+# system gains the unbiasedness row [1 1 1 | 0] and solves the 4×4
+# bordered matrix.  Same exactness argument as simple kriging — the
+# covariances land in NAMED columns first, then Cramer's rule expands
+# to a fixed ±product-of-4 sum over those names, so both engines
+# evaluate the identical IEEE expression tree.
+
+def _det_sql(m: list[list[str]]) -> str:
+    """Recursive cofactor expansion of a string matrix -> SQL expr."""
+    n = len(m)
+    if n == 1:
+        return m[0][0]
+    parts = []
+    for j in range(n):
+        minor = [row[:j] + row[j + 1:] for row in m[1:]]
+        term = f"({m[0][j]}) * ({_det_sql(minor)})"
+        parts.append(term if j % 2 == 0 else f"(0.0 - {term})")
+    return "(" + " + ".join(parts) + ")"
+
+
+_OK_D = f"{_KRIG_D!r}"
+_OK_A = [
+    [_OK_D, "c12", "c13", "1.0"],
+    ["c12", _OK_D, "c23", "1.0"],
+    ["c13", "c23", _OK_D, "1.0"],
+    ["1.0", "1.0", "1.0", "0.0"],
+]
+_OK_RHS = ["r1", "r2", "r3", "1.0"]
+
+
+def _ok_weight(i: int) -> str:
+    m = [row[:] for row in _OK_A]
+    for k in range(4):
+        m[k][i] = _OK_RHS[k]
+    return f"(({_det_sql(m)}) / ({_det_sql(_OK_A)}))"
+
+
+_OK_PRED = (
+    f"ROUND({_ok_weight(0)} * v1 + {_ok_weight(1)} * v2"
+    f" + {_ok_weight(2)} * v3, 4)"
+)
+
+
+def _ok_cov_cols() -> str:
+    """The six data-dependent covariances as named columns."""
+    def d2(ax, ay, bx, by):
+        return (
+            f"(({ax} - {bx}) * ({ax} - {bx})"
+            f" + ({ay} - {by}) * ({ay} - {by}))"
+        )
+
+    def cov(d2s):
+        return f"(1.0 / (1.0 + {d2s} / {_KRIG_A2!r}))"
+
+    def pt(a):
+        return ("px", "py") if a == "p" else (f"x{a}", f"y{a}")
+
+    return ", ".join(
+        f"{cov(d2(*pt(a), *pt(b)))} AS {name}"
+        for a, b, name in (
+            ("1", "2", "c12"), ("1", "3", "c13"), ("2", "3", "c23"),
+            ("p", "1", "r1"), ("p", "2", "r2"), ("p", "3", "r3"),
+        )
+    )
+
+
+_OKRIG_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS px, {_DY} AS py FROM documents
+),
+p AS (
+  SELECT p_partkey AS pid, CAST(p_size AS DOUBLE) AS v,
+         {_PX} AS x, {_PY} AS y
+  FROM part
+),
+pairs AS (
+  SELECT doc_id, px, py, pid, v, x, y,
+         SQRT((px - x) * (px - x) + (py - y) * (py - y)) AS dist
+  FROM d CROSS JOIN p
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY dist, pid) AS rn
+  FROM pairs
+),
+piv AS (
+  SELECT doc_id, MIN(px) AS px, MIN(py) AS py,
+         MAX(CASE WHEN rn = 1 THEN x END) AS x1,
+         MAX(CASE WHEN rn = 1 THEN y END) AS y1,
+         MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+         MAX(CASE WHEN rn = 2 THEN x END) AS x2,
+         MAX(CASE WHEN rn = 2 THEN y END) AS y2,
+         MAX(CASE WHEN rn = 2 THEN v END) AS v2,
+         MAX(CASE WHEN rn = 3 THEN x END) AS x3,
+         MAX(CASE WHEN rn = 3 THEN y END) AS y3,
+         MAX(CASE WHEN rn = 3 THEN v END) AS v3
+  FROM r WHERE rn <= 3
+  GROUP BY 1
+),
+cv AS (
+  SELECT doc_id, v1, v2, v3, {_ok_cov_cols()}
+  FROM piv
+)
+SELECT doc_id, {_OK_PRED} AS ok_pred
+FROM cv
+"""
+
+
+@register("kriging_ordinary_poi", _OKRIG_ORACLE)
+def kriging_ordinary_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-kriging (unbiased BLUP, Σw = 1) evaluation of the POI
+    measurement at every document location — the same exact-3-NN +
+    covariance-column stage as kriging_simple_poi, closed by the 4×4
+    bordered Cramer solve in shared IEEE arithmetic."""
+    g = make_regular_grid(_GNX, _GNY, pad=_RADIUS)
+    docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
+    pois = _poi_pts(spark, sf_dir)
+    vals = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_size").cast("double").alias("v"),
+    )
+    nn = knn_join(
+        docs, pois, g, "doc_id", "pid", _RADIUS, k=3, small_context=True
+    )
+    enriched = nn.join(
+        F.broadcast(
+            pois.join(vals, "pid").select(
+                F.col("pid").alias("nn_id"), "x", "y", "v"
+            )
+        ),
+        "nn_id",
+    )
+    piv = enriched.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("rank") == i, F.col(c))).alias(f"{c}{i}")
+            for i in (1, 2, 3)
+            for c in ("x", "y", "v")
+        ]
+    )
+    pts = docs.select(
+        "doc_id", F.col("x").alias("px"), F.col("y").alias("py")
+    )
+    # selectExpr needs each projection separately; split the joined
+    # builder back into its six expressions (top-level commas only)
+    exprs = []
+    depth = 0
+    cur = ""
+    for ch in _ok_cov_cols():
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            exprs.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    exprs.append(cur.strip())
+    cv = piv.join(pts, "doc_id").selectExpr("doc_id", "v1", "v2", "v3", *exprs)
+    return cv.selectExpr("doc_id", f"{_OK_PRED} AS ok_pred")
