@@ -228,3 +228,44 @@ def url_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_major_rewrites"),
     )
+
+
+# --- recrawl scheduling tiers (change-frequency estimator) -------------------
+#
+# The decision layer on top of url_content_drift: hosts whose captures
+# rewrite often get short recrawl intervals (the Cho & Garcia-Molina
+# change-frequency policy, reduced to its integer-exact core: tier by
+# the ratio of major-rewrite transitions, compared as cross-products
+# so no division ever happens).  Consumes the drift rollup unchanged —
+# pipeline composition, not recomputation.
+
+_TIER_CASE = """CASE
+  WHEN n_major_rewrites * 2 >= n_transitions THEN 'hourly'
+  WHEN n_major_rewrites * 5 >= n_transitions THEN 'daily'
+  WHEN n_major_rewrites * 20 >= n_transitions THEN 'weekly'
+  ELSE 'monthly' END"""
+
+_TIER_TAIL = f"""
+SELECT {_TIER_CASE} AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_transitions) AS BIGINT) AS transitions,
+       CAST(SUM(n_major_rewrites) AS BIGINT) AS rewrites,
+       CAST(SUM(host_num) AS BIGINT) AS host_set_sum
+FROM drift
+GROUP BY 1
+"""
+
+_RECRAWL_ORACLE = f"""
+WITH drift AS ({_DRIFT_ORACLE})
+{_TIER_TAIL}
+"""
+
+
+@register("recrawl_schedule_tiers", _RECRAWL_ORACLE)
+def recrawl_schedule_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosts bucketed into recrawl-frequency tiers by their major-
+    rewrite ratio (integer cross-product compares — no division, no
+    float).  host_set_sum pins WHICH hosts land in each tier, order-
+    free.  One 4-key rollup on top of the drift plan."""
+    url_content_drift(spark, sf_dir).createOrReplaceTempView("drift")
+    return spark.sql(_TIER_TAIL)

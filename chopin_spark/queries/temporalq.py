@@ -154,3 +154,47 @@ def funnel_view_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared SQL text both engines (see _FUNNEL_SQL)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_FUNNEL_SQL)
+
+
+# --- crawl-volume anomaly detection (integer-exact z-score flags) ------------
+#
+# Ops monitoring for a continuously-refreshed corpus: flag the days
+# whose per-type event volume deviates > 2σ from that type's own
+# history.  The FLAG is decided on a pure-integer inequality —
+# (c·n − S)² > 4·(n·Q − S²), i.e. z² > 4 cleared of divisions — so the
+# anomaly set is bit-reproducible at any partitioning; the reported z
+# itself is one exact division + one correctly-rounded SQRT.  Scale
+# shape: one (type, day) count agg (partial+final), one 5-row stats
+# agg broadcast back, map-side flagging.
+
+_ANOM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, CAST(d.day AS STRING) AS day, d.c AS n_events,
+       ROUND((d.c * st.n - st.s)
+             / SQRT(CAST(st.n * st.q - st.s * st.s AS DOUBLE)),
+             4) AS z
+FROM daily d JOIN stats st ON st.event_type = d.event_type
+WHERE (d.c * st.n - st.s) * (d.c * st.n - st.s)
+      > 4 * (st.n * st.q - st.s * st.s)
+"""
+
+
+@register("event_volume_anomalies", _ANOM_SQL)
+def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose per-type volume is a >2σ outlier vs that type's own
+    daily history — the crawl-health alarm a refresh pipeline watches.
+    Flag decided integer-exactly; shared SQL text both engines."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ANOM_SQL)
