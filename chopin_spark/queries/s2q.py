@@ -16,6 +16,8 @@ must match bit-for-bit — no tolerance, no UDF.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -393,3 +395,61 @@ def s2_write_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s2_manifest_pruned_rollup demonstrates the read side)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_LAYOUT_SQL)
+
+
+# --- geodesic zone areas (terra::expanse analog, exact on lat-lon rects) -----
+#
+# Spherical surface area of each zone rect: for a [lon1,lon2]×
+# [lat1,lat2] cell the exact integral is R²·Δλ·(sin φ2 − sin φ1) —
+# sin-only, so (crs.py determinism note) the value is bit-identical
+# across engines at full double precision, no tolerance, no ROUND
+# needed beyond presentation.  The per-zone doc density then divides
+# by TRUE area, the quantity chopin's exposure summaries normalize by
+# (terra::expanse, /root/reference/R/processing.R zonal family).
+
+_R_EARTH_KM = 6371.0088  # IUGG mean radius
+
+_ZONE_ROWS = " UNION ALL ".join(
+    f"SELECT {zid} AS zone_id, CAST({a!r} AS DOUBLE) AS lon1,"
+    f" CAST({b!r} AS DOUBLE) AS lon2, CAST({c!r} AS DOUBLE) AS lat1,"
+    f" CAST({d!r} AS DOUBLE) AS lat2"
+    for zid, a, b, c, d in _ZONES
+)
+
+_GEOAREA_SQL = f"""
+WITH z AS ({_ZONE_ROWS}),
+area AS (
+  SELECT zone_id, lon1, lon2, lat1, lat2,
+         {_R_EARTH_KM!r} * {_R_EARTH_KM!r}
+         * ((lon2 - lon1) * {math.pi / 180.0!r})
+         * (SIN(lat2 * {math.pi / 180.0!r})
+            - SIN(lat1 * {math.pi / 180.0!r})) AS area_km2
+  FROM z
+),
+pts AS (
+  SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents
+),
+hits AS (
+  SELECT a.zone_id, a.area_km2, COUNT(*) AS n_docs
+  FROM area a JOIN pts p
+    ON p.lon >= a.lon1 AND p.lon < a.lon2
+   AND p.lat >= a.lat1 AND p.lat < a.lat2
+  GROUP BY 1, 2
+)
+SELECT zone_id,
+       area_km2,
+       n_docs,
+       ROUND(n_docs / area_km2 * 1000.0, 4) AS docs_per_1000km2
+FROM hits
+"""
+
+
+@register("zone_geodesic_areas", _GEOAREA_SQL)
+def zone_geodesic_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True spherical area per zone (exact closed form on lat-lon
+    rects) and the area-normalized document density — the
+    terra::expanse normalization chopin's summaries divide by.  The
+    zone table is literal (dimension-sized); one broadcast range join
+    + rollup."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_GEOAREA_SQL)

@@ -830,3 +830,120 @@ def host_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     host cardinality (~10^8) is the shuffle size, not the page count."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_WILSON_SQL)
+
+
+# --- co-citation communities over the EXTRACTED link graph -------------------
+#
+# Chains the anchor-extraction path into the iterative CC machinery:
+# pages (a sparse 1-in-7 sample, so the co-citation graph actually
+# decomposes instead of collapsing into one giant component)
+# contribute edges between CONSECUTIVE anchor targets in their html;
+# connected components of that graph are link communities (host
+# clusters that co-occur on the same pages).  Engine edges come from
+# the regexp extraction; the oracle re-derives them arithmetically and
+# closes them with a transitive-closure CTE — extraction, edge
+# building, AND the O(log n) star fixpoint are all cross-checked by
+# one value hash.
+
+_COCITE_MOD = 7
+
+# numeric host ids (the N of hN.example.com) — connected_components_star
+# needs numeric nodes for its integer convergence fingerprint; the
+# engine recovers N from the EXTRACTED host string with a regexp, the
+# oracle derives it arithmetically
+_ANCHOR_NUM = [
+    f"((doc_id * {m} + {c}) % 997)" for m, c in ((31, 7), (131, 63), (523, 11))
+]
+
+_COCITE_ORACLE = f"""
+WITH RECURSIVE sel AS (
+  SELECT doc_id FROM documents WHERE doc_id % {_COCITE_MOD} = 0
+),
+e0 AS (
+  SELECT {_ANCHOR_NUM[0]} AS s, {_ANCHOR_NUM[1]} AS t FROM sel
+  UNION
+  SELECT {_ANCHOR_NUM[1]}, {_ANCHOR_NUM[2]} FROM sel
+),
+edges AS (
+  SELECT s AS src, t AS dst FROM e0 WHERE s <> t
+  UNION
+  SELECT t, s FROM e0 WHERE s <> t
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+lab AS (
+  SELECT a AS host, LEAST(a, MIN(b)) AS comp_id
+  FROM reach GROUP BY a
+)
+SELECT comp_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(MIN(host) AS BIGINT) AS first_host,
+       md5(string_agg(CAST(host AS VARCHAR), ',' ORDER BY host))
+         AS member_md5
+FROM lab
+GROUP BY 1
+"""
+
+
+@register("link_graph_components", _COCITE_ORACLE)
+def link_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link communities of the anchor-extracted co-citation graph:
+    regexp extraction → consecutive-target edges → alternating-star
+    connected components (components.py, O(log n) rounds).  The
+    member_md5 over the sorted member list pins exact community
+    membership, not just sizes."""
+    from chopin_spark.components import connected_components_star
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    arr = spark.sql(
+        f"SELECT {_ANCHOR_HTML} AS html FROM documents"
+        f" WHERE doc_id % {_COCITE_MOD} = 0"
+    ).select(
+        F.expr(
+            "regexp_extract_all(html,"
+            " '<a href=\"https?://([^/\"]+)', 1)"
+        ).alias("dsts")
+    )
+    num = "CAST(regexp_extract({h}, \'^h([0-9]+)\', 1) AS BIGINT)"
+    e0 = (
+        arr.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("dsts")[0].alias("hs"),
+                        F.col("dsts")[1].alias("ht"),
+                    ),
+                    F.struct(
+                        F.col("dsts")[1].alias("hs"),
+                        F.col("dsts")[2].alias("ht"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .selectExpr(
+            num.format(h="e.hs") + " AS s",
+            num.format(h="e.ht") + " AS t",
+        )
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    comps = connected_components_star(e0, src="s", dst="t")
+    return (
+        comps.groupBy("comp_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.min("node").alias("first_host"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("node")))
+            ).alias("member_md5"),
+        )
+        .select(
+            "comp_id",
+            F.col("n_hosts").cast("long").alias("n_hosts"),
+            F.col("first_host").cast("long").alias("first_host"),
+            "member_md5",
+        )
+    )
