@@ -947,3 +947,102 @@ def link_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "member_md5",
         )
     )
+
+
+# --- per-host page cap (bounded top-k, no window sort) -----------------------
+#
+# CCNet-style per-domain contribution cap: keep each host's best 3
+# pages by length score.  Engine uses the knn_join trick — ONE
+# aggregation with slice(array_sort(collect_list(struct))) — so the
+# shuffle carries (host, 3-struct) rows and nothing ever sorts a full
+# host group (the row_number()-window formulation cannot combine
+# map-side; at 10^12 rows a hot host would sort millions of rows).
+# The fingerprint folds kept ids IN RANK ORDER, pinning the exact
+# selection and its ordering.
+
+_CAP_K = 3
+
+_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT host, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM (SELECT {_WILSON_HOST} AS host, doc_id, n_chars FROM documents)
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT), LIST(doc_id ORDER BY rn)),
+         (h, d) -> (h * 1000003 + d) % 1000000007) AS kept_fp
+FROM ranked WHERE rn <= {_CAP_K}
+GROUP BY 1
+"""
+
+
+@register("host_page_cap", _CAP_ORACLE)
+def host_page_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} pages per host by (n_chars DESC, doc_id) — single-agg
+    bounded top-k; deterministic tie-break; rank-ordered fingerprint."""
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        f"{_WILSON_HOST} AS host", "doc_id", "n_chars"
+    )
+    kept = docs.groupBy("host").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_chars")).alias("negs"),
+                        F.col("doc_id").alias("d"),
+                    )
+                )
+            ),
+            1,
+            _CAP_K,
+        ).alias("top")
+    )
+    return kept.selectExpr(
+        "host",
+        "CAST(size(top) AS BIGINT) AS n_kept",
+        "CAST(aggregate(top, CAST(0 AS BIGINT), (s, t) -> s + t.d)"
+        " AS BIGINT) AS kept_id_sum",
+        "aggregate(top, CAST(0 AS BIGINT),"
+        " (h, t) -> (h * 1000003 + t.d) % 1000000007) AS kept_fp",
+    )
+
+
+# --- exact percentile normalization via the value histogram ------------------
+#
+# Quality scores feed sampling/mixing as PERCENTILES, not raw values.
+# A global sort (or percent_rank window) is the naive formulation; the
+# scale path collapses 10^12 rows to the HISTOGRAM of the bounded
+# integer score domain (metadata-sized), runs one running-sum window
+# over that manifest, and broadcast-joins the cumulative table back —
+# the s2_write_layout_plan two-phase discipline applied to ranking.
+# percentile = rank among all docs with <= score, integer-exact ratio.
+
+_PCTL_SQL = """
+WITH hist AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+         (SELECT SUM(c) FROM hist) AS tot
+  FROM hist
+)
+SELECT d.doc_id, d.n_chars,
+       ROUND(CAST(cum.cle AS DOUBLE) / cum.tot, 4) AS len_pctl
+FROM documents d JOIN cum ON cum.v = d.n_chars
+"""
+
+
+@register("quality_percentile_norm", _PCTL_SQL)
+def quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact percentile of its length score, computed
+    from the score histogram (no global sort of facts; the window
+    runs over the metadata-sized value domain)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_PCTL_SQL)
