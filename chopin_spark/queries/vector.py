@@ -758,3 +758,71 @@ def kriging_ordinary_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     exprs.append(cur.strip())
     cv = piv.join(pts, "doc_id").selectExpr("doc_id", "v1", "v2", "v3", *exprs)
     return cv.selectExpr("doc_id", f"{_OK_PRED} AS ok_pred")
+
+
+# --- uniform sampling over the spatial range join ----------------------------
+#
+# "Random Sampling Over Spatial Range Joins" (ICDE 2025, PAPERS.md):
+# analysts want a FIXED-SIZE uniform sample of the ε-pair join, not
+# its full output.  Two-phase deterministic version: phase 1 counts
+# the exact pair-join cardinality |J| (one agg over the cell-index
+# join — a metadata scalar, the only driver value); phase 2 re-runs
+# the join with the hash-threshold predicate h(pair)·|J| < k·M — an
+# integer cross-product compare, so inclusion is replay-identical and
+# ORDER-FREE (every pair decided independently; no global sort, no
+# rand()).  Only ~k pairs survive to the sink; the join output is
+# never materialized.  Expected sample size k with binomial ±√k
+# spread — the bound the paper's exact-k scheme tightens; exact-k
+# needs weighted per-cell quotas and is noted as the upgrade path.
+
+_SJS_EPS = 60_000.0  # ~3k pairs at sf0.01 (15 km gave zero: mean NN ~31 km)
+_SJS_K = 200
+_SJS_M = 999983
+
+_SJS_HASH = "((doc_id * 2654435761 + c_doc_id * 40503) % {m})"
+
+
+def _sjs_pairs(spark, sf_dir):
+    from chopin_spark.vector import _prep
+
+    docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
+    g = make_regular_grid(8, 6, pad=_SJS_EPS)
+    return _prep(docs, docs, g, ["doc_id"], ["doc_id"]).filter(
+        (F.col("_d") <= _SJS_EPS) & (F.col("doc_id") < F.col("c_doc_id"))
+    )
+
+
+_SJS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS c_doc_id,
+         SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS _d
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+        <= {_SJS_EPS!r}
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS j FROM pairs)
+SELECT doc_id, c_doc_id, ROUND(_d, 4) AS dist
+FROM pairs CROSS JOIN tot
+WHERE {_SJS_HASH.format(m=_SJS_M)} * tot.j < {_SJS_K} * {_SJS_M}
+"""
+
+
+@register("spatial_join_sample", _SJS_ORACLE)
+def spatial_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~k-pair uniform sample of the ε=60 km pair join, decided by the
+    deterministic hash threshold against the exact join cardinality."""
+    pairs = _sjs_pairs(spark, sf_dir)
+    total = pairs.count()  # metadata scalar (phase 1)
+    return (
+        _sjs_pairs(spark, sf_dir)
+        .filter(
+            F.expr(_SJS_HASH.format(m=_SJS_M)) * F.lit(total)
+            < F.lit(_SJS_K) * F.lit(_SJS_M)
+        )
+        .select(
+            "doc_id", "c_doc_id", F.round("_d", 4).alias("dist")
+        )
+    )
