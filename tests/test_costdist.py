@@ -58,3 +58,22 @@ def test_cost_distance_matches_dijkstra(spark, tw, th):
     rows = {(r["x"], r["y"]): r["dist"] for r in out.collect()}
     assert len(rows) == W * H
     assert rows == ref
+
+
+def test_viewshed_mask_sane(spark):
+    """Viewshed partitions the grid: tower cell visible, both visible
+    and blocked cells exist, and near-tower cells (m <= 1) are always
+    visible."""
+    from chopin_spark.queries.costdistq import (
+        _VS_TX, _VS_TY, viewshed_d8,
+    )
+
+    rows = {(r["x"], r["y"]): r["visible"]
+            for r in viewshed_d8(spark, "x").collect()}
+    assert len(rows) == W * H
+    assert rows[(_VS_TX, _VS_TY)] == 1
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            assert rows[(_VS_TX + dx, _VS_TY + dy)] == 1
+    n_vis = sum(rows.values())
+    assert 0 < n_vis < W * H
