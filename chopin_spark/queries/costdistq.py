@@ -249,3 +249,50 @@ def viewshed_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(id DIV {W} AS BIGINT) AS y",
     ).createOrReplaceTempView("grid_xy")
     return spark.sql(_vs_sql("explode(sequence(1, CAST(m - 1 AS INT)))"))
+
+
+# --- hillshade (terra::shade analog, trig-free interior form) ----------------
+#
+# Classic hillshade is cos/sin/atan2 of slope and aspect; those
+# transcendentals are not bit-identical across engines.  The identical
+# quantity falls out of pure vector algebra: shade = max(0, n̂ · ŝ)
+# where n = (−gx, −gy, 1) is the surface normal from the central-
+# difference gradients and ŝ is the LITERAL sun unit vector (its
+# trig runs once in Python, baked into the SQL text).  Division and
+# SQRT are IEEE-correctly-rounded, so the shared text hashes exactly.
+# Interior cells only (the halo-exchange boundary treatment lives in
+# raster_terrain_horn; this is the closed-form-checkable core).
+
+import math as _math  # noqa: E402
+
+_HS_AZ, _HS_ALT = _math.radians(315.0), _math.radians(45.0)
+_HS_SX = _math.cos(_HS_ALT) * _math.sin(_HS_AZ)
+_HS_SY = _math.cos(_HS_ALT) * _math.cos(_HS_AZ)
+_HS_SZ = _math.sin(_HS_ALT)
+
+
+def _hs_sql(grid_src: str = "grid_xy") -> str:
+    gx = f"((({_zf('(x + 1)', 'y')}) - ({_zf('(x - 1)', 'y')})) / 2.0)"
+    gy = f"((({_zf('x', '(y + 1)')}) - ({_zf('x', '(y - 1)')})) / 2.0)"
+    dot = f"((0.0 - {gx}) * {_HS_SX!r} + (0.0 - {gy}) * {_HS_SY!r} + {_HS_SZ!r})"
+    norm = f"SQRT({gx} * {gx} + {gy} * {gy} + 1.0)"
+    return f"""
+SELECT x, y,
+       ROUND(GREATEST({dot} / {norm}, 0.0), 4) AS shade
+FROM {grid_src}
+WHERE x >= 1 AND x < {W - 1} AND y >= 1 AND y < {H - 1}
+"""
+
+
+_HS_ORACLE = _hs_sql(grid_src=_VS_GRID_DUCK)
+
+
+@register("raster_hillshade", _HS_ORACLE)
+def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell hillshade (sun az 315°, alt 45°) via the normal-vector
+    dot product — sqrt/divide only, bit-exact shared SQL."""
+    spark.range(0, W * H, 1, 8).selectExpr(
+        f"CAST(id % {W} AS BIGINT) AS x",
+        f"CAST(id DIV {W} AS BIGINT) AS y",
+    ).createOrReplaceTempView("grid_xy")
+    return spark.sql(_hs_sql())
