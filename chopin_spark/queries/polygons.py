@@ -511,3 +511,133 @@ def summarize_aw_lshapes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("qarea") / _L_Q, 2).alias("area_sum"),
         )
     )
+
+
+# --- polygon centroids (terra::centroids / st_centroid dispatch path) --------
+#
+# chopin converts polygon inputs to POINTS via centroid before grid
+# assignment (`/root/reference/R/gridding.R:440`: `center <-
+# sf::st_centroid` / `terra::centroids`; `processing.R:71`:
+# `terra::centroids(y_vec, inside = TRUE)`).  This query runs that
+# dispatch end-to-end: per-zone HOLED-octagon centroid via the
+# distributed shoelace-with-hole reduction (per-edge integer cross
+# terms summed per zone — the only shuffle carries 12 edges/zone), then
+# par_make_grid assignment of the centroid to a coarse 4x4 grid.  Holes
+# are OFF-CENTER per zone (ox = ((zidx%5)-2)*1000, oy = ((zidx%7)-3)*500)
+# so the centroid genuinely moves opposite the hole — a symmetric
+# fixture would pass with the ring term dropped entirely.
+#
+# Exactness: every vertex is integer meters, so 2A = sum(x1*y2 - x2*y1)
+# and 6*A*cx = sum((x1+x2)*(x1*y2 - x2*y1)) are EXACT int64 (max |6Acx|
+# ~ 6.2e15 < 2^53, so the final double division is correctly rounded
+# and bit-identical to the oracle's closed form: Spark divides 6Acx/6A,
+# DuckDB divides Acx/A — same rational, same IEEE quotient).  The
+# oracle never touches the shoelace: centroid-of-difference
+# (Ao*c_oct - Ah*c_hole)/(Ao - Ah) with Ao, Ah in closed form.
+
+_CEN_W, _CEN_H = int(Z.TRACT_W), int(Z.TRACT_H)            # 50_000 x 37_500
+_CEN_CX, _CEN_CY = int(_CX), int(_CY)                      # 12_500 x 9_375
+_CEN_HW, _CEN_HH = int(_HW), int(_HH)                      # 10_000 x 7_500
+_CEN_AO = _CEN_W * _CEN_H - 2 * _CEN_CX * _CEN_CY          # octagon area
+_CEN_AH = (2 * _CEN_HW) * (2 * _CEN_HH)                    # hole area
+_CEN_A = _CEN_AO - _CEN_AH
+_CEN_GW = (Z.EXTENT[2] - Z.EXTENT[0]) / 4.0                # coarse 4x4 grid
+_CEN_GH = (Z.EXTENT[3] - Z.EXTENT[1]) / 4.0
+
+
+def _cen_edges() -> list[tuple[str, str, str, str]]:
+    """12 directed edges (outer octagon CCW + off-center hole CW) as
+    symbolic (x1, y1, x2, y2) SQL expressions over xmin/ymin/ox/oy."""
+    W, H, CX, CY = _CEN_W, _CEN_H, _CEN_CX, _CEN_CY
+    HW, HH = _CEN_HW, _CEN_HH
+    hx, hy = f"(xmin + {W // 2} + ox)", f"(ymin + {H // 2} + oy)"
+    outer = [
+        (f"(xmin + {CX})", "ymin"),
+        (f"(xmin + {W - CX})", "ymin"),
+        (f"(xmin + {W})", f"(ymin + {CY})"),
+        (f"(xmin + {W})", f"(ymin + {H - CY})"),
+        (f"(xmin + {W - CX})", f"(ymin + {H})"),
+        (f"(xmin + {CX})", f"(ymin + {H})"),
+        ("xmin", f"(ymin + {H - CY})"),
+        ("xmin", f"(ymin + {CY})"),
+    ]
+    hole_cw = [
+        (f"({hx} - {HW})", f"({hy} - {HH})"),
+        (f"({hx} - {HW})", f"({hy} + {HH})"),
+        (f"({hx} + {HW})", f"({hy} + {HH})"),
+        (f"({hx} + {HW})", f"({hy} - {HH})"),
+    ]
+    edges = []
+    for ring in (outer, hole_cw):
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            edges.append((x1, y1, x2, y2))
+    return edges
+
+
+_CEN_ORACLE = f"""
+WITH z AS (
+  SELECT CAST(zidx AS BIGINT) AS zidx,
+         CAST((zidx % {Z.TRACT_NX}) * {_CEN_W} AS BIGINT) AS xmin,
+         CAST((zidx // {Z.TRACT_NX}) * {_CEN_H} AS BIGINT) AS ymin,
+         CAST(((zidx % 5) - 2) * 1000 AS BIGINT) AS ox,
+         CAST(((zidx % 7) - 3) * 500 AS BIGINT) AS oy
+  FROM generate_series(0, {Z.TRACT_NX * Z.TRACT_NY - 1}) AS g(zidx)
+),
+c AS (
+  SELECT zidx,
+         CAST({2 * _CEN_A} AS BIGINT) AS a2,
+         CAST({_CEN_A} * (xmin + {_CEN_W // 2}) - {_CEN_AH} * ox AS DOUBLE)
+           / {float(_CEN_A)!r} AS cxv,
+         CAST({_CEN_A} * (ymin + {_CEN_H // 2}) - {_CEN_AH} * oy AS DOUBLE)
+           / {float(_CEN_A)!r} AS cyv
+  FROM z
+)
+SELECT zidx, a2,
+       ROUND(cxv, 4) AS cx, ROUND(cyv, 4) AS cy,
+       CAST(FLOOR(cxv / {_CEN_GW!r}) AS BIGINT) AS cell_x,
+       CAST(FLOOR(cyv / {_CEN_GH!r}) AS BIGINT) AS cell_y
+FROM c
+"""
+
+
+@register("zone_centroids_grid", _CEN_ORACLE)
+def zone_centroids_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holed-polygon centroids (terra::centroids analog) by distributed
+    shoelace-with-hole, then centroid-based coarse-grid dispatch — the
+    polygon branch of chopin's par_make_grid assignment."""
+    structs = ", ".join(
+        f"named_struct('x1', CAST({x1} AS BIGINT), 'y1', CAST({y1} AS BIGINT),"
+        f" 'x2', CAST({x2} AS BIGINT), 'y2', CAST({y2} AS BIGINT))"
+        for x1, y1, x2, y2 in _cen_edges()
+    )
+    zones = spark.range(0, Z.TRACT_NX * Z.TRACT_NY, 1, 8).selectExpr(
+        "id AS zidx",
+        f"(id % {Z.TRACT_NX}) * {_CEN_W} AS xmin",
+        f"(id DIV {Z.TRACT_NX}) * {_CEN_H} AS ymin",
+        "((id % 5) - 2) * 1000 AS ox",
+        "((id % 7) - 3) * 500 AS oy",
+    )
+    edges = zones.selectExpr("zidx", f"explode(array({structs})) AS e")
+    agg = edges.selectExpr(
+        "zidx",
+        "e.x1 * e.y2 - e.x2 * e.y1 AS cr",
+        "e.x1 + e.x2 AS sx",
+        "e.y1 + e.y2 AS sy",
+    ).groupBy("zidx").agg(
+        F.expr("SUM(cr)").alias("a2"),
+        F.expr("SUM(sx * cr)").alias("cx6"),
+        F.expr("SUM(sy * cr)").alias("cy6"),
+    )
+    return agg.selectExpr(
+        "zidx",
+        "a2",
+        "ROUND(CAST(cx6 AS DOUBLE) / CAST(3 * a2 AS DOUBLE), 4) AS cx",
+        "ROUND(CAST(cy6 AS DOUBLE) / CAST(3 * a2 AS DOUBLE), 4) AS cy",
+        f"CAST(FLOOR(CAST(cx6 AS DOUBLE) / CAST(3 * a2 AS DOUBLE)"
+        f" / {_CEN_GW!r}) AS BIGINT) AS cell_x",
+        f"CAST(FLOOR(CAST(cy6 AS DOUBLE) / CAST(3 * a2 AS DOUBLE)"
+        f" / {_CEN_GH!r}) AS BIGINT) AS cell_y",
+    )
