@@ -296,3 +296,90 @@ def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(id DIV {W} AS BIGINT) AS y",
     ).createOrReplaceTempView("grid_xy")
     return spark.sql(_hs_sql())
+
+
+# --- raster patches (terra::patches analog: clumps of masked cells) ----------
+#
+# terra::patches labels 4-connected regions of non-NA cells.  The mask
+# here is the deterministic speckle `z % 7 < 3` over the DEM permutation
+# (density 3/7 ≈ 0.43 — below the 4-connectivity percolation threshold,
+# so the surface breaks into MANY patches: labeling, not one blob).
+# The cell→cell adjacency is a pure projection (the mask is closed-form
+# in the cell id, so "right/up neighbor also masked" needs NO self-join
+# on the raster — the 100-TB shape: edges stream out of the scan), and
+# labeling runs through the proven alternating-star components engine
+# (O(log n) rounds regardless of snake-shaped patch diameters).
+# Oracle: DuckDB recursive-CTE transitive closure over the same
+# closed-form edge list — an independent algorithm at the same fixpoint.
+
+_PATCH_Z = f"((n * 389) % {W * H})"
+_PATCH_MASK = f"({_PATCH_Z} % 7 < 3)"
+
+
+def _patch_mask_of(expr: str) -> str:
+    """The speckle mask as a closed form of an arbitrary cell-id expr."""
+    return f"(((({expr}) * 389) % {W * H}) % 7 < 3)"
+
+_PATCH_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(g.n AS BIGINT) AS n
+  FROM generate_series(0, {W * H - 1}) AS g(n)
+  WHERE {_PATCH_MASK}
+),
+e0 AS (
+  SELECT a.n AS src, b.n AS dst
+  FROM cells a JOIN cells b ON b.n = a.n + 1
+  WHERE a.n % {W} < {W - 1}
+  UNION ALL
+  SELECT a.n, b.n
+  FROM cells a JOIN cells b ON b.n = a.n + {W}
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst, src FROM e0
+),
+reach AS (
+  SELECT n AS a, n AS b FROM cells
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (
+  SELECT a AS n, MIN(b) AS patch_id FROM reach GROUP BY a
+)
+SELECT patch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM((n * 389) % {W * H}) AS BIGINT) AS sum_z
+FROM comp
+GROUP BY 1
+"""
+
+
+@register("raster_patches", _PATCH_ORACLE)
+def raster_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-connected patch labeling of the masked DEM (terra::patches):
+    scan-projected adjacency (no raster self-join) + alternating-star
+    connected components; per-patch cell count and z sum."""
+    from chopin_spark.components import connected_components_star
+
+    nodes = spark.range(0, W * H, 1, 8).selectExpr("id AS n").filter(
+        F.expr(_PATCH_MASK)
+    )
+    m_r = _patch_mask_of("n + 1")
+    m_u = _patch_mask_of(f"n + {W}")
+    edges = nodes.selectExpr(
+        "n AS a",
+        f"""explode(filter(array(
+              CASE WHEN n % {W} < {W - 1} AND ({m_r}) THEN n + 1 END,
+              CASE WHEN n + {W} < {W * H} AND ({m_u}) THEN n + {W} END,
+              n), x -> x IS NOT NULL)) AS b""",
+    )
+    cc = connected_components_star(edges, "a", "b")
+    return (
+        cc.withColumn("z", F.expr(f"(node * 389) % {W * H}"))
+        .groupBy(F.col("comp_id").alias("patch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("z").alias("sum_z"),
+        )
+    )
