@@ -383,3 +383,107 @@ def raster_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("z").alias("sum_z"),
         )
     )
+
+
+# --- raster → vector polygonize (terra::as.polygons dissolve=TRUE) -----------
+#
+# as.polygons dissolves SAME-VALUED 4-connected cells into one polygon
+# per region (/root/reference/R/gridding.R — grid-from-raster path uses
+# terra::as.polygons).  Class surface: z % 4 over the DEM permutation
+# (four interleaved classes, every cell classified — labeling must
+# separate touching regions of DIFFERENT classes, not just mask/no-mask
+# like raster_patches).  Exact vector measures without any geometry
+# code: area = n_cells (unit cells), and since every same-class
+# adjacency is internal to its patch by construction,
+#   perimeter = 4·n_cells − 2·n_internal_adjacencies
+# is an exact integer.  Adjacency is again a pure scan projection
+# (class is closed-form in the cell id); the one extra shuffle joins
+# the directed adjacency list to patch labels for the perimeter count.
+
+def _poly_class_of(expr: str) -> str:
+    return f"(((({expr}) * 389) % {W * H}) % 4)"
+
+
+_POLY_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(g.n AS BIGINT) AS n, {_poly_class_of('g.n')} AS cls
+  FROM generate_series(0, {W * H - 1}) AS g(n)
+),
+e0 AS (
+  SELECT a.n AS src, b.n AS dst
+  FROM cells a JOIN cells b ON b.n = a.n + 1 AND b.cls = a.cls
+  WHERE a.n % {W} < {W - 1}
+  UNION ALL
+  SELECT a.n, b.n
+  FROM cells a JOIN cells b ON b.n = a.n + {W} AND b.cls = a.cls
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION
+  SELECT dst, src FROM e0
+),
+reach AS (
+  SELECT n AS a, n AS b FROM cells
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (
+  SELECT a AS n, MIN(b) AS patch_id FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT patch_id, CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM comp GROUP BY 1
+),
+intr AS (
+  SELECT c.patch_id, COUNT(*) AS ni
+  FROM e0 JOIN comp c ON c.n = e0.src
+  GROUP BY 1
+)
+SELECT s.patch_id,
+       {_poly_class_of('s.patch_id')} AS cls,
+       s.n_cells,
+       CAST(4 * s.n_cells - 2 * COALESCE(i.ni, 0) AS BIGINT) AS perim
+FROM sizes s LEFT JOIN intr i ON i.patch_id = s.patch_id
+"""
+
+
+@register("raster_polygonize", _POLY_ORACLE)
+def raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolved raster→vector regions (terra::as.polygons): per
+    same-class 4-connected region, exact unit-cell area and exposed-
+    edge perimeter — alternating-star labeling over scan-projected
+    same-class adjacency."""
+    from chopin_spark.components import connected_components_star
+
+    cls_r = _poly_class_of("n + 1")
+    cls_u = _poly_class_of(f"n + {W}")
+    cls_n = _poly_class_of("n")
+    nodes = spark.range(0, W * H, 1, 8).selectExpr("id AS n")
+    edges = nodes.selectExpr(
+        "n AS a",
+        f"""explode(filter(array(
+              CASE WHEN n % {W} < {W - 1} AND {cls_r} = {cls_n}
+                   THEN n + 1 END,
+              CASE WHEN n + {W} < {W * H} AND {cls_u} = {cls_n}
+                   THEN n + {W} END,
+              n), x -> x IS NOT NULL)) AS b""",
+    )
+    cc = connected_components_star(edges, "a", "b").localCheckpoint()
+    sizes = cc.groupBy(F.col("comp_id").alias("patch_id")).agg(
+        F.count(F.lit(1)).alias("n_cells")
+    )
+    directed = edges.filter("b <> a").withColumnRenamed("a", "n")
+    intr = (
+        directed.join(cc.withColumnRenamed("node", "n"), "n")
+        .groupBy(F.col("comp_id").alias("patch_id"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        sizes.join(intr, "patch_id", "left")
+        .selectExpr(
+            "patch_id",
+            f"{_poly_class_of('patch_id')} AS cls",
+            "n_cells",
+            "CAST(4 * n_cells - 2 * COALESCE(ni, 0) AS BIGINT) AS perim",
+        )
+    )
