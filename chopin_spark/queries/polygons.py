@@ -641,3 +641,68 @@ def zone_centroids_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(FLOOR(CAST(cy6 AS DOUBLE) / CAST(3 * a2 AS DOUBLE)"
         f" / {_CEN_GH!r}) AS BIGINT) AS cell_y",
     )
+
+
+# --- concave hull of a point pattern (st_concave_hull coercion analog) -------
+#
+# chopin coerces non-polygon inputs into a polygon that HUGS the point
+# pattern before gridding (`/root/reference/R/gridding.R:936`:
+# `st_concave_hull(ratio = 0.5, allow_holes = FALSE)`).  GEOS's
+# ratio-parameterized hull (edge removal over a constrained Delaunay
+# triangulation) has no closed form an independent oracle could check,
+# so — same discipline as the planar-hex analog — the engine exposes a
+# DETERMINISTIC concave coercion with exact semantics: the union of
+# occupied grid cells (64×48 over the extent).  Shape statistics come
+# out integer-exact with ZERO geometry code and zero iteration, purely
+# from distinct-counts of the cell complex:
+#   boundary H-edges = 2·E_h − 2·F,  V-edges = 2·E_v − 2·F
+#   Euler characteristic χ = V − (E_h + E_v) + F
+#     (χ = #components − #holes, so allow_holes=FALSE is checkable:
+#      a single hole-free hull has χ = 1)
+# One exhaustive shared SQL text; every count is a DISTINCT over packed
+# int keys — at 100 TB this is four count-distinct aggregations over
+# the occupied-cell set (bounded by the grid, not the row count).
+
+_CH_NX, _CH_NY = 64, 48
+_CH_CW = (Z.EXTENT[2] - Z.EXTENT[0]) / _CH_NX  # 12_500 m
+_CH_CH = (Z.EXTENT[3] - Z.EXTENT[1]) / _CH_NY  # 12_500 m
+_CH_K = 100000  # key packing: (cx+a)*K + (cy+b); cy+b < K always
+
+_CH_SQL = f"""
+WITH pts AS (
+  SELECT DISTINCT
+         CAST(FLOOR(({_X}) / {_CH_CW!r}) AS BIGINT) AS cx,
+         CAST(FLOOR(({_Y}) / {_CH_CH!r}) AS BIGINT) AS cy
+  FROM documents
+),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM pts),
+eh AS (
+  SELECT CAST(COUNT(DISTINCT cx * {_CH_K} + cy + b) AS BIGINT) AS e_h
+  FROM pts, (VALUES (0), (1)) AS t(b)
+),
+ev AS (
+  SELECT CAST(COUNT(DISTINCT (cx + a) * {_CH_K} + cy) AS BIGINT) AS e_v
+  FROM pts, (VALUES (0), (1)) AS t(a)
+),
+vv AS (
+  SELECT CAST(COUNT(DISTINCT (cx + a) * {_CH_K} + cy + b) AS BIGINT) AS v
+  FROM pts, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS t(a, b)
+)
+SELECT f.n_cells,
+       ROUND(CAST(f.n_cells * {_CH_CW * _CH_CH!r} / 1000000.0 AS DOUBLE), 4)
+         AS area_km2,
+       ROUND(CAST((2 * eh.e_h - 2 * f.n_cells) * {_CH_CW!r} / 1000.0
+             + (2 * ev.e_v - 2 * f.n_cells) * {_CH_CH!r} / 1000.0 AS DOUBLE),
+             4) AS perim_km,
+       CAST(vv.v - eh.e_h - ev.e_v + f.n_cells AS BIGINT) AS euler_chi
+FROM f, eh, ev, vv
+"""
+
+
+@register("concave_hull_cells", _CH_SQL)
+def concave_hull_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concave coercion of the document point pattern
+    (occupied-cell union): exact area, boundary perimeter, and Euler
+    characteristic from cell-complex distinct-counts — shared SQL."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CH_SQL)
