@@ -358,25 +358,21 @@ GROUP BY 1
 @register("raster_patches", _PATCH_ORACLE)
 def raster_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-connected patch labeling of the masked DEM (terra::patches):
-    scan-projected adjacency (no raster self-join) + alternating-star
-    connected components; per-patch cell count and z sum."""
-    from chopin_spark.components import connected_components_star
+    block-local union-find + seam-graph merge (chopin_spark.rastercc —
+    one cell pass; iteration only on the perimeter-sized label graph);
+    per-patch cell count and z sum.  Global-star equivalence is pinned
+    in tests/test_rastercc.py."""
+    from chopin_spark.rastercc import raster_components
 
-    nodes = spark.range(0, W * H, 1, 8).selectExpr("id AS n").filter(
-        F.expr(_PATCH_MASK)
+    cells = (
+        spark.range(0, W * H, 1, 8)
+        .selectExpr("id AS n")
+        .filter(F.expr(_PATCH_MASK))
+        .withColumn("grp", F.lit(0).cast("long"))
     )
-    m_r = _patch_mask_of("n + 1")
-    m_u = _patch_mask_of(f"n + {W}")
-    edges = nodes.selectExpr(
-        "n AS a",
-        f"""explode(filter(array(
-              CASE WHEN n % {W} < {W - 1} AND ({m_r}) THEN n + 1 END,
-              CASE WHEN n + {W} < {W * H} AND ({m_u}) THEN n + {W} END,
-              n), x -> x IS NOT NULL)) AS b""",
-    )
-    cc = connected_components_star(edges, "a", "b")
+    cc = raster_components(cells, W, H, tile_w=8, tile_h=8)
     return (
-        cc.withColumn("z", F.expr(f"(node * 389) % {W * H}"))
+        cc.withColumn("z", F.expr(f"(n * 389) % {W * H}"))
         .groupBy(F.col("comp_id").alias("patch_id"))
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
@@ -451,30 +447,32 @@ FROM sizes s LEFT JOIN intr i ON i.patch_id = s.patch_id
 def raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolved raster→vector regions (terra::as.polygons): per
     same-class 4-connected region, exact unit-cell area and exposed-
-    edge perimeter — alternating-star labeling over scan-projected
-    same-class adjacency."""
-    from chopin_spark.components import connected_components_star
+    edge perimeter — block-local union-find + seam merge
+    (chopin_spark.rastercc) over the class surface."""
+    from chopin_spark.rastercc import raster_components
 
     cls_r = _poly_class_of("n + 1")
     cls_u = _poly_class_of(f"n + {W}")
     cls_n = _poly_class_of("n")
-    nodes = spark.range(0, W * H, 1, 8).selectExpr("id AS n")
-    edges = nodes.selectExpr(
-        "n AS a",
+    cells = spark.range(0, W * H, 1, 8).selectExpr(
+        "id AS n", f"CAST({_poly_class_of('id')} AS BIGINT) AS grp"
+    )
+    cc = raster_components(cells, W, H, tile_w=8, tile_h=8).localCheckpoint()
+    sizes = cc.groupBy(F.col("comp_id").alias("patch_id")).agg(
+        F.count(F.lit(1)).alias("n_cells")
+    )
+    # directed same-class adjacency for the perimeter count (scan
+    # projection, as in the oracle's e0)
+    directed = spark.range(0, W * H, 1, 8).selectExpr("id AS n").selectExpr(
+        "n",
         f"""explode(filter(array(
               CASE WHEN n % {W} < {W - 1} AND {cls_r} = {cls_n}
                    THEN n + 1 END,
               CASE WHEN n + {W} < {W * H} AND {cls_u} = {cls_n}
-                   THEN n + {W} END,
-              n), x -> x IS NOT NULL)) AS b""",
+                   THEN n + {W} END), x -> x IS NOT NULL)) AS b""",
     )
-    cc = connected_components_star(edges, "a", "b").localCheckpoint()
-    sizes = cc.groupBy(F.col("comp_id").alias("patch_id")).agg(
-        F.count(F.lit(1)).alias("n_cells")
-    )
-    directed = edges.filter("b <> a").withColumnRenamed("a", "n")
     intr = (
-        directed.join(cc.withColumnRenamed("node", "n"), "n")
+        directed.join(cc, "n")
         .groupBy(F.col("comp_id").alias("patch_id"))
         .agg(F.count(F.lit(1)).alias("ni"))
     )
