@@ -485,3 +485,120 @@ def raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(4 * n_cells - 2 * COALESCE(ni, 0) AS BIGINT) AS perim",
         )
     )
+
+
+# --- contour census (terra::as.contour analog, marching squares) -------------
+#
+# Isolines of the DEM at half-integer levels (z is an integer
+# permutation, so `z > level` never ties and every cell's marching-
+# squares case is unambiguous).  Saddles (cases 5/10) use a FIXED
+# documented pairing — the same convention in both engines, so the
+# census and interpolated length agree bit-for-bit.  Per (cell, level)
+# work is a pure projection over the closed-form corner values (no
+# join); lengths are quantized with FLOOR(len·2^20 + 0.5) BEFORE the
+# sum — FLOOR of a bit-identical double is deterministic (no engine
+# tie-rule in play, unlike ROUND), so the int64 sum is shuffle-order-
+# free and exact.  At a 10^10-cell DEM this is one map + one 3-key agg.
+
+_CT_LEVELS2 = (383, 767, 1151)  # 2*level: half-integer isolines
+_CT_Q = 1 << 20
+
+
+def _contour_sql(seq_levels: str, grid_src: str = "grid_xy") -> str:
+    z00, z10 = _zf("x", "y"), _zf("(x + 1)", "y")
+    z01, z11 = _zf("x", "(y + 1)"), _zf("(x + 1)", "(y + 1)")
+    # edge crossings in cell-local coords (unit spacing)
+    ends = {
+        "B": ("tb", "0.0"),
+        "R": ("1.0", "tr"),
+        "T": ("tt", "1.0"),
+        "L": ("0.0", "tl"),
+    }
+    segs = {
+        1: [("L", "B")], 2: [("B", "R")], 3: [("L", "R")],
+        4: [("T", "R")], 5: [("L", "B"), ("T", "R")], 6: [("B", "T")],
+        7: [("L", "T")], 8: [("L", "T")], 9: [("B", "T")],
+        10: [("B", "R"), ("L", "T")], 11: [("T", "R")],
+        12: [("L", "R")], 13: [("B", "R")], 14: [("L", "B")],
+    }
+
+    def seg_len(e1: str, e2: str) -> str:
+        (x1, y1), (x2, y2) = ends[e1], ends[e2]
+        return (
+            f"SQRT((({x1}) - ({x2})) * (({x1}) - ({x2}))"
+            f" + (({y1}) - ({y2})) * (({y1}) - ({y2})))"
+        )
+
+    len_arms = " ".join(
+        f"WHEN {i} THEN " + " + ".join(seg_len(a, b) for a, b in prs)
+        for i, prs in segs.items()
+    )
+    nseg_arms = " ".join(
+        f"WHEN {i} THEN {len(prs)}" for i, prs in segs.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT x, y,
+         CAST({z00} AS DOUBLE) AS z00, CAST({z10} AS DOUBLE) AS z10,
+         CAST({z01} AS DOUBLE) AS z01, CAST({z11} AS DOUBLE) AS z11
+  FROM {grid_src}
+  WHERE x < {W - 1} AND y < {H - 1}
+),
+lv AS (
+  SELECT x, y, z00, z10, z01, z11,
+         CAST(l2 AS DOUBLE) / 2.0 AS lev
+  FROM base, ({seq_levels}) AS t(l2)
+),
+cased AS (
+  SELECT x, y, lev,
+         (CASE WHEN z00 > lev THEN 1 ELSE 0 END)
+         + (CASE WHEN z10 > lev THEN 2 ELSE 0 END)
+         + (CASE WHEN z11 > lev THEN 4 ELSE 0 END)
+         + (CASE WHEN z01 > lev THEN 8 ELSE 0 END) AS idx,
+         (lev - z00) / (z10 - z00) AS tb,
+         (lev - z10) / (z11 - z10) AS tr,
+         (lev - z01) / (z11 - z01) AS tt,
+         (lev - z00) / (z01 - z00) AS tl
+  FROM lv
+),
+percell AS (
+  SELECT lev,
+         CASE WHEN idx > 0 AND idx < 15 THEN 1 ELSE 0 END AS crossed,
+         CAST(CASE idx {nseg_arms} ELSE 0 END AS BIGINT) AS nseg,
+         CAST(FLOOR((CASE idx {len_arms} ELSE 0.0 END) * {_CT_Q} + 0.5)
+              AS BIGINT) AS qlen
+  FROM cased
+)
+SELECT lev,
+       CAST(SUM(crossed) AS BIGINT) AS n_cells,
+       CAST(SUM(nseg) AS BIGINT) AS n_segments,
+       ROUND(CAST(SUM(qlen) AS DOUBLE) / {_CT_Q}.0, 4) AS total_len
+FROM percell
+GROUP BY lev
+"""
+
+
+_CT_SEQ_DUCK = (
+    "SELECT UNNEST(["
+    + ", ".join(str(v) for v in _CT_LEVELS2)
+    + "]) AS l2"
+)
+_CT_SEQ_SPARK = (
+    "SELECT explode(array("
+    + ", ".join(str(v) for v in _CT_LEVELS2)
+    + ")) AS l2"
+)
+
+_CT_ORACLE = _contour_sql(_CT_SEQ_DUCK, grid_src=_VS_GRID_DUCK)
+
+
+@register("raster_contour_stats", _CT_ORACLE)
+def raster_contour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour census of the DEM at three half-integer
+    levels: crossed-cell count, segment count (fixed saddle pairing),
+    and interpolated isoline length — map-only, one 3-key aggregation."""
+    spark.range(0, W * H, 1, 8).selectExpr(
+        f"CAST(id % {W} AS BIGINT) AS x",
+        f"CAST(id DIV {W} AS BIGINT) AS y",
+    ).createOrReplaceTempView("grid_xy")
+    return spark.sql(_contour_sql(_CT_SEQ_SPARK))
