@@ -35,5 +35,7 @@ def oracle_sql() -> dict[str, str]:
     from chopin_spark.queries import load_all
 
     return {
-        name: sql for name, (_, sql) in load_all().items() if sql is not None
+        name: sql
+        for name, (_, sql) in load_all(with_digest_oracle=True).items()
+        if sql is not None
     }

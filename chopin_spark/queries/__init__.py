@@ -28,10 +28,20 @@ _MODULES = (
     "crsq", "s2q", "webtext", "s2knn", "pagespipe", "temporalq",
     "manifestq", "trainprep", "streamq", "roads", "rasterops", "lmq",
     "dissolveq", "sketchq", "simplifyq", "graphq", "costdistq",
+    "gatedigest",  # must import last: it folds over every other entry
 )
 
 
-def load_all() -> dict:
+def load_all(with_digest_oracle: bool = False) -> dict:
     for mod in _MODULES:
         __import__(f"chopin_spark.queries.{mod}")
+    if with_digest_oracle:
+        # oracle_gate_digest's DuckDB oracle is generated (DESCRIBE over
+        # every registered oracle), so it attaches lazily — only callers
+        # that actually need oracle SQL strings pay the generation.
+        from chopin_spark.queries import gatedigest
+
+        name = gatedigest.DIGEST_NAME
+        if QUERIES[name][1] is None:
+            QUERIES[name] = (QUERIES[name][0], gatedigest.digest_oracle())
     return QUERIES

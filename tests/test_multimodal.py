@@ -65,3 +65,76 @@ def test_thumbnail_dims_bounds(spark):
     assert (
         (out["out_w"] >= 127) | (out["out_h"] >= 127)
     ).all()
+
+
+def _bmp(w, h, pixels, top_down=False):
+    """Build a real 24-bit BI_RGB BMP: pixels = [[(b,g,r)...] per row,
+    top-down logical order]."""
+    stride = (3 * w + 3) // 4 * 4
+    rows = pixels if top_down else pixels[::-1]
+    data = b"".join(
+        b"".join(bytes(px) for px in row) + b"\x00" * (stride - 3 * w)
+        for row in rows
+    )
+    hdr = (
+        b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + (h if not top_down else -h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + b"\x00" * 8
+    )
+    return hdr + data
+
+
+def test_decode_bmp_known_pixels():
+    """Hand-built 3x2 BMP: stride padding (3*3=9 -> 12) and bottom-up
+    row order must both be honored — the decoded array is the logical
+    top-down raster."""
+    from chopin_spark.multimodal import decode_bmp, decode_image
+
+    px = [
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],       # top row
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    img = decode_bmp(_bmp(3, 2, px))
+    assert img.shape == (2, 3, 3)
+    assert img.tolist() == [[list(p) for p in row] for row in px]
+    assert decode_image(_bmp(3, 2, px)) == (3, 2)
+    # negative height = top-down storage; same logical raster
+    img_td = decode_bmp(_bmp(3, 2, px, top_down=True))
+    assert img_td.tolist() == img.tolist()
+
+
+def test_decode_bmp_rejects_non_bmp():
+    from chopin_spark.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG" + b"\x00" * 64)  # compressed formats: no codec
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
+
+
+def test_image_stats_matches_numpy(spark):
+    """image_stats through the Arrow stage == direct numpy decode."""
+    import numpy as np
+
+    from chopin_spark.multimodal import decode_bmp, image_stats
+
+    px1 = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (9, 9, 9)]]
+    px2 = [[(1, 2, 3)]]
+    payloads = [(0, _bmp(2, 2, px1)), (1, _bmp(1, 1, px2))]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in image_stats(df).collect()}
+    for key, payload in payloads:
+        img = decode_bmp(payload)
+        flat = img.reshape(-1).astype("int64")
+        r = out[key]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["sum_b"] == int(img[:, :, 0].sum())
+        assert r["sum_g"] == int(img[:, :, 1].sum())
+        assert r["sum_r"] == int(img[:, :, 2].sum())
+        assert r["checksum"] == int(
+            (flat * np.arange(1, flat.size + 1)).sum() % 1_000_000_007
+        )

@@ -128,3 +128,17 @@ def test_no_hof_inline_blowup(spark):
             "slice(transform(split"
         )
         assert n_bad == 0, f"{name}: {n_bad} per-element tokenizer sites"
+
+
+def test_semdedup_pairs_are_band_bucketed(spark):
+    """VERDICT r03's last `weak`: semdedup's within-cell stage must
+    join on (cluster, band, bits) — bucket-bounded — not on cluster
+    alone, and never cartesian.  The plan must show the band equi-join
+    and no CartesianProduct/BroadcastNestedLoop."""
+    df = entry_mod.queries()["semdedup_drop_list"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    joins = [ln for ln in p.splitlines() if "band" in ln and "bits" in ln
+             and "cluster" in ln]
+    assert joins, "no (cluster, band, bits) join keys visible in plan"
