@@ -23,6 +23,16 @@ cross-block appearance is in its DOWNSTREAM target's block (the one
 place its value is consumed), so the halo is edge-sized.  Convergence
 = an empty improved set; ``max_rounds`` raises rather than returning a
 partially-propagated surface.
+
+Reliability trade-off (also applies to rastercc's seam cut): the
+per-round ``localCheckpoint`` stores blocks on executors only, so at
+cluster scale an executor loss mid-fixpoint kills the lineage and
+FAILS the job instead of recomputing — rerun from the last durable
+checkpoint (chopin_spark.checkpoint) rather than trusting a silently
+partial surface.  That is the intended failure mode for a 10^10-cell
+run: swap ``localCheckpoint`` for ``sparkContext.setCheckpointDir`` +
+``checkpoint()`` when executor churn is expected and the (much slower)
+HDFS round-trip per round is acceptable.
 """
 
 from __future__ import annotations

@@ -246,3 +246,82 @@ def utm_zone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE/FLOOR column math — bit-exact, codegen'd, one agg shuffle."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_UTM_SQL)
+
+
+# --- ellipsoidal INVERSES: projected → geographic (r03 next-round #6) --------
+#
+# chopin's reproject_std round-trips through GDAL in both directions
+# (/root/reference/R/check.R:129-157); these queries write projected
+# coordinates BACK to lon/lat with the Snyder inverse (authalic-series
+# latitude — no iteration), composed in-plan with the forward so the
+# oracle certifies the full projected→geographic path.  Degrees at
+# ROUND(·,6) (~0.1 m grain): the asin/atan2/ln divergence between JVM
+# and C libm is ≤ a few ulp (~1e-13 deg), seven orders inside it.
+
+from chopin_spark.crs import (  # noqa: E402
+    albers_ell_inverse_xy_sql,
+    laea_ell_inverse_xy_sql,
+)
+
+_I5070_LON, _I5070_LAT = albers_ell_inverse_xy_sql(f"({_EX})", f"({_EY})")
+
+_INV5070_ORACLE = f"""
+SELECT doc_id,
+       ROUND({_I5070_LON}, 6) AS lon_deg,
+       ROUND({_I5070_LAT}, 6) AS lat_deg
+FROM documents
+"""
+
+
+@register("reproject_albers5070_inverse_coords", _INV5070_ORACLE)
+def reproject_albers5070_inverse_coords(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE EPSG:5070 → EPSG:4326 per document: the forward ellipsoidal
+    Albers composes with the Snyder inverse (14-10/14-11 + the 3-18
+    authalic latitude series) inside one plan; roundtrip accuracy
+    ≤ 1.5 mm is pinned in tests/test_crs.py."""
+    docs = load(spark, sf_dir, "documents")
+    gf = GeoFrame(
+        docs.select(
+            "doc_id", F.expr(_LON).alias("x"), F.expr(_LAT).alias("y")
+        ),
+        crs="EPSG:4326",
+    ).reproject("EPSG:5070").reproject("EPSG:4326")
+    return gf.df.select(
+        "doc_id",
+        F.round("x", 6).alias("lon_deg"),
+        F.round("y", 6).alias("lat_deg"),
+    )
+
+
+_ILX, _ILY = laea_ell_inverse_xy_sql(f"({_LX})", f"({_LY})")
+
+_INV3035_ORACLE = f"""
+SELECT doc_id,
+       ROUND({_ILX}, 6) AS lon_deg,
+       ROUND({_ILY}, 6) AS lat_deg
+FROM documents
+"""
+
+
+@register("reproject_laea3035_inverse_coords", _INV3035_ORACLE)
+def reproject_laea3035_inverse_coords(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE EPSG:3035 → EPSG:4326 per document (Europe-window remap as
+    the forward query): Snyder 24-26..24-31 inverse + 3-18 series,
+    composed with the forward in one plan."""
+    docs = load(spark, sf_dir, "documents")
+    gf = GeoFrame(
+        docs.select(
+            "doc_id",
+            F.expr(_LON_EU).alias("x"), F.expr(_LAT_EU).alias("y"),
+        ),
+        crs="EPSG:4326",
+    ).reproject("EPSG:3035").reproject("EPSG:4326")
+    return gf.df.select(
+        "doc_id",
+        F.round("x", 6).alias("lon_deg"),
+        F.round("y", 6).alias("lat_deg"),
+    )

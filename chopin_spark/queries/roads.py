@@ -436,3 +436,117 @@ def extract_at_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("double") / F.count(F.lit(1)), 4
         ).alias("mean_val"),
     )
+
+
+# --- runner composition: nearest road through the par_grid surface -----------
+#
+# The reference's flagship composition is par_grid × terra::nearest over
+# the ncroads line layer (/root/reference/README.md:1077-1118): the
+# POINT side splits into grid cells, the LINE side enters every padded
+# cell, and the per-cell function computes nearest-feature locally.
+# This query runs roads-nearest through runners.par_cells (the runner
+# face) instead of the join face (nearest_line_join) — the per-cell
+# numpy kernel replays seg_dist_sql's exact operation order (clamped-t
+# projection, same IEEE rounding per op), so runner == join face ==
+# brute-force oracle value-for-value, not just row-counts.
+
+import numpy as _np  # noqa: E402
+import pandas as _pd  # noqa: E402
+
+
+def _nearest_cell_fun(kpdf: "_pd.DataFrame", cpdf: "_pd.DataFrame"):
+    """Per-cell nearest-segment kernel: exact argmin with (dist,
+    line_id) tie-break; emits only points whose nearest candidate is
+    within _RADIUS (the pad guarantees candidate completeness for
+    those, so the filtered argmin is the global one)."""
+    if cpdf.empty or kpdf.empty:
+        return None
+    ax, ay = cpdf["ax"].to_numpy(), cpdf["ay"].to_numpy()
+    bx, by = cpdf["bx"].to_numpy(), cpdf["by"].to_numpy()
+    lid = cpdf["line_id"].to_numpy()
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    safe = _np.where(len2 == 0.0, 1.0, len2)
+    px = kpdf["x"].to_numpy()[:, None]
+    py = kpdf["y"].to_numpy()[:, None]
+    wx, wy = px - ax[None, :], py - ay[None, :]
+    t = _np.where(len2 == 0.0, 0.0, (wx * dx + wy * dy) / safe)
+    t = _np.minimum(_np.maximum(t, 0.0), 1.0)  # GREATEST then LEAST
+    ex, ey = wx - t * dx, wy - t * dy
+    d = _np.sqrt(ex * ex + ey * ey)
+    ids, roads, dists = [], [], []
+    docs = kpdf["doc_id"].to_numpy()
+    for i in range(d.shape[0]):
+        j = _np.lexsort((lid, d[i]))[0]
+        if d[i, j] <= _RADIUS:
+            ids.append(int(docs[i]))
+            roads.append(int(lid[j]))
+            dists.append(float(d[i, j]))
+    return _pd.DataFrame(
+        {"doc_id": ids, "road_id": roads, "nn_dist": dists}
+    )
+
+
+def runner_nearest_road(
+    spark: SparkSession, sf_dir: str, nx: int = 16, ny: int = 12
+) -> DataFrame:
+    """The composition itself, grid size parameterized so tests can pin
+    grid-size invariance (runner == join face at any partitioning)."""
+    from chopin_spark.roads import _seg_cells
+    from chopin_spark.runners import par_cells
+
+    g = make_regular_grid(nx, ny)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    keyed = g.assign_core(docs)
+    context = _seg_cells(road_segments(spark), g, _RADIUS).select(
+        (F.col("_ciy") * g.nx + F.col("_cix")).alias("cgridid"),
+        F.col("_lid").alias("line_id"),
+        F.col("_sax").alias("ax"),
+        F.col("_say").alias("ay"),
+        F.col("_sbx").alias("bx"),
+        F.col("_sby").alias("by"),
+    )
+    out = par_cells(
+        keyed, context, "cgridid", _nearest_cell_fun,
+        "doc_id long, road_id long, nn_dist double",
+    )
+    return out.select(
+        "doc_id", "road_id", F.round("nn_dist", 4).alias("dist_m")
+    )
+
+
+_RUNNER_ROAD_ORACLE = f"""
+WITH segs AS (
+  SELECT r.rid AS line_id,
+         {_vx('r.rid', 'k.k')} AS ax, {_vy('r.rid', 'k.k')} AS ay,
+         {_vx('r.rid', '(k.k + 1)')} AS bx2, {_vy('r.rid', '(k.k + 1)')} AS by2
+  FROM generate_series(1, {_N_ROADS}) r(rid)
+  CROSS JOIN generate_series(0, {_N_SEGS - 1}) k(k)
+),
+d AS (SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents),
+pairs AS (
+  SELECT doc_id, line_id,
+         {seg_dist_sql('x', 'y', 'ax', 'ay', 'bx2', 'by2')} AS dist
+  FROM d CROSS JOIN segs
+),
+rk AS (
+  SELECT doc_id, line_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, line_id) AS rn
+  FROM pairs
+)
+SELECT doc_id, line_id AS road_id, ROUND(dist, 4) AS dist_m
+FROM rk WHERE rn = 1 AND dist <= {_RADIUS}
+"""
+
+
+@register("par_grid_nearest_road", _RUNNER_ROAD_ORACLE)
+def par_grid_nearest_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roads-nearest through the runner surface (reference flagship:
+    par_grid × nearest over ncroads, README.md:1077-1118): point side
+    core-assigned, segment side registered into every radius-padded
+    cell, per-cell exact numpy kernel — value-identical to both the
+    join-face query (nearest_road) within radius and the brute-force
+    oracle.  VERDICT r03 next-round #4."""
+    return runner_nearest_road(spark, sf_dir)

@@ -727,9 +727,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 1024
 
 
-def _dsir_sql(
-    tok_hashes: str, bigrams: str, unnest_bigram: str, hint: str = ""
-) -> str:
+def _dsir_sql(tok_hashes: str, bigrams: str, unnest_bigram: str) -> str:
     return f"""
 WITH uh AS (
   SELECT doc_id, lang, {tok_hashes} AS _uh FROM documents
@@ -756,7 +754,7 @@ llr AS (
   FROM model CROSS JOIN tot
 ),
 scored AS (
-  SELECT {hint}f.doc_id, f.lang,
+  SELECT f.doc_id, f.lang,
          COUNT(*) AS n_feats,
          CAST(SUM(llr.lq) AS BIGINT) AS sq
   FROM feats f JOIN llr ON llr.b = f.b
@@ -774,12 +772,10 @@ _DSIR_ORACLE = _dsir_sql(
     shingles_from_uh_duckdb(2),
     "UNNEST(_bg)",
 )
-_DSIR_SPARK = _dsir_sql(
-    token_hashes_spark(),
-    shingles_from_uh_spark(2),
-    "explode(_bg)",
-    hint="/*+ BROADCAST(llr) */ ",
-)
+# (the SQL-text Spark twin of _DSIR_ORACLE was removed: the engine path
+# is the DataFrame chain _dsir_scored below — the analyzer-inlining
+# blowup that killed the SQL-text path is documented there and pinned
+# by tests/test_plans.py::test_no_hof_inline_blowup)
 
 
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,6 +134,12 @@ def raster_components(
     # the seam graph is label metadata, not cell data — below the cap
     # a driver union-find replaces ~10 iterative shuffle rounds; above
     # it, the distributed star engine takes over unchanged.
+    # materialize the seam ONCE before the tier probe: without the cut,
+    # the over-cap branch would discard the probe's work and recompute
+    # the whole seam plan from scratch inside connected_components_star
+    # (ADVICE r03), and the star engine's own lineage cuts would each
+    # re-derive it again.
+    seam = seam.localCheckpoint()
     rows = seam.limit(seam_driver_cap + 1).collect()
     if len(rows) <= seam_driver_cap:
         if not rows:

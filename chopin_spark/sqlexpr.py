@@ -332,17 +332,22 @@ def xyz_ty_expr(lat: str, z: int) -> str:
     row inside a coarse tile by splitting the parent ladder, or use the
     numpy encoder mirror of xyz_tile_py.
     """
-    # sin(phi_k) = tanh(pi * (1 - 2k/2^z)) exactly (sin∘atan∘sinh);
-    # NOT SQL RADIANS(): Java toRadians is (x/180)*pi but DuckDB is
-    # x*(pi/180) — different FP roundings.  An explicit literal
-    # multiply is the same computation in both engines.
+    # TRANSCENDENTAL-FREE (ADVICE r03): the row boundaries are
+    # precomputed LATITUDE literals (degrees(atan(sinh(pi*(1-2k/2^z))))
+    # — the exact lat where fractional mercator y equals k), so the
+    # per-row comparison is raw-lat-vs-literal with zero query-time
+    # trig.  The earlier form compared SIN(lat·pi/180) against tanh
+    # literals, which leaned on Math.sin (≤1 ulp, not correctly
+    # rounded) agreeing with DuckDB's libm exactly at ladder literals —
+    # a weaker guarantee than the repo's IEEE-exact-ops discipline.
+    # sin is monotone on [-90°, 90°], so the two ladders classify
+    # identically except for points within ~1 ulp of a boundary, where
+    # the literal compare is DETERMINISTIC and engine-independent.
     # <= not <: a point exactly ON boundary k has fractional y == k and
     # FLOOR puts it in row k (e.g. lat 0 -> row 2^z/2), so the k-th
     # ladder term must count equality.
-    rad = f"(({lat}) * {math.pi / 180.0!r})"
     terms = [
-        f"(CASE WHEN SIN({rad}) <="
-        f" {math.tanh(math.pi * (1.0 - 2.0 * k / (1 << z)))!r}"
+        f"(CASE WHEN ({lat}) <= {_xyz_row_boundary_lat(k, z)!r}"
         f" THEN 1 ELSE 0 END)"
         for k in range(1, 1 << z)
     ]

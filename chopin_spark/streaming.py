@@ -183,7 +183,16 @@ def run_available_now(
     small count for ITS OWN fresh checkpoint and restores the session
     setting after — a per-job knob a cluster deployment would set in
     the stream's own config, sized to peak state volume / executor
-    count, not inherited from the batch default."""
+    count, not inherited from the batch default.
+
+    CONCURRENCY CAVEAT (ADVICE r03): the override is session-global
+    for the duration of the drain — a query started concurrently on
+    the same SparkSession would plan with 4 shuffle partitions, and
+    two overlapping drains can restore a stale value.  This helper is
+    a single-threaded test/bench harness by contract (the repo's gate
+    and bench run queries sequentially); a production deployment runs
+    each stream in its own session/job with the partition count in
+    that job's config, making the mutation moot."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")

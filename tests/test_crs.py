@@ -353,3 +353,72 @@ def test_utm_sql_matches_python(spark):
     )
     for r in df.collect():
         assert r["utm"] == utm_py(r["lon"], r["lat"]), (r["lon"], r["lat"])
+
+
+def test_ellipsoidal_inverse_roundtrips_under_2mm(spark):
+    """EPSG:5070 and EPSG:3035 forward∘inverse must return the input
+    lon/lat to ≤2e-8 deg (~2 mm on GRS80) across each CRS's domain —
+    the Snyder 3-18 authalic series truncates at O(e^8)."""
+    from chopin_spark.crs import (
+        albers_ell_inverse_xy_sql, albers_ell_xy_sql,
+        laea_ell_inverse_xy_sql, laea_ell_xy_sql,
+    )
+
+    for fwd, inv, lons, lats in (
+        (albers_ell_xy_sql, albers_ell_inverse_xy_sql,
+         [-125 + 5.5 * i for i in range(11)],
+         [24 + 2.6 * j for j in range(11)]),
+        (laea_ell_xy_sql, laea_ell_inverse_xy_sql,
+         [-10 + 4.0 * i for i in range(11)],
+         [35 + 3.5 * j for j in range(11)]),
+    ):
+        fx, fy = fwd("lon", "lat")
+        il, ia = inv("px", "py")
+        df = spark.createDataFrame(
+            [(lo, la) for lo in lons for la in lats], "lon double, lat double"
+        ).selectExpr("lon", "lat", f"{fx} AS px", f"{fy} AS py").selectExpr(
+            "lon", "lat", f"{il} AS lon2", f"{ia} AS lat2"
+        )
+        r = df.selectExpr(
+            "MAX(ABS(lon2 - lon)) AS dlon", "MAX(ABS(lat2 - lat)) AS dlat"
+        ).collect()[0]
+        assert r["dlon"] < 2e-8 and r["dlat"] < 2e-8, (fwd.__name__, r)
+
+
+def test_snyder_inverse_worked_examples(spark):
+    """Snyder PP1395's published Clarke-1866 inverse examples, 0.1 m
+    class: Albers (x,y)=(1885472.7, 1535925.0) → (−75°, 35°); LAEA
+    (φ1=40, λ0=−100) (x,y)=(−965932.1, −1056814.9) → (−110°, 30°).
+    Inputs are printed to 0.1 m, so ≤3e-6 deg of slack is the input's
+    own rounding, not the transform's."""
+    from chopin_spark.crs import (
+        AlbersEllParams, LaeaEllParams,
+        albers_ell_inverse_xy_sql, laea_ell_inverse_xy_sql,
+    )
+
+    pa = AlbersEllParams(a=6378206.4, e2=0.00676866)
+    il, ia = albers_ell_inverse_xy_sql("px", "py", pa)
+    r = spark.createDataFrame(
+        [(1885472.7, 1535925.0)], "px double, py double"
+    ).selectExpr(f"{il} AS lon", f"{ia} AS lat").collect()[0]
+    assert abs(r["lon"] - -75.0) < 3e-6 and abs(r["lat"] - 35.0) < 3e-6
+
+    pl = LaeaEllParams(a=6378206.4, e2=0.00676866, lat1=40.0,
+                       lon0=-100.0, fe=0.0, fn=0.0)
+    il, ia = laea_ell_inverse_xy_sql("px", "py", pl)
+    r = spark.createDataFrame(
+        [(-965932.1, -1056814.9)], "px double, py double"
+    ).selectExpr(f"{il} AS lon", f"{ia} AS lat").collect()[0]
+    assert abs(r["lon"] - -110.0) < 3e-6 and abs(r["lat"] - 30.0) < 3e-6
+
+
+def test_laea_inverse_false_origin_maps_to_center(spark):
+    from chopin_spark.crs import LAEA_3035, laea_ell_inverse_xy_sql
+
+    il, ia = laea_ell_inverse_xy_sql("px", "py")
+    r = spark.createDataFrame(
+        [(LAEA_3035.fe, LAEA_3035.fn)], "px double, py double"
+    ).selectExpr(f"{il} AS lon", f"{ia} AS lat").collect()[0]
+    assert abs(r["lon"] - LAEA_3035.lon0) < 1e-12  # exact ρ=0 branch
+    # latitude goes through the 3-18 series: O(e^8) truncation ~3e-9°
+    assert abs(r["lat"] - LAEA_3035.lat1) < 1e-8

@@ -240,3 +240,39 @@ def test_par_convert_f_actually_reorders(spark):
     adapted = par_convert_f(f, x="points", y="raster")
     out = adapted(pd.DataFrame({"k": [1, 2]}), pd.DataFrame({"c": [9]}))
     assert out["n"].tolist() == [201]
+
+
+def test_runner_nearest_road_equals_join_face_at_two_grids(spark):
+    """VERDICT r03 #4: the reference's flagship composition (par_grid ×
+    nearest over a LINE layer) through the runner surface must equal
+    the join face row-for-row — same doc set, same road, bitwise-same
+    distance — at two different grid sizes (partitioning invariance)."""
+    from chopin_spark.grid import make_regular_grid as mk
+    from chopin_spark.queries.roads import (
+        _DX, _DY, _RADIUS, road_segments, runner_nearest_road,
+    )
+    from chopin_spark.roads import nearest_line_join
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    segs = road_segments(spark)
+    face = (
+        nearest_line_join(docs, segs, mk(16, 12), "doc_id", _RADIUS)
+        .filter(F.col("nn_dist") <= _RADIUS)
+        .select("doc_id", "nn_id", "nn_dist")
+    )
+    want = sorted(
+        (r.doc_id, r.nn_id, r.nn_dist) for r in face.collect()
+    )
+    assert want, "fixture produced no in-radius matches"
+    for nx, ny in ((16, 12), (7, 5)):
+        got = sorted(
+            (r.doc_id, r.road_id, r.dist_m)
+            for r in runner_nearest_road(spark, sf, nx, ny).collect()
+        )
+        rounded = sorted((d, i, round(v, 4)) for d, i, v in want)
+        # runner emits ROUND(.,4) — compare on the rounded lattice but
+        # exact values (no tolerance)
+        assert got == rounded, f"grid {nx}x{ny} diverges from join face"

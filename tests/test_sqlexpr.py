@@ -212,3 +212,44 @@ def test_xyz_tile_sql_matches_python(spark):
         assert r["qk"] == qk
         # prefix property: z-1 parent tile
         assert qk[: z - 1] == xyz_quadkey_py(etx >> 1, ety >> 1, z - 1)
+
+
+def test_xyz_ty_boundary_neighborhood_cross_engine(spark):
+    """ADVICE r03: tile-row assignment at latitudes within a few ulps
+    of every z=4 row boundary must agree between Spark and DuckDB
+    exactly — guaranteed by construction now (raw-lat-vs-literal
+    compares, no query-time trig), pinned here against regression."""
+    import math
+
+    import duckdb
+
+    from chopin_spark.sqlexpr import _xyz_row_boundary_lat, xyz_ty_expr
+
+    z = 4
+    lats = []
+    for k in range(1, 1 << z):
+        b = _xyz_row_boundary_lat(k, z)
+        for step in (-3, -2, -1, 0, 1, 2, 3):
+            v = b
+            for _ in range(abs(step)):
+                v = math.nextafter(v, math.inf if step > 0 else -math.inf)
+            lats.append(v)
+    expr = xyz_ty_expr("lat", z)
+    got_spark = [
+        r.ty for r in spark.createDataFrame(
+            [(v,) for v in lats], "lat double"
+        ).selectExpr(f"{expr} AS ty").collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {expr} FROM (SELECT ?::DOUBLE AS lat)", [v]
+        ).fetchone()[0]
+        for v in lats
+    ]
+    assert got_spark == got_duck
+    # boundary itself counts into row k (<= semantics)
+    for k in range(1, 1 << z):
+        b = _xyz_row_boundary_lat(k, z)
+        i = lats.index(b)
+        assert got_spark[i] == k, (k, got_spark[i])
