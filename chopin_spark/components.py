@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Observability: most recent fixpoint round count per algorithm, read
+# by the scale-rung bench (BENCH/scale_rung_sf1.json) to evidence the
+# SCALE.md claim that rounds track component diameter / log(n), not
+# input size.  Driver-side only; no effect on results.
+LAST_ROUNDS: dict[str, int] = {}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",
@@ -51,7 +58,7 @@ def connected_components(
     # round, no self-join
     prev_sum = comp.agg(F.sum("comp_id")).first()[0]
     converged = False
-    for _ in range(max_iter):
+    for _round in range(1, max_iter + 1):
         # neighbor labels: for edge (a, b), b hears a's current label
         msgs = edges.join(
             comp.withColumnRenamed("node", "a"), "a"
@@ -65,6 +72,7 @@ def connected_components(
         new_sum = comp.agg(F.sum("comp_id")).first()[0]
         if new_sum == prev_sum:
             converged = True
+            LAST_ROUNDS["propagation"] = _round
             break
         prev_sum = new_sum
     if not converged:
@@ -142,7 +150,7 @@ def connected_components_star(
 
     prev = _sig(e)
     converged = False
-    for _ in range(max_iter):
+    for _round in range(1, max_iter + 1):
         # -- large-star over the symmetric adjacency ---------------------
         sym = e.select(
             F.col("hi").alias("u"), F.col("lo").alias("v")
@@ -176,6 +184,7 @@ def connected_components_star(
         cur = _sig(e)
         if cur == prev:
             converged = True
+            LAST_ROUNDS["star"] = _round
             break
         prev = cur
     if not converged:
