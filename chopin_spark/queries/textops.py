@@ -941,3 +941,143 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.createOrReplaceTempView("pairs")
     smap.createOrReplaceTempView("smap")
     return spark.sql(_LEAK_TAIL)
+
+
+# --- asymmetric containment near-dup pairs ------------------------------------
+#
+# Broder's SECOND measure.  Jaccard (resemblance) under-scores subset
+# copies: a 40-token document pasted verbatim into a 400-token one has
+# containment ~1.0 but Jaccard ~0.1, so every resemblance-thresholded
+# dedup pass above keeps both copies.  Real crawls are full of these
+# (article + site chrome, quote-heavy aggregators), which is why
+# curation stacks run a containment pass besides MinHash.  Same
+# inverted-index + df-cap plan as dedup_ngram_jaccard_capped — only the
+# scoring finish differs.
+
+_CONT_MAX_DF = 4
+_CONT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4])) AS shingle
+  FROM toks WHERE LEN(w) >= 5
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= {_CONT_MAX_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d1, d2, i,
+         ROUND(CAST(i AS DOUBLE) / s1.n_sh, 4) AS c_fwd,
+         ROUND(CAST(i AS DOUBLE) / s2.n_sh, 4) AS c_rev
+  FROM inter
+  JOIN sizes s1 ON d1 = s1.doc_id
+  JOIN sizes s2 ON d2 = s2.doc_id
+)
+SELECT d1, d2, i, c_fwd, c_rev
+FROM scored
+WHERE GREATEST(c_fwd, c_rev) >= {_CONT_THRESHOLD}
+"""
+
+
+@register("dedup_containment_pairs", _CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 5-gram containment pairs (either direction >= 0.8),
+    df-capped like the capped-Jaccard query.  The subset-copy case the
+    resemblance queries miss is pinned semantically in
+    tests/test_textops.py (containment flags it, Jaccard does not)."""
+    docs = load(spark, sf_dir, "documents")
+    from chopin_spark.textops import containment_pairs
+
+    return containment_pairs(
+        docs, threshold=_CONT_THRESHOLD, n=5, max_df=_CONT_MAX_DF
+    )
+
+
+# --- benchmark decontamination (13-gram overlap vs a held-out eval set) -------
+#
+# The GPT-3-appendix / standard eval-decontamination recipe: a training
+# document is contaminated if it shares any 13-token n-gram with a
+# benchmark document.  The eval set here is a deterministic corpus
+# slice (doc_id % 7 = 3 — benchmark stand-in; no external data by
+# design); at crawl scale the eval side is benchmark-sized and
+# BROADCAST, so the plan is one map-side semi-join over the corpus
+# shingles — no shuffle of the 100 TB side at all.  Shingles stay
+# literal strings here (exactness, zero collision caveat); a production
+# run at 10^12 docs would hash them first (textops.hashed_shingles)
+# since the broadcast set is the only thing a collision could inflate.
+
+_DECONTAM_N = 13
+_EVAL_MOD, _EVAL_REM = 7, 3
+
+_DECONTAM_SHINGLE = " || ' ' || ".join(
+    f"w[i+{k}]" if k else "w[i]" for k in range(_DECONTAM_N)
+)
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - {_DECONTAM_N - 1}),
+           i -> {_DECONTAM_SHINGLE})) AS shingle
+  FROM toks WHERE LEN(w) >= {_DECONTAM_N}
+),
+ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = {_EVAL_REM}
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh
+  WHERE doc_id % {_EVAL_MOD} <> {_EVAL_REM} GROUP BY 1
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_contam
+  FROM sh s JOIN ev USING (shingle)
+  WHERE s.doc_id % {_EVAL_MOD} <> {_EVAL_REM}
+  GROUP BY 1
+)
+SELECT h.doc_id, h.n_contam, z.n_sh,
+       ROUND(CAST(h.n_contam AS DOUBLE) / z.n_sh, 4) AS contam_frac
+FROM hits h JOIN sizes z USING (doc_id)
+"""
+
+
+@register("benchmark_decontam_13gram", _DECONTAM_ORACLE)
+def benchmark_decontam_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated training doc: distinct 13-grams shared with the
+    eval slice, its shingle count, and the contaminated fraction.  Eval
+    shingle set is broadcast (benchmark-sized at any corpus scale)."""
+    from chopin_spark.textops import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", _DECONTAM_N)
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == _EVAL_REM
+    ev = sh.filter(is_eval).select("shingle").distinct()
+    corpus = sh.filter(~is_eval)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_contam",
+        "n_sh",
+        F.round(F.col("n_contam").cast("double") / F.col("n_sh"), 4).alias(
+            "contam_frac"
+        ),
+    )

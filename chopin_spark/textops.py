@@ -234,6 +234,61 @@ def _jaccard_scored(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs (Broder 1997's
+    second resemblance measure): C(A→B) = |A∩B| / |A| over distinct
+    shingle sets.  Containment catches subset copies — a short document
+    pasted whole into a much longer one — whose Jaccard is diluted by
+    the longer side's extra shingles and slips under any resemblance
+    threshold.  Returns (d1, d2, i, c_fwd, c_rev) with d1 < d2,
+    c_fwd = i/|d1|, c_rev = i/|d2|, kept when either direction clears
+    ``threshold``.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (the df cap
+    is the identical 100 TB guard — pair fan-out is bounded per shingle,
+    never n²); only the scoring finish differs, so the two operators
+    share one shuffle structure and Catalyst can reuse the exchange
+    when both run over the same corpus."""
+    sh = shingles(docs, id_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "c_fwd", F.round(F.col("i").cast("double") / F.col("n1"), 4)
+        )
+        .withColumn(
+            "c_rev", F.round(F.col("i").cast("double") / F.col("n2"), 4)
+        )
+        .filter(F.greatest("c_fwd", "c_rev") >= threshold)
+        .select("d1", "d2", "i", "c_fwd", "c_rev")
+    )
+
+
 def hashed_shingles(
     docs: DataFrame, id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:

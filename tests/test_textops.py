@@ -231,3 +231,81 @@ def test_dsir_gumbel_topk_upweights_target(spark):
     assert frac > base + 0.15
     # keys are strictly decreasing-or-tie-broken: no duplicate doc
     assert len({r.doc_id for r in rows}) == _DSIR_TOPK
+
+
+def test_containment_catches_subset_copy_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc pasted whole into a
+    much longer one has containment 1.0 but Jaccard well under any
+    resemblance threshold — the Jaccard query keeps both copies, the
+    containment query flags the pair."""
+    from chopin_spark.textops import containment_pairs
+
+    short = " ".join(f"s{k}" for k in range(20))
+    long_ = short + " " + " ".join(f"t{k}" for k in range(200))
+    rows = [
+        {"doc_id": 1, "text": short},
+        {"doc_id": 2, "text": long_},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == [], "resemblance must miss the subset copy"
+    cont = containment_pairs(docs, threshold=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["d1"], r["d2"]) == (1, 2)
+    # every one of the short doc's 16 distinct 5-gram shingles appears
+    # in the long doc (it starts with the short text verbatim)
+    assert r["c_fwd"] == 1.0
+    assert r["c_rev"] < 0.1
+
+
+def test_decontam_flags_only_docs_sharing_eval_13grams(spark):
+    """Planted contamination: the corpus doc that embeds a 13-token run
+    from an eval doc is flagged with the exact shared-shingle count;
+    clean corpus docs and eval docs themselves never appear."""
+    from chopin_spark.queries.textops import (
+        _DECONTAM_ORACLE,
+        benchmark_decontam_13gram,
+    )
+    import duckdb
+    import os
+    import tempfile
+
+    ev_text = " ".join(f"e{k}" for k in range(30))  # doc_id 3 -> eval
+    # corpus doc 5 copies eval tokens 5..17 (13 tokens -> ONE shared
+    # 13-gram) into otherwise-unique text
+    stolen = " ".join(f"e{k}" for k in range(5, 18))
+    rows = [
+        {"doc_id": 3, "text": ev_text},
+        {"doc_id": 5, "text": " ".join(f"c{k}" for k in range(10))
+                              + " " + stolen
+                              + " " + " ".join(f"d{k}" for k in range(10))},
+        {"doc_id": 6, "text": " ".join(f"z{k}" for k in range(40))},
+    ]
+    pdf = pd.DataFrame(rows)
+    with tempfile.TemporaryDirectory() as td:
+        sf = os.path.join(td, "sf")
+        os.makedirs(sf)
+        duckdb.connect().execute(
+            f"COPY (SELECT doc_id, text FROM pdf) TO "
+            f"'{sf}/documents.parquet' (FORMAT PARQUET)"
+        )
+        out = benchmark_decontam_13gram(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 5
+    assert r["n_contam"] == 1
+    # doc 5 has 33 tokens -> 21 distinct 13-gram shingles
+    assert r["n_sh"] == 21
+    assert r["contam_frac"] == round(1 / 21, 4)
+
+
+def test_decontam_eval_side_is_broadcast(spark):
+    """The 100 TB plan shape: the eval shingle set must arrive via a
+    BroadcastExchange — the corpus side is never shuffled for the
+    contamination join."""
+    from chopin_spark.queries.textops import benchmark_decontam_13gram
+
+    df = benchmark_decontam_13gram(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
