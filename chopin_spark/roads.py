@@ -105,6 +105,43 @@ def seg_dist_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
     return f"SQRT({ex} * {ex} + {ey} * {ey})"
 
 
+def seg_cross_sql(
+    ox: str, oy: str, px: str, py: str, qx: str, qy: str
+) -> str:
+    """2D cross product (P−O)×(Q−O) as shared SQL text — the
+    orientation primitive for segment intersection.  Only +,−,* (all
+    IEEE-correctly-rounded), identical order both engines."""
+    return (
+        f"((({px}) - ({ox})) * (({qy}) - ({oy}))"
+        f" - (({py}) - ({oy})) * (({qx}) - ({ox})))"
+    )
+
+
+def seg_intersect_sql(
+    ax: str, ay: str, bx: str, by: str,
+    cx: str, cy: str, dx: str, dy: str,
+) -> tuple[str, str, str]:
+    """Proper segment crossing AB × CD (terra::intersect on lines):
+    returns (condition, ix, iy) SQL texts shared by Spark and DuckDB.
+
+    Condition: strict orientation sign flips on BOTH segments
+    (d1·d2 < 0 AND d3·d4 < 0) — endpoint touches and collinear overlaps
+    are excluded, so the denominator d3−d4 = (B−A)×(D−C) is provably
+    nonzero whenever the condition holds and the point formula
+    I = A + t·(B−A), t = d3/(d3−d4), is division-safe.  All ops are
+    correctly-rounded IEEE (+,−,*,/), identical text and order both
+    engines → bit-identical doubles (the seg_dist_sql contract)."""
+    d1 = seg_cross_sql(ax, ay, bx, by, cx, cy)
+    d2 = seg_cross_sql(ax, ay, bx, by, dx, dy)
+    d3 = seg_cross_sql(cx, cy, dx, dy, ax, ay)
+    d4 = seg_cross_sql(cx, cy, dx, dy, bx, by)
+    cond = f"({d1} * {d2} < 0.0 AND {d3} * {d4} < 0.0)"
+    t = f"({d3} / ({d3} - {d4}))"
+    ix = f"(({ax}) + {t} * (({bx}) - ({ax})))"
+    iy = f"(({ay}) + {t} * (({by}) - ({ay})))"
+    return cond, ix, iy
+
+
 def _seg_dist_col(grid: RectGrid) -> F.Column:
     return F.expr(
         seg_dist_sql(grid.x_col, grid.y_col, "_sax", "_say", "_sbx", "_sby")

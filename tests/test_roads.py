@@ -223,3 +223,40 @@ def test_extract_at_lines_traversal_connected(spark):
             pix_by_line.setdefault(s.line_id, set()).add(ij)
     # the numpy replay agrees with the engine's per-line pixel counts
     assert got == {lid: len(p) for lid, p in pix_by_line.items()}
+
+
+def test_seg_intersect_sql_geometry(spark):
+    """Orientation-test kernel semantics on constructed cases: a true
+    crossing yields the exact intersection point; endpoint touches,
+    collinear overlaps and disjoint parallels are excluded (strict
+    sign test — what makes the t = d3/(d3-d4) division provably safe)."""
+    from chopin_spark.roads import seg_intersect_sql
+
+    cond, ix, iy = seg_intersect_sql(
+        "ax", "ay", "bx", "by", "cx", "cy", "dx", "dy"
+    )
+    cases = [
+        # X-cross at (1, 1)
+        ((0.0, 0.0, 2.0, 2.0, 0.0, 2.0, 2.0, 0.0), (1.0, 1.0)),
+        # T-touch: CD ends ON AB -> excluded (d1*d2 == 0)
+        ((0.0, 0.0, 2.0, 0.0, 1.0, 0.0, 1.0, 2.0), None),
+        # shared endpoint -> excluded
+        ((0.0, 0.0, 2.0, 2.0, 2.0, 2.0, 3.0, 0.0), None),
+        # collinear overlap -> excluded
+        ((0.0, 0.0, 2.0, 0.0, 1.0, 0.0, 3.0, 0.0), None),
+        # disjoint parallel -> excluded
+        ((0.0, 0.0, 2.0, 0.0, 0.0, 1.0, 2.0, 1.0), None),
+        # asymmetric cross: AB from (0,0)-(4,2), CD vertical x=1 ->
+        # crossing at (1, 0.5)
+        ((0.0, 0.0, 4.0, 2.0, 1.0, -1.0, 1.0, 1.0), (1.0, 0.5)),
+    ]
+    rows = [
+        dict(zip("ax ay bx by cx cy dx dy".split(), c[0])) for c in cases
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows)).selectExpr(
+        f"CASE WHEN {cond} THEN array({ix}, {iy}) END AS pt"
+    )
+    got = [r["pt"] and tuple(r["pt"]) for r in df.collect()]
+    assert got == [c[1] for c in cases]
