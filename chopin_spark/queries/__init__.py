@@ -27,6 +27,7 @@ _MODULES = (
     "simsearch", "multimodal", "coverage", "coverage2", "runner", "polygons",
     "crsq", "s2q", "webtext", "s2knn", "pagespipe", "temporalq",
     "manifestq", "trainprep", "streamq", "roads", "rasterops", "lmq",
+    "snapshotq",
     "dissolveq", "sketchq", "simplifyq", "graphq", "costdistq",
     "gatedigest",  # must import last: it folds over every other entry
 )
