@@ -706,3 +706,115 @@ def concave_hull_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     characteristic from cell-complex distinct-counts — shared SQL."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CH_SQL)
+
+
+# --- ring validity census (sf::st_is_valid / GEOS IsSimple on rings) ---------
+#
+# Chopin's workflows assume valid inputs and lean on sf/GEOS validity
+# checking upstream (sf::st_make_valid in the vignettes); an engine that
+# ingests crawled/third-party geometries needs the check itself.  A ring
+# is invalid when two NON-ADJACENT edges properly cross (the bowtie
+# case).  Edge pairs are enumerated per ring — a ring_id-keyed self-join
+# that partitions perfectly at any scale; the crossing test is the
+# shared orientation kernel from roads.seg_intersect_sql.  The ring
+# family is closed-form (pentagons with LCG vertices — 302 of 400 are
+# bowties, so both verdicts are heavily exercised).
+
+_RV_RINGS, _RV_NV = 400, 5
+
+
+def _rv_vx(r: str, k: str) -> str:
+    return f"(CAST(((({r}) * 977 + ({k})) * 48271) % 9973 AS DOUBLE) / 9973.0)"
+
+
+def _rv_vy(r: str, k: str) -> str:
+    return f"(CAST(((({r}) * 641 + ({k})) * 16807) % 9973 AS DOUBLE) / 9973.0)"
+
+
+_RV_SEGS_SQL = f"""
+  SELECT r.rid AS ring_id, k.k AS e,
+         {_rv_vx('r.rid', 'k.k')} AS ax, {_rv_vy('r.rid', 'k.k')} AS ay,
+         {_rv_vx('r.rid', f'((k.k + 1) % {_RV_NV})')} AS bx,
+         {_rv_vy('r.rid', f'((k.k + 1) % {_RV_NV})')} AS by
+  FROM generate_series(1, {_RV_RINGS}) r(rid)
+  CROSS JOIN generate_series(0, {_RV_NV - 1}) k(k)
+"""
+
+
+from chopin_spark.roads import seg_intersect_sql  # noqa: E402
+
+_RV_COND = seg_intersect_sql(
+    "a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay", "b.bx", "b.by"
+)[0]
+
+_RV_ORACLE = f"""
+WITH segs AS ({_RV_SEGS_SQL}),
+x AS (
+  SELECT a.ring_id, COUNT(*) AS n
+  FROM segs a JOIN segs b
+    ON a.ring_id = b.ring_id AND b.e - a.e >= 2
+   AND NOT (a.e = 0 AND b.e = {_RV_NV - 1})
+  WHERE {_RV_COND}
+  GROUP BY 1
+)
+SELECT r.rid AS ring_id,
+       COALESCE(x.n, 0) AS n_crossings,
+       CASE WHEN x.n IS NULL THEN 1 ELSE 0 END AS is_valid
+FROM generate_series(1, {_RV_RINGS}) r(rid)
+LEFT JOIN x ON x.ring_id = r.rid
+"""
+
+
+@register("ring_validity_check", _RV_ORACLE)
+def ring_validity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ring: the count of proper non-adjacent edge crossings and
+    the simple/bowtie verdict.  Adjacent edges share an endpoint and
+    are excluded by construction (the strict sign test would reject
+    the shared-endpoint touch anyway — pinned in test_roads)."""
+    segs = (
+        spark.range(1, _RV_RINGS + 1)
+        .select(F.col("id").alias("rid"))
+        .select(
+            "rid",
+            F.explode(F.sequence(F.lit(0), F.lit(_RV_NV - 1))).alias("k"),
+        )
+        .selectExpr(
+            "rid AS ring_id",
+            "k AS e",
+            f"{_rv_vx('rid', 'k')} AS ax",
+            f"{_rv_vy('rid', 'k')} AS ay",
+            f"{_rv_vx('rid', f'((k + 1) % {_RV_NV})')} AS bx",
+            f"{_rv_vy('rid', f'((k + 1) % {_RV_NV})')} AS by",
+        )
+    )
+    a = segs.select(
+        F.col("ring_id"), F.col("e").alias("ea"),
+        F.col("ax").alias("aax"), F.col("ay").alias("aay"),
+        F.col("bx").alias("abx"), F.col("by").alias("aby"),
+    )
+    b = segs.select(
+        F.col("ring_id"), F.col("e").alias("eb"),
+        F.col("ax").alias("bax"), F.col("ay").alias("bay"),
+        F.col("bx").alias("bbx"), F.col("by").alias("bby"),
+    )
+    cond, _, _ = seg_intersect_sql(
+        "aax", "aay", "abx", "aby", "bax", "bay", "bbx", "bby"
+    )
+    x = (
+        a.join(b, "ring_id")
+        .filter(
+            (F.col("eb") - F.col("ea") >= 2)
+            & ~((F.col("ea") == 0) & (F.col("eb") == _RV_NV - 1))
+        )
+        .filter(F.expr(cond))
+        .groupBy("ring_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rings = spark.range(1, _RV_RINGS + 1).select(
+        F.col("id").alias("ring_id")
+    )
+    return rings.join(x, "ring_id", "left").select(
+        "ring_id",
+        F.coalesce("n", F.lit(0)).alias("n_crossings"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_valid"),
+    )

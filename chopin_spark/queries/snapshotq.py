@@ -38,12 +38,20 @@ _CACHE_ROOT = os.path.join(
 )
 _MEMO: dict = {}
 
+# snapshot 4 is a RECRAWL: every doc_id % 9 == 0 page reappears with
+# n_chars grown by _RECRAWL_DELTA (content changed on refetch) — the
+# upsert case merge-on-read exists for
+_RECRAWL_MOD, _RECRAWL_DELTA = 9, 1000
+_LAYOUT_V = 2  # bump when the snapshot construction changes
+
 
 def docs_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per session+source) the three-snapshot documents
-    table; returns its directory.  Same source-signature discipline as
-    manifestq: the cache tag carries mtime+size so a regenerated or
-    same-named sf_dir can never serve a stale table."""
+    """Build (once per session+source) the four-snapshot documents
+    table — the doc_id % 3 slices as snapshots 1-3, then the recrawl
+    batch as snapshot 4; returns its directory.  Same source-signature
+    discipline as manifestq: the cache tag carries mtime+size (and a
+    layout version) so a regenerated or same-named sf_dir can never
+    serve a stale table."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _MEMO:
         return _MEMO[key]
@@ -51,7 +59,7 @@ def docs_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{int(st.st_mtime)}_{st.st_size}"
+        f"_{int(st.st_mtime)}_{st.st_size}_v{_LAYOUT_V}"
     )
     table_dir = os.path.join(_CACHE_ROOT, tag)
     if not os.path.exists(os.path.join(table_dir, "snapshots.json")):
@@ -63,6 +71,12 @@ def docs_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
             )
             got = append_snapshot(batch, table_dir)
             assert got == sid
+        recrawl = (
+            docs.filter(F.col("doc_id") % _RECRAWL_MOD == 0)
+            .withColumn("n_chars", F.col("n_chars") + _RECRAWL_DELTA)
+            .withColumn("snap", F.lit(4))
+        )
+        assert append_snapshot(recrawl, table_dir) == 4
     _MEMO[key] = table_dir
     return table_dir
 
@@ -112,10 +126,53 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     yesterday's append, not the 100 TB table."""
     t = docs_snapshot_table(spark, sf_dir)
     return (
-        read_incremental(spark, t, from_id=1)
+        read_incremental(spark, t, from_id=1, to_id=3)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
         )
+    )
+
+
+_MERGE_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % {_RECRAWL_MOD} = 0
+                     THEN n_chars + {_RECRAWL_DELTA}
+                     ELSE n_chars END) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN doc_id % {_RECRAWL_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_updated
+FROM documents
+GROUP BY source
+"""
+
+
+@register("snapshot_merge_on_read", _MERGE_ORACLE)
+def snapshot_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read upsert view (Iceberg v2 / recrawl semantics): the
+    current table = latest snapshot wins per doc_id.  One max(struct)
+    aggregation keyed on the id — no window sort, no join; at crawl
+    scale this is a single key-partitioned agg whose map side already
+    collapses most history.  Snapshot 4's refetched pages (doc_id % 9
+    = 0, n_chars grown by 1000) must shadow their snapshot-1..3
+    originals exactly."""
+    t = docs_snapshot_table(spark, sf_dir)
+    latest = (
+        read_snapshot(spark, t)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.struct("snap", "n_chars", "source")).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.snap").alias("snap"),
+            F.col("m.n_chars").alias("n_chars"),
+            F.col("m.source").alias("source"),
+        )
+    )
+    return latest.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum((F.col("snap") == 4).cast("bigint")).alias("n_updated"),
     )
