@@ -653,3 +653,85 @@ def road_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --- trajectory map matching (snap pings to roads, collapse runs) ------------
+#
+# The movement-analytics composition the reference's nearest flagship
+# points at: each user's click pings snap to their nearest road
+# (exact, cell-indexed, ring fallback), then consecutive same-road
+# pings collapse into RUNS — per (user, run): the road, ping count and
+# time span.  Scale shape: the snap is the standard density-bounded
+# cell join; the run collapse is one shuffle keyed by user (uniform)
+# with an in-partition sort — trajectory_cell_transitions' OD-matrix
+# shape, which holds at 10^12 events.  The run tail is ONE SQL text
+# run by both engines over their own `best` tables.
+
+_MM_RUN_TAIL = """
+SELECT user_id, run_id, road_id,
+       COUNT(*) AS n_pings,
+       MIN(ts) AS t_start,
+       MAX(ts) AS t_end
+FROM (
+  SELECT user_id, ts, road_id,
+         CAST(SUM(chg) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS run_id
+  FROM (
+    SELECT user_id, event_id, ts, road_id,
+           CASE WHEN LAG(road_id) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) IS DISTINCT FROM road_id THEN 1 ELSE 0 END AS chg
+    FROM best
+  ) c
+) r
+GROUP BY user_id, run_id, road_id
+"""
+
+_MM_ORACLE = f"""
+WITH segs AS ({_X_SEGS_SQL}),
+p AS (
+  SELECT user_id, event_id, ts,
+         {sx.x_expr('event_id')} AS x, {sx.y_expr('event_id')} AS y
+  FROM events WHERE event_type = 'click'
+),
+rk AS (
+  SELECT user_id, event_id, ts, line_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_id
+           ORDER BY {seg_dist_sql('x', 'y', 'ax', 'ay', 'bx', 'by')}, line_id
+         ) AS rn
+  FROM p CROSS JOIN segs
+),
+best AS (
+  SELECT user_id, event_id, ts, line_id AS road_id FROM rk WHERE rn = 1
+)
+{_MM_RUN_TAIL}
+"""
+
+
+@register("map_match_runs", _MM_ORACLE)
+def map_match_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matched trajectory runs over the 800-road layer: snap =
+    nearest_line_join (min(struct(dist, line_id)) — the same total
+    order as the oracle's ROW_NUMBER), runs = the shared window tail."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts",
+        F.expr(sx.x_expr("event_id")).alias("x"),
+        F.expr(sx.y_expr("event_id")).alias("y"),
+    )
+    g = make_regular_grid(16, 12)
+    nn = nearest_line_join(
+        pts.select("event_id", "x", "y"),
+        road_segments(spark, _X_N_ROADS),
+        g,
+        "event_id",
+        _RADIUS,
+    )
+    best = pts.join(nn, "event_id").select(
+        "user_id", "event_id", "ts", F.col("nn_id").alias("road_id")
+    )
+    best.createOrReplaceTempView("best")
+    return spark.sql(_MM_RUN_TAIL)

@@ -826,3 +826,109 @@ def spatial_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "c_doc_id", F.round("_d", 4).alias("dist")
         )
     )
+
+
+# --- IDW leave-one-out cross-validation (surface-model error audit) ----------
+#
+# gstat::krige.cv / terra::interpIDW-validation workflow: predict each
+# POI's value from the OTHER POIs within the radius and summarize the
+# prediction error (ME / MAE / RMSE).  The pair stage is the identical
+# density-bounded cell join as idw_interpolation_poi with the roles
+# folded (POI × POI, self excluded by key — location ties between
+# DISTINCT POIs keep both, matching the oracle).  Per-POI predictions
+# are exact-integer ratios rounded once; errors then quantize to a
+# 1e-4 lattice so every cross-POI SUM is int64 and partition-order
+# independent — only the three terminal divisions (and one SQRT) are
+# floating point.
+
+_CV_Q = 10_000.0  # error lattice (1e-4 units of p_size)
+
+
+def _cv_err_q(pred: str, actual: str) -> str:
+    return (
+        f"CAST(FLOOR((({pred}) - CAST(({actual}) AS DOUBLE)) * {_CV_Q!r}"
+        f" + 0.5) AS BIGINT)"
+    )
+
+
+_CV_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         {_PX} AS x, {_PY} AS y
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey, a.p_size,
+         b.p_size AS v,
+         SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+  FROM p a JOIN p b ON a.p_partkey <> b.p_partkey
+),
+w AS (
+  SELECT p_partkey, p_size, v,
+         CAST(FLOOR(65536 / (1.0 + (dist * dist) / {_IDW_D0 * _IDW_D0!r})
+                    + 0.5) AS BIGINT) AS wq
+  FROM pairs WHERE dist <= {_IDW_RADIUS!r}
+),
+pred AS (
+  SELECT p_partkey,
+         ROUND(SUM(wq * v) / CAST(SUM(wq) AS DOUBLE), 4) AS p_hat,
+         MAX(p_size) AS p_size
+  FROM w GROUP BY 1
+),
+err AS (
+  SELECT {_cv_err_q('p_hat', 'p_size')} AS eq FROM pred
+)
+SELECT COUNT(*) AS n_poi,
+       ROUND(SUM(eq) / ({_CV_Q!r} * COUNT(*)), 6) AS me,
+       ROUND(SUM(ABS(eq)) / ({_CV_Q!r} * COUNT(*)), 6) AS mae,
+       ROUND(SQRT((SUM(eq * eq) / CAST(COUNT(*) AS DOUBLE)))
+             / {_CV_Q!r}, 6) AS rmse
+FROM err
+"""
+
+
+@register("idw_loocv", _CV_ORACLE)
+def idw_loocv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out CV of the IDW surface over the POI layer: the
+    vector._prep cell join supplies in-radius candidate pairs, the
+    self-POI is excluded by key, and the error summary runs on the
+    1e-4 integer lattice."""
+    from chopin_spark.vector import _prep
+
+    g = make_regular_grid(8, 6, pad=_IDW_RADIUS)
+    pois = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.expr(_PX).alias("x"),
+        F.expr(_PY).alias("y"),
+    )
+    pairs = (
+        _prep(pois, pois.withColumnRenamed("p_partkey", "src_key"),
+              g, ["p_partkey", "p_size"], ["src_key", "p_size"])
+        .filter(
+            (F.col("_d") <= _IDW_RADIUS)
+            & (F.col("c_src_key") != F.col("p_partkey"))
+        )
+    )
+    wq = F.expr(
+        f"CAST(FLOOR(65536 / (1.0 + (_d * _d) / {_IDW_D0 * _IDW_D0!r})"
+        " + 0.5) AS BIGINT)"
+    )
+    pred = pairs.groupBy("p_partkey").agg(
+        F.round(
+            F.sum(wq * F.col("c_p_size")) / F.sum(wq).cast("double"), 4
+        ).alias("p_hat"),
+        F.max("p_size").alias("p_size"),
+    )
+    err = pred.select(F.expr(_cv_err_q("p_hat", "p_size")).alias("eq"))
+    n = F.count(F.lit(1))
+    return err.agg(
+        n.alias("n_poi"),
+        F.round(F.sum("eq") / (F.lit(_CV_Q) * n), 6).alias("me"),
+        F.round(F.sum(F.abs("eq")) / (F.lit(_CV_Q) * n), 6).alias("mae"),
+        F.round(
+            F.sqrt(F.sum(F.col("eq") * F.col("eq")) / n.cast("double"))
+            / F.lit(_CV_Q),
+            6,
+        ).alias("rmse"),
+    )
