@@ -269,3 +269,82 @@ def recrawl_schedule_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     free.  One 4-key rollup on top of the drift plan."""
     url_content_drift(spark, sf_dir).createOrReplaceTempView("drift")
     return spark.sql(_TIER_TAIL)
+
+
+# --- Count-Min heavy-hitter estimation ---------------------------------------
+#
+# The mergeable frequency sketch (Cormode & Muthukrishnan '05): d=4
+# pairwise-independent hash rows x w=256 counters.  At stream scale the
+# sketch is FIXED-SIZE state — every partition folds its tokens into
+# its own 4x256 grid and grids merge by cell-wise SUM, so heavy-hitter
+# estimation over 10^12 tokens shuffles 1024 counters per partition,
+# never the token stream.  Estimates can only OVERcount (min over rows
+# of a sum that includes the true count): the probe set includes an
+# absent term whose estimate is pure collision mass, and the gate's
+# hash match pins every counter in both engines.
+
+_CM_P = 1_000_000_007
+_CM_W = 256
+_CM_HASHES = ((0, 1, 0), (1, 31, 17), (2, 977, 401), (3, 8191, 12345))
+_CM_PROBES = ("table", "value", "a", "the", "spark", "zorro")
+
+
+def _cm_sql(charfold, hashes: str, probes: str, toks: str) -> str:
+    """One SQL text, three dialect seams (charfold builder, VALUES
+    syntax, token explode) — the sketch arithmetic itself is common."""
+    return f"""
+WITH toks AS ({toks}),
+tf AS (
+  SELECT tok, {charfold('tok')} AS fold, COUNT(*) AS cnt FROM toks GROUP BY tok
+),
+sketch AS (
+  SELECT hrow, (fold * ha + hb) % {_CM_P} % {_CM_W} AS hcol,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM tf CROSS JOIN {hashes}
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT term, hrow,
+         ({charfold('term')} * ha + hb) % {_CM_P} % {_CM_W} AS hcol
+  FROM {probes} CROSS JOIN {hashes}
+),
+est AS (
+  SELECT term, MIN(s.c) AS est_count
+  FROM pr JOIN sketch s USING (hrow, hcol) GROUP BY term
+),
+exact AS (
+  SELECT tok AS term, CAST(SUM(cnt) AS BIGINT) AS exact_count
+  FROM tf GROUP BY tok
+)
+SELECT e.term, e.est_count, COALESCE(x.exact_count, 0) AS exact_count,
+       e.est_count - COALESCE(x.exact_count, 0) AS overestimate
+FROM est e LEFT JOIN exact x USING (term)
+"""
+
+
+_CM_VALS = ", ".join(f"({r}, {a}, {b})" for r, a, b in _CM_HASHES)
+_CM_PVALS = ", ".join(f"('{t}')" for t in _CM_PROBES)
+
+_CM_ORACLE = _cm_sql(
+    charfold_duckdb,
+    f"(VALUES {_CM_VALS}) h(hrow, ha, hb)",
+    f"(VALUES {_CM_PVALS}) p(term)",
+    "SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents",
+)
+
+
+@register("countmin_heavy_hitters", _CM_ORACLE)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM-sketch estimates vs exact counts for six probe terms (one
+    absent — its estimate is pure collision mass, 934 at sf0.01)."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _cm_sql(
+            charfold_spark,
+            f"VALUES {_CM_VALS} AS h(hrow, ha, hb)",
+            f"VALUES {_CM_PVALS} AS p(term)",
+            "SELECT explode(split(text, ' ')) AS tok FROM documents",
+        )
+    )

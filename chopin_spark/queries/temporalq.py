@@ -198,3 +198,42 @@ def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flag decided integer-exactly; shared SQL text both engines."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ANOM_SQL)
+
+
+# --- cohort retention (the classic product-analytics triangle) ---------------
+#
+# Per acquisition cohort (a user's first-purchase day), how many of its
+# users purchase again on each later day.  Deliberately window-free:
+# two user-keyed aggregations plus one user-keyed join and a final
+# (cohort, day) rollup — every stage is a partial+final agg on an
+# already-bucketed key, the combiner-friendly shape that holds at
+# 10^12 events (no per-user sort, unlike naive LAG formulations).
+# date_trunc('day') and the terminal ratio are the only non-integer
+# ops; ONE SQL text runs in both engines.
+
+_COHORT_SQL = """
+WITH u1 AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM u1 GROUP BY cohort_day),
+j AS (
+  SELECT u1.cohort_day, act.day, COUNT(*) AS n_active
+  FROM u1 JOIN act USING (user_id) GROUP BY u1.cohort_day, act.day
+)
+SELECT j.cohort_day, j.day, j.n_active, cs.cohort_size,
+       ROUND(j.n_active / CAST(cs.cohort_size AS DOUBLE), 4) AS retention
+FROM j JOIN cs USING (cohort_day)
+"""
+
+
+@register("cohort_retention", _COHORT_SQL)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cohort retention triangle (214 cells over 11 cohorts at
+    sf0.01, retention spanning 0.09-1.0)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_COHORT_SQL)

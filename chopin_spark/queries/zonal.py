@@ -644,6 +644,57 @@ def raster_focal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_sum_tiles(tiles)
 
 
+# --- 3×3 focal MEDIAN (the order-statistic stencil) ---------------------------
+#
+# terra::focal(fun=median): unlike the focal sum, a windowed median has
+# NO associative partial — this is the stencil that genuinely needs the
+# halo exchange.  The engine carries Σ(2·median) per tile (a median of
+# ints is an int or half-int, so the doubled value is integer-exact and
+# the cross-tile SUM partition-order independent).  The oracle sorts
+# each pixel's in-bounds window as a LIST and adds the two middle order
+# statistics — an entirely independent algorithm from the numpy
+# stacked-sort finish.
+
+_FM_WINDOW = ", ".join(
+    f"(CASE WHEN i + {di} BETWEEN 0 AND {NPX - 1}"
+    f" AND j + {dj} BETWEEN 0 AND {NPY - 1}"
+    f" THEN {pixel_value_sql(f'(i + {di})', f'(j + {dj})', 0)} END)"
+    for dj in (-1, 0, 1)
+    for di in (-1, 0, 1)
+)
+
+_FOCAL_MED_ORACLE = f"""
+WITH px AS (
+  SELECT g1.i, g2.j
+  FROM generate_series(0, {NPX - 1}) AS g1(i),
+       generate_series(0, {NPY - 1}) AS g2(j)
+),
+w AS (
+  SELECT i, j,
+         LIST_SORT(LIST_FILTER([{_FM_WINDOW}], x -> x IS NOT NULL)) AS l
+  FROM px
+)
+SELECT 'r0' AS raster_id,
+       (CAST(FLOOR(j / {TILE}.0) AS BIGINT) * {_TNX}
+        + CAST(FLOOR(i / {TILE}.0) AS BIGINT)) AS tile_id,
+       CAST(SUM(l[(LEN(l) + 1) // 2] + l[LEN(l) // 2 + 1]) AS BIGINT)
+         AS med2_sum,
+       CAST(SUM(LEN(l) % 2) AS INT) AS n_odd
+FROM w GROUP BY 1, 2
+"""
+
+
+@register("raster_focal_median", _FOCAL_MED_ORACLE)
+def raster_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 3×3 focal median (raster.focal_median_tiles) — strip
+    halo exchange + per-pixel stacked-sort, checked against the
+    list-sort oracle value-for-value per tile."""
+    from chopin_spark.raster import focal_median_tiles
+
+    tiles = _tiles(spark, n_rasters=1)
+    return focal_median_tiles(tiles)
+
+
 # --- C1 std statistic (func injection: population std from partials) ---------
 
 _TRACT_STD_ORACLE = f"""

@@ -823,6 +823,66 @@ def focal_sum_tiles(tiles: DataFrame) -> DataFrame:
     return halo_joined(tiles).mapInPandas(convolve, out_schema)
 
 
+def focal_median_tiles(tiles: DataFrame) -> DataFrame:
+    """3×3 truncated-window focal MEDIAN over the tiled raster (terra::
+    focal(fun=median)) — the order statistic no associative partial can
+    carry, i.e. the stencil that genuinely NEEDS the halo exchange
+    (focal_sum could in principle be rewritten as three separable
+    passes; a windowed median cannot).  Same two stages as
+    focal_sum_tiles: strip-only halo shuffle, then a vectorized numpy
+    finish — the 9 shifted windows stack to (9, T, T), masked slots get
+    +inf, one axis-0 sort, and the two middle order statistics are
+    gathered per pixel.
+
+    Per tile the engine emits Σ(2·median) — the DOUBLED median, which
+    is integer-exact (a median of ints is an int or a half-int) so the
+    cross-tile sum is partition-order independent — plus the count of
+    odd-sized windows as an independent boundary-truncation pin.
+    """
+    import numpy as np
+
+    def convolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = TILE
+        big = np.iinfo(np.int64).max
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, tid, ms, no = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                p, m = assemble_padded(row)
+                vals = np.stack(
+                    [p[a : a + T, b : b + T] for a in range(3) for b in range(3)]
+                )
+                mask = np.stack(
+                    [m[a : a + T, b : b + T] for a in range(3) for b in range(3)]
+                ).astype(bool)
+                k = mask.sum(axis=0)  # window size, >= 4 (corner pixel)
+                v = np.where(mask, vals, big)
+                v.sort(axis=0)
+                lo = (k + 1) // 2 - 1  # 0-based middle (lower)
+                hi = k // 2  # 0-based middle (upper)
+                med2 = (
+                    np.take_along_axis(v, lo[None, :, :], 0)[0]
+                    + np.take_along_axis(v, hi[None, :, :], 0)[0]
+                )
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                ms.append(int(med2.sum()))
+                no.append(int((k % 2 == 1).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "med2_sum": pd.Series(ms, dtype="int64"),
+                    "n_odd": pd.Series(no, dtype="int32"),
+                }
+            )
+
+    out_schema = (
+        "raster_id string, tile_id long, med2_sum long, n_odd int"
+    )
+    return halo_joined(tiles).mapInPandas(convolve, out_schema)
+
+
 def halo_joined(tiles: DataFrame) -> DataFrame:
     """Stage 1 of any 3×3 stencil op: tiles joined with the boundary
     strips their neighbors emitted (see focal_sum_tiles for the scale
