@@ -735,3 +735,61 @@ def map_match_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best.createOrReplaceTempView("best")
     return spark.sql(_MM_RUN_TAIL)
+
+
+# --- spatial ANTI-join: documents farther than D from every road -------------
+#
+# The complement of docs_near_roads, and the harder correctness claim:
+# absence.  A segment within D of a point necessarily registers in the
+# point's core cell (the pad-D registration invariant nearest/range
+# joins already rely on), so "no in-radius candidate in my cell" IS
+# "no road within D" — the anti-join needs only the same density-
+# bounded cell join, never a global pass.  left_anti keeps the plan
+# shuffle-light at crawl scale (no row multiplication, no distinct).
+
+_FAR_ORACLE = f"""
+WITH segs AS ({_SEGS_SQL}),
+d AS (SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents)
+SELECT CAST(FLOOR(x / {_Z.TRACT_W * 4!r}) AS BIGINT) AS band_x,
+       COUNT(*) AS n_far,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM d
+WHERE NOT EXISTS (
+  SELECT 1 FROM segs
+  WHERE {seg_dist_sql('x', 'y', 'ax', 'ay', 'bx2', 'by2')} <= {_RANGE_D!r}
+)
+GROUP BY 1
+"""
+
+
+@register("docs_far_from_roads", _FAR_ORACLE)
+def docs_far_from_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with NO road within 30 km, rolled up per x-band: the
+    candidate set from the padded cell join, an exact distance filter,
+    then LEFT ANTI back to the documents — the oracle's NOT EXISTS."""
+    from chopin_spark.grid import _index_col
+    from chopin_spark.roads import _seg_cells
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    g = make_regular_grid(16, 12)
+    pts = docs.withColumn(
+        "_cix", _index_col(F.col("x"), g.xbreaks)
+    ).withColumn("_ciy", _index_col(F.col("y"), g.ybreaks))
+    segc = _seg_cells(road_segments(spark), g, _RANGE_D)
+    near = (
+        pts.join(segc, ["_cix", "_ciy"])
+        .filter(
+            F.expr(seg_dist_sql("x", "y", "_sax", "_say", "_sbx", "_sby"))
+            <= _RANGE_D
+        )
+        .select("doc_id")
+    )
+    far = docs.join(near, "doc_id", "left_anti")
+    return far.groupBy(
+        F.floor(F.col("x") / (_Z.TRACT_W * 4)).alias("band_x")
+    ).agg(
+        F.count(F.lit(1)).alias("n_far"),
+        F.min("doc_id").alias("first_doc"),
+    )
