@@ -90,10 +90,12 @@ def test_payload_byte_identity(spark, docs):
         assert r["n_bytes"] == len(src[r["doc_id"]].encode())
 
 
-def test_fake_decode_stub_raises(spark):
+def test_compressed_decode_raises(spark):
+    """decode_image is REAL for uncompressed BMP; compressed formats
+    (no codec in this container) must refuse loudly, not fake dims."""
     from chopin_spark.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG...")
 
 
