@@ -602,3 +602,72 @@ def raster_contour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(id DIV {W} AS BIGINT) AS y",
     ).createOrReplaceTempView("grid_xy")
     return spark.sql(_contour_sql(_CT_SEQ_SPARK))
+
+
+# --- watershed basins (terra::watershed analog, D8 forest labeling) ----------
+#
+# Every cell drains along the same steepest-descent D8 forest that
+# flow_accumulation_d8 uses (_FX/_FY — shared closed-form column math,
+# zero joins before the iterative stage); its BASIN is the terminal pit
+# the drainage path ends at.  Engine: components.pointer_jump — path
+# DOUBLING over the functional graph n → downstream(n), so a drainage
+# path L cells long resolves in ⌈log2 L⌉ pointer-keyed self-joins, not
+# L sequential rounds; at a 10^10-cell DEM the round count grows with
+# log(path length) while each round is one co-partitioned shuffle.
+# Oracle: a recursive-CTE walk that follows the SAME forest one hop at
+# a time and keeps the row whose cursor has no downstream — an
+# independent O(L)-round formulation of the same fixpoint.  Output also
+# carries the exact hop count (path length to the pit), which doubles
+# as a check that doubling accumulated lengths correctly.
+
+_WS_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+f AS (
+  SELECT x, y, CAST({_FX} AS BIGINT) AS fx, CAST({_FY} AS BIGINT) AS fy
+  FROM cells
+),
+walk AS (
+  SELECT x AS sx, y AS sy, x, y, CAST(0 AS BIGINT) AS h FROM f
+  UNION ALL
+  SELECT w.sx, w.sy, g.fx, g.fy, w.h + 1
+  FROM walk w JOIN f g ON g.x = w.x AND g.y = w.y
+  WHERE g.fx IS NOT NULL
+)
+SELECT w.sx AS x, w.sy AS y,
+       CAST(w.x + w.y * {W} AS BIGINT) AS basin_id,
+       CAST(w.h AS BIGINT) AS hops
+FROM walk w JOIN f g ON g.x = w.x AND g.y = w.y
+WHERE g.fx IS NULL
+"""
+
+
+@register("watershed_basins_d8", _WS_ORACLE)
+def watershed_basins_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal-pit basin label + drainage-path hop count per cell,
+    by pointer doubling over the D8 steepest-descent forest
+    (components.pointer_jump; reference terra::watershed semantics,
+    /root/reference/R/scale_process.R zonal family)."""
+    from chopin_spark.components import pointer_jump
+
+    cells = spark.range(0, W * H, 1, 8).selectExpr(
+        f"CAST(id % {W} AS BIGINT) AS x",
+        f"CAST(id DIV {W} AS BIGINT) AS y",
+    ).selectExpr(
+        "x", "y",
+        f"CAST({_FX} AS BIGINT) AS fx",
+        f"CAST({_FY} AS BIGINT) AS fy",
+    )
+    succ = cells.selectExpr(
+        f"x + y * {W} AS node",
+        f"COALESCE(fx + fy * {W}, x + y * {W}) AS nxt",
+    )
+    out = pointer_jump(succ, max_rounds=16)
+    return out.selectExpr(
+        f"node % {W} AS x",
+        f"node DIV {W} AS y",
+        "CAST(target AS BIGINT) AS basin_id",
+        "CAST(hops AS BIGINT) AS hops",
+    )

@@ -55,3 +55,28 @@ def test_flow_accumulation_matches_reference(spark, tw, th):
     # total accumulation == sum of all path lengths == sum over cells
     # of their downstream chain length (conservation sanity)
     assert sum(rows.values()) >= W * H
+
+
+def test_watershed_basins_match_reference_walk(spark):
+    """pointer_jump basin labels + hop counts == the single-threaded
+    downstream walk on the same D8 forest."""
+    from chopin_spark.queries.costdistq import watershed_basins_d8
+
+    z = {(x, y): ((x + y * W) * 389) % (W * H)
+         for x in range(W) for y in range(H)}
+    flow = d8_downstream(z)
+    ref = {}
+    for start in z:
+        cur, hops = start, 0
+        while flow[cur] is not None:
+            cur = flow[cur]
+            hops += 1
+        ref[start] = (cur[0] + cur[1] * W, hops)
+
+    rows = watershed_basins_d8(spark, "").collect()
+    assert len(rows) == W * H
+    for r in rows:
+        assert ref[(r.x, r.y)] == (r.basin_id, r.hops), (r.x, r.y)
+    # basins partition the grid: every basin_id is a pit (no downstream)
+    pits = {(x + y * W) for (x, y), v in flow.items() if v is None}
+    assert {r.basin_id for r in rows} == pits
