@@ -814,3 +814,75 @@ def emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the space-time cube; every later stage is dimension-sized."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_EHS_SPARK)
+
+
+# --- adaptive quadtree tiling (balanced-cell family, P5 analog) ---------------
+#
+# par_make_balanced (/root/reference/R/gridding.R:1087-1134) balances
+# point load with a kd-split; the quadtree variant splits any cell
+# holding more than CAP points into its 4 children, recursively to
+# MAX_DEPTH.  Because per-point cell counts are monotonically
+# non-increasing in depth, "the adaptive leaf of p" == "p's SHALLOWEST
+# enclosing cell with count ≤ CAP (else MAX_DEPTH)" — which turns the
+# recursive split into ONE declarative plan: explode the D+1 ancestor
+# cells per point, count per (level, cell), pick min qualifying level.
+# Scale shape: the counts table is bounded by Σ4^L cells (metadata-
+# sized, broadcast back); the only fact-sized shuffles are the
+# (level, cell) count and the per-point min — no iteration, no driver
+# loop, unlike the reference's recursive R splitter.
+
+_QT_DEPTH = 6
+_QT_CAP = 64
+_QT_CELLS = [
+    f"CAST({sx.quad_cell_expr(_DOC_X, _DOC_Y, L)} AS BIGINT)"
+    for L in range(_QT_DEPTH + 1)
+]
+
+_QT_LV_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, CAST({L} AS BIGINT) AS lvl, {c} AS cell FROM documents"
+    for L, c in enumerate(_QT_CELLS)
+)
+
+_QT_ORACLE = f"""
+WITH lv AS (
+{_QT_LV_UNION}
+),
+cnts AS (
+  SELECT lvl, cell, COUNT(*) AS cnt FROM lv GROUP BY 1, 2
+),
+pick AS (
+  SELECT l.doc_id, MIN(l.lvl) AS lvl, arg_min(l.cell, l.lvl) AS cell
+  FROM lv l JOIN cnts c ON c.lvl = l.lvl AND c.cell = l.cell
+  WHERE c.cnt <= {_QT_CAP} OR l.lvl = {_QT_DEPTH}
+  GROUP BY 1
+)
+SELECT lvl, cell, COUNT(*) AS n_docs
+FROM pick
+GROUP BY 1, 2
+"""
+
+
+@register("quadtree_adaptive_assign", _QT_ORACLE)
+def quadtree_adaptive_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree leaves (split while count > CAP, depth ≤ 6)
+    as one declarative plan: per-point ancestor explode → (level, cell)
+    hash-agg → broadcast the metadata-sized counts back → per-point
+    min-qualifying-level.  P5 par_make_balanced analog
+    (/root/reference/R/gridding.R:1087-1134) without the recursive
+    driver-side splitter."""
+    docs = load(spark, sf_dir, "documents")
+    lv = docs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(c) for c in _QT_CELLS])).alias(
+            "lvl_i", "cell"
+        ),
+    ).select("doc_id", F.col("lvl_i").cast("long").alias("lvl"), "cell")
+    cnts = lv.groupBy("lvl", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    pick = (
+        lv.join(F.broadcast(cnts), ["lvl", "cell"])
+        .filter((F.col("cnt") <= _QT_CAP) | (F.col("lvl") == _QT_DEPTH))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("lvl", "cell")).alias("s"))
+        .select(F.col("s.lvl").alias("lvl"), F.col("s.cell").alias("cell"))
+    )
+    return pick.groupBy("lvl", "cell").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -186,3 +186,48 @@ def test_irregular_breaks_when_chain(spark):
     out = g.assign_core(spark.createDataFrame(pdf)).collect()
     got = {r["id"]: r["cgridid"] for r in out}
     assert got == {0: 0, 1: 1, 2: 3 + 2}
+
+
+def test_quadtree_adaptive_assign_properties(spark):
+    """Declarative min-qualifying-level == recursive quadtree split,
+    plus the structural invariants of an adaptive tiling."""
+    from chopin_spark.queries.spatial import (
+        _QT_CAP, _QT_DEPTH, quadtree_adaptive_assign,
+    )
+    from chopin_spark.sqlexpr import EXTENT, x_expr, y_expr  # noqa: F401
+    from chopin_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = quadtree_adaptive_assign(spark, sf).collect()
+    docs_n = load(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in rows) == docs_n
+    for r in rows:
+        if r.lvl < _QT_DEPTH:
+            assert r.n_docs <= _QT_CAP
+
+    # brute-force recursive splitter on the driver
+    pts = (
+        load(spark, sf, "documents")
+        .selectExpr(
+            f"{x_expr('doc_id')} AS x", f"{y_expr('doc_id')} AS y"
+        )
+        .collect()
+    )
+    x0, y0, x1, y1 = EXTENT
+
+    def leaves(items, lvl, ix, iy):
+        if len(items) <= _QT_CAP or lvl == _QT_DEPTH:
+            yield (lvl, iy * (1 << lvl) + ix, len(items))
+            return
+        n = 1 << (lvl + 1)
+        buckets = {}
+        for p in items:
+            cx = min(int((p.x - x0) / (x1 - x0) * n), n - 1)
+            cy = min(int((p.y - y0) / (y1 - y0) * n), n - 1)
+            buckets.setdefault((cx, cy), []).append(p)
+        for (cx, cy), sub in buckets.items():
+            yield from leaves(sub, lvl + 1, cx, cy)
+
+    ref = {(l, c): n for l, c, n in leaves(pts, 0, 0, 0) if n}
+    got = {(r.lvl, r.cell): r.n_docs for r in rows}
+    assert got == ref
