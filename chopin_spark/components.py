@@ -497,3 +497,53 @@ def kcore_peel(
     raise RuntimeError(
         f"kcore_peel: no fixpoint within {max_rounds} rounds"
     )
+
+
+def sssp_khop(
+    seeds: DataFrame,
+    edges: DataFrame,
+    k: int,
+    node: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Minimum path cost within k hops of the seed set — Bellman-Ford
+    relaxation with a bounded horizon: round r extends every current
+    best cost by one edge (frontier ⋈ edges, min-combine), so after k
+    rounds each node holds MIN(cost) over all ≤k-hop walks from any
+    seed.  The hop bound makes the operator deterministic across
+    engines without a convergence probe, and it is the crawl-frontier
+    shape (fetch-cost budget from the seed list) rather than full SSSP.
+
+    Scale shape: the dist table is node-sized (one row per reached
+    node, min-combined every round), so each round is one
+    pointer-keyed shuffle join against the edge list plus a hash-agg —
+    never path-enumerating.  Multi-edges should be pre-collapsed to
+    MIN(w) per (src, dst) by the caller when the edge relation is
+    fact-derived; that single fact-sized aggregation is the only scan
+    of the big table.
+
+    `seeds` = (node, cost) rows (cost usually 0). Returns
+    (node, min_cost).
+    """
+    dist = seeds.select(
+        F.col(node).alias("node"), F.col("cost").cast("long").alias("d")
+    ).localCheckpoint()
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(w).cast("long").alias("w"),
+    ).localCheckpoint()
+    for _ in range(k):
+        cand = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(e["dst"].alias("node"), (dist["d"] + e["w"]).alias("d"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("d").alias("min_cost"))

@@ -207,3 +207,61 @@ def host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("host_num"),
         F.col("d").cast("long").alias("core_degree"),
     )
+
+
+# --- weighted k-hop shortest path (crawl fetch-cost frontier) -----------------
+#
+# Cheapest way to reach each host from the seed list within K link
+# hops, edge cost = a deterministic per-link latency class.  Engine:
+# components.sssp_khop — K Bellman-Ford rounds over a node-sized dist
+# table (one shuffle join + min-agg per round) after ONE fact-sized
+# MIN(w) edge collapse.  Oracle: recursive-CTE enumeration of all
+# ≤K-hop walks + MIN — independent path-semantics formulation; the
+# UNION-dedup keeps the walk table bounded because costs are small
+# integers.  Same LCG edge family as crawl_depth_bfs, plus a weight
+# draw, so the fixture text is shared verbatim.
+
+_W_EDGES = f"""(
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT (doc_id * 69069) % 97 AS src,
+           ((doc_id * 48271) + 17) % 97 AS dst,
+           1 + (doc_id * 16807) % 9 AS w
+    FROM documents
+    WHERE (doc_id * 69069) % 97 <> ((doc_id * 48271) + 17) % 97
+  ) GROUP BY 1, 2
+)"""
+
+_SSSP_K = 5
+
+_SSSP_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT * FROM {_W_EDGES}),
+walk(node, d, hops) AS (
+  SELECT DISTINCT src, CAST(0 AS BIGINT), 0 FROM e
+  WHERE src % {_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, w.d + e.w, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < {_SSSP_K}
+)
+SELECT node AS host_num, CAST(MIN(d) AS BIGINT) AS min_cost
+FROM walk GROUP BY 1
+"""
+
+
+@register("host_sssp_khop", _SSSP_ORACLE)
+def host_sssp_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min fetch cost within 5 hops of the seed hosts
+    (components.sssp_khop; node-sized rounds, one fact-sized edge
+    collapse)."""
+    from chopin_spark.components import sssp_khop
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(f"SELECT * FROM {_W_EDGES}")
+    seeds = edges.selectExpr("src AS node").filter(
+        F.col("node") % _SEED_MOD == 0
+    ).distinct().withColumn("cost", F.lit(0))
+    out = sssp_khop(seeds, edges, k=_SSSP_K)
+    return out.selectExpr(
+        "CAST(node AS BIGINT) AS host_num",
+        "CAST(min_cost AS BIGINT) AS min_cost",
+    )

@@ -88,3 +88,41 @@ def test_nonconvergence_raises_instead_of_wrong_labels(spark):
         connected_components(df, max_iter=3)
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(df, max_iter=1)
+
+
+def test_sssp_khop_matches_reference_relaxation(spark):
+    """k-hop Bellman-Ford on a handcrafted graph vs a driver-side
+    reference: hop bound binds (5->cheap-long-path excluded at k=2),
+    min-combine over multi-edges, unreachable nodes absent."""
+    from chopin_spark.components import sssp_khop
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1, 10), (0, 1, 4),          # multi-edge, min wins
+            (1, 2, 1), (2, 3, 1), (3, 4, 1),
+            (0, 4, 100),                     # 1 hop, expensive
+            (7, 8, 1),                       # disconnected from seed
+        ],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0, 0)], "node long, cost long")
+
+    def ref(k):
+        import itertools
+        adj = {}
+        for r in edges.collect():
+            adj.setdefault(r.src, []).append((r.dst, r.w))
+        dist = {0: 0}
+        for _ in range(k):
+            new = dict(dist)
+            for n, d in dist.items():
+                for m, w in adj.get(n, []):
+                    if d + w < new.get(m, 1 << 60):
+                        new[m] = d + w
+            dist = new
+        return dist
+
+    for k in (1, 2, 5):
+        got = {r.node: r.min_cost for r in
+               sssp_khop(seeds, edges, k=k).collect()}
+        assert got == ref(k), k
