@@ -793,3 +793,103 @@ def docs_far_from_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_far"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# --- linear referencing: chainage of the nearest point on the road -----------
+#
+# The M-value workflow (terra/sf ST_LineLocatePoint analog): for every
+# document, WHERE along its nearest road the closest point falls —
+# cumulative length of the preceding segments plus t·len of the hit
+# segment, t being the clamped projection parameter (the exact same
+# text, hence the same IEEE doubles, as inside seg_dist_sql).  Engine:
+# the verified cell-join + ring-fallback nearest (road granularity),
+# then a ×_N_SEGS re-join against ONLY that road's segments for the
+# argmin segment — per-road segment fan-out is layer metadata, never
+# all-segments.  Cumulative offsets come from ONE window pass over the
+# segment layer (layer-sized, not fact-sized).  Oracle: full
+# doc × segment brute force, ranked (dist, line_id, seg) — equivalent
+# to the engine's line-then-segment argmin, as line-level ties also
+# break on line_id.
+
+from chopin_spark.roads import seg_len_sql, seg_t_sql  # noqa: E402
+
+_CH_T = seg_t_sql("x", "y", "ax", "ay", "bx2", "by2")
+_CH_LEN = seg_len_sql("ax", "ay", "bx2", "by2")
+_CH_CUM = (
+    "COALESCE(SUM(len) OVER (PARTITION BY line_id ORDER BY seg"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)"
+)
+
+_CHAIN_ORACLE = f"""
+WITH segs AS (
+  SELECT r.rid AS line_id, k.k AS seg,
+         {_vx('r.rid', 'k.k')} AS ax, {_vy('r.rid', 'k.k')} AS ay,
+         {_vx('r.rid', '(k.k + 1)')} AS bx2, {_vy('r.rid', '(k.k + 1)')} AS by2
+  FROM generate_series(1, {_N_ROADS}) r(rid)
+  CROSS JOIN generate_series(0, {_N_SEGS - 1}) k(k)
+),
+sl AS (SELECT *, {_CH_LEN} AS len FROM segs),
+sc AS (SELECT *, {_CH_CUM} AS cum FROM sl),
+d AS (SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents),
+pairs AS (
+  SELECT doc_id, line_id, seg, cum, len,
+         {seg_dist_sql('x', 'y', 'ax', 'ay', 'bx2', 'by2')} AS dist,
+         {_CH_T} AS t
+  FROM d CROSS JOIN sc
+),
+rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY dist, line_id, seg) AS rn
+  FROM pairs
+)
+SELECT doc_id, line_id AS road_id, CAST(seg AS BIGINT) AS seg,
+       ROUND(cum + t * len, 4) AS chainage_m,
+       ROUND(dist, 4) AS dist_m
+FROM rk WHERE rn = 1
+"""
+
+
+@register("nearest_road_chainage", _CHAIN_ORACLE)
+def nearest_road_chainage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chainage (distance along the polyline) of each document's
+    nearest point on its nearest road — cell-join nearest at road
+    granularity, then an argmin re-join against that road's own
+    segments only."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    g = make_regular_grid(16, 12)
+    segs = road_segments(spark).selectExpr(
+        "line_id", "seg", "ax", "ay", "bx AS bx2", "by AS by2"
+    ).withColumn("len", F.expr(_CH_LEN)).withColumn("cum", F.expr(_CH_CUM))
+    nr = nearest_line_join(
+        docs, road_segments(spark), g, "doc_id", _RADIUS
+    ).select("doc_id", F.col("nn_id").alias("road_id"))
+    cand = (
+        nr.join(docs, "doc_id")
+        .join(F.broadcast(segs), F.col("road_id") == F.col("line_id"))
+        .withColumn(
+            "dist",
+            F.expr(seg_dist_sql("x", "y", "ax", "ay", "bx2", "by2")),
+        )
+        .withColumn("t", F.expr(_CH_T))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("dist", "seg")
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "road_id",
+            F.col("seg").cast("long").alias("seg"),
+            F.round(F.col("cum") + F.col("t") * F.col("len"), 4).alias(
+                "chainage_m"
+            ),
+            F.round("dist", 4).alias("dist_m"),
+        )
+    )

@@ -105,6 +105,29 @@ def seg_dist_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
     return f"SQRT({ex} * {ex} + {ey} * {ey})"
 
 
+def seg_t_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
+    """Clamped projection parameter t of P onto segment AB — the SAME
+    text (and therefore the same IEEE doubles) as the t inside
+    seg_dist_sql; exposed for linear referencing (chainage = offset
+    along the polyline = cumulative upstream length + t·len)."""
+    dx = f"(({bx}) - ({ax}))"
+    dy = f"(({by}) - ({ay}))"
+    wx = f"(({px}) - ({ax}))"
+    wy = f"(({py}) - ({ay}))"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    return (
+        f"LEAST(GREATEST(CASE WHEN {len2} = 0.0 THEN 0.0"
+        f" ELSE ({wx} * {dx} + {wy} * {dy}) / {len2} END, 0.0), 1.0)"
+    )
+
+
+def seg_len_sql(ax: str, ay: str, bx: str, by: str) -> str:
+    """Segment length — shared exact text (SQRT of dot products)."""
+    dx = f"(({bx}) - ({ax}))"
+    dy = f"(({by}) - ({ay}))"
+    return f"SQRT({dx} * {dx} + {dy} * {dy})"
+
+
 def seg_cross_sql(
     ox: str, oy: str, px: str, py: str, qx: str, qy: str
 ) -> str:

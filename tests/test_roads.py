@@ -260,3 +260,63 @@ def test_seg_intersect_sql_geometry(spark):
     )
     got = [r["pt"] and tuple(r["pt"]) for r in df.collect()]
     assert got == [c[1] for c in cases]
+
+
+def test_nearest_road_chainage_brute_force(spark):
+    """Chainage == driver-side brute force (numpy) at sf0.001:
+    same nearest segment, same clamped-t offset along the polyline,
+    chainage bounded by total road length."""
+    from chopin_spark.queries.roads import (
+        _N_ROADS, _N_SEGS, nearest_road_chainage, road_segments,
+    )
+    from chopin_spark.tables import load
+    from chopin_spark.sqlexpr import x_expr, y_expr
+
+    sf = "/root/testdata/sf0.001"
+    segs = {}
+    for r in road_segments(spark, _N_ROADS).collect():
+        segs.setdefault(r.line_id, {})[r.seg] = (r.ax, r.ay, r.bx, r.by)
+
+    docs = load(spark, sf, "documents").selectExpr(
+        "doc_id", f"{x_expr('doc_id')} AS x", f"{y_expr('doc_id')} AS y"
+    ).collect()
+
+    def seg_dist_t(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        wx, wy = px - ax, py - ay
+        l2 = dx * dx + dy * dy
+        t = 0.0 if l2 == 0.0 else min(max((wx * dx + wy * dy) / l2, 0.0), 1.0)
+        ex, ey = wx - t * dx, wy - t * dy
+        return (ex * ex + ey * ey) ** 0.5, t
+
+    ref = {}
+    totlen = {}
+    for lid, ss in segs.items():
+        totlen[lid] = sum(
+            ((b[2] - b[0]) ** 2 + (b[3] - b[1]) ** 2) ** 0.5
+            for b in ss.values()
+        )
+    for d in docs:
+        best = None
+        for lid, ss in segs.items():
+            cum = 0.0
+            for k in range(_N_SEGS):
+                ax, ay, bx, by = ss[k]
+                dist, t = seg_dist_t(d.x, d.y, ax, ay, bx, by)
+                ln = ((bx - ax) ** 2 + (by - ay) ** 2) ** 0.5
+                key = (dist, lid, k)
+                if best is None or key < best[0]:
+                    best = (key, cum + t * ln)
+                cum += ln
+        ref[d.doc_id] = (best[0][1], best[0][2],
+                         round(best[1], 4), round(best[0][0], 4))
+
+    rows = nearest_road_chainage(spark, sf).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        rl, rs, rc, rd = ref[r.doc_id]
+        assert (r.road_id, r.seg) == (rl, rs), r.doc_id
+        assert abs(r.chainage_m - rc) < 1e-6, r.doc_id
+        assert abs(r.dist_m - rd) < 1e-6, r.doc_id
+        # chainage_m is rounded to 4 decimals; allow the half-step
+        assert -1e-9 <= r.chainage_m <= totlen[r.road_id] + 5e-5
