@@ -1303,3 +1303,88 @@ def dasymetric_population(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_src").cast("bigint").alias("n_src"),
         "dasy_pop",
     )
+
+
+# --- morphological OPENING (erode→dilate, two chained halo exchanges) ---------
+#
+# terra::focal(fun=min) |> focal(fun=max): greyscale opening shaves
+# speckle peaks narrower than the 3×3 element.  The point of the query
+# is COMPOSITION at scale: each pass is raster.morph_tiles — a full
+# tile-to-tile stencil whose output re-enters halo_joined — so opening
+# costs exactly two strip-only halo shuffles (surface-sized, never a
+# widened 5×5 halo or a source re-read).  Oracle: two offset-join
+# MIN/MAX passes over the closed-form pixel table — an independent
+# join-based formulation of the same truncated-window semantics.
+# Opening is anti-extensive (opened ≤ original everywhere), so
+# n_lowered counts strictly shaved pixels per tile.
+
+_MO_OFFS = "(VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))"
+
+_MORPH_OPEN_ORACLE = f"""
+WITH px AS MATERIALIZED (
+  SELECT g1.i, g2.j, {pixel_value_sql('g1.i', 'g2.j', 0)} AS v
+  FROM generate_series(0, {NPX - 1}) AS g1(i),
+       generate_series(0, {NPY - 1}) AS g2(j)
+),
+o AS (SELECT * FROM {_MO_OFFS} AS t(di, dj)),
+er AS MATERIALIZED (
+  SELECT p.i, p.j, MIN(q.v) AS v
+  FROM px p CROSS JOIN o JOIN px q
+    ON q.i = p.i + o.di AND q.j = p.j + o.dj
+  GROUP BY 1, 2
+),
+op AS MATERIALIZED (
+  SELECT p.i, p.j, MAX(q.v) AS v
+  FROM px p CROSS JOIN o JOIN er q
+    ON q.i = p.i + o.di AND q.j = p.j + o.dj
+  GROUP BY 1, 2
+)
+SELECT 'r0' AS raster_id,
+       (CAST(FLOOR(p.j / {TILE}.0) AS BIGINT) * {_TNX}
+        + CAST(FLOOR(p.i / {TILE}.0) AS BIGINT)) AS tile_id,
+       CAST(SUM(op.v) AS BIGINT) AS open_sum,
+       CAST(SUM(CASE WHEN op.v < p.v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lowered
+FROM op JOIN px p ON p.i = op.i AND p.j = op.j
+GROUP BY 1, 2
+"""
+
+
+@register("raster_morph_open", _MORPH_OPEN_ORACLE)
+def raster_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greyscale morphological opening of the raster (3×3 erosion then
+    3×3 dilation), composed as two chained strip-halo stencil passes;
+    per-tile opened sum + strictly-shaved pixel count."""
+    import numpy as np
+    import pandas as pd
+
+    from chopin_spark.raster import morph_tiles, tile_values
+
+    tiles = _tiles(spark, n_rasters=1)
+    opened = morph_tiles(morph_tiles(tiles, "erode"), "dilate")
+
+    def rollup(batches):
+        for pdf in batches:
+            rid, tid, osum, nlow = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                v = np.asarray(row.values, dtype=np.int64).reshape(
+                    TILE, TILE
+                )
+                orig = tile_values(0, int(row.tile_row), int(row.tile_col))
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                osum.append(int(v.sum()))
+                nlow.append(int((v < orig).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "open_sum": pd.Series(osum, dtype="int64"),
+                    "n_lowered": pd.Series(nlow, dtype="int64"),
+                }
+            )
+
+    return opened.mapInPandas(
+        rollup,
+        "raster_id string, tile_id long, open_sum long, n_lowered long",
+    )

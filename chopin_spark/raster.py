@@ -883,6 +883,61 @@ def focal_median_tiles(tiles: DataFrame) -> DataFrame:
     return halo_joined(tiles).mapInPandas(convolve, out_schema)
 
 
+def morph_tiles(tiles: DataFrame, op: str) -> DataFrame:
+    """One 3×3 morphological pass (op = "erode" → focal MIN, "dilate" →
+    focal MAX, truncated at the raster boundary) that returns FULL
+    transformed tiles in the input tile schema — so stencil passes
+    CHAIN: each pass is one strip-only halo exchange + a vectorized
+    numpy finish, and opening/closing compose as two passes with the
+    shuffle volume of two halo surfaces (never a widened 5×5 halo or a
+    re-read of the source).  Returns (raster_id, tile_id, tile_row,
+    tile_col, values) ready for the next halo_joined.
+    """
+    import numpy as np
+
+    if op not in ("erode", "dilate"):
+        raise ValueError(op)
+    big = np.iinfo(np.int64).max
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = TILE
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, tid, trow, tcol, out = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                p, m = assemble_padded(row)
+                vals = np.stack(
+                    [p[a : a + T, b : b + T] for a in range(3) for b in range(3)]
+                )
+                mask = np.stack(
+                    [m[a : a + T, b : b + T] for a in range(3) for b in range(3)]
+                ).astype(bool)
+                if op == "erode":
+                    v = np.where(mask, vals, big).min(axis=0)
+                else:
+                    v = np.where(mask, vals, -big).max(axis=0)
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                trow.append(row.tile_row)
+                tcol.append(row.tile_col)
+                out.append([int(x) for x in v.ravel()])
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "tile_row": pd.Series(trow, dtype="int32"),
+                    "tile_col": pd.Series(tcol, dtype="int32"),
+                    "values": out,
+                }
+            )
+
+    schema = (
+        "raster_id string, tile_id long, tile_row int, tile_col int,"
+        " values array<long>"
+    )
+    return halo_joined(tiles).mapInPandas(finish, schema)
+
+
 def halo_joined(tiles: DataFrame) -> DataFrame:
     """Stage 1 of any 3×3 stencil op: tiles joined with the boundary
     strips their neighbors emitted (see focal_sum_tiles for the scale

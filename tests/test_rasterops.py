@@ -133,3 +133,44 @@ def test_distance_to_poi_brute_force(spark):
         assert got[b][0] == int(sel.sum())
         assert got[b][1] == int(np.floor(d[sel] * 1000 + 0.5).sum())
         assert got[b][2] == round(float(d[sel].max()), 4)
+
+
+def test_morph_open_matches_whole_raster_numpy(spark):
+    """Two chained strip-halo stencil passes == a single whole-raster
+    numpy erosion+dilation; opening is anti-extensive."""
+    import numpy as np
+
+    from chopin_spark.queries.zonal import _tiles, raster_morph_open
+    from chopin_spark.raster import NPX, NPY, TILE, TNX, tile_values
+
+    # whole-raster reference
+    full = np.empty((NPY, NPX), dtype=np.int64)
+    for tr in range(NPY // TILE):
+        for tc in range(NPX // TILE):
+            full[tr * TILE:(tr + 1) * TILE, tc * TILE:(tc + 1) * TILE] = \
+                tile_values(0, tr, tc)
+
+    def morph(a, fn, sentinel):
+        p = np.full((NPY + 2, NPX + 2), sentinel, dtype=np.int64)
+        p[1:-1, 1:-1] = a
+        stk = np.stack([p[r:r + NPY, c:c + NPX]
+                        for r in range(3) for c in range(3)])
+        return fn(stk, axis=0)
+
+    big = np.iinfo(np.int64).max
+    opened = morph(morph(full, np.min, big), np.max, -big)
+    assert (opened <= full).all()  # anti-extensive
+
+    ref = {}
+    for tr in range(NPY // TILE):
+        for tc in range(NPX // TILE):
+            blk = opened[tr * TILE:(tr + 1) * TILE,
+                         tc * TILE:(tc + 1) * TILE]
+            org = full[tr * TILE:(tr + 1) * TILE,
+                       tc * TILE:(tc + 1) * TILE]
+            ref[tr * TNX + tc] = (int(blk.sum()), int((blk < org).sum()))
+
+    rows = raster_morph_open(spark, "").collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        assert ref[r.tile_id] == (r.open_sum, r.n_lowered), r.tile_id
