@@ -246,6 +246,61 @@ def image_stats(
     return df.select(id_col, payload_col).mapInPandas(stats, schema)
 
 
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid_w: int = 4,
+    grid_h: int = 3,
+) -> DataFrame:
+    """Perceptual difference hash over REAL decoded BMPs — the image
+    twin of the text LSH bucketing: decode (numpy, :func:`decode_bmp`),
+    integer luma 29·B + 150·G + 77·R (exact int64, no float weights),
+    nearest-neighbor sample onto a fixed grid_w × grid_h grid
+    (sx = c·w // grid_w, sy = r·h // grid_h), horizontal gradient bits
+    b(r,c) = [lum(r,c+1) > lum(r,c)] packed little-endian.  Returns
+    (id, width, height, dhash).  Near-dup detection then buckets on
+    (width, height, dhash) — an equi-join key, never pixel×pixel."""
+    import numpy as np
+
+    schema = f"{id_col} long, width int, height int, dhash long"
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, dh = [], [], [], []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_bmp(payload)  # (h, w, 3) BGR uint8
+                h, w = img.shape[:2]
+                lum = (
+                    29 * img[:, :, 0].astype(np.int64)
+                    + 150 * img[:, :, 1].astype(np.int64)
+                    + 77 * img[:, :, 2].astype(np.int64)
+                )
+                sy = [(r * h) // grid_h for r in range(grid_h)]
+                sx = [(c * w) // grid_w for c in range(grid_w)]
+                g = lum[np.ix_(sy, sx)]
+                bits = g[:, 1:] > g[:, :-1]
+                val = 0
+                for r in range(grid_h):
+                    for c in range(grid_w - 1):
+                        if bits[r, c]:
+                            val |= 1 << (r * (grid_w - 1) + c)
+                ids.append(key)
+                ws.append(w)
+                hs.append(h)
+                dh.append(val)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "dhash": pd.Series(dh, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(hashes, schema)
+
+
 def audio_frame_rms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -269,3 +269,73 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 4
         ),
     )
+
+
+# --- image near-dup clusters via perceptual dHash -----------------------------
+#
+# The image twin of MinHash-LSH dedup: every BMP is REALLY decoded
+# (multimodal.image_dhash — numpy header/stride/flip), reduced to an
+# integer-luma difference hash over a fixed 4×3 nearest-neighbor
+# sample grid, and near-dups are found by bucketing on the EQUI-JOIN
+# key (width, height, dhash) — never pixel×pixel.  The oracle
+# re-derives every sampled luma from hex nibbles (the image_meta_decode
+# discipline): a decoder bug, a wrong sample index (c·w//4), or a bit
+# packed in the wrong slot each breaks the hash.
+
+def _dh_lum(r: int, c: int) -> str:
+    sy = f"(({r} * ht) // 3)"
+    sx = f"(({c} * w) // 4)"
+
+    def b(ch: int) -> str:
+        off = f"((ht - 1 - {sy}) * stride + 3 * {sx} + {ch})"
+        return _img_byte(off)
+
+    return f"(29 * {b(0)} + 150 * {b(1)} + 77 * {b(2)})"
+
+
+_DHASH_EXPR = " + ".join(
+    f"(CASE WHEN {_dh_lum(r, c + 1)} > {_dh_lum(r, c)}"
+    f" THEN {1 << (r * 3 + c)} ELSE 0 END)"
+    for r in range(3)
+    for c in range(3)
+)
+
+_DHASH_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, {_PIX_HEX} AS h,
+         CAST({_IMG_W} AS BIGINT) AS w,
+         CAST({_IMG_H} AS BIGINT) AS ht,
+         CAST((3 * {_IMG_W} + 3) // 4 * 4 AS BIGINT) AS stride
+  FROM documents
+),
+d AS (
+  SELECT doc_id, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+         CAST({_DHASH_EXPR} AS BIGINT) AS dhash
+  FROM hx
+)
+SELECT width, height, dhash,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       MIN(doc_id) AS min_doc
+FROM d
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("image_dhash_clusters", _DHASH_ORACLE)
+def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image clusters: real BMP decode → integer
+    dHash → (width, height, dhash) bucket rollup, clusters of ≥2."""
+    from chopin_spark.multimodal import image_dhash
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = docs.selectExpr("doc_id", f"unhex({_BMP_HEX_SPARK}) AS payload")
+    return (
+        image_dhash(imgs)
+        .groupBy("width", "height", "dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

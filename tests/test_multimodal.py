@@ -138,3 +138,25 @@ def test_image_stats_matches_numpy(spark):
         assert r["checksum"] == int(
             (flat * np.arange(1, flat.size + 1)).sum() % 1_000_000_007
         )
+
+
+def test_image_dhash_gradient_pins_bits(spark):
+    """dHash bit semantics on hand-built BMPs: a strict left-to-right
+    luma ramp sets all 9 gradient bits, the reversed ramp sets none,
+    and identical payloads always hash identically."""
+    from chopin_spark.multimodal import image_dhash
+
+    # 4x3 image, luma strictly increasing with column (B=G=R=10*c+5)
+    inc = [[(10 * c + 5,) * 3 for c in range(4)] for _ in range(3)]
+    dec = [[(10 * (3 - c) + 5,) * 3 for c in range(4)] for _ in range(3)]
+    rows = [
+        (1, bytearray(_bmp(4, 3, inc))),
+        (2, bytearray(_bmp(4, 3, dec))),
+        (3, bytearray(_bmp(4, 3, inc))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.width, r.height, r.dhash)
+           for r in image_dhash(df).collect()}
+    assert got[1] == (4, 3, (1 << 9) - 1)   # all gradients positive
+    assert got[2] == (4, 3, 0)              # all gradients negative
+    assert got[3] == got[1]                 # exact dup -> same bucket
