@@ -1046,3 +1046,78 @@ def quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the metadata-sized value domain)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_PCTL_SQL)
+
+
+# --- inbound anchor-text profile per target host -------------------------------
+#
+# The ranking-signal twin of html_link_edges: what the WEB SAYS a host
+# is (inbound anchor text), not what the host says.  The html here
+# carries the same three deterministic targets but each anchor's text
+# is a distinct md5-derived snippet of the page, so the engine must
+# recover (target, anchor_text) PAIRS — full-tag regexp_extract_all,
+# then per-tag host + text extracts, all JVM codegen.  The oracle never
+# parses html: it re-derives both fields arithmetically (host from
+# doc_id, text from the same md5 slice), so a hash match proves the
+# tag-pairing parse is exact — a parser that pairs host k with anchor
+# text k±1 breaks it.  Aggregation is host-keyed (pages shuffle only
+# their ≤3 short anchor rows, html projected away at the scan).
+
+_ANCHOR_TXT = [
+    f"substr(md5(text), {1 + 8 * k}, 6)" for k in range(3)
+]
+
+_ANCHOR_HTML_TXT = (
+    "('<html><body><p>' || text || '</p>'"
+    + " || "
+    + " || ".join(
+        f"'<a href=\"https://' || {d} || '/x\">' || {t} || '</a>'"
+        for d, t in zip(_ANCHOR_DST, _ANCHOR_TXT)
+    )
+    + " || '</body></html>')"
+)
+
+_ANCHOR_PROF_ORACLE = f"""
+WITH hits AS (
+  SELECT {_ANCHOR_DST[0]} AS dst_host, {_ANCHOR_TXT[0]} AS anchor
+  FROM documents
+  UNION ALL
+  SELECT {_ANCHOR_DST[1]}, {_ANCHOR_TXT[1]} FROM documents
+  UNION ALL
+  SELECT {_ANCHOR_DST[2]}, {_ANCHOR_TXT[2]} FROM documents
+)
+SELECT dst_host,
+       COUNT(*) AS n_inlinks,
+       COUNT(DISTINCT anchor) AS n_texts,
+       MIN(anchor) AS first_text
+FROM hits
+GROUP BY 1
+"""
+
+
+@register("anchor_text_profile", _ANCHOR_PROF_ORACLE)
+def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text profile per target host: full <a> tags via
+    regexp_extract_all, host and text re-extracted per tag (pairing
+    preserved), host-keyed count / distinct-text / min-text rollup."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    tags = spark.sql(
+        f"SELECT {_ANCHOR_HTML_TXT} AS html FROM documents"
+    ).select(
+        F.explode(
+            F.expr(
+                "regexp_extract_all(html,"
+                " \'<a href=\"https?://[^\"]*\"[^>]*>[^<]*</a>\', 0)"
+            )
+        ).alias("tag")
+    )
+    pairs = tags.select(
+        F.expr(
+            "regexp_extract(tag, \'https?://([^/\"]+)\', 1)"
+        ).alias("dst_host"),
+        F.expr("regexp_extract(tag, \'>([^<]*)</a>\', 1)").alias("anchor"),
+    )
+    return pairs.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("anchor").alias("n_texts"),
+        F.min("anchor").alias("first_text"),
+    )
