@@ -886,3 +886,87 @@ def quadtree_adaptive_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s.lvl").alias("lvl"), F.col("s.cell").alias("cell"))
     )
     return pick.groupBy("lvl", "cell").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- buffered spatial cross-validation folds ----------------------------------
+#
+# Leakage-safe model evaluation over spatial data (spatialsample /
+# blockCV semantics, the buffered twin of trainprep's host-keyed
+# split_leakage_audit): tracts are assigned to K folds by closed-form
+# hash; a point is TEST for its own tract's fold, BUFFER for any fold
+# owning a rook/queen-adjacent tract (spatial autocorrelation leaks
+# across tract edges — buffered points must be dropped from training,
+# not trained on), else TRAIN.  Because the tract partition is regular
+# and fold() is a closed form of the tract index, the 8-neighbor fold
+# probe is pure column arithmetic — the whole query is ONE scan + ONE
+# aggregation: no join, no explode, nothing but the fact table moves.
+
+_CV_K = 5
+_CV_NX, _CV_NY = 16, 16  # zones.TRACT_NX/NY (pinned in the fixture text)
+_CV_TX = f"CAST(FLOOR(({_DOC_X}) / 50000.0) AS BIGINT)"
+_CV_TY = f"CAST(FLOOR(({_DOC_Y}) / 37500.0) AS BIGINT)"
+
+
+def _cv_fold(tx: str, ty: str) -> str:
+    return f"((({tx}) * 7 + ({ty}) * 13) % {_CV_K})"
+
+
+def _cv_touch(k: int) -> str:
+    """Does any in-bounds neighbor tract (8-adjacency) belong to fold k?"""
+    terms = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nx_, ny_ = f"(tx + {dx})", f"(ty + {dy})"
+            inb = (
+                f"({nx_} >= 0 AND {nx_} < {_CV_NX}"
+                f" AND {ny_} >= 0 AND {ny_} < {_CV_NY})"
+            )
+            terms.append(f"({inb} AND {_cv_fold(nx_, ny_)} = {k})")
+    return "(" + " OR ".join(terms) + ")"
+
+
+def _cv_sql() -> str:
+    aggs = []
+    for k in range(_CV_K):
+        aggs.append(
+            f"SUM(CASE WHEN own = {k} THEN 1 ELSE 0 END) AS test_{k},\n"
+            f"  SUM(CASE WHEN own <> {k} AND {_cv_touch(k)} THEN 1 ELSE 0 END)"
+            f" AS buf_{k}"
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS fold,"
+        f" CAST(test_{k} AS BIGINT) AS n_test,"
+        f" CAST(buf_{k} AS BIGINT) AS n_buffer,"
+        f" CAST(n - test_{k} - buf_{k} AS BIGINT) AS n_train FROM agg"
+        for k in range(_CV_K)
+    )
+    return f"""
+WITH pts AS (
+  SELECT {_CV_TX} AS tx, {_CV_TY} AS ty FROM documents
+),
+f AS (
+  SELECT tx, ty, {_cv_fold('tx', 'ty')} AS own FROM pts
+),
+agg AS (
+  SELECT COUNT(*) AS n,
+  {", ".join(aggs)}
+  FROM f
+)
+{rows}
+"""
+
+
+_CV_ORACLE = _cv_sql()
+
+
+@register("spatial_cv_folds", _CV_ORACLE)
+def spatial_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered spatial K-fold split census: per fold, the test count,
+    the buffer-excluded count (points in tracts adjacent to the fold),
+    and the resulting training-set size — one scan, one aggregation,
+    zero joins (fold membership of all 8 neighbor tracts is closed-form
+    column arithmetic)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_cv_sql())

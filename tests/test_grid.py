@@ -231,3 +231,51 @@ def test_quadtree_adaptive_assign_properties(spark):
     ref = {(l, c): n for l, c, n in leaves(pts, 0, 0, 0) if n}
     got = {(r.lvl, r.cell): r.n_docs for r in rows}
     assert got == ref
+
+
+def test_spatial_cv_folds_invariants(spark):
+    """Role partition per fold (test+buffer+train == N), every point
+    tests in exactly one fold, buffers never overlap their own fold,
+    and a driver-side recomputation agrees exactly."""
+    from chopin_spark.queries.spatial import (
+        _CV_K, _CV_NX, _CV_NY, spatial_cv_folds,
+    )
+    from chopin_spark.sqlexpr import x_expr, y_expr
+    from chopin_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.fold: r for r in spatial_cv_folds(spark, sf).collect()}
+    assert set(rows) == set(range(_CV_K))
+    pts = load(spark, sf, "documents").selectExpr(
+        f"{x_expr('doc_id')} AS x", f"{y_expr('doc_id')} AS y"
+    ).collect()
+    n = len(pts)
+    assert all(
+        r.n_test + r.n_buffer + r.n_train == n for r in rows.values()
+    )
+    assert sum(r.n_test for r in rows.values()) == n
+
+    def fold(tx, ty):
+        return (tx * 7 + ty * 13) % _CV_K
+
+    ref = {k: [0, 0, 0] for k in range(_CV_K)}
+    for p in pts:
+        tx, ty = int(p.x // 50000.0), int(p.y // 37500.0)
+        own = fold(tx, ty)
+        touched = {
+            fold(tx + dx, ty + dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx or dy)
+            and 0 <= tx + dx < _CV_NX
+            and 0 <= ty + dy < _CV_NY
+        }
+        for k in range(_CV_K):
+            if own == k:
+                ref[k][0] += 1
+            elif k in touched:
+                ref[k][1] += 1
+            else:
+                ref[k][2] += 1
+    for k, r in rows.items():
+        assert (r.n_test, r.n_buffer, r.n_train) == tuple(ref[k]), k
