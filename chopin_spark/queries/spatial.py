@@ -970,3 +970,80 @@ def spatial_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     column arithmetic)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_cv_sql())
+
+
+# --- Kulldorff spatial scan statistic (circular windows, Poisson LLR) ---------
+#
+# The hotspot op behind disease/exposure surveillance (SaTScan), and
+# the inferential upgrade of getis_ord_hotspots: evaluate every
+# circular window (tract-centroid center × radius 1..3 tract units)
+# by its Poisson log-likelihood ratio against the constant-rate null.
+# Cases carry an injected SW-corner cluster so the statistic has a
+# signal to find.  Scale shape: the ONLY fact-sized stage is the
+# per-tract (pop, cases) pre-aggregation; the scan itself enumerates
+# windows over the 256-row tract table (metadata-sized inequality
+# join — broadcast NL in Spark, nested loop in DuckDB, both trivial at
+# zone-table cardinality).  ln() is the one non-correctly-rounded op →
+# ROUND(…, 6) grain, the repo's standard ln discipline.
+
+# the injected cluster saturates (every SW-corner doc is a case):
+# background cases come from doc_id % 7, which aliases with the LCG
+# position draw, so a softer injection can be beaten by an aliasing
+# fluke — the saturated corner is unambiguous at every sf
+_SCAN_CASE = (
+    "(CASE WHEN doc_id % 7 = 0"
+    " OR (tx < 4 AND ty < 4)"
+    " THEN 1 ELSE 0 END)"
+)
+
+
+def _scan_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {_CV_TX} AS tx, {_CV_TY} AS ty FROM documents
+),
+t AS (
+  SELECT tx, ty, COUNT(*) AS pop, SUM({_SCAN_CASE}) AS cases
+  FROM pts GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(pop) AS DOUBLE) AS mm, CAST(SUM(cases) AS DOUBLE) AS nn
+  FROM t
+),
+cand AS (
+  SELECT c.tx AS ctx, c.ty AS cty, r.r,
+         CAST(SUM(o.pop) AS BIGINT) AS w_pop,
+         CAST(SUM(o.cases) AS BIGINT) AS w_cases
+  FROM t c
+  JOIN (SELECT * FROM (VALUES (1), (2), (3)) AS v(r)) r ON 1 = 1
+  JOIN t o
+    ON (o.tx - c.tx) * (o.tx - c.tx) + (o.ty - c.ty) * (o.ty - c.ty)
+       <= r.r * r.r
+  GROUP BY 1, 2, 3
+)
+SELECT ctx, cty, CAST(r AS BIGINT) AS r, w_pop, w_cases,
+       ROUND(
+         CASE WHEN CAST(w_cases AS DOUBLE) * mm > nn * CAST(w_pop AS DOUBLE)
+              THEN (CASE WHEN w_cases > 0
+                         THEN w_cases * LN(CAST(w_cases AS DOUBLE)
+                                           / (nn * w_pop / mm)) ELSE 0.0 END)
+                 + (CASE WHEN nn - w_cases > 0
+                         THEN (nn - w_cases)
+                              * LN((nn - w_cases)
+                                   / (nn - nn * w_pop / mm)) ELSE 0.0 END)
+              ELSE 0.0 END, 6) AS llr
+FROM cand CROSS JOIN tot
+"""
+
+
+_SCAN_ORACLE = _scan_sql()
+
+
+@register("spatial_scan_llr", _SCAN_ORACLE)
+def spatial_scan_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson spatial scan statistic over circular tract windows
+    (SaTScan semantics): per-window population, cases, and LLR vs the
+    constant-rate null — fact table touched once (per-tract pre-agg),
+    window enumeration metadata-sized."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_scan_sql())

@@ -279,3 +279,15 @@ def test_spatial_cv_folds_invariants(spark):
                 ref[k][2] += 1
     for k, r in rows.items():
         assert (r.n_test, r.n_buffer, r.n_train) == tuple(ref[k]), k
+
+
+def test_spatial_scan_llr_finds_injected_cluster(spark):
+    """The argmax-LLR window must sit on the SW-corner injected case
+    cluster (tx, ty < 4), and LLR is nonnegative everywhere."""
+    from chopin_spark.queries.spatial import spatial_scan_llr
+
+    rows = spatial_scan_llr(spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(r.llr >= 0.0 for r in rows)
+    top = max(rows, key=lambda r: (r.llr, -r.ctx, -r.cty))
+    assert top.llr > 0.0
+    assert top.ctx < 6 and top.cty < 6, (top.ctx, top.cty, top.llr)
