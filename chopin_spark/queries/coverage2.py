@@ -103,6 +103,125 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "bigram", "n")
 
 
+# --- PMI collocations (lexical association mining) ----------------------------
+#
+# Pointwise mutual information of corpus bigrams vs their unigram
+# marginals — the collocation-extraction step of phrase mining /
+# tokenizer curation.  Counts: one bigram agg + one unigram agg (both
+# vocabulary-bounded); marginals re-attach by TWO broadcast joins on
+# the word key.  Ordering discipline: the top-25 is ordered by the RAW
+# likelihood-ratio score (a division chain of identically-ordered IEEE
+# ops — bit-equal in both engines), never by the rounded LN output, so
+# rank ties can't flip across engines; LN appears only in the reported
+# pmi under the repo's ROUND(,6) grain.
+
+_PMI_MIN_N = 5
+_PMI_SCORE = (
+    "(((CAST(n_ab AS DOUBLE) * ntok) * ntok)"
+    " / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * nbg))"
+)
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT STRING_SPLIT(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM toks WHERE LEN(w) >= 2
+),
+bcnt AS (
+  SELECT STRING_SPLIT(bigram, ' ')[1] AS w1,
+         STRING_SPLIT(bigram, ' ')[2] AS w2,
+         COUNT(*) AS n_ab
+  FROM bg GROUP BY 1, 2
+),
+uni AS (
+  SELECT UNNEST(w) AS word FROM toks
+),
+ucnt AS (
+  SELECT word, COUNT(*) AS n FROM uni GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS ntok FROM ucnt
+),
+btot AS (
+  SELECT CAST(SUM(n_ab) AS DOUBLE) AS nbg FROM bcnt
+),
+scored AS (
+  SELECT w1, w2, n_ab, {_PMI_SCORE} AS score
+  FROM bcnt
+  JOIN ucnt a ON a.word = w1
+  JOIN ucnt b ON b.word = w2
+  CROSS JOIN tot CROSS JOIN btot,
+  LATERAL (SELECT a.n AS n_a, b.n AS n_b) m
+  WHERE n_ab >= {_PMI_MIN_N}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, w1, w2) AS rank,
+       w1, w2, n_ab, ROUND(LN(score), 6) AS pmi
+FROM scored
+ORDER BY rank
+LIMIT 25
+"""
+
+
+@register("pmi_collocations", _PMI_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 corpus collocations by PMI (n_ab >= 5): bigram + unigram
+    aggs, marginals re-attached by two broadcast joins, ordered by the
+    exact-double raw score so the cut is cross-engine deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bgx = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), (i + 1).cast("int")),
+            F.element_at(F.col("w"), (i + 2).cast("int")),
+        ),
+    )
+    bcnt = (
+        docs.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(F.explode(bgx).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .select(
+            F.split("bigram", " ")[0].alias("w1"),
+            F.split("bigram", " ")[1].alias("w2"),
+            "n_ab",
+        )
+    )
+    ucnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = ucnt.agg(F.sum("n").cast("double").alias("ntok"))
+    btot = bcnt.agg(F.sum("n_ab").cast("double").alias("nbg"))
+    scored = (
+        bcnt.filter(F.col("n_ab") >= _PMI_MIN_N)
+        .join(
+            F.broadcast(ucnt.selectExpr("word AS w1", "n AS n_a")), "w1"
+        )
+        .join(
+            F.broadcast(ucnt.selectExpr("word AS w2", "n AS n_b")), "w2"
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn("score", F.expr(_PMI_SCORE))
+    )
+    top = scored.orderBy(F.desc("score"), "w1", "w2").limit(25)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), "w1", "w2")),
+    ).selectExpr(
+        "CAST(rank AS BIGINT) AS rank", "w1", "w2", "n_ab",
+        "ROUND(LN(score), 6) AS pmi",
+    )
+
+
+
 # --- multi-layer raster algebra ----------------------------------------------------
 
 from chopin_spark import zones as Z  # noqa: E402

@@ -1047,3 +1047,103 @@ def spatial_scan_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     window enumeration metadata-sized."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_scan_sql())
+
+
+# --- vector-tile decluttering: top-k features per tile -------------------------
+#
+# The map-rendering pipeline step (tippecanoe's feature dropping): a
+# tile budget keeps only the k most prominent features per tile at
+# each zoom, deterministically.  Prominence = n_chars, ties on doc_id;
+# the survivor rows carry the cell's total so the dropped count is
+# audit-visible (the no-silent-caps rule).  One window pass partitioned
+# by cell — the per-cell sort is bounded by cell occupancy, and a
+# hot-cell budget at crawl scale would swap in the bounded top-k
+# aggregate (grid.salted_agg's discipline); at tile-budget k the
+# window form is the clearer plan.
+
+_VT_LEVEL = 4
+_VT_K = 3
+_VT_CELL = sx.quad_cell_expr(_DOC_X, _DOC_Y, _VT_LEVEL)
+
+_VT_ORACLE = f"""
+WITH pts AS (
+  SELECT doc_id, n_chars, {_VT_CELL} AS tile FROM documents
+),
+rk AS (
+  SELECT doc_id, n_chars, tile,
+         ROW_NUMBER() OVER (PARTITION BY tile
+                            ORDER BY n_chars DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY tile) AS n_in_tile
+  FROM pts
+)
+SELECT tile, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars,
+       CAST(n_in_tile AS BIGINT) AS n_in_tile,
+       CAST(n_in_tile - {_VT_K} AS BIGINT) AS n_dropped
+FROM rk WHERE rnk <= {_VT_K} AND n_in_tile > {_VT_K}
+"""
+
+
+@register("vector_tile_topk", _VT_ORACLE)
+def vector_tile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-budget feature dropping for map rendering: the k most
+    prominent documents per level-4 quad tile (prominence = n_chars,
+    deterministic ties), with the per-tile drop count carried on every
+    survivor."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_VT_ORACLE)
+
+
+# --- tile pyramid census (multi-zoom rollup cascade) ---------------------------
+#
+# The web-map / overview-layer build: per-tile counts at EVERY zoom
+# level 6..0, produced as a cascade — the fact table is scanned ONCE
+# (level-6 hash agg); every coarser level re-aggregates the previous
+# level's cell table (≤ 4^L rows, shrinking 4× per hop), so the whole
+# pyramid costs one fact shuffle plus six metadata-sized aggs.  This is
+# the associative-partial-aggregation shape that makes overview tiles
+# ~free at 100 TB: parent counts are SUMS of child counts, never a
+# re-scan per zoom.  Integer division is written FLOOR(x / 2.0) so the
+# identical text parses in Spark and DuckDB (cells ≤ 4^6, exact in a
+# double).
+
+_TP_MAX_LVL = 6
+
+
+def _tp_parent(cell: str, lvl: int) -> str:
+    n = 1 << lvl
+    ix = f"(CAST(({cell}) AS BIGINT) % {n})"
+    iy = f"CAST(FLOOR(({cell}) / {n}.0) AS BIGINT)"
+    return (
+        f"(CAST(FLOOR({iy} / 2.0) AS BIGINT) * {n // 2}"
+        f" + CAST(FLOOR({ix} / 2.0) AS BIGINT))"
+    )
+
+
+def _tp_sql() -> str:
+    base = sx.quad_cell_expr(_DOC_X, _DOC_Y, _TP_MAX_LVL)
+    ctes = [
+        f"l{_TP_MAX_LVL} AS (SELECT {base} AS cell,"
+        f" CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1)"
+    ]
+    for lvl in range(_TP_MAX_LVL, 0, -1):
+        ctes.append(
+            f"l{lvl - 1} AS (SELECT {_tp_parent('cell', lvl)} AS cell,"
+            f" CAST(SUM(n) AS BIGINT) AS n FROM l{lvl} GROUP BY 1)"
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({lvl} AS BIGINT) AS lvl, cell, n FROM l{lvl}"
+        for lvl in range(_TP_MAX_LVL + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+_TP_ORACLE = _tp_sql()
+
+
+@register("tile_pyramid_census", _TP_ORACLE)
+def tile_pyramid_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile document counts at every quad zoom 6..0 — one fact
+    scan, then a 4×-shrinking partial-aggregation cascade (parent
+    counts are sums of child counts; no per-zoom re-scan)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_tp_sql())

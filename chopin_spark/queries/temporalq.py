@@ -237,3 +237,82 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01, retention spanning 0.09-1.0)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_COHORT_SQL)
+
+
+# --- last-touch channel attribution (horizon-bounded as-of + rollup) ----------
+
+_ATTR_HORIZON_S = 7 * 86400
+_ATTR_CHANNEL = (
+    "(CASE CAST(click_event_id % 3 AS INT) WHEN 0 THEN 'organic'"
+    " WHEN 1 THEN 'ads' ELSE 'email' END)"
+)
+
+_ATTR_ORACLE = f"""
+WITH cl AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+pu AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT pu.event_id, pu.value,
+         cl.event_id AS click_event_id,
+         cl.ts AS click_ts, pu.ts AS pts,
+         ROW_NUMBER() OVER (
+           PARTITION BY pu.event_id
+           ORDER BY cl.ts DESC NULLS LAST, cl.event_id DESC NULLS LAST
+         ) AS rn
+  FROM pu LEFT JOIN cl
+    ON cl.user_id = pu.user_id AND cl.ts <= pu.ts
+),
+attributed AS (
+  SELECT value,
+         CASE WHEN click_event_id IS NULL
+                OR EPOCH(pts) - EPOCH(click_ts) > {_ATTR_HORIZON_S}
+              THEN 'none' ELSE {_ATTR_CHANNEL} END AS channel
+  FROM ranked WHERE rn = 1
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       ROUND(CAST(SUM({_sx.cents_expr('value')}) AS BIGINT) / 100.0, 4)
+         AS revenue
+FROM attributed
+GROUP BY 1
+"""
+
+
+@register("attribution_last_touch", _ATTR_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase credits
+    the channel of the user's most recent prior click WITHIN a 7-day
+    horizon (else 'none'), revenue rolled up per channel in exact
+    cents.  Engine: the union-trick as-of join (one shuffle + one
+    in-partition sort — never the oracle's per-key cross product),
+    horizon applied as a post-filter on the attached state."""
+    ev = load(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value",
+    )
+    state = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+    )
+    out = asof_join(
+        facts, state,
+        keys=["user_id"], ts_col="ts",
+        state_cols=["event_id", "ts"], tie_col="event_id",
+        prefix="click_",
+    )
+    attributed = out.selectExpr(
+        "value",
+        f"""CASE WHEN click_event_id IS NULL
+                 OR unix_timestamp(ts) - unix_timestamp(click_ts)
+                    > {_ATTR_HORIZON_S}
+            THEN 'none' ELSE {_ATTR_CHANNEL} END AS channel""",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.expr(_sx.cents_expr("value"))).cast("bigint") / 100.0, 4
+        ).alias("revenue"),
+    )
