@@ -1144,6 +1144,34 @@ _TP_ORACLE = _tp_sql()
 def tile_pyramid_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile document counts at every quad zoom 6..0 — one fact
     scan, then a 4×-shrinking partial-aggregation cascade (parent
-    counts are sums of child counts; no per-zoom re-scan)."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_tp_sql())
+    counts are sums of child counts; no per-zoom re-scan).
+
+    The cascade is built imperatively with a localCheckpoint per level:
+    Spark inlines WITH chains per UNION branch (no common-subplan
+    reuse), so the pure-SQL form re-scans the fact table once PER ZOOM
+    — seven full scans (caught by test_plans' scan-count pin).  The
+    checkpointed cell tables are ≤ 4^L rows, so the cuts are free."""
+    docs = load(spark, sf_dir, "documents")
+    base = sx.quad_cell_expr(_DOC_X, _DOC_Y, _TP_MAX_LVL)
+    cur = (
+        docs.selectExpr(f"{base} AS cell")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    levels = {_TP_MAX_LVL: cur}
+    for lvl in range(_TP_MAX_LVL, 0, -1):
+        cur = (
+            cur.selectExpr(f"{_tp_parent('cell', lvl)} AS cell", "n")
+            .groupBy("cell")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .localCheckpoint()
+        )
+        levels[lvl - 1] = cur
+    out = None
+    for lvl in range(_TP_MAX_LVL + 1):
+        part = levels[lvl].selectExpr(
+            f"CAST({lvl} AS BIGINT) AS lvl", "cell", "n"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

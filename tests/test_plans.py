@@ -142,3 +142,35 @@ def test_semdedup_pairs_are_band_bucketed(spark):
     joins = [ln for ln in p.splitlines() if "band" in ln and "bits" in ln
              and "cluster" in ln]
     assert joins, "no (cluster, band, bits) join keys visible in plan"
+
+
+def test_quadtree_counts_join_is_broadcast(spark):
+    """The metadata-sized (level, cell) counts table must come back as
+    a broadcast, and the fact side must never be broadcast."""
+    from chopin_spark.queries.spatial import quadtree_adaptive_assign
+
+    p = plan_of(quadtree_adaptive_assign(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_chainage_segment_rejoin_is_broadcast(spark):
+    """nearest_road_chainage's per-road argmin re-join attaches the
+    layer-sized segment table by broadcast — the fact table is never
+    on the build side."""
+    from chopin_spark.queries.roads import nearest_road_chainage
+
+    p = plan_of(nearest_road_chainage(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+
+
+def test_tile_pyramid_scans_fact_once(spark):
+    """The zoom cascade re-aggregates checkpointed cell tables — the
+    union plan must contain ZERO parquet scans (the one fact scan
+    happened eagerly at the level-6 localCheckpoint; the pure-SQL CTE
+    form inlined to seven scans, one per zoom branch)."""
+    from chopin_spark.queries.spatial import tile_pyramid_census
+
+    p = plan_of(tile_pyramid_census(spark, SF_SMOKE))
+    assert p.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in p
