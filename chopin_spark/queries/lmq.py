@@ -307,3 +307,144 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" - FLOOR(CAST(g AS DOUBLE) / ({_LR_STEP!r} * {n_total!r}))"
         " AS BIGINT) AS w_micro",
     )
+
+
+# --- Heaps'-law vocabulary growth curve ----------------------------------------
+#
+# Tokenizer/corpus curation diagnostic: how fast does the vocabulary
+# still grow as the corpus doubles?  The curve is computed without any
+# sequential pass: a word's FIRST APPEARANCE is min(doc_id) (one
+# vocabulary-bounded agg), the corpus prefix axis is doc-id deciles,
+# and cumulative vocabulary is a 10-row window sum.  Integer-exact
+# end to end.  At 10^12 docs the NTILE over doc order becomes decile
+# boundaries from exact count quantiles (the par_cut_coords path);
+# the first-appearance agg shape is unchanged.
+
+_HEAPS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id) AS dec FROM documents
+),
+w AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+),
+fw AS (
+  SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY 1
+),
+nd AS (
+  SELECT d.dec, COUNT(*) AS n_new
+  FROM fw JOIN d ON d.doc_id = fw.first_doc GROUP BY 1
+),
+dd AS (
+  SELECT dec, COUNT(*) AS n_docs FROM d GROUP BY 1
+)
+SELECT CAST(dd.dec AS BIGINT) AS decile,
+       CAST(dd.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(nd.n_new, 0) AS BIGINT) AS n_new_words,
+       CAST(SUM(COALESCE(nd.n_new, 0))
+            OVER (ORDER BY dd.dec) AS BIGINT) AS cum_vocab
+FROM dd LEFT JOIN nd ON nd.dec = dd.dec
+"""
+
+
+@register("vocab_growth_heaps", _HEAPS_ORACLE)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth by corpus decile (Heaps' law curve): new-word
+    count = first-appearance agg per word; cumulative vocabulary = a
+    10-row window sum."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.ntile(10).over(Window.orderBy("doc_id")).alias("dec")
+    )
+    fw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nd = (
+        fw.join(d, fw.first_doc == d.doc_id)
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    dd = d.groupBy("dec").agg(F.count(F.lit(1)).alias("n_docs"))
+    out = dd.join(nd, "dec", "left").select(
+        F.col("dec").cast("long").alias("decile"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new_words"),
+    )
+    return out.withColumn(
+        "cum_vocab",
+        F.sum("n_new_words").over(
+            Window.orderBy("decile").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).cast("long"),
+    )
+
+
+# --- per-host token entropy -----------------------------------------------------
+#
+# Template-farm detection: a host whose pages are one boilerplate
+# template has LOW unigram entropy; a diverse host is near the corpus
+# ceiling.  H = ln(T) − Σ n·ln(n) / T with exact-integer count
+# carriers; ln enters once per DISTINCT (host, word) and the summed
+# ≤1-ulp per-element divergence is ~1e-12 against the 1e-4 output
+# grid (the lm_perplexity_bigram error-budget argument — see module
+# docstring).  Shape: one (host, word) agg (vocabulary-bounded per
+# host) + one host agg; the 97-host key follows host_quality_wilson's
+# fixture so singleton hosts don't trivialize the statistic.
+
+_ENT_HOST = "('h' || CAST((doc_id * 40503) % 97 AS STRING) || '.example.com')"
+
+_ENT_ORACLE = f"""
+WITH w AS (
+  SELECT {_ENT_HOST} AS host,
+         UNNEST(STRING_SPLIT(text, ' ')) AS word
+  FROM documents
+),
+cnt AS (
+  SELECT host, word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1, 2
+),
+h AS (
+  SELECT host,
+         CAST(SUM(n) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         SUM(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE))) AS s
+  FROM cnt GROUP BY 1
+)
+SELECT host, t AS n_tokens, vocab,
+       ROUND(LN(CAST(t AS DOUBLE)) - s / CAST(t AS DOUBLE), 4) AS entropy
+FROM h
+"""
+
+
+@register("host_token_entropy", _ENT_ORACLE)
+def host_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per host (template-farm detector):
+    H = ln(T) − Σ n·ln(n)/T over exact integer counts."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.selectExpr(
+            f"{_ENT_HOST} AS host",
+            "explode(split(text, ' ')) AS word",
+        )
+        .groupBy("host", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        cnt.groupBy("host")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(
+                F.col("n").cast("double")
+                * F.log(F.col("n").cast("double"))
+            ).alias("s"),
+        )
+        .selectExpr(
+            "host", "n_tokens", "vocab",
+            "ROUND(LN(CAST(n_tokens AS DOUBLE))"
+            " - s / CAST(n_tokens AS DOUBLE), 4) AS entropy",
+        )
+    )
