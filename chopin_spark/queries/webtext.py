@@ -187,6 +187,43 @@ _URLNORM_SQL = _urlnorm_sql(", 'g'")
 _URLNORM_SPARK = _urlnorm_sql("")
 
 
+# --- URL template mining (crawler-trap / faceted-nav detection) ---------------
+#
+# Crawl frontiers drown in URL FAMILIES (page=1..10^6, session ids,
+# calendar traps), not URLs: normalizing every digit run to {n} folds
+# a family to one template, and a template with huge instance counts
+# but few distinct pages is a trap.  Same messy-URL fixture and
+# dialect rule as url_normalize_dedup (Spark regexp_replace is global,
+# DuckDB needs 'g'); host is kept verbatim (templates are per-host
+# signals) while path+query digits fold.
+
+def _urltmpl_sql(g: str) -> str:
+    host = f"LOWER(regexp_extract({_MESSY}, '^[a-zA-Z]+://([^/?#]+)', 1))"
+    rest = f"regexp_extract({_MESSY}, '^[a-zA-Z]+://[^/?#]+(.*)$', 1)"
+    tmpl = (
+        f"({host} || regexp_replace({rest},"
+        f" '[0-9]+', '(n)'{g}))"
+    )
+    return f"""
+SELECT {tmpl} AS template,
+       COUNT(*) AS n_fetches,
+       COUNT(DISTINCT {_MESSY}) AS n_urls,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("url_template_mining", _urltmpl_sql(", 'g'"))
+def url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-family rollup: digit runs in path+query fold to (n), hosts
+    stay verbatim — fetch count vs distinct-URL count per template is
+    the crawler-trap signal."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_urltmpl_sql(""))
+
+
+
 @register("url_normalize_dedup", _URLNORM_SQL)
 def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + dedup: normalize tracking-param/fragment/
