@@ -316,3 +316,53 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr(_sx.cents_expr("value"))).cast("bigint") / 100.0, 4
         ).alias("revenue"),
     )
+
+
+# --- trajectory bearing coherence (directional statistics, trig-free) ---------
+#
+# How DIRECTED is each user's movement?  Circular statistics' mean
+# resultant length R = |Σ û| / n over the unit step vectors — but
+# computed WITHOUT atan2/cos/sin (none of which are correctly-rounded
+# across engines): the unit vector of a step is just (dx/len, dy/len),
+# so R needs only +,−,×,÷,SQRT — all IEEE-exact, shared text.  R ≈ 1 =
+# beeline, R ≈ 0 = random walk / loop.  Same user-keyed one-shuffle +
+# in-partition-sort shape as trajectory_cell_transitions; the per-user
+# double sums sit ~1e-14 from their true value vs a 1e-6 output grid.
+
+_BEAR_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_TCX} AS x, {_TCY} AS y
+  FROM events
+),
+steps AS (
+  SELECT user_id,
+         x - LAG(x) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dx,
+         y - LAG(y) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dy
+  FROM pts
+),
+unit AS (
+  SELECT user_id,
+         dx / SQRT(dx * dx + dy * dy) AS ux,
+         dy / SQRT(dx * dx + dy * dy) AS uy
+  FROM steps
+  WHERE dx IS NOT NULL AND (dx <> 0.0 OR dy <> 0.0)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       ROUND(SQRT(SUM(ux) * SUM(ux) + SUM(uy) * SUM(uy))
+             / COUNT(*), 6) AS resultant_r
+FROM unit
+GROUP BY 1
+"""
+
+
+@register("trajectory_bearing_coherence", _BEAR_SQL)
+def trajectory_bearing_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean resultant length of each user's step directions (circular
+    statistics without transcendentals): R ≈ 1 directed travel, R ≈ 0
+    random walk."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BEAR_SQL)

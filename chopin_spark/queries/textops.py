@@ -1081,3 +1081,44 @@ def benchmark_decontam_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contam_frac"
         ),
     )
+
+
+# --- quality-score language-bias audit -----------------------------------------
+#
+# The curation fairness check: a quality classifier trained on one
+# language's conventions silently down-weights others — audited here as
+# the language composition of each score decile.  Deciles come from
+# NTILE over (q_score, doc_id) (total order, engine-stable); shares
+# are exact-integer ratios rounded once.  Reuses the _QCLS scorer
+# verbatim, so the audit scores EXACTLY what the filter deploys.  At
+# 10^12 docs the NTILE becomes exact count quantiles of the score
+# (par_cut_coords path); the per-(decile, lang) rollup is unchanged.
+
+_QBIAS_CORE = """
+d AS (
+  SELECT lang, NTILE(10) OVER (ORDER BY q_score, doc_id) AS decile
+  FROM s2
+),
+tot AS (
+  SELECT decile, COUNT(*) AS n_dec FROM d GROUP BY 1
+)
+SELECT d.decile, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(tot.n_dec), 6) AS share
+FROM d JOIN tot ON tot.decile = d.decile
+GROUP BY 1, 2
+"""
+
+
+def _qbias_sql(qcls: str) -> str:
+    # reuse the full classifier text as a subquery named s2
+    return f"WITH s2 AS (\n{qcls}\n),\n{_QBIAS_CORE}"
+
+
+@register("qscore_lang_bias_audit", _qbias_sql(_QCLS_ORACLE))
+def qscore_lang_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language composition per quality-score decile — the fairness
+    audit of the deployed hashed-feature classifier (same scorer text
+    as quality_classifier_scores)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_qbias_sql(_QCLS_SPARK))
