@@ -671,3 +671,68 @@ def watershed_basins_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(target AS BIGINT) AS basin_id",
         "CAST(hops AS BIGINT) AS hops",
     )
+
+
+# --- zonal statistics over DERIVED zones (watershed basins) -------------------
+#
+# The composition chopin reaches with watershed |> zonal: the zone
+# layer is not an input — it is computed (pointer doubling), then
+# immediately consumed as the key of a zonal rollup.  Engine: the
+# watershed labels join nothing; z re-derives from the closed form, so
+# the rollup is one hash-agg on the label column.  Basin area, total
+# elevation, relief (pit depth vs max), and the longest drainage path
+# per basin come out of the same pass.
+
+_WSZ_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+f AS (
+  SELECT x, y, CAST({_FX} AS BIGINT) AS fx, CAST({_FY} AS BIGINT) AS fy
+  FROM cells
+),
+walk AS (
+  SELECT x AS sx, y AS sy, x, y, CAST(0 AS BIGINT) AS h FROM f
+  UNION ALL
+  SELECT w.sx, w.sy, g.fx, g.fy, w.h + 1
+  FROM walk w JOIN f g ON g.x = w.x AND g.y = w.y
+  WHERE g.fx IS NOT NULL
+),
+basin AS (
+  SELECT w.sx AS x, w.sy AS y,
+         CAST(w.x + w.y * {W} AS BIGINT) AS basin_id,
+         CAST(w.h AS BIGINT) AS hops
+  FROM walk w JOIN f g ON g.x = w.x AND g.y = w.y
+  WHERE g.fx IS NULL
+)
+SELECT basin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM({_zf('x', 'y')}) AS BIGINT) AS sum_z,
+       CAST(MAX({_zf('x', 'y')}) - MIN({_zf('x', 'y')}) AS BIGINT)
+         AS relief,
+       CAST(MAX(hops) AS BIGINT) AS longest_path
+FROM basin
+GROUP BY 1
+"""
+
+
+@register("basin_zonal_stats", _WSZ_ORACLE)
+def basin_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal rollup keyed by a DERIVED zone layer: watershed basins
+    (pointer doubling) feed area / total-z / relief / longest-drainage
+    stats in one hash-agg — the watershed |> zonal composition."""
+    ws = watershed_basins_d8(spark, sf_dir)
+    return (
+        ws.selectExpr(
+            "basin_id", "hops",
+            f"CAST({_zf('x', 'y')} AS BIGINT) AS z",
+        )
+        .groupBy("basin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("z").cast("long").alias("sum_z"),
+            (F.max("z") - F.min("z")).cast("long").alias("relief"),
+            F.max("hops").cast("long").alias("longest_path"),
+        )
+    )
