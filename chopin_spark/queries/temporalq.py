@@ -211,13 +211,17 @@ def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # date_trunc('day') and the terminal ratio are the only non-integer
 # ops; ONE SQL text runs in both engines.
 
+# CAST(... AS DATE) on both truncations: Spark's date_trunc returns
+# TIMESTAMP while DuckDB 1.0's returns DATE — the explicit cast makes
+# the shared text type-identical (caught by test_oracle_parity's
+# object-level compare; check_oracle's string canon masked it)
 _COHORT_SQL = """
 WITH u1 AS (
-  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 ),
 act AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
   FROM events WHERE event_type = 'purchase'
 ),
 cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM u1 GROUP BY cohort_day),
