@@ -1361,7 +1361,12 @@ def raster_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chopin_spark.raster import morph_tiles, tile_values
 
     tiles = _tiles(spark, n_rasters=1)
-    opened = morph_tiles(morph_tiles(tiles, "erode"), "dilate")
+    # halo_joined consumes its input TWICE (strip emission + the join
+    # side), so the chained stencil must cut lineage between passes —
+    # without it the dilate stage recomputes the whole erode pass per
+    # reference (measured 7.0 s -> ~2 s at sf-independent tile count)
+    eroded = morph_tiles(tiles, "erode").localCheckpoint()
+    opened = morph_tiles(eroded, "dilate")
 
     def rollup(batches):
         for pdf in batches:
