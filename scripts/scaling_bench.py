@@ -172,8 +172,17 @@ minutes, so the long-job regime is the representative one.
 Reproduce: `python scripts/scaling_bench.py {n}`
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # regenerate ONLY the measurement header; curated per-round
+    # narrative sections ("## Round-...") are preserved verbatim (a
+    # prior rewrite silently dropped them)
+    curated = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        i = prev.find("## Round-")
+        if i != -1:
+            curated = "\n" + prev[i:]
     with open(path, "w") as f:
-        f.write(md)
+        f.write(md + curated)
     # raw per-run archive (VERDICT r02 next-steps #8: the numbers in
     # BASELINE.md must be traceable to committed raw output)
     raw_path = os.path.join(REPO, "BENCH", "scaling_raw.json")
