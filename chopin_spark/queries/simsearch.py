@@ -449,3 +449,170 @@ def semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v1").alias("kept_by"),
         F.max("cos_sim").alias("max_cos"),
     )
+
+
+# --- distributed PCA: exact integer Gram + spectral squaring ------------------
+#
+# Top principal direction of the embedding cloud — the linear-algebra
+# op behind whitening, SemDeDup-style dedup axes, and embedding-drift
+# monitors.  The embedding fixture is nearly isotropic (λ2/λ1 ≈ 0.984),
+# so plain k-round power iteration CANNOT converge (0.984^k needs
+# k ≈ 300) — the scalable answer is REPEATED SQUARING of the Gram:
+# M ← (M/‖M‖)² nine times amplifies the gap to 0.984^512 ≈ 2·10⁻⁴,
+# and every squaring is d³ = 64³ METADATA work on a 4096-row table.
+# The 100-TB split:
+#   1. G = Σ q qᵀ over the lattice-quantized vectors (kmeans.QSCALE
+#      discipline): map-side outer-product partials — one numpy Qᵀ @ Q
+#      per Arrow batch, int64-exact (|q| ≤ 540 ⇒ entries overflow only
+#      past ~3·10¹³ rows) — then one (a, b)-keyed sum of d² cells.
+#      The fact table is touched ONCE.
+#   2. Normalize to the 2^20 integer lattice, square 9×, extract
+#      v = M·1, and take the Rayleigh quotient against the ORIGINAL
+#      exact Gram.  On the lattice every product ≤ 2^40 and every
+#      d-term sum ≤ 2^46 — exact int64, and the renormalizing
+#      FLOOR(x/max·2^20 + 0.5) divides exact-int doubles (correctly
+#      rounded in both engines), so Spark and DuckDB walk
+#      bit-identical matrices.  Engine iterates imperatively with a
+#      localCheckpoint per squaring (Spark inlines WITH chains — the
+#      tile-pyramid lesson); the oracle chains MATERIALIZED CTEs (the
+#      raster_morph_open lesson).
+
+from chopin_spark.kmeans import quantize_expr as _QE
+
+_PCA_D = 64
+_PCA_SQUARINGS = 9
+_PCA_VS = 1 << 20
+
+_PCA_RENORM = (
+    "CAST(FLOOR(CAST({x} AS DOUBLE) / CAST({m} AS DOUBLE)"
+    f" * {_PCA_VS} + 0.5) AS BIGINT)"
+)
+
+_PCA_GRAM_DUCK = f"""g AS MATERIALIZED (
+  SELECT a.i AS a, b.i AS b,
+         CAST(SUM(q[a.i + 1] * q[b.i + 1]) AS BIGINT) AS val
+  FROM (SELECT {_KM_QUANT_DUCK} AS q FROM embeddings) e,
+       generate_series(0, {_PCA_D - 1}) AS a(i),
+       generate_series(0, {_PCA_D - 1}) AS b(i)
+  GROUP BY 1, 2
+)"""
+
+_PCA_FINAL = """
+vr AS (
+  SELECT a, CAST(FLOOR(CAST(v AS DOUBLE) / 1024.0 + 0.5) AS BIGINT) AS v
+  FROM {v}
+),
+num AS (
+  SELECT CAST(SUM(g.val * va.v * vb.v) AS BIGINT) AS n2
+  FROM {g} g JOIN vr va ON va.a = g.a JOIN vr vb ON vb.a = g.b
+),
+den AS (
+  SELECT CAST(SUM(v * v) AS BIGINT) AS d2 FROM vr
+)
+SELECT CAST({v}.a AS BIGINT) AS dim, {v}.v AS component,
+       ROUND(CAST(num.n2 AS DOUBLE) / CAST(den.d2 AS DOUBLE), 4)
+         AS eigenvalue
+FROM {v} CROSS JOIN num CROSS JOIN den
+"""
+
+
+def _pca_oracle() -> str:
+    ctes = [
+        _PCA_GRAM_DUCK,
+        "n0 AS MATERIALIZED (SELECT a, b, "
+        + _PCA_RENORM.format(x="val", m="(SELECT MAX(ABS(val)) FROM g)")
+        + " AS val FROM g)",
+    ]
+    for r in range(_PCA_SQUARINGS):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT x.a AS a, y.b AS b,"
+            f" CAST(SUM(x.val * y.val) AS BIGINT) AS val"
+            f" FROM n{r} x JOIN n{r} y ON x.b = y.a GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"n{r + 1} AS MATERIALIZED (SELECT a, b, "
+            + _PCA_RENORM.format(
+                x="val", m=f"(SELECT MAX(ABS(val)) FROM p{r})"
+            )
+            + f" AS val FROM p{r})"
+        )
+    last = f"n{_PCA_SQUARINGS}"
+    head = "WITH " + ",\n".join(ctes) + f""",
+vv AS MATERIALIZED (
+  SELECT a, CAST(SUM(val) AS BIGINT) AS s FROM {last} GROUP BY 1
+),
+v AS MATERIALIZED (
+  SELECT a, {_PCA_RENORM.format(x="s", m="(SELECT MAX(ABS(s)) FROM vv)")}
+         AS v
+  FROM vv
+),"""
+    return head + _PCA_FINAL.format(v="v", g="g")
+
+
+_PCA_ORACLE = _pca_oracle()
+
+
+@register("pca_top_component", _PCA_ORACLE)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embeddings: one exact-integer
+    Gram pass over the facts, then nine metadata-sized spectral
+    squarings and a Rayleigh quotient — d rows of (dim, component on
+    the 2^20 lattice, eigenvalue)."""
+    emb = load(spark, sf_dir, "embeddings").selectExpr(
+        f"{_QE('embedding')} AS q"
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((_PCA_D, _PCA_D), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf):
+                Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+                G += Q.T @ Q
+        a, b = np.indices((_PCA_D, _PCA_D))
+        yield pd.DataFrame(
+            {
+                "a": pd.Series(a.ravel(), dtype="int64"),
+                "b": pd.Series(b.ravel(), dtype="int64"),
+                "val": pd.Series(G.ravel(), dtype="int64"),
+            }
+        )
+
+    gram = (
+        emb.mapInPandas(part, "a long, b long, val long")
+        .groupBy("a", "b")
+        .agg(F.sum("val").alias("val"))
+        .localCheckpoint()
+    )
+
+    def renorm(df):
+        m = df.agg(F.max(F.abs(F.col("val"))).alias("m"))
+        return df.crossJoin(F.broadcast(m)).selectExpr(
+            "a", "b", _PCA_RENORM.format(x="val", m="m") + " AS val"
+        )
+
+    cur = renorm(gram).localCheckpoint()
+    for _ in range(_PCA_SQUARINGS):
+        x, y = cur.alias("x"), cur.alias("y")
+        sq = (
+            x.join(y, F.col("x.b") == F.col("y.a"))
+            .groupBy(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+            .agg(
+                F.sum(F.col("x.val") * F.col("y.val"))
+                .cast("long")
+                .alias("val")
+            )
+        )
+        cur = renorm(sq).localCheckpoint()
+    vv = cur.groupBy("a").agg(F.sum("val").cast("long").alias("s"))
+    mv = vv.agg(F.max(F.abs(F.col("s"))).alias("m"))
+    v = vv.crossJoin(F.broadcast(mv)).selectExpr(
+        "a", _PCA_RENORM.format(x="s", m="m") + " AS v"
+    ).localCheckpoint()
+    gram.createOrReplaceTempView("pca_gram")
+    v.createOrReplaceTempView("pca_v")
+    return spark.sql(
+        "WITH" + _PCA_FINAL.format(v="pca_v", g="pca_gram")
+    )

@@ -223,3 +223,31 @@ def test_near_dup_pairs_plan_has_no_cartesian(spark, emb):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_top_component_matches_numpy_eigh(spark):
+    """The integer power iteration must align with numpy's top
+    eigenvector of the SAME quantized Gram (|cos| > 0.999) and its
+    Rayleigh eigenvalue must sit within 1% of numpy's."""
+    import numpy as np
+
+    from chopin_spark.queries.simsearch import pca_top_component
+    from chopin_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = pca_top_component(spark, sf).collect()
+    assert len(rows) == 64
+    v = np.zeros(64)
+    for r in rows:
+        v[r.dim] = r.component
+    lam = rows[0].eigenvalue
+
+    emb = load(spark, sf, "embeddings").select("embedding").collect()
+    Q = np.floor(np.array([r.embedding for r in emb], dtype=np.float64)
+                 * 1024 + 0.5).astype(np.int64)
+    G = (Q.T @ Q).astype(np.float64)
+    w, U = np.linalg.eigh(G)
+    top = U[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    assert abs(lam - w[-1]) / w[-1] < 0.01, (lam, w[-1])
