@@ -736,3 +736,81 @@ def basin_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("hops").cast("long").alias("longest_path"),
         )
     )
+
+
+# --- topographic wetness index (flow-accumulation ∘ slope composition) --------
+#
+# TWI = ln(contributing area / slope): the standard hydrology product
+# of TWO derived rasters — the iterative D8 accumulation and the
+# central-difference gradient stencil — joined per cell.  The gradient
+# is integer column math of the closed-form DEM (interior cells, the
+# hillshade convention); the only transcendental is the final LN under
+# the repo's ROUND(,4) grain.  Engine: flowacc's block-parallel
+# fixpoint then pure projection; oracle: the recursive-CTE walk then
+# the identical formula.
+
+_TWI_EXPR = (
+    "ROUND(LN(CAST(acc AS DOUBLE)"
+    " / SQRT(CAST(gx * gx + gy * gy + 1 AS DOUBLE))), 4)"
+)
+_TWI_GX = f"(({_zf('(x + 1)', 'y')}) - ({_zf('(x - 1)', 'y')}))"
+_TWI_GY = f"(({_zf('x', '(y + 1)')}) - ({_zf('x', '(y - 1)')}))"
+
+_TWI_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+f AS (
+  SELECT x, y, CAST({_FX} AS BIGINT) AS fx, CAST({_FY} AS BIGINT) AS fy
+  FROM cells
+),
+walk AS (
+  SELECT x AS sx, y AS sy, x, y FROM f
+  UNION ALL
+  SELECT w.sx, w.sy, g.fx, g.fy
+  FROM walk w JOIN f g ON g.x = w.x AND g.y = w.y
+  WHERE g.fx IS NOT NULL
+),
+acc AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS acc
+  FROM walk GROUP BY 1, 2
+),
+gr AS (
+  SELECT x, y, acc,
+         CAST({_TWI_GX} AS BIGINT) AS gx,
+         CAST({_TWI_GY} AS BIGINT) AS gy
+  FROM acc
+  WHERE x >= 1 AND x < {W - 1} AND y >= 1 AND y < {H - 1}
+)
+SELECT x, y, acc, {_TWI_EXPR} AS twi FROM gr
+"""
+
+
+@register("raster_twi", _TWI_ORACLE)
+def raster_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic wetness index per interior cell — the iterative
+    flow-accumulation fixpoint composed with the gradient stencil in
+    one projection."""
+    cells = spark.range(0, W * H, 1, 8).selectExpr(
+        f"CAST(id % {W} AS BIGINT) AS x",
+        f"CAST(id DIV {W} AS BIGINT) AS y",
+    ).selectExpr(
+        "x", "y",
+        f"CAST({_zf('x', 'y')} AS BIGINT) AS z",
+        f"CAST({_FX} AS BIGINT) AS fx",
+        f"CAST({_FY} AS BIGINT) AS fy",
+    )
+    acc = flow_accumulation(cells, tile_w=8, tile_h=8)
+    return (
+        acc.filter(
+            (F.col("x") >= 1) & (F.col("x") < W - 1)
+            & (F.col("y") >= 1) & (F.col("y") < H - 1)
+        )
+        .selectExpr(
+            "x", "y", "CAST(acc AS BIGINT) AS acc",
+            f"CAST({_TWI_GX} AS BIGINT) AS gx",
+            f"CAST({_TWI_GY} AS BIGINT) AS gy",
+        )
+        .selectExpr("x", "y", "acc", f"{_TWI_EXPR} AS twi")
+    )

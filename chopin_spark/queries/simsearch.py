@@ -616,3 +616,60 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH" + _PCA_FINAL.format(v="pca_v", g="pca_gram")
     )
+
+
+# --- embedding drift between crawl epochs --------------------------------------
+#
+# The embedding-space health check between two crawl snapshots: per
+# label, the cosine between the epoch-0 and epoch-1 mean vectors (a
+# drifting encoder or corpus shift drops it).  Epochs derive from
+# vec_id parity (the fixture's stand-in for snapshot membership).
+# Everything is exact-integer until the final cosine: per-(label,
+# epoch) SUM of quantized components and counts are int64; the cosine
+# multiplies count-scaled integer dot products (n0·n1 cancels), so the
+# only doubles are three exact-int casts, two SQRTs and one divide —
+# correctly rounded, bit-identical both engines.  Shape: ONE fact agg
+# to 2·|labels| mean vectors (metadata), then label-keyed column math.
+
+_DRIFT_SQL_CORE = """
+m AS (
+  SELECT label, vec_id % 2 AS epoch, COUNT(*) AS n,
+         {sums} FROM q GROUP BY 1, 2
+),
+p AS (
+  SELECT a.label,
+         CAST(a.n AS BIGINT) AS n0, CAST(b.n AS BIGINT) AS n1,
+         {dot} AS dot, {na} AS na2, {nb} AS nb2
+  FROM m a JOIN m b ON a.label = b.label
+  WHERE a.epoch = 0 AND b.epoch = 1
+)
+SELECT CAST(label AS BIGINT) AS label, n0, n1,
+       ROUND(CAST(dot AS DOUBLE)
+             / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE))),
+             6) AS mean_cosine
+FROM p
+"""
+
+
+def _drift_sql(quant: str, idx: str = "q[{k}]") -> str:
+    # Spark brackets are 0-based / element_at is 1-based; DuckDB lists
+    # are 1-based — the indexer is the only dialect-split token
+    sums = ", ".join(
+        "CAST(SUM(" + idx.format(k=k + 1) + f") AS BIGINT) AS s{k}"
+        for k in range(_PCA_D)
+    )
+    dot = "(" + " + ".join(
+        f"a.s{k} * b.s{k}" for k in range(_PCA_D)
+    ) + ")"
+    na = "(" + " + ".join(f"a.s{k} * a.s{k}" for k in range(_PCA_D)) + ")"
+    nb = "(" + " + ".join(f"b.s{k} * b.s{k}" for k in range(_PCA_D)) + ")"
+    core = _DRIFT_SQL_CORE.format(sums=sums, dot=dot, na=na, nb=nb)
+    return f"WITH q AS (SELECT vec_id, label, {quant} AS q FROM embeddings),{core}"
+
+
+@register("embedding_epoch_drift", _drift_sql(_KM_QUANT_DUCK))
+def embedding_epoch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cosine between epoch mean embeddings (vec_id parity
+    as the snapshot split) — exact-integer dot products, one fact agg."""
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_drift_sql(_QE("embedding"), idx="element_at(q, {k})"))
