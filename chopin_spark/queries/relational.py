@@ -182,3 +182,62 @@ def promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_Q14_SQL)
+
+
+# --- deterministic bootstrap of a corpus mean ----------------------------------
+#
+# Error bars at 100 TB: the Poisson/multinomial bootstrap reweights
+# every row independently, so B resamples are ONE pass with a B-way
+# explode of a 2-column projection — no sampling shuffle, no reservoir.
+# Weights are a closed form of (doc_id, replicate): w ∈ {0, 1, 2} with
+# P = (1/4, 1/2, 1/4) — mean 1 (unbiased resample size), variance 1/2
+# (a documented, deterministic stand-in for Poisson(1)'s variance 1 —
+# CI widths scale by √2 narrower; the point here is the PLAN and the
+# cross-engine exactness, both weight draws being pure integer LCG).
+# Output: B replicate means on the exact integer lattice — the
+# consumer takes percentiles of 32 numbers.
+
+_BOOT_B = 32
+_BOOT_W = (
+    "(CASE ((doc_id * 2654435761 + b * 40503) % 4)"
+    " WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END)"
+)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (
+  SELECT doc_id, n_chars, r.b
+  FROM documents, generate_series(0, {_BOOT_B - 1}) AS r(b)
+),
+w AS (
+  SELECT b, CAST({_BOOT_W} AS BIGINT) AS w, n_chars FROM reps
+)
+SELECT b AS replicate,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       ROUND(CAST(SUM(w * n_chars) AS BIGINT)
+             / CAST(SUM(w) AS DOUBLE), 4) AS boot_mean
+FROM w
+GROUP BY 1
+"""
+
+
+@register("bootstrap_mean_chars", _BOOT_ORACLE)
+def bootstrap_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B=32 deterministic bootstrap replicates of mean document length
+    — one pass, a B-way explode of a two-column projection, exact
+    integer accumulators."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = docs.select(
+        "doc_id", "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn("w", F.expr(_BOOT_W).cast("long"))
+    return (
+        reps.groupBy(F.col("b").cast("long").alias("replicate"))
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_chars")).cast("long")
+                / F.sum("w").cast("double"),
+                4,
+            ).alias("boot_mean"),
+        )
+    )
