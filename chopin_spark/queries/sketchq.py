@@ -348,3 +348,76 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT explode(split(text, ' ')) AS tok FROM documents",
         )
     )
+
+
+# --- grouped HLL: per-host sketch audited against exact ------------------------
+#
+# The production shape of a distinct-count sketch is GROUPED — one
+# 64-register vector per key, merged associatively under the key's
+# shuffle — and a sketch nobody audits is a number nobody should trust:
+# every host row carries its exact distinct count and the relative
+# error, so the m=64 error envelope (~1.04/√64 ≈ 13%) is checkable
+# row by row.  Register fill uses a host × register frame (hosts·64
+# rows — key-bounded metadata, never fact-sized).
+
+_GH_HOST = "('h' || CAST((doc_id * 40503) % 97 AS STRING) || '.example.com')"
+
+
+def _hll_host_sql(charfold, series: str) -> str:
+    url = url_sql("doc_id")
+    h1 = charfold("_u", 31)
+    h2 = charfold("_u", 37)
+    return f"""
+WITH u AS (
+  SELECT {_GH_HOST} AS host, {url} AS _u FROM documents
+),
+hashed AS (
+  SELECT host, {h1} AS h1, {h2} AS h2 FROM u
+),
+regs AS (
+  SELECT host, h1 % {_M} AS reg,
+         MAX(CASE WHEN h2 = 0 THEN 31
+                  ELSE 31 - LENGTH(BIN(h2)) END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+hosts AS (SELECT DISTINCT host FROM u),
+frame AS (
+  SELECT h.host, a.reg FROM hosts h CROSS JOIN ({series}) a
+),
+filled AS (
+  SELECT f.host, f.reg, COALESCE(r.m_j, 0) AS m_j
+  FROM frame f LEFT JOIN regs r ON r.host = f.host AND r.reg = f.reg
+),
+sk AS (
+  SELECT host,
+         SUM(POWER(2.0, -m_j)) AS sum_inv,
+         SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS n_zero
+  FROM filled GROUP BY 1
+),
+ex AS (
+  SELECT host, COUNT(DISTINCT _u) AS n_exact FROM u GROUP BY 1
+)
+SELECT sk.host,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       ROUND(CASE WHEN {_ALPHA_M} * {_M} * {_M} / sum_inv <= 2.5 * {_M}
+                       AND n_zero > 0
+                  THEN {_M} * LN(CAST({_M} AS DOUBLE) / n_zero)
+                  ELSE {_ALPHA_M} * {_M} * {_M} / sum_inv END, 4)
+         AS est,
+       ROUND((CASE WHEN {_ALPHA_M} * {_M} * {_M} / sum_inv <= 2.5 * {_M}
+                        AND n_zero > 0
+                   THEN {_M} * LN(CAST({_M} AS DOUBLE) / n_zero)
+                   ELSE {_ALPHA_M} * {_M} * {_M} / sum_inv END
+              - ex.n_exact) / ex.n_exact, 4) AS rel_err
+FROM sk JOIN ex ON ex.host = sk.host
+"""
+
+
+@register("hll_per_host_audit", _hll_host_sql(charfold_duckdb, _DDB_SERIES))
+def hll_per_host_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host HLL distinct-URL estimate with its exact count and
+    relative error — the grouped-sketch production shape, audited."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_hll_host_sql(charfold_spark, _SPK_SERIES))
