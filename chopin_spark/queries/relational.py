@@ -241,3 +241,42 @@ def bootstrap_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_mean"),
         )
     )
+
+
+# --- robust statistics: exact trimmed mean per group ---------------------------
+#
+# Outlier-proof corpus monitoring: the 5%-trimmed mean of document
+# length per language.  Trimming is RANK-based with a total order
+# (n_chars, doc_id) and integer threshold arithmetic
+# (rn·20 > n AND rn·20 ≤ 19·n) — no percentile function, whose
+# boundary/tie conventions differ between engines; both sides keep
+# exactly the same rows.  One window pass per group + one agg.
+
+_TRIM_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+kept AS (
+  SELECT lang, n_chars, n FROM r
+  WHERE rn * 20 > n AND rn * 20 <= 19 * n
+)
+SELECT lang,
+       CAST(MIN(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS trimmed_mean
+FROM kept
+GROUP BY 1
+"""
+
+
+@register("trimmed_mean_chars_by_lang", _TRIM_SQL)
+def trimmed_mean_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean document length per language — rank-based
+    trimming with integer thresholds, engine-stable by construction."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_TRIM_SQL)
