@@ -280,3 +280,59 @@ def trimmed_mean_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     trimming with integer thresholds, engine-stable by construction."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_TRIM_SQL)
+
+
+# --- Benford first-digit audit (data-quality / anomaly screen) -----------------
+#
+# The classic numeric-integrity screen: the first significant digit of
+# money amounts against Benford's log10(1 + 1/d) law, with the per-
+# digit χ² contribution.  The first digit is extracted by an unrolled
+# integer halving chain on exact CENTS (four FLOOR-divisions by 1e8 /
+# 1e4 / 1e2 / 10 — power-of-ten divisions of int-valued doubles are
+# correctly rounded and far from integer boundaries, so both engines
+# agree bit-for-bit; no LOG10, no string formatting, whose conventions
+# split engines).  The Benford expectations are Python-baked literals.
+# One scan, one 9-key agg.
+
+_BF_CENTS = "CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)"
+
+
+def _bf_first_digit(c: str) -> str:
+    s = c
+    for p in (100000000, 10000, 100, 10):
+        s = (
+            "(CASE WHEN %s >= %d THEN"
+            " CAST(FLOOR(%s / %d.0) AS BIGINT) ELSE %s END)"
+            % (s, p, s, p, s)
+        )
+    return s
+
+
+_BF_LOG = "(CASE digit __EXPCASE__ END)"
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT __FD__ AS digit FROM lineitem
+),
+cnt AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt)
+SELECT digit, n_obs,
+       ROUND(CAST(n AS DOUBLE) * __LOG__, 4) AS n_expected,
+       ROUND((n_obs - CAST(n AS DOUBLE) * __LOG__)
+             * (n_obs - CAST(n AS DOUBLE) * __LOG__)
+             / (CAST(n AS DOUBLE) * __LOG__), 6) AS chi2_contrib
+FROM cnt CROSS JOIN tot
+""".replace("__LOG__", _BF_LOG.replace("__EXPCASE__", 'WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514')).replace(
+    "__FD__", _bf_first_digit(_BF_CENTS)
+)
+
+
+@register("benford_price_audit", _BENFORD_SQL)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of l_extendedprice vs Benford's law
+    with per-digit χ² contributions — integer digit extraction, baked
+    log literals, one 9-key agg."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_BENFORD_SQL)

@@ -1175,3 +1175,79 @@ def tile_pyramid_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --- Theil–Sen robust slope per tract (the magnitude twin of Mann-Kendall) ----
+#
+# MK gives trend DIRECTION; Theil–Sen gives its robust MAGNITUDE: the
+# median of all pairwise slopes (c_j − c_i)/(j − i) over the same
+# daily count cube.  T = 30 days ⇒ 435 pairs per tract (odd, so the
+# median is a single order statistic — no averaging rule to disagree
+# on); each slope is an exact-integer division (correctly rounded,
+# identical both engines), and rank ties among equal doubles pick
+# equal values by construction.  Same tiering as MK: facts collapse to
+# the (tract, day) cube once; the pair stage is dimension-sized.
+
+_TS_BODY = _MK_BODY.split("pairs AS (")[0] + """slopes AS (
+  SELECT a.gx, a.gy,
+         CAST(b.cnt - a.cnt AS DOUBLE) / (b.d - a.d) AS slope
+  FROM cube0 a
+  JOIN cube0 b ON b.gx = a.gx AND b.gy = a.gy AND b.d > a.d
+),
+rk AS (
+  SELECT gx, gy, slope,
+         ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY gx, gy) AS n
+  FROM slopes
+)
+SELECT gx, gy,
+       CAST(MIN(n) AS BIGINT) AS n_pairs,
+       ROUND(MIN(CASE WHEN rn * 2 = n + 1 THEN slope END), 6)
+         AS ts_slope
+FROM rk
+GROUP BY 1, 2
+"""
+
+_TS_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+days AS (
+  SELECT d FROM generate_series(1, {_MK_DAYS}) AS gd(d)
+),
+e AS (
+  SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         CAST(day(ts) AS BIGINT) AS d, 1 AS one
+  FROM events WHERE month(ts) = 1
+),
+{_TS_BODY}
+"""
+
+_TS_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+days AS (
+  SELECT explode(sequence(1, {_MK_DAYS})) AS d
+),
+e AS (
+  SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         day(ts) AS d, 1 AS one
+  FROM events WHERE month(ts) = 1
+),
+{_TS_BODY}
+"""
+
+
+@register("theil_sen_tract_slope", _TS_ORACLE)
+def theil_sen_tract_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median pairwise slope of each tract's daily event counts —
+    Mann-Kendall's robust magnitude companion over the same cube."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_TS_SPARK)
