@@ -370,3 +370,54 @@ def trajectory_bearing_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     random walk."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_BEAR_SQL)
+
+
+# --- CUSUM change-point detection on daily event volumes -----------------------
+#
+# The sequential upgrade of event_volume_anomalies' 2σ rule: where did
+# each event type's daily volume SHIFT?  The classic CUSUM argmax
+# — k* = argmax_k |Σ_{i≤k}(c_i − mean)| — located with INTEGER-only
+# arithmetic by scaling out the division: n·S_k = n·prefix_k − k·total
+# (exact int64; days ≤ 31, counts ≤ fact size).  One window pass per
+# type + a deterministic (stat DESC, day ASC) argmax.
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE month(ts) = 1
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, d,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pref,
+         SUM(c) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM daily
+),
+s AS (
+  SELECT event_type, d,
+         ABS(nd * pref - (ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY d)) * tot)
+           AS stat
+  FROM w
+),
+rk AS (
+  SELECT event_type, d, stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY stat DESC, d) AS rn
+  FROM s
+)
+SELECT event_type, d AS changepoint_day, CAST(stat AS BIGINT) AS n_cusum
+FROM rk WHERE rn = 1
+"""
+
+
+@register("cusum_volume_changepoint", _CUSUM_SQL)
+def cusum_volume_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the day maximizing |CUSUM| of daily volume —
+    integer-only via the n·S_k = n·prefix − k·total scaling."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CUSUM_SQL)

@@ -1122,3 +1122,42 @@ def qscore_lang_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     as quality_classifier_scores)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_qbias_sql(_QCLS_SPARK))
+
+
+# --- Spearman rank correlation: length vs classifier score ---------------------
+#
+# Does the deployed quality classifier just measure document LENGTH?
+# Spearman's ρ = 1 − 6Σd²/(n(n²−1)) over the two rank vectors —
+# integer-exact end to end: ranks come from ROW_NUMBER over the total
+# orders (value, doc_id) (the deterministic tie convention, stated
+# rather than averaged), d² sums stay under n³ ≪ 2^63, and the single
+# division is the last op under ROUND(,6).  Two window passes + one
+# 1-row agg.
+
+_SPEAR_SQL = f"""
+WITH s AS (
+{{scorer}}
+),
+r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS r_len,
+         ROW_NUMBER() OVER (ORDER BY w_sum, doc_id) AS r_q
+  FROM s
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((r_len - r_q) * (r_len - r_q)) AS BIGINT) AS d2
+  FROM r
+)
+SELECT n, d2,
+       ROUND(1.0 - 6.0 * d2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+             * CAST(n AS DOUBLE) - 1.0)), 6) AS spearman_rho
+FROM agg
+"""
+
+
+@register("spearman_len_vs_score", _SPEAR_SQL.format(scorer=_QCLS_ORACLE))
+def spearman_len_vs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ between token count and classifier score (reusing
+    the deployed _QCLS scorer verbatim) — the length-confound check."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SPEAR_SQL.format(scorer=_QCLS_SPARK))
