@@ -1393,3 +1393,100 @@ def raster_morph_open(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup,
         "raster_id string, tile_id long, open_sum long, n_lowered long",
     )
+
+
+# --- 5×5 binomial (integer Gaussian) blur: two chained separable passes -------
+#
+# terra::focal(w = gauss(5)) analog.  Engine: two chained
+# raster.conv3_binomial_tiles passes (each a strip-only halo exchange +
+# a SEPARABLE rows-then-cols numpy sweep); per-pass zero beyond the
+# raster edge.  Oracle: the composition inlined as one flat 81-term
+# expression — for each mid offset (a2,b2) and inner offset (a1,b1),
+# W[a2]W[b2]·W[a1]W[b1]·DN(i+a2+a1, j+b2+b1) gated on BOTH the mid
+# pixel and the inner pixel being in-raster (exactly the per-pass
+# zero-pad the chained engine applies).  No joins, no tolerance:
+# binomial weights are integers, so the hash must match bit-for-bit.
+
+_B3 = {-1: 1, 0: 2, 1: 1}  # binomial [1, 2, 1]
+
+
+def _blur_terms() -> str:
+    terms = []
+    for a2 in (-1, 0, 1):
+        for b2 in (-1, 0, 1):
+            w2 = _B3[a2] * _B3[b2]
+            for a1 in (-1, 0, 1):
+                for b1 in (-1, 0, 1):
+                    w = w2 * _B3[a1] * _B3[b1]
+                    di, dj = a2 + a1, b2 + b1
+                    terms.append(
+                        f"(CASE WHEN i + {a2} BETWEEN 0 AND {NPX - 1}"
+                        f" AND j + {b2} BETWEEN 0 AND {NPY - 1}"
+                        f" AND i + {di} BETWEEN 0 AND {NPX - 1}"
+                        f" AND j + {dj} BETWEEN 0 AND {NPY - 1}"
+                        f" THEN {w} * {pixel_value_sql(f'(i + {di})', f'(j + {dj})', 0)}"
+                        f" ELSE 0 END)"
+                    )
+    return " + ".join(terms)
+
+
+_BLUR_ORACLE = f"""
+WITH px AS (
+  SELECT g1.i, g2.j,
+         ({_blur_terms()}) AS bv
+  FROM generate_series(0, {NPX - 1}) AS g1(i),
+       generate_series(0, {NPY - 1}) AS g2(j)
+)
+SELECT 'r0' AS raster_id,
+       (CAST(FLOOR(j / {TILE}.0) AS BIGINT) * {_TNX}
+        + CAST(FLOOR(i / {TILE}.0) AS BIGINT)) AS tile_id,
+       CAST(SUM(bv) AS BIGINT) AS blur_sum,
+       CAST(SUM(bv * ((i * 31 + j * 17) % 97)) AS BIGINT) AS blur_chk
+FROM px GROUP BY 1, 2
+"""
+
+
+@register("raster_blur_binomial5", _BLUR_ORACLE)
+def raster_blur_binomial5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5×5 binomial (integer Gaussian) smoothing of the partitioned
+    raster as TWO chained separable 3×3 passes; per-tile blurred sum
+    plus a position-weighted checksum so a single transposed or
+    mis-haloed pixel breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from chopin_spark.raster import conv3_binomial_tiles
+
+    tiles = _tiles(spark, n_rasters=1)
+    # same lineage-cut rule as raster_morph_open: halo_joined consumes
+    # its input twice, so cut between chained passes
+    once = conv3_binomial_tiles(tiles).localCheckpoint()
+    twice = conv3_binomial_tiles(once)
+
+    def rollup(batches):
+        for pdf in batches:
+            rid, tid, bsum, bchk = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                v = np.asarray(row.values, dtype=np.int64).reshape(
+                    TILE, TILE
+                )
+                gi = int(row.tile_col) * TILE + np.arange(TILE)[None, :]
+                gj = int(row.tile_row) * TILE + np.arange(TILE)[:, None]
+                wt = (gi * 31 + gj * 17) % 97
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                bsum.append(int(v.sum()))
+                bchk.append(int((v * wt).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "blur_sum": pd.Series(bsum, dtype="int64"),
+                    "blur_chk": pd.Series(bchk, dtype="int64"),
+                }
+            )
+
+    return twice.mapInPandas(
+        rollup,
+        "raster_id string, tile_id long, blur_sum long, blur_chk long",
+    )

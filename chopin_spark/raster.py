@@ -938,6 +938,58 @@ def morph_tiles(tiles: DataFrame, op: str) -> DataFrame:
     return halo_joined(tiles).mapInPandas(finish, schema)
 
 
+def conv3_binomial_tiles(tiles: DataFrame) -> DataFrame:
+    """One 3×3 binomial-weighted convolution pass ([1,2,1]⊗[1,2,1],
+    zero beyond the raster edge) returning FULL transformed tiles, so
+    smoothing passes CHAIN like :func:`morph_tiles`: two passes give
+    the 5×5 binomial kernel [1,4,6,4,1]⊗[1,4,6,4,1] (the integer
+    Gaussian) for the shuffle volume of two 1-px halo surfaces — never
+    a widened 2-px halo, never a k² window read.
+
+    The numpy finish is SEPARABLE: a horizontal [1,2,1] sweep over the
+    padded array, then a vertical one — 2·k shifted adds instead of
+    k², the classic Gaussian-pyramid trick.  Composition + separability
+    together are the 100-TB story: an order-k smooth costs O(k) passes
+    of O(TILE²·3) work each, with halo traffic fixed at one strip per
+    pass (terra::focal with a gaussian w matrix does the k² window on
+    one machine; /root/reference/R/processing.R:148-228 assumes that
+    preprocessing already happened).
+
+    Integer-exact throughout: weights are binomial integers, zero-pad
+    keeps every pixel a plain weighted sum of in-raster DNs.
+    """
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = TILE
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, tid, trow, tcol, out = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                p, _m = assemble_padded(row)  # zero outside raster
+                h = p[:, 0:T] + 2 * p[:, 1 : T + 1] + p[:, 2 : T + 2]
+                v = h[0:T, :] + 2 * h[1 : T + 1, :] + h[2 : T + 2, :]
+                rid.append(row.raster_id)
+                tid.append(row.tile_id)
+                trow.append(row.tile_row)
+                tcol.append(row.tile_col)
+                out.append([int(x) for x in v.ravel()])
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "tile_row": pd.Series(trow, dtype="int32"),
+                    "tile_col": pd.Series(tcol, dtype="int32"),
+                    "values": out,
+                }
+            )
+
+    schema = (
+        "raster_id string, tile_id long, tile_row int, tile_col int,"
+        " values array<long>"
+    )
+    return halo_joined(tiles).mapInPandas(finish, schema)
+
+
 def halo_joined(tiles: DataFrame) -> DataFrame:
     """Stage 1 of any 3×3 stencil op: tiles joined with the boundary
     strips their neighbors emitted (see focal_sum_tiles for the scale
