@@ -1044,6 +1044,51 @@ def raster_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terrain_tiles(tiles)
 
 
+# --- Zevenbergen–Thorne curvature: second-derivative stencils -----------------
+
+from chopin_spark.raster import curvature_tiles  # noqa: E402
+
+_ZXX = f"({_pv(-1, 0)} - 2 * {_pv(0, 0)} + {_pv(1, 0)})"
+_ZYY = f"({_pv(0, -1)} - 2 * {_pv(0, 0)} + {_pv(0, 1)})"
+_TXY = f"({_pv(1, 1)} - {_pv(-1, 1)} - {_pv(1, -1)} + {_pv(-1, -1)})"
+
+_CURV_ORACLE = f"""
+WITH px AS (
+  SELECT g1.i, g2.j
+  FROM generate_series(1, {NPX - 2}) AS g1(i),
+       generate_series(1, {NPY - 2}) AS g2(j)
+),
+d AS (
+  SELECT i, j, {_ZXX} + {_ZYY} AS lap, {_TXY} AS txy FROM px
+)
+SELECT 'r0' AS raster_id,
+       (CAST(FLOOR(j / {TILE}.0) AS BIGINT) * {_TNX}
+        + CAST(FLOOR(i / {TILE}.0) AS BIGINT)) AS tile_id,
+       CAST(COUNT(*) AS INT) AS n_full,
+       CAST(SUM(lap) AS BIGINT) AS lap_sum,
+       CAST(SUM(lap * lap) AS BIGINT) AS lap_energy,
+       CAST(SUM(txy * txy) AS BIGINT) AS twist_energy,
+       CAST(SUM(CASE WHEN lap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_concave,
+       CAST(SUM(CASE WHEN lap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_convex,
+       CAST(SUM(CASE WHEN lap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planar
+FROM d GROUP BY 1, 2
+"""
+
+
+@register("raster_curvature_zt", _CURV_ORACLE)
+def raster_curvature_zt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen–Thorne (1987) curvature stencils per tile: integer
+    Laplacian carrier (zxx+zyy) sum/energy, twist-term energy, and
+    concave/convex/planar class counts — the second-derivative
+    companion to raster_terrain_horn's first-derivative battery, same
+    strip-only halo exchange (shuffle = tile surface).  Oracle
+    regenerates every interior pixel's 3×3 window in closed form, so a
+    flipped stencil sign or a mis-assembled corner halo breaks the
+    hash."""
+    tiles = _tiles(spark, n_rasters=1)
+    return curvature_tiles(tiles)
+
+
 # --- C1 categorical zonal stats: majority / minority / variety ---------------
 #
 # exact_extract's 'majority'/'minority'/'variety' summaries (reachable

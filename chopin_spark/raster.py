@@ -990,6 +990,84 @@ def conv3_binomial_tiles(tiles: DataFrame) -> DataFrame:
     return halo_joined(tiles).mapInPandas(finish, schema)
 
 
+def curvature_tiles(tiles: DataFrame) -> DataFrame:
+    """Zevenbergen–Thorne curvature analog (terra::terrain lacks it;
+    the Z–T 1987 second-derivative stencils are the standard DEM
+    curvature formulation) on the partitioned raster — same strip-only
+    halo exchange as :func:`terrain_tiles`, ALL integer:
+
+    - zxx = z(i-1,j) - 2z(i,j) + z(i+1,j)   (d2z/dx2 * h2)
+      zyy = z(i,j-1) - 2z(i,j) + z(i,j+1)   (d2z/dy2 * h2)
+      lap = zxx + zyy — the Laplacian carrier; sign classifies the
+      surface locally concave (>0), convex (<0), or planar (=0).
+    - txy = z(i+1,j+1) - z(i-1,j+1) - z(i+1,j-1) + z(i-1,j-1)
+      (4 * d2z/dxdy * h2 — the twist term).
+
+    Per tile: (n_full, lap_sum, lap_energy=SUM lap^2, twist_energy=
+    SUM txy^2, n_concave, n_convex, n_planar) over full-window pixels
+    only.  Dividing by h^2 is a driver-side constant; keeping the
+    distributed sums in int64 makes them associative and oracle-exact."""
+    T = TILE
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            cols = (
+                "raster_id", "tile_id", "n_full", "lap_sum",
+                "lap_energy", "twist_energy", "n_concave", "n_convex",
+                "n_planar",
+            )
+            out: dict[str, list] = {k: [] for k in cols}
+            for row in pdf.itertuples(index=False):
+                p, m = assemble_padded(row)
+
+                def sh(dj, di):
+                    return p[1 + dj : 1 + dj + T, 1 + di : 1 + di + T]
+
+                cnt = sum(
+                    m[a : a + T, b : b + T]
+                    for a in range(3)
+                    for b in range(3)
+                )
+                full = cnt == 9
+                c = sh(0, 0)
+                zxx = sh(0, -1) - 2 * c + sh(0, 1)
+                zyy = sh(-1, 0) - 2 * c + sh(1, 0)
+                txy = sh(1, 1) - sh(1, -1) - sh(-1, 1) + sh(-1, -1)
+                lap = (zxx + zyy)[full]
+                txy = txy[full]
+                out["raster_id"].append(row.raster_id)
+                out["tile_id"].append(row.tile_id)
+                out["n_full"].append(int(full.sum()))
+                out["lap_sum"].append(int(lap.sum()))
+                out["lap_energy"].append(int((lap * lap).sum()))
+                out["twist_energy"].append(int((txy * txy).sum()))
+                out["n_concave"].append(int((lap > 0).sum()))
+                out["n_convex"].append(int((lap < 0).sum()))
+                out["n_planar"].append(int((lap == 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": out["raster_id"],
+                    "tile_id": pd.Series(out["tile_id"], dtype="int64"),
+                    "n_full": pd.Series(out["n_full"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="int64")
+                        for k in (
+                            "lap_sum", "lap_energy", "twist_energy",
+                            "n_concave", "n_convex", "n_planar",
+                        )
+                    },
+                }
+            )
+
+    out_schema = (
+        "raster_id string, tile_id long, n_full int, lap_sum long,"
+        " lap_energy long, twist_energy long, n_concave long,"
+        " n_convex long, n_planar long"
+    )
+    return halo_joined(tiles).mapInPandas(finish, out_schema)
+
+
 def halo_joined(tiles: DataFrame) -> DataFrame:
     """Stage 1 of any 3×3 stencil op: tiles joined with the boundary
     strips their neighbors emitted (see focal_sum_tiles for the scale
