@@ -364,6 +364,88 @@ def moran_i_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_MORAN_SPARK)
 
 
+# --- Geary's C (global spatial autocorrelation, difference form) -------------
+#
+# Moran's I is a cross-product statistic; Geary's C is its difference
+# twin, C = (n−1)·Σᵢⱼ wᵢⱼ(xᵢ−xⱼ)² / (2W·Σᵢ(xᵢ−x̄)²) — more sensitive
+# to local than global structure (spdep::geary.test parity; chopin
+# feeds exactly these tract summaries to spdep downstream).  With the
+# integer centering dd = n·x − S the n² scale cancels between
+# numerator and denominator, so num = Σ_directed (dd₁−dd₂)² and
+# den = Σ dd² are exact int64 and only the final ratio is a double.
+
+_GEARY_BODY = """
+z AS (
+  SELECT c.gx, c.gy, COALESCE(SUM(d.n_chars), 0) AS x
+  FROM cells c LEFT JOIN d ON d.gx = c.gx AND d.gy = c.gy
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT gx, gy,
+         CAST({n} AS BIGINT) * x - (SELECT SUM(x) FROM z) AS dd
+  FROM z
+),
+nb AS (
+  SELECT t.gx + o.dx AS ngx, t.gy + o.dy AS ngy, t.dd
+  FROM t CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)
+),
+pairs AS (
+  SELECT nb.dd AS d1, t2.dd AS d2
+  FROM nb JOIN t t2 ON nb.ngx = t2.gx AND nb.ngy = t2.gy
+)
+SELECT CAST({n} AS BIGINT) AS n_zones,
+       (SELECT COUNT(*) FROM pairs) AS w_links,
+       (SELECT CAST(SUM((d1 - d2) * (d1 - d2)) AS BIGINT) FROM pairs) AS num,
+       (SELECT CAST(SUM(dd * dd) AS BIGINT) FROM t) AS den,
+       ROUND(
+         CAST({n} - 1 AS DOUBLE)
+         * (SELECT SUM((d1 - d2) * (d1 - d2)) FROM pairs)
+         / (2.0 * CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+            * (SELECT SUM(dd * dd) FROM t)),
+         6) AS geary_c
+"""
+
+_GEARY_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_GEARY_BODY.format(n=_NZ)}
+"""
+
+_GEARY_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_GEARY_BODY.format(n=_NZ)}
+"""
+
+
+@register("geary_c_tracts", _GEARY_ORACLE)
+def geary_c_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C (rook weights) of per-tract page mass — the
+    squared-difference autocorrelation statistic, exact-integer num/den
+    via the same centering identity as moran_i_tracts; the directed
+    link count folds the 2W normalization."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_GEARY_SPARK)
+
+
 # --- Getis-Ord Gi* hotspot detection ----------------------------------------
 #
 # Moran's I says WHETHER the surface clusters; Gi* says WHERE.  Same
