@@ -1161,3 +1161,56 @@ def spearman_len_vs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deployed _QCLS scorer verbatim) — the length-confound check."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SPEAR_SQL.format(scorer=_QCLS_SPARK))
+
+
+# --- Kolmogorov-Smirnov two-sample test: en vs de length distributions -------
+#
+# The distribution-shift audit a curation pipeline runs between corpus
+# slices (languages, epochs, sources): exact two-sample KS statistic
+# D = sup_v |F_en(v) - F_de(v)| over the pooled support.  Putting both
+# ECDFs over a common denominator n_en*n_de keeps the sup an INTEGER
+# max: D_num = max_v |c_en(v)*n_de - c_de(v)*n_en| with c = cumulative
+# counts at distinct v (one sort-free groupBy + one window over the
+# distinct-value table, never the raw rows).  At 100 TB the grouped
+# distinct-value table is |support|-sized (~1e5), so the window is a
+# metadata-scale step after a map-side-combining agg.
+
+_KS_SQL = """
+WITH s AS (
+  SELECT n_chars AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g1,
+         CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS g2
+  FROM documents WHERE lang IN ('en', 'de')
+),
+per_v AS (
+  SELECT v, CAST(SUM(g1) AS BIGINT) AS a, CAST(SUM(g2) AS BIGINT) AS b
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(a) OVER (ORDER BY v) AS c1,
+         SUM(b) OVER (ORDER BY v) AS c2
+  FROM per_v
+),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+  FROM per_v
+)
+SELECT tot.n1 AS n_en, tot.n2 AS n_de,
+       CAST(MAX(ABS(cum.c1 * tot.n2 - cum.c2 * tot.n1)) AS BIGINT)
+         AS d_num,
+       ROUND(MAX(ABS(cum.c1 * tot.n2 - cum.c2 * tot.n1))
+             / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)),
+             6) AS ks_d
+FROM cum CROSS JOIN tot
+GROUP BY tot.n1, tot.n2
+"""
+
+
+@register("ks_two_sample_lang", _KS_SQL)
+def ks_two_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between the en and de
+    document-length distributions — integer sup over the common
+    denominator, one final double division."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_KS_SQL)
