@@ -453,3 +453,62 @@ def zone_geodesic_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     + rollup."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_GEOAREA_SQL)
+
+
+# --- planar Hilbert write layout (the classic xy2d curve, order 6) ------------
+#
+# s2_write_layout_plan clusters by S2 ids (Hilbert on the sphere's cube
+# faces); this is the PLANAR counterpart for projected/metric tables —
+# the curve Iceberg/Delta use for multi-column file clustering.  Unlike
+# the Z-order quadkey (quad_cell_rollup), consecutive Hilbert d are
+# always rook-adjacent cells, so each bin-packed file covers one
+# compact connected region and a spatial range scan touches the
+# minimum number of files.  The xy2d loop is unrolled one CTE per
+# level (sqlexpr.hilbert_chain_sql), arithmetic-only and engine-shared.
+
+_HIL_ORDER = 6
+_HIL_N = 1 << _HIL_ORDER
+_HIL_CAP = 20_000
+
+_HIL_SQL = f"""
+WITH src AS (
+  SELECT {sx.grid_ix_expr(sx.x_expr('doc_id'), _HIL_N)} AS hx,
+         {sx.grid_iy_expr(sx.y_expr('doc_id'), _HIL_N)} AS hy,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents
+  GROUP BY 1, 2
+),
+{sx.hilbert_chain_sql(_HIL_ORDER, 'n_docs, bytes', 'src')},
+ordered AS (
+  SELECT hd, n_docs, bytes,
+         COALESCE(SUM(bytes) OVER (ORDER BY hd
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM hfin
+),
+assigned AS (
+  SELECT hd, n_docs, bytes,
+         CAST(FLOOR(prev / {_HIL_CAP}.0) AS BIGINT) AS file_id
+  FROM ordered
+)
+SELECT file_id,
+       MIN(hd) AS range_min,
+       MAX(hd) AS range_max,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(bytes) AS BIGINT) AS sum_bytes
+FROM assigned
+GROUP BY 1
+"""
+
+
+@register("hilbert_write_layout_plan", _HIL_SQL)
+def hilbert_write_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar Hilbert-curve file-clustering plan: per-cell doc mass is
+    keyed by the exact xy2d index (order 6, arithmetic-only unrolled
+    loop) and bin-packed into contiguous [range_min, range_max] curve
+    intervals.  The cell agg shrinks the window input to 2^(2*order)
+    rows, so the ORDER BY hd window is metadata-scale at any corpus
+    size."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_HIL_SQL)

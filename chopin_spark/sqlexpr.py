@@ -371,3 +371,63 @@ def xyz_quadkey_py(tx: int, ty: int, z: int) -> str:
         str(2 * ((ty >> b) & 1) + ((tx >> b) & 1))
         for b in range(z - 1, -1, -1)
     )
+
+
+def hilbert_chain_sql(order: int, keep: str, src: str) -> str:
+    """CTE chain computing the planar Hilbert index d of integer cell
+    coords over a 2^order × 2^order grid — the classic xy2d loop
+    (Wikipedia "Hilbert curve", public-domain C) unrolled one CTE per
+    level, ARITHMETIC-ONLY so both engines agree exactly:
+
+    - the bitwise tests (x & s) become range tests on mod-normalized
+      coords (xm = ((x mod 2s) + 2s) mod 2s, rx = xm >= s),
+    - the quadrant XOR (3*rx) ^ ry becomes 3*rx + ry - 2*rx*ry
+      (identical on the {0,1}² domain),
+    - the rotate/reflect step is a CASE on (rx, ry).
+
+    `src` must expose columns ({keep}, hx, hy); the chain ends in CTE
+    ``hfin`` exposing ({keep}, hd).  Validated against the bitwise
+    reference (bijection + unit-step adjacency) in tests/test_sqlexpr
+    and pinned by the cross-engine oracle.  Unlike the Z-order quadkey
+    (quad_cell_expr), consecutive Hilbert d never jump cells — the
+    property that makes it the better file-clustering key."""
+    n = 1 << order
+    lines = [f"h0 AS (SELECT {keep}, hx, hy, CAST(0 AS BIGINT) AS hd FROM {src})"]
+    prev = "h0"
+    lvl = 0
+    s = n // 2
+    while s > 0:
+        m = 2 * s
+        xm = f"(((hx % {m}) + {m}) % {m})"
+        ym = f"(((hy % {m}) + {m}) % {m})"
+        rx = f"(CASE WHEN {xm} >= {s} THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN {ym} >= {s} THEN 1 ELSE 0 END)"
+        lvl += 1
+        cur = f"h{lvl}" if s > 1 else "hfin"
+        lines.append(
+            f"{cur} AS (SELECT {keep},\n"
+            f"  CASE WHEN {ry} = 1 THEN {xm}\n"
+            f"       WHEN {rx} = 1 THEN {s - 1} - {ym} ELSE {ym} END AS hx,\n"
+            f"  CASE WHEN {ry} = 1 THEN {ym}\n"
+            f"       WHEN {rx} = 1 THEN {s - 1} - {xm} ELSE {xm} END AS hy,\n"
+            f"  hd + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}) AS hd\n"
+            f"  FROM {prev})"
+        )
+        prev = cur
+        s //= 2
+    return ",\n".join(lines)
+
+
+def hilbert_d_py(order: int, x: int, y: int) -> int:
+    """Bitwise reference twin of hilbert_chain_sql (test pin)."""
+    d, s = 0, (1 << order) // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d

@@ -253,3 +253,51 @@ def test_xyz_ty_boundary_neighborhood_cross_engine(spark):
         b = _xyz_row_boundary_lat(k, z)
         i = lats.index(b)
         assert got_spark[i] == k, (k, got_spark[i])
+
+
+def test_hilbert_chain_matches_bitwise_reference():
+    """The arithmetic-only unrolled xy2d chain equals the classic
+    bitwise loop on the full order-5 grid, is a bijection, and
+    consecutive d are rook-adjacent (THE Hilbert property Z-order
+    lacks)."""
+    import duckdb
+
+    order, n = 5, 32
+    chain = sx.hilbert_chain_sql(order, "gx, gy", "src")
+    sql = f"""
+    WITH src AS (
+      SELECT g1.gx, g2.gy, g1.gx AS hx, g2.gy AS hy
+      FROM generate_series(0, {n - 1}) g1(gx),
+           generate_series(0, {n - 1}) g2(gy)
+    ),
+    {chain}
+    SELECT gx, gy, hd FROM hfin
+    """
+    rows = duckdb.connect().execute(sql).fetchall()
+    assert len(rows) == n * n
+    by_d = {}
+    for gx, gy, hd in rows:
+        assert hd == sx.hilbert_d_py(order, gx, gy), (gx, gy, hd)
+        by_d[hd] = (gx, gy)
+    assert sorted(by_d) == list(range(n * n))  # bijection
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_chain_spark_matches_duckdb(spark):
+    """Same chain text, same hd values, on Spark — mod/CASE semantics
+    agree engine-to-engine (no bitwise ops anywhere in the text)."""
+    order, n = 4, 16
+    chain = sx.hilbert_chain_sql(order, "gx, gy", "src")
+    sql = f"""
+    WITH src AS (
+      SELECT gx, gy, gx AS hx, gy AS hy
+      FROM (SELECT explode(sequence(0, {n - 1})) AS gx)
+      CROSS JOIN (SELECT explode(sequence(0, {n - 1})) AS gy)
+    ),
+    {chain}
+    SELECT gx, gy, hd FROM hfin
+    """
+    for r in spark.sql(sql).collect():
+        assert r.hd == sx.hilbert_d_py(order, r.gx, r.gy), (r.gx, r.gy)
