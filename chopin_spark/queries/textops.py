@@ -1214,3 +1214,109 @@ def ks_two_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator, one final double division."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_KS_SQL)
+
+
+# --- hard-negative mining for contrastive retrieval training ------------------
+#
+# The pair-mining step of training a retriever (DPR/E5-style): for each
+# anchor document, the top-k BM25-most-similar documents from OTHER
+# sources are the "hard negatives" — lexically close, semantically
+# non-duplicate.  Anchors are a deterministic 1/139 slice of the
+# corpus; terms are word BIGRAMS (phrase-level lexical overlap — the
+# unigram vocabulary is stopword-grade) scored through the
+# inverted-index access path of bm25_topk with a df cap
+# (df*10 <= n_docs) so hot shingles never enter the join — the
+# postings shuffled are those of the anchors' RARE bigrams only,
+# never the corpus.
+
+_HN_MOD, _HN_RES = 139, 3   # anchor slice: corpus/139 anchors
+_HN_K = 5
+_HN_K1, _HN_B = 1.2, 0.75
+
+
+def _hard_neg_sql(split_fn: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {split_fn} AS w FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST({{size_fn}}(w) AS BIGINT) - 1 AS dl FROM toks
+  WHERE {{size_fn}}(w) >= 2
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+allpost AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, {{bigram_fn}} AS t FROM toks
+        WHERE {{size_fn}}(w) >= 2)
+  GROUP BY 1, 2
+),
+df AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM allpost GROUP BY 1
+),
+qterms AS (
+  SELECT p.doc_id AS q_id, p.t
+  FROM allpost p
+  CROSS JOIN stats s
+  JOIN df f ON f.t = p.t
+  WHERE p.doc_id % {_HN_MOD} = {_HN_RES}
+    AND f.df * 10 <= s.n_docs
+),
+scored AS (
+  SELECT q.q_id, p.doc_id AS neg_id,
+         SUM(
+           LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (p.tf * ({_HN_K1!r} + 1.0))
+           / (p.tf + {_HN_K1!r}
+              * (1.0 - {_HN_B!r} + {_HN_B!r} * d.dl / s.avgdl))
+         ) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+  FROM qterms q
+  JOIN allpost p ON p.t = q.t AND p.doc_id <> q.q_id
+  JOIN df f ON f.t = q.t
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  JOIN documents qa ON qa.doc_id = q.q_id
+  JOIN documents ca ON ca.doc_id = p.doc_id
+  WHERE qa.source <> ca.source
+  GROUP BY 1, 2
+)
+SELECT q_id, neg_id, rank, score_bm25, n_shared_terms
+FROM (
+  SELECT q_id, neg_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY ROUND(score, 4) DESC, neg_id) AS BIGINT) AS rank,
+         ROUND(score, 4) AS score_bm25, n_shared_terms
+  FROM scored
+) r
+WHERE rank <= {_HN_K}
+"""
+
+
+_HN_SPARK = _hard_neg_sql("split(text, ' ')").format(
+    size_fn="size",
+    bigram_fn=(
+        "explode(transform(sequence(1, size(w) - 1),"
+        " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))"
+    ),
+)
+_HN_ORACLE = _hard_neg_sql("string_split(text, ' ')").format(
+    size_fn="len",
+    bigram_fn=(
+        "UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 1),"
+        " i -> w[i] || ' ' || w[i+1]))"
+    ),
+)
+
+
+@register("hard_negative_mining", _HN_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-retrieval hard negatives: per anchor (1/139 slice),
+    BM25 top-5 over rare-bigram overlap from other sources via the
+    df-capped inverted index — scores rounded before ranking, ties by
+    neg_id, cross-engine deterministic."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_HN_SPARK)
