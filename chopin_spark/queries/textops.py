@@ -1320,3 +1320,60 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg_id, cross-engine deterministic."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_HN_SPARK)
+
+
+# --- chi-square independence audit: lang × source ------------------------------
+#
+# The corpus-composition independence test (is language mix uniform
+# across ingestion sources, or does one source skew the mixture?).
+# Pearson chi² via the sparse-safe identity
+#   chi² = n · Σ_cells O²/(R·C) − n
+# — zero cells contribute nothing to the sum, so the OBSERVED cells
+# alone yield the complete statistic.  Each cell's n·O²/(R·C) is an
+# exact-integer numerator over one division, rounded to the 1e-6
+# lattice and SUMMED AS SCALED BIGINT — reduction-order independent,
+# cross-engine exact (the statistics battery's standard recipe,
+# docs/SCALE.md).  The contingency table is |langs|×|sources| —
+# metadata-sized after one fact-pass agg.
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+),
+rows_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cols_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+dims AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_) AS n_langs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_) AS n_sources
+),
+terms AS (
+  SELECT CAST(FLOOR(
+           (t.n * ce.o * ce.o)
+           / (CAST(r.r AS DOUBLE) * c.c) * 1000000 + 0.5
+         ) AS BIGINT) AS term_micro
+  FROM cells ce
+  JOIN rows_ r ON r.lang = ce.lang
+  JOIN cols_ c ON c.source = ce.source
+  CROSS JOIN tot t
+)
+SELECT t.n AS n_docs, d.n_langs, d.n_sources,
+       (d.n_langs - 1) * (d.n_sources - 1) AS dof,
+       (SELECT CAST(SUM(term_micro) AS BIGINT) FROM terms)
+         - t.n * 1000000 AS chi2_micro,
+       ROUND(((SELECT SUM(term_micro) FROM terms) - t.n * 1000000)
+             / 1000000.0, 6) AS chi2
+FROM tot t CROSS JOIN dims d
+"""
+
+
+@register("chi_square_lang_source", _CHI2_SQL)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of the lang × source
+    contingency table via the sparse-safe identity n·ΣO²/(R·C) − n
+    (zero cells contribute nothing, so the observed-cell sum is the
+    COMPLETE statistic) — integer carriers per cell, micro-lattice
+    rounding before the associative BIGINT sum."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CHI2_SQL)
