@@ -1158,3 +1158,65 @@ def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("anchor").alias("n_texts"),
         F.min("anchor").alias("first_text"),
     )
+
+
+# --- shingle novelty per crawl epoch ------------------------------------------
+#
+# The "how much of this crawl is NEW content" measurement (RefinedWeb /
+# CommonCrawl dedup planning): per quarter-year epoch, the fraction of
+# distinct 5-gram shingles whose FIRST appearance is that epoch.
+# Shape: one distinct-(shingle, epoch) agg, one min-epoch agg, one
+# equi-join back — all hash-partitioned on the shingle key, no windows,
+# no pairs; at crawl scale the shingle table is the dedup index the
+# pipeline already maintains.
+
+_EPOCH_Q = "CAST(FLOOR(((doc_id * 48271) % 31536000) / 7884000.0) AS BIGINT)"
+
+
+def _novelty_sql(shingle_src: str) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT shingle, epoch_q
+  FROM ({shingle_src})
+),
+firsts AS (
+  SELECT shingle, MIN(epoch_q) AS e0 FROM sh GROUP BY 1
+)
+SELECT sh.epoch_q,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.e0 = sh.epoch_q THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN f.e0 = sh.epoch_q THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_ratio
+FROM sh JOIN firsts f ON f.shingle = sh.shingle
+GROUP BY 1
+"""
+
+
+_NOV_SPARK = _novelty_sql(f"""
+  SELECT explode(transform(sequence(1, size(w) - 4),
+           i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                element_at(w, i + 2), element_at(w, i + 3),
+                element_at(w, i + 4)))) AS shingle,
+         {_EPOCH_Q} AS epoch_q
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+  WHERE size(w) >= 5
+""")
+_NOV_ORACLE = _novelty_sql(f"""
+  SELECT UNNEST(LIST_TRANSFORM(generate_series(1, LEN(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4])) AS shingle,
+         {_EPOCH_Q} AS epoch_q
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+  WHERE LEN(w) >= 5
+""")
+
+
+@register("shingle_novelty_by_epoch", _NOV_ORACLE)
+def shingle_novelty_by_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch 5-gram novelty: distinct shingles whose first
+    appearance is this quarter / distinct shingles this quarter —
+    shingle-keyed aggs + one equi-join, the incremental-crawl dedup
+    planning statistic."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_NOV_SPARK)
