@@ -814,3 +814,148 @@ def raster_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("x", "y", "acc", f"{_TWI_EXPR} AS twi")
     )
+
+
+# --- least-cost path backtrace (gdistance::shortestPath / terra costPath) -----
+#
+# The route-extraction companion to cost_distance_raster: given the
+# optimal-distance surface, every non-source cell has a deterministic
+# PARENT — the rook neighbor satisfying the Dijkstra optimality
+# equality dist(n) + w(n,c) = dist(c), smallest cell index on ties —
+# and the least-cost path from any target is the parent chain.  The
+# engine never walks the chain step-by-step: it builds jump tables
+# J_k(c) = 2^k-th ancestor by LOG-DOUBLING (k self-joins of the
+# cell-sized parent table, the components.py pointer-doubling
+# discipline) and unfolds the target's ancestor set with the closure
+# A_{k+1} = A_k ∪ J_k(A_k) — O(log L) shuffles total where a naive
+# backtrace needs L sequential joins.  The oracle recomputes the
+# distance surface with the bounded-walk recursive CTE and WALKS the
+# parent chain recursively — two independent formulations, exact
+# integer agreement per step.
+
+_TGX, _TGY = 31, 23           # fixed target cell (not a source)
+_LCP_K = 9                    # covers paths up to 2^10 steps
+
+_LCP_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+c AS (
+  SELECT x, y, CAST({_COST} AS BIGINT) AS cost, {_IS_SRC} AS is_src
+  FROM cells
+),
+e AS (
+  SELECT a.x AS sx, a.y AS sy, b.x AS dx, b.y AS dy,
+         a.cost + b.cost AS w
+  FROM c a JOIN c b
+    ON ABS(a.x - b.x) + ABS(a.y - b.y) = 1
+),
+sp AS (
+  SELECT x, y, CAST(0 AS BIGINT) AS d FROM c WHERE is_src
+  UNION
+  SELECT e.dx, e.dy, sp.d + e.w
+  FROM sp JOIN e ON e.sx = sp.x AND e.sy = sp.y
+  WHERE sp.d + e.w <= {_CAP}
+),
+dd AS MATERIALIZED (
+  SELECT x, y, CAST(MIN(d) AS BIGINT) AS dist FROM sp GROUP BY 1, 2
+),
+cc AS MATERIALIZED (
+  SELECT c.x, c.y, c.cost, c.is_src, dd.dist
+  FROM c JOIN dd ON dd.x = c.x AND dd.y = c.y
+),
+par AS (
+  SELECT c1.x, c1.y,
+         CAST(MIN(CASE WHEN n.dist + n.cost + c1.cost = c1.dist
+                       THEN n.y * {W} + n.x END) AS BIGINT) AS pidx
+  FROM cc c1 JOIN cc n ON ABS(c1.x - n.x) + ABS(c1.y - n.y) = 1
+  WHERE NOT c1.is_src
+  GROUP BY 1, 2
+),
+path AS (
+  SELECT CAST(0 AS BIGINT) AS step,
+         CAST({_TGX} AS BIGINT) AS x, CAST({_TGY} AS BIGINT) AS y
+  UNION ALL
+  SELECT p.step + 1, par.pidx % {W}, par.pidx // {W}
+  FROM path p JOIN par ON par.x = p.x AND par.y = p.y
+)
+SELECT p.step, p.x, p.y, cc.dist
+FROM path p JOIN cc ON cc.x = p.x AND cc.y = p.y
+"""
+
+
+@register("least_cost_path_trace", _LCP_ORACLE)
+def least_cost_path_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-cost path from (31, 23) back to the nearest source via
+    parent pointer-doubling over the converged cost surface — O(log L)
+    shuffles, never an L-step sequential walk."""
+    d = cost_distance(build_cells(spark), tile_w=8, tile_h=8)
+    cc = d.selectExpr(
+        "x", "y", "dist",
+        f"CAST({_COST} AS BIGINT) AS cost",
+        f"{_IS_SRC} AS is_src",
+    ).localCheckpoint()
+    # adjacency as an equi-join: each cell re-emits itself shifted into
+    # its four rook neighbors' coordinates
+    nsh = cc.select(
+        "x", "y", "dist", "cost",
+        F.explode(
+            F.expr(
+                "array(named_struct('dx', 1, 'dy', 0),"
+                " named_struct('dx', -1, 'dy', 0),"
+                " named_struct('dx', 0, 'dy', 1),"
+                " named_struct('dx', 0, 'dy', -1))"
+            )
+        ).alias("o"),
+    ).selectExpr(
+        "x + o.dx AS cx", "y + o.dy AS cy",
+        "dist AS ndist", "cost AS ncost", f"y * {W} + x AS nidx",
+    )
+    par = (
+        cc.filter("NOT is_src")
+        .alias("c")
+        .join(nsh, (F.col("c.x") == F.col("cx")) & (F.col("c.y") == F.col("cy")))
+        .where(F.col("ndist") + F.col("ncost") + F.col("c.cost") == F.col("c.dist"))
+        .groupBy("c.x", "c.y")
+        .agg(F.min("nidx").alias("a"))
+        .selectExpr(f"y * {W} + x AS c", "a")
+    )
+    selfloop = cc.filter("is_src").selectExpr(
+        f"y * {W} + x AS c", f"y * {W} + x AS a"
+    )
+    jump = par.union(selfloop).localCheckpoint()
+    tidx = _TGY * W + _TGX
+    anc = spark.createDataFrame([(tidx, 0)], "cell long, step long")
+    # closure rounds stop as soon as the ancestor set stops growing
+    # (source reached) — worst case _LCP_K+1 rounds, typically ~log(L)
+    n_prev = 1
+    for k in range(_LCP_K + 1):
+        nxt = (
+            anc.join(jump, anc.cell == jump.c)
+            .select(
+                jump.a.alias("cell"),
+                (anc.step + (1 << k)).alias("step"),
+            )
+        )
+        anc = (
+            anc.union(nxt)
+            .groupBy("cell")
+            .agg(F.min("step").alias("step"))
+            .localCheckpoint()
+        )
+        n_now = anc.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+        if k < _LCP_K:
+            jump = (
+                jump.alias("l")
+                .join(jump.alias("r"), F.col("l.a") == F.col("r.c"))
+                .select(F.col("l.c").alias("c"), F.col("r.a").alias("a"))
+                .localCheckpoint()
+            )
+    return (
+        anc.join(cc, anc.cell == F.expr(f"y * {W} + x"))
+        .selectExpr("step", "x", "y", "dist")
+    )
