@@ -1333,3 +1333,86 @@ def theil_sen_tract_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mann-Kendall's robust magnitude companion over the same cube."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_TS_SPARK)
+
+
+# --- discrete Voronoi tessellation (nearest-seed partition) -------------------
+#
+# The seed-partition operator behind chopin's "split work by nearest
+# facility" workflows (par_grid over terra::voronoi zones): every grid
+# cell joins its nearest seed; per-seed region area and the document
+# mass inside it.  Seeds are a deterministic supplier slice — the
+# broadcast-small-dim shape: the cell×seed argmin is a broadcast
+# nested loop over a metadata-sized seed table, and the doc rollup is
+# one equi-join on the cell key; no pairwise doc work ever.
+# Argmin is the repo's encoded-MIN trick: FLOOR(d²+0.5)·16384 +
+# seed_id — integer-exact, deterministic tie-break toward the smaller
+# seed id in both engines.
+
+_VOR_NX, _VOR_NY = 64, 48
+_VOR_CW = 800000.0 / _VOR_NX   # 12500.0
+_VOR_CH = 600000.0 / _VOR_NY   # 12500.0
+
+
+def _voronoi_sql(cells_src: str) -> str:
+    seed_x, seed_y = sx.x_expr("s_suppkey"), sx.y_expr("s_suppkey")
+    d2 = "(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"
+    return f"""
+WITH seeds AS (
+  SELECT s_suppkey, {seed_x} AS sx, {seed_y} AS sy
+  FROM supplier WHERE s_suppkey % 17 = 3
+),
+cells AS (
+  SELECT gx, gy,
+         (gx + 0.5) * {_VOR_CW!r} AS cx,
+         (gy + 0.5) * {_VOR_CH!r} AS cy
+  FROM ({cells_src})
+),
+assign AS (
+  SELECT gx, gy,
+         MIN(CAST(FLOOR(({d2}) + 0.5) AS BIGINT) * 16384 + s_suppkey)
+           % 16384 AS seed
+  FROM cells CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {_VOR_CW!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {_VOR_CH!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+per_cell AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM d GROUP BY 1, 2
+)
+SELECT a.seed,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(COUNT(*) AS DOUBLE) * {_VOR_CW * _VOR_CH!r} / 1000000.0, 4) AS area_km2,
+       CAST(COALESCE(SUM(p.n_docs), 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(p.chars), 0) AS BIGINT) AS sum_chars
+FROM assign a
+LEFT JOIN per_cell p ON p.gx = a.gx AND p.gy = a.gy
+GROUP BY 1
+"""
+
+
+_VOR_SPARK = _voronoi_sql(f"""
+  SELECT t1.gx, t2.gy
+  FROM (SELECT explode(sequence(0, {_VOR_NX - 1})) AS gx) t1
+  CROSS JOIN (SELECT explode(sequence(0, {_VOR_NY - 1})) AS gy) t2
+""")
+_VOR_ORACLE = _voronoi_sql(f"""
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {_VOR_NX - 1}) g1(gx),
+       generate_series(0, {_VOR_NY - 1}) g2(gy)
+""")
+
+
+@register("voronoi_seed_regions", _VOR_ORACLE)
+def voronoi_seed_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi regions of the supplier seed set: per seed the
+    cell count, region area, and contained document mass — encoded-MIN
+    argmin, broadcast seed table, one cell-keyed equi-join."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_VOR_SPARK)
