@@ -1377,3 +1377,59 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding before the associative BIGINT sum."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CHI2_SQL)
+
+
+# --- per-source TF-IDF signature terms ----------------------------------------
+#
+# The corpus-slicing diagnostic: which terms CHARACTERIZE each ingest
+# source (tf within source × inverse source frequency)?  One exploded
+# agg to (source, term, tf), one term-keyed agg for the source df, a
+# broadcast-sized n_sources scalar, then a per-source top-3 window over
+# the (source × vocab)-bounded scored table — fact rows are touched
+# exactly once.
+
+def _tfidf_sql(unnest_src: str) -> str:
+    return f"""
+WITH tf AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ({unnest_src})
+  GROUP BY 1, 2
+),
+sdf AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_src FROM tf GROUP BY 1
+),
+ns AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM tf
+),
+scored AS (
+  SELECT tf.source, tf.t, tf.tf,
+         ROUND(tf.tf * LN((ns.n_sources + 1.0) / (sdf.n_src + 1.0)), 4)
+           AS tfidf
+  FROM tf JOIN sdf ON sdf.t = tf.t CROSS JOIN ns
+)
+SELECT source, t AS term, rank, tf, tfidf
+FROM (
+  SELECT source, t, tf, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY tfidf DESC, t) AS BIGINT) AS rank
+  FROM scored
+) r
+WHERE rank <= 3
+"""
+
+
+_TFIDF_SPARK = _tfidf_sql(
+    "SELECT source, explode(split(text, ' ')) AS t FROM documents"
+)
+_TFIDF_ORACLE = _tfidf_sql(
+    "SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents"
+)
+
+
+@register("tfidf_source_terms", _TFIDF_ORACLE)
+def tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF signature terms per ingest source (smoothed inverse
+    source frequency) — scores rounded before ranking, ties by term,
+    cross-engine deterministic."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_TFIDF_SPARK)
