@@ -959,3 +959,69 @@ def least_cost_path_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         anc.join(cc, anc.cell == F.expr(f"y * {W} + x"))
         .selectExpr("step", "x", "y", "dist")
     )
+
+
+# --- depression filling (Planchon–Darboux; terra fillSinks analog) ------------
+#
+# Engine: chopin_spark.sinkfill.sink_fill — block-parallel PRIORITY
+# FLOOD (the minimax twin of the block Dijkstra above).  Oracle: the
+# Jacobi fixpoint W(c) = max(z, min_N4 W(n) + 1) unrolled as a
+# recursive CTE with a round counter; the probe converges at round 23
+# on this DEM, 40 carries margin (tests/test_sinkfill.py asserts the
+# last two rounds are equal, so the margin is verified, not assumed).
+# Two independent formulations — label-setting flood vs label-
+# correcting Jacobi — must agree integer-exactly on every cell.
+
+from chopin_spark.sinkfill import INF as _SF_INF, sink_fill  # noqa: E402
+
+_SF_R = 40
+_SF_BORDER = f"(x = 0 OR x = {W - 1} OR y = 0 OR y = {H - 1})"
+
+_SINK_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y,
+         CAST({_zf(f"(i % {W})", f"(i // {W})")} AS BIGINT) AS z,
+         ((i % {W}) = 0 OR (i % {W}) = {W - 1}
+          OR (i // {W}) = 0 OR (i // {W}) = {H - 1}) AS border
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+it AS (
+  SELECT 0 AS r, x, y, z, border,
+         CASE WHEN border THEN z ELSE CAST(1000000 AS BIGINT) END AS w
+  FROM cells
+  UNION ALL
+  SELECT r + 1, c.x, c.y, c.z, c.border,
+         CASE WHEN c.border THEN c.z
+              ELSE GREATEST(c.z, (
+                SELECT MIN(n.w) + 1 FROM it n
+                WHERE n.r = c.r
+                  AND ABS(n.x - c.x) + ABS(n.y - c.y) = 1)) END
+  FROM it c WHERE c.r < {_SF_R}
+)
+SELECT x, y, z, CAST(w AS BIGINT) AS w,
+       CAST(w - z AS BIGINT) AS fill_depth
+FROM it WHERE r = {_SF_R}
+"""
+
+
+@register("sink_fill_surface", _SINK_ORACLE)
+def sink_fill_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planchon–Darboux filled water level over the DEM permutation
+    fixture: W = z at the border, max(z, min neighbor + 1) inside —
+    block-parallel priority flood, rounds ~ block-graph diameter."""
+    cells = spark.range(0, W * H, 1, 8).selectExpr(
+        f"CAST(id % {W} AS BIGINT) AS x",
+        f"CAST(id DIV {W} AS BIGINT) AS y",
+    ).selectExpr(
+        "x", "y",
+        f"CAST({_zf('x', 'y')} AS BIGINT) AS z",
+        f"CASE WHEN {_SF_BORDER} THEN CAST({_zf('x', 'y')} AS BIGINT)"
+        f" ELSE CAST({_SF_INF} AS BIGINT) END AS w",
+    )
+    filled = sink_fill(cells, tile_w=8, tile_h=8)
+    return filled.selectExpr(
+        "x", "y",
+        f"CAST({_zf('x', 'y')} AS BIGINT) AS z",
+        "w",
+        f"w - CAST({_zf('x', 'y')} AS BIGINT) AS fill_depth",
+    )
