@@ -421,3 +421,65 @@ def cusum_volume_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-only via the n·S_k = n·prefix − k·total scaling."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_CUSUM_SQL)
+
+
+# --- stay-point detection (trajectory mining) ---------------------------------
+#
+# The classic stay-point extraction (Li et al. 2008, GeoLife): split
+# each user's time-ordered ping sequence wherever the jump to the
+# previous ping exceeds a radius; maximal runs of near-stationary
+# pings with >= 2 fixes are "stays".  Segment ids are a cumulative sum
+# of break flags over the per-user window — one window pass, one
+# grouped agg, both partitioned by user (trajectory-local at any
+# scale; no user's data ever meets another's).
+
+_STAY_R2 = 150000.0 * 150000.0   # 150 km break radius, squared
+
+def _stay_sql(us_max: str, us_min: str) -> str:
+    return f"""
+WITH pos AS (
+  SELECT user_id, ts, event_id, {_TCX} AS x, {_TCY} AS y FROM events
+),
+seq AS (
+  SELECT user_id, ts, event_id, x, y,
+         LAG(x) OVER w AS px, LAG(y) OVER w AS py
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, ts, event_id, x, y,
+         CASE WHEN px IS NULL
+                OR (x - px) * (x - px) + (y - py) * (y - py) > {_STAY_R2!r}
+              THEN 1 ELSE 0 END AS brk
+  FROM seq
+),
+seg AS (
+  SELECT user_id, ts, event_id, x, y,
+         SUM(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seg_id
+  FROM flagged
+)
+SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pings,
+       MIN(event_id) AS first_event,
+       CAST({us_max} - {us_min} AS BIGINT) AS dwell_us,
+       ROUND(AVG(x), 4) AS cx, ROUND(AVG(y), 4) AS cy
+FROM seg
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("trajectory_stay_points",
+          _stay_sql("epoch_us(MAX(ts))", "epoch_us(MIN(ts))"))
+def trajectory_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point extraction per user trajectory: radius-broken
+    segments with >= 2 fixes, dwell time and centroid per stay —
+    user-partitioned window + agg, zero cross-user traffic."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_stay_sql(
+        "unix_micros(CAST(MAX(ts) AS TIMESTAMP))",
+        "unix_micros(CAST(MIN(ts) AS TIMESTAMP))",
+    ))
