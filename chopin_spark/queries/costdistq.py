@@ -1025,3 +1025,86 @@ def sink_fill_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         f"w - CAST({_zf('x', 'y')} AS BIGINT) AS fill_depth",
     )
+
+
+# --- accessibility bands: cost-distance surface × document layer --------------
+#
+# The raster↔vector composition chopin exists for, run through the
+# ITERATIVE verb: band documents by the accumulated-cost distance of
+# their grid cell (isochrone-style accessibility zoning from the
+# source facilities).  Engine: converged block-Dijkstra surface +
+# ONE cell-keyed equi-join to the doc layer + band rollup — the
+# surface is cell-count-sized (metadata next to the fact table), so
+# the join broadcasts at any corpus scale.  Oracle: the bounded-walk
+# recursive CTE recomputes the surface independently.
+
+_ACC_BAND = 50  # band width in accumulated-cost units
+_ACC_CW = 800000.0 / W
+_ACC_CH = 600000.0 / H
+
+from chopin_spark import sqlexpr as _sx  # noqa: E402
+
+_ACC_DOCS = f"""
+  SELECT CAST(FLOOR({{dx}} / {_ACC_CW!r}) AS BIGINT) AS x,
+         CAST(FLOOR({{dy}} / {_ACC_CH!r}) AS BIGINT) AS y,
+         n_chars
+  FROM documents
+"""
+
+_ACC_DOCS_FILLED = _ACC_DOCS.format(
+    dx=_sx.x_expr("doc_id"), dy=_sx.y_expr("doc_id")
+)
+
+_ACC_ORACLE_BODY = """
+SELECT CAST(FLOOR(dd.dist / {band}.0) AS BIGINT) AS band,
+       CAST(COUNT(DISTINCT dd.x * 1024 + dd.y) AS BIGINT) AS n_cells,
+       CAST(COUNT(d.n_chars) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS sum_chars
+FROM dd LEFT JOIN d ON d.x = dd.x AND d.y = dd.y
+GROUP BY 1
+"""
+
+_ACC_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+c AS (
+  SELECT x, y, CAST({_COST} AS BIGINT) AS cost, {_IS_SRC} AS is_src
+  FROM cells
+),
+e AS (
+  SELECT a.x AS sx, a.y AS sy, b.x AS dx, b.y AS dy,
+         a.cost + b.cost AS w
+  FROM c a JOIN c b
+    ON ABS(a.x - b.x) + ABS(a.y - b.y) = 1
+),
+sp AS (
+  SELECT x, y, CAST(0 AS BIGINT) AS d FROM c WHERE is_src
+  UNION
+  SELECT e.dx, e.dy, sp.d + e.w
+  FROM sp JOIN e ON e.sx = sp.x AND e.sy = sp.y
+  WHERE sp.d + e.w <= {_CAP}
+),
+dd AS MATERIALIZED (
+  SELECT x, y, CAST(MIN(d) AS BIGINT) AS dist FROM sp GROUP BY 1, 2
+),
+d AS (
+{_ACC_DOCS_FILLED}
+)
+{_ACC_ORACLE_BODY.format(band=_ACC_BAND)}
+"""
+
+
+@register("cost_band_accessibility", _ACC_ORACLE)
+def cost_band_accessibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone-style accessibility bands: documents rolled up by the
+    accumulated-cost band of their cell — converged cost surface
+    (cell-count-sized) equi-joined once to the doc layer."""
+    from chopin_spark.tables import load as _load
+
+    dist = cost_distance(build_cells(spark), tile_w=8, tile_h=8)
+    dist.createOrReplaceTempView("dd")
+    _load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(_ACC_DOCS_FILLED).createOrReplaceTempView("d")
+    return spark.sql(_ACC_ORACLE_BODY.format(band=_ACC_BAND))
