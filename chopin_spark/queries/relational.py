@@ -336,3 +336,66 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     log literals, one 9-key agg."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_BENFORD_SQL)
+
+
+# --- TPC-H Q2 shape: correlated scalar subquery (min-cost supplier) -----------
+#
+# The decorrelation stress shape: a scalar MIN subquery correlated on
+# the outer part key.  Catalyst rewrites it to an aggregated self-join
+# (no per-row re-execution); DuckDB does the same — the plans differ,
+# the rows must not.
+
+_Q2_SQL = """
+SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+       ROUND(l.l_extendedprice, 2) AS best_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size = 5
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@register("min_cost_supplier_q2", _Q2_SQL)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per size-5 part, the supplier rows at the
+    minimum offered price via a correlated scalar subquery — the
+    decorrelation-to-join-agg rewrite exercised end to end."""
+    for t in ("part", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q2_SQL)
+
+
+# --- TPC-H Q21 shape: EXISTS + NOT EXISTS (waiting orders) --------------------
+
+_Q21_SQL = """
+SELECT l1.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY 1
+"""
+
+
+@register("waiting_orders_q21", _Q21_SQL)
+def waiting_orders_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for the returned
+    line in multi-supplier finished orders — correlated EXISTS (semi
+    join) plus NOT EXISTS (anti join) in one predicate, both
+    decorrelated by the optimizer."""
+    for t in ("lineitem", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
