@@ -302,3 +302,69 @@ def degree_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     host link graph (tail d ≥ 5)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_HILL_ORACLE)
+
+
+# --- semi-supervised label propagation (3 synchronous rounds) -----------------
+#
+# The host-classification primitive (topic/spam labels from a small
+# seed set diffused over the link graph).  Seeds (hosts ≡ 0 mod 13)
+# carry a fixed class (node mod 3); each round every non-seed takes
+# the MAJORITY class among its labeled undirected neighbors, ties
+# toward the smaller class id (encoded-MAX: cnt·4 + (3 − lbl)), no
+# labeled neighbor → stays unlabeled.  Three rounds unrolled as CTEs —
+# the same one-join-one-agg-per-round shape as PageRank; synchronous
+# updates keep the result partition-order independent (asynchronous
+# LPA is not deterministic and has no place in a verified pipeline).
+
+_LP_ROUNDS = 3
+
+
+def _lp_round(k: int) -> str:
+    return f"""
+c{k} AS (
+  SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+  FROM und e JOIN l{k - 1} l ON l.node = e.src AND l.lbl IS NOT NULL
+  GROUP BY 1, 2
+),
+m{k} AS (
+  SELECT node, 3 - (MAX(cnt * 4 + (3 - lbl)) % 4) AS lbl FROM c{k}
+  GROUP BY 1
+),
+l{k} AS (
+  SELECT n.node,
+         CASE WHEN n.node % {_SEED_MOD} = 0 THEN n.node % 3
+              ELSE m.lbl END AS lbl
+  FROM n LEFT JOIN m{k} m ON m.node = n.node
+)"""
+
+
+_LP_SQL = (
+    f"""
+WITH e AS (SELECT * FROM {_EDGES}),
+und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+),
+n AS (
+  SELECT DISTINCT src AS node FROM und
+),
+l0 AS (
+  SELECT node,
+         CASE WHEN node % {_SEED_MOD} = 0 THEN node % 3 END AS lbl
+  FROM n
+),"""
+    + ",".join(_lp_round(k) for k in range(1, _LP_ROUNDS + 1))
+    + f"""
+SELECT node AS host_num,
+       CAST(COALESCE(lbl, -1) AS BIGINT) AS label
+FROM l{_LP_ROUNDS}
+"""
+)
+
+
+@register("label_propagation_hosts", _LP_SQL)
+def label_propagation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous label-propagation rounds from the seed hosts:
+    majority class over labeled undirected neighbors, deterministic
+    tie-break, unlabeled preserved as -1."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_LP_SQL)
