@@ -1535,3 +1535,126 @@ def raster_blur_binomial5(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup,
         "raster_id string, tile_id long, blur_sum long, blur_chk long",
     )
+
+
+# --- terra::rasterize parity: burn vector zones into the pixel grid -----------
+#
+# The missing direction of the raster↔vector bridge (extract_at reads
+# raster BY vector; rasterize writes vector INTO raster): every pixel
+# whose CENTER is inside its tract's octagon ring gets burned, and the
+# per-tile rollup combines the burn mask with the DN raster (the
+# "rasterize then mask/zonal" chain terra users run as one verb).
+# Engine: per-tile mapInPandas — pixel centers → candidate tract by
+# floor arithmetic → EXACT ray-cast refine (geom.core.points_in_polygon,
+# the general-ring production path; a tile spans ≤4 tracts so the ring
+# loop is bounded).  Oracle: the closed-form four-half-plane octagon
+# predicate on regenerated pixel centers — predicate vs ray cast, two
+# independent membership formulations.
+
+from chopin_spark.queries.polygons import _CX as _OCX, _CY as _OCY  # noqa: E402
+from chopin_spark.queries.polygons import octagon_ring  # noqa: E402
+from chopin_spark import zones as _Z  # noqa: E402
+from chopin_spark.raster import PH as _PH, PW as _PW, TILE as _RTILE  # noqa: E402
+
+
+def _in_oct_xy(x: str, y: str) -> str:
+    u = f"(({x}) - FLOOR(({x}) / {_Z.TRACT_W!r}) * {_Z.TRACT_W!r})"
+    v = f"(({y}) - FLOOR(({y}) / {_Z.TRACT_H!r}) * {_Z.TRACT_H!r})"
+    c = _OCX * _OCY
+    return (
+        f"(({u}) * {_OCY!r} + ({v}) * {_OCX!r} > {c!r}"
+        f" AND ({_Z.TRACT_W!r} - ({u})) * {_OCY!r} + ({v}) * {_OCX!r} > {c!r}"
+        f" AND ({u}) * {_OCY!r} + ({_Z.TRACT_H!r} - ({v})) * {_OCX!r} > {c!r}"
+        f" AND ({_Z.TRACT_W!r} - ({u})) * {_OCY!r}"
+        f" + ({_Z.TRACT_H!r} - ({v})) * {_OCX!r} > {c!r})"
+    )
+
+
+_RB_CX = f"((i + 0.5) * {_PW!r})"
+_RB_CY = f"((j + 0.5) * {_PH!r})"
+
+_RASTERIZE_ORACLE = f"""
+WITH px AS (
+  SELECT i, j, {pixel_value_sql('i', 'j', 0)} AS val
+  FROM generate_series(0, {NPX - 1}) s(i),
+       generate_series(0, {NPY - 1}) t(j)
+),
+burned AS (
+  SELECT i, j, val
+  FROM px WHERE {_in_oct_xy(_RB_CX, _RB_CY)}
+)
+SELECT 'r0' AS raster_id,
+       CAST((j // {_RTILE}) * {NPX // _RTILE} + (i // {_RTILE}) AS BIGINT)
+         AS tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_burned,
+       CAST(SUM(val) AS BIGINT) AS sum_dn,
+       CAST(SUM(val * ((i * 13 + j * 7) % 31)) AS BIGINT) AS chk
+FROM burned
+GROUP BY 1, 2
+"""
+
+
+@register("raster_rasterize_octagons", _RASTERIZE_ORACLE)
+def raster_rasterize_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terra::rasterize analog: burn the octagon zone layer into the
+    pixel grid by exact ray cast on pixel centers, rolled up with the
+    DN raster per tile — map-only over stored tiles, no halo, no
+    shuffle before the final tile agg."""
+    import numpy as np
+    import pandas as pd
+
+    tiles = _tiles(spark, n_rasters=1)
+
+    def burn(batches):
+        from chopin_spark.geom.core import points_in_polygon
+
+        T = _RTILE
+        for pdf in batches:
+            out = {"raster_id": [], "tile_id": [], "n_burned": [],
+                   "sum_dn": [], "chk": []}
+            for row in pdf.itertuples(index=False):
+                vals = np.asarray(row.values, dtype=np.int64).reshape(T, T)
+                jj, ii = np.meshgrid(
+                    np.arange(T, dtype=np.int64),
+                    np.arange(T, dtype=np.int64),
+                    indexing="ij",
+                )
+                gi = row.tile_col * T + ii
+                gj = row.tile_row * T + jj
+                cx = (gi + 0.5) * _PW
+                cy = (gj + 0.5) * _PH
+                x0 = np.floor(cx / _Z.TRACT_W) * _Z.TRACT_W
+                y0 = np.floor(cy / _Z.TRACT_H) * _Z.TRACT_H
+                inside = np.zeros(cx.shape, dtype=bool)
+                for tx0, ty0 in {
+                    (float(a), float(b))
+                    for a, b in zip(x0.ravel(), y0.ravel())
+                }:
+                    sel = (x0 == tx0) & (y0 == ty0)
+                    ring = octagon_ring(
+                        tx0, ty0, tx0 + _Z.TRACT_W, ty0 + _Z.TRACT_H
+                    )
+                    inside[sel] = points_in_polygon(
+                        cx[sel], cy[sel], ring
+                    )
+                w = ((gi * 13 + gj * 7) % 31)
+                out["raster_id"].append(row.raster_id)
+                out["tile_id"].append(row.tile_id)
+                out["n_burned"].append(int(inside.sum()))
+                out["sum_dn"].append(int(vals[inside].sum()))
+                out["chk"].append(int((vals[inside] * w[inside]).sum()))
+            yield pd.DataFrame(
+                {
+                    "raster_id": out["raster_id"],
+                    "tile_id": pd.Series(out["tile_id"], dtype="int64"),
+                    "n_burned": pd.Series(out["n_burned"], dtype="int64"),
+                    "sum_dn": pd.Series(out["sum_dn"], dtype="int64"),
+                    "chk": pd.Series(out["chk"], dtype="int64"),
+                }
+            )
+
+    schema = (
+        "raster_id string, tile_id long, n_burned long,"
+        " sum_dn long, chk long"
+    )
+    return tiles.mapInPandas(burn, schema)
