@@ -673,3 +673,97 @@ def embedding_epoch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the snapshot split) — exact-integer dot products, one fact agg."""
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_drift_sql(_QE("embedding"), idx="element_at(q, {k})"))
+
+
+# --- int8 quantization recall audit -------------------------------------------
+#
+# The decision a 100-TB vector store actually has to make: does
+# symmetric int8 scalar quantization (scale 127, half-up) preserve the
+# top-k neighbor set?  The quantized path's integer dot products are
+# ASSOCIATIVE — exact int64 in any reduction order, no fold-order
+# discipline needed (the float baseline needs the sequential-fold
+# contract above) — which is itself the production argument for
+# quantized first-stage retrieval.  Output: the int8 top-10 against
+# vec_id 0 with a flag marking membership in the float top-10 — the
+# per-rank recall ledger.
+
+_Q8 = "CAST(FLOOR(CAST({v} AS DOUBLE) * 127 + 0.5) AS BIGINT)"
+
+
+def _qdot_duck() -> str:
+    t = _Q8.format(v="e.embedding[i]") + " * " + _Q8.format(v="q.embedding[i]")
+    return (
+        "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),"
+        f" LIST_TRANSFORM(generate_series(1, {_DIM}), i -> {t})),"
+        " (a, b) -> a + b)"
+    )
+
+
+def _qdot_spark() -> str:
+    t = (_Q8.format(v="element_at(e.embedding, i)") + " * "
+         + _Q8.format(v="element_at(q.embedding, i)"))
+    return (
+        f"aggregate(transform(sequence(1, {_DIM}), i -> {t}),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+
+def _q8_recall_sql(qdot: str, fdot: str, fnorm_e: str, fnorm_q: str) -> str:
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qs AS (
+  SELECT e.vec_id, {qdot} AS q_dot
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+),
+qr AS (
+  SELECT vec_id, q_dot,
+         ROW_NUMBER() OVER (ORDER BY q_dot DESC, vec_id) AS rank
+  FROM qs
+),
+fs AS (
+  SELECT e.vec_id,
+         ROUND({fdot} / ({fnorm_e} * {fnorm_q}), 4) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+),
+fr AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM fs
+)
+SELECT qr.rank, qr.vec_id, qr.q_dot,
+       CAST(CASE WHEN fr.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_float_top10
+FROM qr LEFT JOIN (SELECT vec_id FROM fr WHERE rank <= 10) fr
+  ON fr.vec_id = qr.vec_id
+WHERE qr.rank <= 10
+"""
+
+
+_Q8_ORACLE = _q8_recall_sql(_qdot_duck(), _DOT, _NORM_E, _NORM_Q)
+
+_FDOT_SPARK = (
+    f"aggregate(transform(sequence(1, {_DIM}),"
+    " i -> CAST(element_at(e.embedding, i) AS DOUBLE)"
+    " * CAST(element_at(q.embedding, i) AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+)
+_FNORM_E_SPARK = (
+    f"SQRT(aggregate(transform(sequence(1, {_DIM}),"
+    " i -> CAST(element_at(e.embedding, i) AS DOUBLE)"
+    " * CAST(element_at(e.embedding, i) AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+)
+_FNORM_Q_SPARK = _FNORM_E_SPARK.replace("e.embedding", "q.embedding")
+
+
+@register("embedding_int8_recall", _Q8_ORACLE)
+def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization recall audit: quantized integer top-10
+    (exact, associative int64 dots) flagged against the float cosine
+    top-10 — the quantize-or-not evidence for first-stage retrieval."""
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _q8_recall_sql(
+            _qdot_spark(), _FDOT_SPARK, _FNORM_E_SPARK, _FNORM_Q_SPARK
+        )
+    )
