@@ -1220,3 +1220,51 @@ def shingle_novelty_by_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning statistic."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_NOV_SPARK)
+
+
+# --- host lifetime hazard table (Kaplan–Meier discipline) ----------------------
+#
+# Crawl-ops survival analysis: when do hosts disappear from the crawl?
+# Per host the first/last active quarter; at each quarter t the
+# at-risk set (first ≤ t ≤ last) and the deaths (last = t, censored at
+# the horizon).  The fact table collapses to a (first, last) COHORT
+# table (≤ quarters² rows) before any per-epoch math — the KM at-risk
+# sums are then metadata-scale; hazards are single exact divisions on
+# the 1e-6 lattice, never a cumulative float product.
+
+_HAZ_SQL = f"""
+WITH pages AS (
+  SELECT {_HOST} AS host,
+         CAST(FLOOR(((doc_id * 48271) % 31536000) / 7884000.0) AS BIGINT)
+           AS q
+  FROM documents
+),
+h AS (
+  SELECT host, MIN(q) AS fq, MAX(q) AS lq FROM pages GROUP BY 1
+),
+cohort AS (
+  SELECT fq, lq, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1, 2
+),
+t(q) AS (VALUES (0), (1), (2), (3))
+SELECT CAST(t.q AS BIGINT) AS quarter,
+       CAST(SUM(CASE WHEN c.fq <= t.q AND c.lq >= t.q THEN c.n
+                     ELSE 0 END) AS BIGINT) AS n_at_risk,
+       CAST(SUM(CASE WHEN c.lq = t.q AND t.q < 3 THEN c.n
+                     ELSE 0 END) AS BIGINT) AS n_deaths,
+       CAST(FLOOR(
+         SUM(CASE WHEN c.lq = t.q AND t.q < 3 THEN c.n ELSE 0 END)
+         * 1000000.0
+         / SUM(CASE WHEN c.fq <= t.q AND c.lq >= t.q THEN c.n ELSE 0 END)
+         + 0.5) AS BIGINT) AS hazard_micro
+FROM t CROSS JOIN cohort c
+GROUP BY 1
+"""
+
+
+@register("host_survival_hazard", _HAZ_SQL)
+def host_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quarter host survival hazard: at-risk counts and death
+    hazards from the cohorted (first, last) lifetime table — exact
+    integers plus one micro-lattice division per epoch."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_HAZ_SQL)
