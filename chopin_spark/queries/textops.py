@@ -1433,3 +1433,46 @@ def tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine deterministic."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_TFIDF_SPARK)
+
+
+# --- conjunctive (AND) search: postings-list intersection ----------------------
+#
+# The boolean-retrieval primitive under every filtered corpus scan:
+# documents containing ALL query terms.  The inverted-index plan —
+# explode → filter to the query terms → doc-keyed agg HAVING
+# COUNT(DISTINCT term) = k — shuffles only the query terms' postings
+# and intersects them in one partial-aggregable pass (no k-way
+# self-join chain, which would shuffle the shortest list k−1 times).
+
+_AND_TERMS = ("spark", "merge", "window")
+
+
+def _and_search_sql(unnest_src: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in _AND_TERMS)
+    return f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_terms
+FROM ({unnest_src})
+WHERE t IN ({terms})
+GROUP BY doc_id
+HAVING COUNT(DISTINCT t) = {len(_AND_TERMS)}
+"""
+
+
+@register(
+    "conjunctive_term_search",
+    _and_search_sql(
+        "SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents"
+    ),
+)
+def conjunctive_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing ALL of {spark, merge, window}: postings filter +
+    one doc-keyed agg with a distinct-term gate — never a k-way
+    self-join."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _and_search_sql(
+            "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
+        )
+    )
