@@ -893,3 +893,69 @@ def nearest_road_chainage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 4).alias("dist_m"),
         )
     )
+
+
+# --- road bearing anisotropy (direction rose per zone) -------------------------
+#
+# Network anisotropy: per tract zone the length-weighted UNDIRECTED
+# bearing histogram of road segments (grid-aligned street networks
+# show two dominant sectors; organic ones are flat).  Direction
+# classified by SIGN COMPARISONS into the 8 terrain octants and folded
+# mod 4 (undirected) — no atan2 anywhere; lengths on the 1/1024 m
+# lattice so the per-sector sums are associative integers.
+
+_ANI_SPARK_SEGS = f"""
+  SELECT rid AS line_id,
+         {_vx('rid', 'k')} AS ax, {_vy('rid', 'k')} AS ay,
+         {_vx('rid', '(k + 1)')} AS bx2, {_vy('rid', '(k + 1)')} AS by2
+  FROM (SELECT id AS rid FROM range(1, {_N_ROADS + 1}))
+  CROSS JOIN (SELECT explode(sequence(0, {_N_SEGS - 1})) AS k)
+"""
+
+
+def _anisotropy_sql(segs_src: str) -> str:
+    zone = (
+        f"(CAST(FLOOR(((ay + by2) / 2) / {_Z.TRACT_H!r}) AS BIGINT)"
+        f" * {_Z.TRACT_NX}"
+        f" + CAST(FLOOR(((ax + bx2) / 2) / {_Z.TRACT_W!r}) AS BIGINT))"
+    )
+    return f"""
+WITH segs AS ({segs_src}),
+v AS (
+  SELECT {zone} AS zone_num,
+         (bx2 - ax) AS gx, (by2 - ay) AS gy,
+         CAST(FLOOR(SQRT((bx2 - ax) * (bx2 - ax)
+                         + (by2 - ay) * (by2 - ay)) * 1024 + 0.5)
+              AS BIGINT) AS len_mm
+  FROM segs
+),
+c AS (
+  SELECT zone_num, len_mm, ABS(gx) AS axx, ABS(gy) AS ayy, gx, gy
+  FROM v
+),
+s AS (
+  SELECT zone_num, len_mm,
+         (CASE WHEN axx >= ayy AND gx > 0 AND gy >= 0 THEN 0
+               WHEN axx <  ayy AND gy > 0 AND gx >= 0 THEN 1
+               WHEN axx <  ayy AND gy > 0 AND gx <  0 THEN 2
+               WHEN axx >= ayy AND gx < 0 AND gy >= 0 THEN 3
+               WHEN axx >= ayy AND gx < 0 AND gy <  0 THEN 4
+               WHEN axx <  ayy AND gy < 0 AND gx <= 0 THEN 5
+               WHEN axx <  ayy AND gy < 0 AND gx >  0 THEN 6
+               ELSE 7 END) % 4 AS sector
+  FROM c
+)
+SELECT zone_num, CAST(sector AS BIGINT) AS sector,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(len_mm) AS BIGINT) AS len_mm
+FROM s
+GROUP BY 1, 2
+"""
+
+
+@register("road_bearing_anisotropy", _anisotropy_sql(_SEGS_SQL))
+def road_bearing_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted undirected bearing rose (4 sectors) per tract
+    zone — sign-comparison octants folded mod 4, integer-lattice
+    lengths, one segment-table agg."""
+    return spark.sql(_anisotropy_sql(_ANI_SPARK_SEGS))
