@@ -483,3 +483,94 @@ def trajectory_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_micros(CAST(MAX(ts) AS TIMESTAMP))",
         "unix_micros(CAST(MIN(ts) AS TIMESTAMP))",
     ))
+
+
+# --- Knox space-time interaction test ------------------------------------------
+#
+# THE epidemiology/event-analytics clustering test: do events close in
+# space tend to also be close in time?  X = #pairs within (ds, dt) of
+# each other vs the independence expectation S·T/N_pairs.  Every pair
+# set is BOUNDED: space pairs via the 3×3-neighbor cell join (each
+# event probes its 9 cells, so an unordered pair matches on exactly
+# one probe row — counted once under id-order), time pairs via the
+# same trick on 1D time bins (probe k−1, k, k+1); the total pair count
+# is the n(n−1)/2 closed form — no all-pairs join anywhere.
+
+_KNOX_DS = 30000.0                 # 30 km
+_KNOX_DT_US = 6 * 3600 * 1000000   # 6 h in µs
+_KNOX_CW = 800000.0 / 16
+_KNOX_CH = 600000.0 / 12
+
+
+def _knox_sql(us: str) -> str:
+    ds2 = _KNOX_DS * _KNOX_DS
+    return f"""
+WITH ev AS (
+  SELECT event_id, {_TCX} AS x, {_TCY} AS y,
+         CAST({us} AS BIGINT) AS t,
+         CAST(FLOOR({_TCX} / {_KNOX_CW!r}) AS BIGINT) AS cx,
+         CAST(FLOOR({_TCY} / {_KNOX_CH!r}) AS BIGINT) AS cy
+  FROM events
+),
+evt AS (
+  SELECT ev.*, CAST(FLOOR(t / {_KNOX_DT_US}.0) AS BIGINT) AS tb FROM ev
+),
+sprobe AS (
+  SELECT e.event_id, e.x, e.y, e.cx + o.dx AS pcx, e.cy + o.dy AS pcy
+  FROM evt e CROSS JOIN (
+    VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+  ) AS o(dx, dy)
+),
+spairs AS (
+  SELECT COUNT(*) AS s
+  FROM sprobe a JOIN evt b
+    ON a.pcx = b.cx AND a.pcy = b.cy AND a.event_id < b.event_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {ds2!r}
+),
+tprobe AS (
+  SELECT e.event_id, e.t, e.tb + o.db AS ptb
+  FROM evt e CROSS JOIN (VALUES (-1), (0), (1)) AS o(db)
+),
+tpairs AS (
+  SELECT COUNT(*) AS t
+  FROM tprobe a JOIN evt b
+    ON a.ptb = b.tb AND a.event_id < b.event_id
+  WHERE ABS(a.t - b.t) < {_KNOX_DT_US}
+),
+stprobe AS (
+  SELECT e.event_id, e.x, e.y, e.t,
+         e.cx + o.dx AS pcx, e.cy + o.dy AS pcy
+  FROM evt e CROSS JOIN (
+    VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+  ) AS o(dx, dy)
+),
+stpairs AS (
+  SELECT COUNT(*) AS st
+  FROM stprobe a JOIN evt b
+    ON a.pcx = b.cx AND a.pcy = b.cy AND a.event_id < b.event_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {ds2!r}
+    AND ABS(a.t - b.t) < {_KNOX_DT_US}
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM evt)
+SELECT n.n AS n_events,
+       n.n * (n.n - 1) / 2 AS n_pairs,
+       CAST(spairs.s AS BIGINT) AS pairs_space,
+       CAST(tpairs.t AS BIGINT) AS pairs_time,
+       CAST(stpairs.st AS BIGINT) AS pairs_both,
+       CAST(FLOOR(CAST(stpairs.st AS DOUBLE) * (n.n * (n.n - 1) / 2)
+                  / spairs.s / tpairs.t * 1000000 + 0.5) AS BIGINT)
+         AS knox_ratio_micro
+FROM n CROSS JOIN spairs CROSS JOIN tpairs CROSS JOIN stpairs
+"""
+
+
+@register(
+    "knox_space_time",
+    _knox_sql("epoch_us(ts)"),
+)
+def knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction: observed (ds, dt)-close pair count
+    vs the independence expectation — all three pair sets bounded by
+    cell / time-bin probes, total pairs in closed form."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_knox_sql("unix_micros(CAST(ts AS TIMESTAMP))"))
