@@ -1123,3 +1123,46 @@ def epoch_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SHARD_SPARK)
+
+
+# --- weighted priority sample (Efraimidis–Spirakis A-ES) -----------------------
+#
+# The one-pass distributed weighted sample every curation pipeline
+# needs (quota sampling by quality/length weight, mergeable across
+# partitions): key_i = −ln(u_i)/w_i with u_i a deterministic LCG draw;
+# the k SMALLEST keys are a weighted sample without replacement.  The
+# top-k is a TakeOrdered (partial per partition, merged on the driver)
+# — never a global sort; keys are rounded to the 1e-6 lattice before
+# ranking so cross-engine ordering is exact, ties by doc_id.
+
+_AES_K = 25
+_AES_U = "((doc_id * 2654435761 + 40503) % 999983 + 1)"  # 1..999983
+
+
+def _aes_sql() -> str:
+    # u in (0, 1]: exact rational; -ln(u)/w with w = n_chars
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(-LN(CAST({_AES_U} AS DOUBLE) / 999983.0)
+               / CAST(n_chars AS DOUBLE), 6) AS aes_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, aes_key,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY aes_key, doc_id) AS rnk
+  FROM keyed
+) r
+WHERE rnk <= {_AES_K}
+"""
+
+
+@register("weighted_priority_sample", _aes_sql())
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample-without-replacement (k=25,
+    weight = n_chars): deterministic LCG draws, lattice-rounded keys,
+    top-k by TakeOrdered — one pass, mergeable, no global sort."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_aes_sql())
