@@ -1108,3 +1108,94 @@ def cost_band_accessibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     spark.sql(_ACC_DOCS_FILLED).createOrReplaceTempView("d")
     return spark.sql(_ACC_ORACLE_BODY.format(band=_ACC_BAND))
+
+
+# --- D8 flow-path length (downstream distance to outlet) -----------------------
+#
+# flow_accumulation_d8 counts what drains THROUGH a cell; this measures
+# how FAR each cell's water travels to its pit — terra's flow-length
+# companion.  Step weights on the classic integer lattice (orthogonal
+# 10, diagonal 14 ≈ 10√2), so every path length is an exact int64.
+# Engine: the parent map is pure column math (the shared _FX/_FY D8
+# closed form); lengths come from POINTER-DOUBLING the (cell → parent,
+# w) table with weight accumulation — O(log L) self-joins, each
+# cell-table-sized, with early exit when the map stabilizes (every
+# chain ends in a pit self-loop).  Oracle: recursive downstream walk
+# per cell accumulating the same weights.
+
+_FPL_K = 10  # 2^10 = 1024 ≥ any path on a 768-cell grid
+
+
+_FPL_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+f AS (
+  SELECT x, y, CAST({_FX} AS BIGINT) AS fx, CAST({_FY} AS BIGINT) AS fy
+  FROM cells
+),
+walk AS (
+  SELECT x AS sx, y AS sy, x, y, CAST(0 AS BIGINT) AS len FROM f
+  UNION ALL
+  SELECT w.sx, w.sy, f.fx, f.fy,
+         w.len + CASE WHEN ABS(f.fx - w.x) + ABS(f.fy - w.y) = 2
+                      THEN 14 ELSE 10 END
+  FROM walk w JOIN f ON f.x = w.x AND f.y = w.y
+  WHERE f.fx IS NOT NULL
+),
+fin AS (
+  SELECT sx, sy, MAX(len) AS len_units FROM walk GROUP BY 1, 2
+),
+term AS (
+  SELECT w.sx, w.sy, w.x AS ox, w.y AS oy, w.len
+  FROM walk w
+  JOIN fin ON fin.sx = w.sx AND fin.sy = w.sy AND fin.len_units = w.len
+)
+SELECT sx AS x, sy AS y, CAST(len AS BIGINT) AS len_units,
+       CAST(oy * {W} + ox AS BIGINT) AS outlet_idx
+FROM term
+"""
+
+
+@register("flow_path_length_d8", _FPL_ORACLE)
+def flow_path_length_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream flow-path length and outlet per cell over the DEM
+    permutation fixture — pointer-doubled parent map with 10/14
+    integer step weights, O(log L) shuffles."""
+    cells = spark.range(0, W * H, 1, 8).selectExpr(
+        f"CAST(id % {W} AS BIGINT) AS x",
+        f"CAST(id DIV {W} AS BIGINT) AS y",
+        f"CAST({_FX} AS BIGINT) AS fx",
+        f"CAST({_FY} AS BIGINT) AS fy",
+    )
+    jump = cells.selectExpr(
+        f"y * {W} + x AS c",
+        f"CASE WHEN fx IS NULL THEN y * {W} + x"
+        f" ELSE fy * {W} + fx END AS a",
+        f"CASE WHEN fx IS NULL THEN CAST(0 AS BIGINT)"
+        f" WHEN ABS(fx - x) + ABS(fy - y) = 2 THEN CAST(14 AS BIGINT)"
+        f" ELSE CAST(10 AS BIGINT) END AS w",
+    ).localCheckpoint()
+    for _k in range(_FPL_K):
+        nxt = (
+            jump.alias("l")
+            .join(jump.alias("r"), F.col("l.a") == F.col("r.c"))
+            .select(
+                F.col("l.c").alias("c"),
+                F.col("r.a").alias("a"),
+                (F.col("l.w") + F.col("r.w")).alias("w"),
+            )
+            .localCheckpoint()
+        )
+        # early exit: the map is stable once no weight grew this round
+        grown = nxt.alias("n").join(
+            jump.alias("j"), F.col("n.c") == F.col("j.c")
+        ).where(F.col("n.w") > F.col("j.w")).isEmpty()
+        jump = nxt
+        if grown:
+            break
+    return jump.selectExpr(
+        f"c % {W} AS x", f"CAST(c DIV {W} AS BIGINT) AS y",
+        "w AS len_units", "a AS outlet_idx",
+    )
