@@ -213,8 +213,12 @@ def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # CAST(... AS DATE) on both truncations: Spark's date_trunc returns
 # TIMESTAMP while DuckDB 1.0's returns DATE — the explicit cast makes
-# the shared text type-identical (caught by test_oracle_parity's
-# object-level compare; check_oracle's string canon masked it)
+# the shared text type-identical.  The OUTPUT day columns must then be
+# CAST AS STRING: a projected DATE arrives as datetime.date from Spark
+# but datetime64 from DuckDB's .df(), and the gate's type-faithful
+# str() hash sees '2024-01-01' vs '2024-01-01 00:00:00' (the
+# event_volume_anomalies discipline; caught by the round-4 full-gate
+# sweep).
 _COHORT_SQL = """
 WITH u1 AS (
   SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
@@ -229,7 +233,8 @@ j AS (
   SELECT u1.cohort_day, act.day, COUNT(*) AS n_active
   FROM u1 JOIN act USING (user_id) GROUP BY u1.cohort_day, act.day
 )
-SELECT j.cohort_day, j.day, j.n_active, cs.cohort_size,
+SELECT CAST(j.cohort_day AS STRING) AS cohort_day,
+       CAST(j.day AS STRING) AS day, j.n_active, cs.cohort_size,
        ROUND(j.n_active / CAST(cs.cohort_size AS DOUBLE), 4) AS retention
 FROM j JOIN cs USING (cohort_day)
 """
