@@ -1268,3 +1268,35 @@ def host_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers plus one micro-lattice division per epoch."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_HAZ_SQL)
+
+
+# --- typosquat candidate pairs (blocked edit-distance join) --------------------
+#
+# Domain-abuse detection: same-length host pairs within edit distance
+# 2 (substitution typos — the dominant squatting pattern) are
+# registration-typo candidates.  The edit-distance join is BLOCKED on
+# (ccTLD, host length): substitutions preserve length, so the block
+# key is lossless for this pattern, each block is a bounded self-join,
+# and the quadratic term is Σ|block|², never n² (the guard discipline
+# of every pair producer in this repo).  levenshtein() is the classic
+# integer DP in both engines — exact, no float anywhere.
+
+_TYPO_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT {_HOST} AS host, {_CCTLD} AS cc
+  FROM documents
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(levenshtein(a.host, b.host) AS BIGINT) AS edit_dist
+FROM h a JOIN h b
+  ON a.cc = b.cc AND LENGTH(a.host) = LENGTH(b.host) AND a.host < b.host
+WHERE levenshtein(a.host, b.host) <= 2
+"""
+
+
+@register("host_typosquat_pairs", _TYPO_SQL)
+def host_typosquat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤2 same-length host pairs under (ccTLD, length)
+    blocking — Σ|block|² bounded candidates, integer DP distance."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_TYPO_SQL)
