@@ -1416,3 +1416,107 @@ def voronoi_seed_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_VOR_SPARK)
+
+
+# --- pycnophylactic interpolation (Tobler 1979) --------------------------------
+#
+# Mass-preserving areal disaggregation: tract-level page mass spread
+# onto a finer 64×48 cell grid by iterated neighbor smoothing, with
+# each tract's total RE-NORMALIZED back to its true mass after every
+# pass (the pycnophylactic constraint — smoothing without it invents
+# or destroys population).  Two unrolled rounds; each is one
+# 4-neighbor equi-join avg (the Moran adjacency shape) plus one
+# zone-keyed agg + broadcast-back scale — all dense-cell-table-sized.
+# EVERY stored value lives on the 1e-6 integer lattice (BIGINT
+# micro-units): neighbor and zone SUMs are integer — associative,
+# reduction-order independent — and each round ends in one half-up
+# requantization of a single double product; cross-engine exact with
+# no order assumptions (the statistics-battery recipe, docs/SCALE.md).
+
+_PYC_NX, _PYC_NY = 64, 48
+_PYC_CPZ = (_PYC_NX // TRACT_NX) * (_PYC_NY // TRACT_NY)  # cells/tract
+
+
+def _pyc_round(k: int) -> str:
+    return f"""
+s{k} AS (
+  SELECT c.gx, c.gy, c.zone,
+         CAST(FLOOR(SUM(n.v) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+              AS BIGINT) AS v
+  FROM g{k - 1} c
+  JOIN g{k - 1} n
+    ON ABS(c.gx - n.gx) + ABS(c.gy - n.gy) <= 1
+  GROUP BY 1, 2, 3
+),
+zs{k} AS (
+  SELECT zone, CAST(SUM(v) AS BIGINT) AS zv FROM s{k} GROUP BY 1
+),
+g{k} AS (
+  SELECT s.gx, s.gy, s.zone,
+         CASE WHEN z.zv > 0
+              THEN CAST(FLOOR(s.v * (CAST(m.mass_u AS DOUBLE) / z.zv)
+                              + 0.5) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS v
+  FROM s{k} s
+  JOIN zs{k} z ON z.zone = s.zone
+  JOIN zmass m ON m.zone = s.zone
+)"""
+
+
+def _pyc_sql(cells_src: str) -> str:
+    zone = (
+        f"(CAST(FLOOR(gy / {_PYC_NY // TRACT_NY}.0) AS BIGINT) * {TRACT_NX}"
+        f" + CAST(FLOOR(gx / {_PYC_NX // TRACT_NX}.0) AS BIGINT))"
+    )
+    dzone = (
+        f"(CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) * {TRACT_NX}"
+        f" + CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT gx, gy, {zone} AS zone FROM ({cells_src})
+),
+zmass AS (
+  SELECT z.zone, CAST(COALESCE(d.mass, 0) * 1000000 AS BIGINT) AS mass_u
+  FROM (SELECT DISTINCT zone FROM cells) z
+  LEFT JOIN (
+    SELECT {dzone} AS zone, CAST(SUM(n_chars) AS BIGINT) AS mass
+    FROM documents GROUP BY 1
+  ) d ON d.zone = z.zone
+),
+g0 AS (
+  SELECT c.gx, c.gy, c.zone,
+         CAST(FLOOR(m.mass_u / {_PYC_CPZ}.0 + 0.5) AS BIGINT) AS v
+  FROM cells c JOIN zmass m ON m.zone = c.zone
+),{_pyc_round(1)},{_pyc_round(2)}
+SELECT zone,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(v) AS DOUBLE) / 1000000.0, 4) AS zone_mass_check,
+       ROUND(CAST(MAX(v) - MIN(v) AS DOUBLE) / 1000000.0, 4) AS v_range,
+       ROUND(CAST(MAX(v) AS DOUBLE) / 1000000.0, 4) AS v_max
+FROM g2
+GROUP BY 1
+"""
+
+
+_PYC_SPARK_CELLS = f"""
+  SELECT t1.gx, t2.gy
+  FROM (SELECT explode(sequence(0, {_PYC_NX - 1})) AS gx) t1
+  CROSS JOIN (SELECT explode(sequence(0, {_PYC_NY - 1})) AS gy) t2
+"""
+_PYC_DUCK_CELLS = f"""
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {_PYC_NX - 1}) g1(gx),
+       generate_series(0, {_PYC_NY - 1}) g2(gy)
+"""
+
+
+@register("pycnophylactic_smooth", _pyc_sql(_PYC_DUCK_CELLS))
+def pycnophylactic_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tobler pycnophylactic disaggregation of tract page mass onto the
+    64×48 grid: two smooth+renormalize rounds on the micro-unit
+    lattice; per-tract output pins the mass-preservation constraint
+    (zone_mass_check ≈ the tract's true mass, drift < n_cells µunits)
+    and the within-tract gradient the smoothing created."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_pyc_sql(_PYC_SPARK_CELLS))
