@@ -65,6 +65,15 @@ JVM_ONLY = [
     "dedup_ngram_jaccard", "ann_cosine_topk", "kernel_functions",
     "json_props_rollup", "minhash_lsh_candidates", "simhash_fingerprints",
     "par_merge_grid_coalesce", "get_clip_ext",
+    # round-4 additions: all pure column math / window / join plans
+    "hilbert_write_layout_plan", "geary_c_tracts", "ks_two_sample_lang",
+    "voronoi_seed_regions", "chi_square_lang_source",
+    "trajectory_stay_points", "knox_space_time", "label_propagation_hosts",
+    "weighted_priority_sample", "host_typosquat_pairs",
+    "pycnophylactic_smooth", "conjunctive_term_search",
+    "road_bearing_anisotropy", "tfidf_source_terms",
+    "shingle_novelty_by_epoch", "hard_negative_mining",
+    "host_survival_hazard", "min_cost_supplier_q2", "waiting_orders_q21",
 ]
 
 
@@ -174,3 +183,13 @@ def test_tile_pyramid_scans_fact_once(spark):
     p = plan_of(tile_pyramid_census(spark, SF_SMOKE))
     assert p.count("documents.parquet") == 0
     assert "Scan ExistingRDD" in p
+
+
+def test_voronoi_seed_join_is_broadcast(spark):
+    """The cell×seed argmin must be a broadcast of the metadata-sized
+    seed table — a shuffled seed join would serialize the tessellation
+    at corpus scale."""
+    df = entry_mod.queries()["voronoi_seed_regions"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
