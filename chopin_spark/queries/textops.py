@@ -1362,8 +1362,8 @@ SELECT t.n AS n_docs, d.n_langs, d.n_sources,
        (d.n_langs - 1) * (d.n_sources - 1) AS dof,
        (SELECT CAST(SUM(term_micro) AS BIGINT) FROM terms)
          - t.n * 1000000 AS chi2_micro,
-       ROUND(((SELECT SUM(term_micro) FROM terms) - t.n * 1000000)
-             / 1000000.0, 6) AS chi2
+       ROUND(CAST((SELECT SUM(term_micro) FROM terms) - t.n * 1000000
+                  AS DOUBLE) / 1000000.0, 6) AS chi2
 FROM tot t CROSS JOIN dims d
 """
 
