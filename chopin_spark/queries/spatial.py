@@ -1520,3 +1520,108 @@ def pycnophylactic_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the within-tract gradient the smoothing created."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_pyc_sql(_PYC_SPARK_CELLS))
+
+
+# --- join-count statistics (binary spatial association) ----------------------
+#
+# Moran/Geary handle interval data; the classic statistic for a BINARY
+# surface (spdep::joincount.test — "is the above-average half of the
+# map contiguous?") is the join count: classify each tract Black if
+# its page mass exceeds the map mean, then count BB / BW / WW rook
+# links.  The mean cut reuses the n·x − S centering identity, so the
+# classification and every count is exact BIGINT; the only doubles are
+# the three hypergeometric expectations E[·] under nonfree sampling,
+# each one ratio of integer products (ROUND 6).
+#
+# Scale shape: identical to moran_i_tracts — fact scan → tiny zone
+# grid; the link enumeration is zone×4-offsets; the finish is one row.
+
+_JC_BODY = """
+z AS (
+  SELECT c.gx, c.gy, COALESCE(SUM(d.n_chars), 0) AS x
+  FROM cells c LEFT JOIN d ON d.gx = c.gx AND d.gy = c.gy
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT gx, gy,
+         CASE WHEN CAST({n} AS BIGINT) * x > (SELECT SUM(x) FROM z)
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+  FROM z
+),
+nb AS (
+  SELECT t.gx + o.dx AS ngx, t.gy + o.dy AS ngy, t.b
+  FROM t CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)
+),
+links AS (
+  SELECT nb.b AS b1, t2.b AS b2
+  FROM nb JOIN t t2 ON nb.ngx = t2.gx AND nb.ngy = t2.gy
+),
+s AS (
+  SELECT COUNT(*) AS wdir,
+         SUM(b1 * b2) AS bbdir,
+         SUM((1 - b1) * (1 - b2)) AS wwdir,
+         SUM(b1 + b2 - 2 * b1 * b2) AS bwdir
+  FROM links
+),
+c AS (
+  SELECT CAST(SUM(b) AS BIGINT) AS nb_black,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM t
+)
+SELECT c.n AS n_zones,
+       c.nb_black AS n_black,
+       CAST(s.wdir / 2 AS BIGINT) AS w_links,
+       CAST(s.bbdir / 2 AS BIGINT) AS bb,
+       CAST(s.bwdir / 2 AS BIGINT) AS bw,
+       CAST(s.wwdir / 2 AS BIGINT) AS ww,
+       ROUND(CAST(s.wdir AS DOUBLE) / 2.0
+             * c.nb_black * (c.nb_black - 1)
+             / (CAST(c.n AS DOUBLE) * (c.n - 1)), 6) AS e_bb,
+       ROUND(CAST(s.wdir AS DOUBLE)
+             * c.nb_black * (c.n - c.nb_black)
+             / (CAST(c.n AS DOUBLE) * (c.n - 1)), 6) AS e_bw,
+       ROUND(CAST(s.wdir AS DOUBLE) / 2.0
+             * (c.n - c.nb_black) * (c.n - c.nb_black - 1)
+             / (CAST(c.n AS DOUBLE) * (c.n - 1)), 6) AS e_ww
+FROM s CROSS JOIN c
+"""
+
+_JC_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_JC_BODY.format(n=_NZ)}
+"""
+
+_JC_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+),
+{_JC_BODY.format(n=_NZ)}
+"""
+
+
+@register("join_count_tracts", _JC_ORACLE)
+def join_count_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (BB/BW/WW rook links) of the binary
+    above-mean page-mass surface, with hypergeometric expectations —
+    classification and counts integer-exact via the n·x − S identity;
+    the adjacency enumeration is the shared Moran link join."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_JC_SPARK)

@@ -932,3 +932,99 @@ def idw_loocv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmse"),
     )
+
+
+# --- bivariate cross-K (docs vs POI attraction across scales) ----------------
+#
+# Ripley's K above asks "do pages cluster with themselves?"; the cross
+# version asks the analyst's next question: "do pages cluster AROUND
+# the POI layer?" — K̂₁₂(r) = A/(n₁·n₂) · Σᵢ Σⱼ 1[dᵢⱼ ≤ r] over ORDERED
+# (doc, poi) pairs (no self-pair exclusion, no factor 2 — the two
+# patterns are disjoint).  Under independence L̂₁₂(r) ≈ r; excess means
+# the page surface tracks the POI surface (chopin's summarize_sedc
+# precursor question).
+#
+# Scale shape: identical to ripley_k_docs — the bounded-radius cell
+# equi-join from chopin_spark.vector replaces the O(n₁·n₂) enumeration;
+# candidate volume is local density × n₁, the two scalars (n₁, n₂) are
+# one count() each, and the finish is a 5-row cumulative window.
+
+_XK_MAX = 100_000.0
+_XK_STEP = 20_000.0
+
+_CROSSK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+p AS (
+  SELECT p_partkey AS pid, {_PX} AS x, {_PY} AS y FROM part
+),
+n1 AS (SELECT COUNT(*) AS n FROM d),
+n2 AS (SELECT COUNT(*) AS n FROM p),
+pairs AS (
+  SELECT CAST(FLOOR(SQRT((d.x - p.x) * (d.x - p.x)
+                         + (d.y - p.y) * (d.y - p.y)) / {_XK_STEP!r})
+              AS BIGINT) AS bin
+  FROM d JOIN p ON SQRT((d.x - p.x) * (d.x - p.x)
+                        + (d.y - p.y) * (d.y - p.y)) <= {_XK_MAX!r}
+),
+bins AS (
+  SELECT bin, COUNT(*) AS cnt FROM pairs GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(cnt) OVER (ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+  FROM bins
+)
+SELECT CAST((bin + 1) * {_XK_STEP!r} AS BIGINT) AS r_m,
+       cum_pairs,
+       ROUND({_EXT_AREA!r} * cum_pairs
+             / (CAST((SELECT n FROM n1) AS DOUBLE)
+                * (SELECT n FROM n2)), 4) AS k12_hat,
+       ROUND(SQRT({_EXT_AREA!r} * cum_pairs
+                  / (CAST((SELECT n FROM n1) AS DOUBLE)
+                     * (SELECT n FROM n2)) / PI()), 4) AS l12_hat
+FROM cum
+"""
+
+
+@register("cross_k_docs_poi", _CROSSK_ORACLE)
+def cross_k_docs_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Ripley cross-K̂₁₂(r) / L̂₁₂(r) between the document
+    pattern and the POI pattern at r = 20..100 km — ordered cross
+    pairs through the bounded-radius cell join, cumulative finish over
+    5 bins.  Independence reference: L̂₁₂(r) ≈ r."""
+    from chopin_spark.vector import _prep
+
+    docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
+    pois = _poi_pts(spark, sf_dir)
+    g = make_regular_grid(8, 6, pad=_XK_MAX)
+    pairs = _prep(docs, pois, g, ["doc_id"], ["pid"]).filter(
+        F.col("_d") <= _XK_MAX
+    )
+    n1 = docs.count()  # two driver scalars: one count per pattern
+    n2 = pois.count()
+    bins = pairs.groupBy(
+        F.floor(F.col("_d") / _XK_STEP).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum_pairs", F.sum("cnt").over(w).cast("long"))
+    k12 = F.round(
+        F.lit(_EXT_AREA) * F.col("cum_pairs") / (float(n1) * n2), 4
+    )
+    l12 = F.round(
+        F.sqrt(
+            F.lit(_EXT_AREA) * F.col("cum_pairs")
+            / (float(n1) * n2) / math.pi
+        ),
+        4,
+    )
+    return cum.select(
+        ((F.col("bin") + 1) * F.lit(_XK_STEP)).cast("long").alias("r_m"),
+        "cum_pairs",
+        k12.alias("k12_hat"),
+        l12.alias("l12_hat"),
+    )
