@@ -28,7 +28,7 @@ _MODULES = (
     "crsq", "s2q", "webtext", "s2knn", "pagespipe", "temporalq",
     "manifestq", "trainprep", "streamq", "roads", "rasterops", "lmq",
     "snapshotq",
-    "dissolveq", "sketchq", "simplifyq", "graphq", "costdistq",
+    "dissolveq", "sketchq", "simplifyq", "graphq", "costdistq", "interactq", "pointpat",
     "gatedigest",  # must import last: it folds over every other entry
 )
 

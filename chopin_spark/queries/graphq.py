@@ -368,3 +368,75 @@ def label_propagation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, unlabeled preserved as -1."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_LP_SQL)
+
+
+# --- OPIC crawl-frontier priority (3 synchronous cash rounds) -----------------
+#
+# Abiteboul's Adaptive On-line Page Importance Computation — the
+# priority score a large crawler keeps per host to order its frontier
+# (the crawl-scheduling twin of host_pagerank's quality weighting).
+# Every node starts with equal cash; each round it sends cash/outdeg
+# along every out-edge and banks the sent amount into its history;
+# priority = history + cash.  All state is integer micro-units: the
+# per-edge share is FLOOR(cash/deg) (exact — the quotient can never sit
+# within an ulp of a wrong integer at these magnitudes), so the three
+# rounds are bit-reproducible and dangling nodes simply retire their
+# cash, exactly like pagerank_int's dropped dangling mass.
+#
+# Scale shape: per round one rank⋈edges equi-join + one dst-keyed
+# partial+final SUM — identical to the PageRank round, the shape that
+# holds at 10^9 hosts; rounds are unrolled CTEs (fixed depth), so the
+# whole statistic is a single Catalyst plan with no driver iteration.
+
+_OPIC_ROUNDS = 3
+_OPIC_CASH0 = 1_000_000
+
+
+def _opic_round(k: int) -> str:
+    return f"""
+inb{k} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(FLOOR(CAST(s.cash AS DOUBLE) / deg.deg) AS BIGINT)) AS got
+  FROM e
+  JOIN s{k - 1} s ON s.node = e.src AND s.cash > 0
+  JOIN deg ON deg.src = e.src
+  GROUP BY 1
+),
+s{k} AS (
+  SELECT n.node,
+         CAST(COALESCE(i.got, 0) AS BIGINT) AS cash,
+         s.hist + s.cash AS hist
+  FROM n
+  JOIN s{k - 1} s ON s.node = n.node
+  LEFT JOIN inb{k} i ON i.node = n.node
+)"""
+
+
+_OPIC_SQL = (
+    f"""
+WITH e AS (SELECT * FROM {_EDGES}),
+n AS (
+  SELECT DISTINCT node FROM
+    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+s0 AS (
+  SELECT node, CAST({_OPIC_CASH0} AS BIGINT) AS cash,
+         CAST(0 AS BIGINT) AS hist
+  FROM n
+),"""
+    + ",".join(_opic_round(k) for k in range(1, _OPIC_ROUNDS + 1))
+    + f"""
+SELECT node AS host_num, cash AS cash_micro, hist AS hist_micro,
+       cash + hist AS priority_micro
+FROM s{_OPIC_ROUNDS}
+"""
+)
+
+
+@register("opic_crawl_priority", _OPIC_SQL)
+def opic_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC frontier priority per host after three synchronous
+    cash-distribution rounds (integer micro-units, bit-exact)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_OPIC_SQL)

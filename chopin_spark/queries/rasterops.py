@@ -255,3 +255,68 @@ def raster_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pixels",
         )
     )
+
+
+# --- terra::classify: reclassify DN values through a breaks table -------------
+#
+# The reclass matrix (rcl) is metadata, not data: terra::classify takes
+# it as an argument, and at cluster scale the right plan is to compile
+# the (tiny) breaks table into the pixel expression itself — a CASE
+# ladder inside whole-stage codegen — rather than join 10^10 pixel rows
+# against a 7-row range table (a broadcast nested-loop that evaluates
+# the same 7 comparisons with join machinery overhead on top).  Both
+# engines evaluate the identical ladder text, and the per-class sums
+# are exact int64 over integer DN values.
+
+_RECLASS_BREAKS = (  # (upper_bound_exclusive, class_code); last catches rest
+    (50_000, 10), (150_000, 20), (300_000, 30), (500_000, 40),
+    (700_000, 50), (900_000, 60), (V_MOD, 70),
+)
+
+
+def _reclass_case(v: str) -> str:
+    arms = " ".join(
+        f"WHEN ({v}) < {ub} THEN {code}"
+        for ub, code in _RECLASS_BREAKS[:-1]
+    )
+    return f"(CASE {arms} ELSE {_RECLASS_BREAKS[-1][1]} END)"
+
+
+_RECLASS_ORACLE = f"""
+WITH px AS (
+  SELECT i.i, j.j
+  FROM generate_series(0, {NPX - 1}) i(i)
+  CROSS JOIN generate_series(0, {NPY - 1}) j(j)
+),
+v AS (
+  SELECT {pixel_value_sql('i', 'j', 0)} AS dn FROM px
+)
+SELECT CAST({_reclass_case('dn')} AS BIGINT) AS class_code,
+       COUNT(*) AS n_pixels,
+       CAST(SUM(dn) AS BIGINT) AS dn_sum,
+       CAST(MIN(dn) AS BIGINT) AS dn_min,
+       CAST(MAX(dn) AS BIGINT) AS dn_max
+FROM v GROUP BY 1
+"""
+
+
+@register("raster_reclass_table", _RECLASS_ORACLE)
+def raster_reclass_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terra::classify analog: DN values reclassified through a 7-band
+    breaks table compiled to a codegen CASE ladder over the stored
+    tiles; per-class pixel count and exact DN sum/min/max.  Pixel rows
+    never shuffle — explode feeds the partial hash-agg (≤ 7 keys per
+    task), and the final exchange carries 7 rows × tasks."""
+    tiles = _tiles(spark)
+    px = tiles.select(F.explode("values").alias("dn"))
+    return (
+        px.groupBy(
+            F.expr(_reclass_case("dn")).cast("bigint").alias("class_code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.sum("dn").cast("bigint").alias("dn_sum"),
+            F.min("dn").cast("bigint").alias("dn_min"),
+            F.max("dn").cast("bigint").alias("dn_max"),
+        )
+    )

@@ -399,3 +399,247 @@ def waiting_orders_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q21_SQL)
+
+
+# --- TPC-H plan-shape pack (Q4 / Q7 / Q10 / Q19 / Q22 analogs) ----------------
+#
+# Five more canonical optimizer shapes over the TPC-H-ish tables, each
+# distinct from the Q1/Q2/Q3/Q5/Q14/Q18/Q21 family already registered:
+# correlated EXISTS decorrelated to a left-semi join (Q4), the two-role
+# dimension join with a symmetric pair predicate (Q7), grouped top-k
+# revenue (Q10), a disjunction of conjunctions that must still push to
+# both scans (Q19), and scalar-subquery + anti-join (Q22).  Money sums
+# use the repo's integer-cents discipline: per-row quantize to 1e-4
+# (price is 2-dec, discount 2-dec), SUM as int64, divide once at the
+# end — reduction-order independent where ROUND(SUM(double)) is not.
+
+_REV_Q = ("CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) "
+          "AS BIGINT)")
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
+@register("order_priority_q4", _Q4_ORACLE)
+def order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over lineitem decorrelated to
+    a LEFT SEMI join on the order key (the join carries the correlated
+    l_shipdate > o_orderdate residual), then a tiny hash-agg on the
+    5-value priority column.  The quarter filter prunes the orders scan
+    before the join on both sides."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q7_PAIR = (
+    "((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR "
+    "(n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))"
+)
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       COUNT(*) AS n_lines,
+       ROUND(SUM({_REV_Q}) / 10000.0, 4) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE {_Q7_PAIR}
+GROUP BY 1, 2, 3
+"""
+
+
+@register("volume_shipping_q7", _Q7_ORACLE)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joined twice under two
+    roles with a symmetric pair predicate, revenue bucketed by ship
+    year.  Both nation joins broadcast; the pair disjunction filters
+    after the two independent dimension joins (Catalyst cannot split
+    it per-role, so the residual sits on the joined row — the
+    canonical two-role-dimension test)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3")
+             & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7")
+               & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.expr("CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)")
+            .alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.round(F.expr(f"SUM({_REV_Q})") / 10000.0, 4)).alias("revenue"),
+        )
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       COUNT(*) AS n_lines,
+       ROUND(SUM({_REV_Q}) / 10000.0, 4) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_items_q10", _Q10_ORACLE)
+def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-line revenue per customer over a
+    half-year window, grouped top-20 (TakeOrderedAndProject — no
+    global sort materialization).  The returnflag filter pushes to the
+    lineitem scan, the date window to orders; ties at the revenue
+    cutoff break on the customer key so the LIMIT is deterministic."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.round(F.expr(f"SUM({_REV_Q})") / 10000.0, 4)).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q19_PRED = """
+  ((p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+    AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 40
+       AND l_quantity BETWEEN 20 AND 45))
+"""
+
+_Q19_ORACLE = f"""
+SELECT COUNT(*) AS n_lines,
+       ROUND(SUM({_REV_Q}) / 10000.0, 4) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE {_Q19_PRED}
+"""
+
+
+@register("disjunctive_parts_q19", _Q19_ORACLE)
+def disjunctive_parts_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of brand/size/quantity conjunctions.
+    Catalyst derives the implied single-side disjunctions (brand IN
+    (...) on part, quantity BETWEEN 1 AND 45 on lineitem) and pushes
+    them into both scans while the full residual evaluates post-join —
+    the classic disjunctive-pushdown test."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.expr(_Q19_PRED))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.round(F.expr(f"SUM({_REV_Q})") / 10000.0, 4)).alias("revenue"),
+        )
+    )
+
+
+_Q22_CUTOFF = "TIMESTAMP '1999-01-01 00:00:00'"
+_BAL_CENTS = "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)"
+
+_Q22_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM({_BAL_CENTS}) AS DOUBLE) / (100.0 * COUNT(*)) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       ROUND(SUM({_BAL_CENTS}) / 100.0, 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT ab FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= {_Q22_CUTOFF})
+GROUP BY 1
+"""
+
+
+@register("lapsed_customers_q22", _Q22_ORACLE)
+def lapsed_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, per nation.  The scalar average (integer-cents exact) comes
+    from a 1-row broadcast; the no-recent-orders condition is a LEFT
+    ANTI join against the date-pruned orders scan — the
+    scalar-subquery + anti-join pair that Q22 exists to test."""
+    c = load(spark, sf_dir, "customer")
+    ab = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.expr(f"CAST(SUM({_BAL_CENTS}) AS DOUBLE)")
+             / (100.0 * F.count(F.lit(1)))).alias("ab")
+        )
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate >= {_Q22_CUTOFF}")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.expr(f"SUM({_BAL_CENTS})") / 100.0, 2)
+            .alias("totacctbal"),
+        )
+    )

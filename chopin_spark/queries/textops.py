@@ -1476,3 +1476,64 @@ def conjunctive_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
         )
     )
+
+
+# --- sorted-neighborhood dedup (windowed-adjacency blocking) ------------------
+#
+# The classic entity-resolution alternative to equi-key blocking
+# (Hernández & Stolfo's merge/purge): sort records by a discriminating
+# key and compare only records that land within a fixed window of each
+# other.  Complements the repo's other pair producers — MinHash/LSH
+# band equi-joins, n-gram inverted index, prefix-filtered AllPairs —
+# with the *ordering-based* family: candidate count is n·w by
+# construction, no hot-bucket risk at any skew.
+#
+# Scale shape: the block key is (lang, 8-char text prefix), so the sort
+# is per-block inside hash partitions — a bounded window function, not
+# a global ORDER BY; the comparator (banded edit distance on the
+# 48-char prefix) is a JVM builtin on both engines.
+
+_SNM_WINDOW = 2  # compare each record to its next-2 neighbors
+_SNM_MAXLEV = 12  # accept pairs within this edit distance on prefix-48
+
+_SNM_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         LEAD(doc_id, 1) OVER (PARTITION BY lang, substr(text, 1, 8)
+                               ORDER BY text, doc_id) AS nb1_id,
+         LEAD(text, 1)   OVER (PARTITION BY lang, substr(text, 1, 8)
+                               ORDER BY text, doc_id) AS nb1_t,
+         LEAD(doc_id, 2) OVER (PARTITION BY lang, substr(text, 1, 8)
+                               ORDER BY text, doc_id) AS nb2_id,
+         LEAD(text, 2)   OVER (PARTITION BY lang, substr(text, 1, 8)
+                               ORDER BY text, doc_id) AS nb2_t
+  FROM documents
+),
+cand AS (
+  SELECT s.doc_id AS doc_a,
+         CASE WHEN o.k = 1 THEN nb1_id ELSE nb2_id END AS doc_b,
+         CAST(o.k AS BIGINT) AS win_offset,
+         substr(s.text, 1, 48) AS pa,
+         CASE WHEN o.k = 1 THEN substr(nb1_t, 1, 48)
+              ELSE substr(nb2_t, 1, 48) END AS pb,
+         substr(s.text, 1, 96) AS qa,
+         CASE WHEN o.k = 1 THEN substr(nb1_t, 1, 96)
+              ELSE substr(nb2_t, 1, 96) END AS qb
+  FROM s CROSS JOIN (VALUES (1), (2)) AS o(k)
+)
+SELECT doc_a, doc_b, win_offset,
+       CAST(levenshtein(pa, pb) AS BIGINT) AS lev48,
+       CAST(levenshtein(qa, qb) AS BIGINT) AS lev96
+FROM cand
+WHERE doc_b IS NOT NULL AND levenshtein(pa, pb) <= {_SNM_MAXLEV}
+"""
+
+
+@register("dedup_sorted_neighborhood", _SNM_SQL)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates: per (lang, prefix-8)
+    block, each document is compared to its next-2 neighbors in text
+    order; pairs within edit distance {12} on the 48-char prefix
+    survive, reported with the 96-char distance as well."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SNM_SQL)

@@ -74,6 +74,14 @@ JVM_ONLY = [
     "road_bearing_anisotropy", "tfidf_source_terms",
     "shingle_novelty_by_epoch", "hard_negative_mining",
     "host_survival_hazard", "min_cost_supplier_q2", "waiting_orders_q21",
+    # round-4 batch 2: spatial interaction, point-pattern/ESDA, TPC-H
+    # shapes, OPIC, sorted-neighborhood — all shared-SQL column math
+    "gwr_local_slope", "huff_gravity_share", "opic_crawl_priority",
+    "dedup_sorted_neighborhood", "order_priority_q4", "volume_shipping_q7",
+    "returned_items_q10", "disjunctive_parts_q19", "lapsed_customers_q22",
+    "moran_i_bivariate", "general_g_tracts", "quadrat_csr_test",
+    "clark_evans_index", "std_deviational_ellipse",
+    "median_center_weiszfeld", "mann_whitney_u_lang",
 ]
 
 
@@ -193,3 +201,30 @@ def test_voronoi_seed_join_is_broadcast(spark):
     p = plan_of(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_huff_destination_join_is_broadcast(spark):
+    """The stencil-exploded POI side is dimension-sized (9× a dim
+    table) and must broadcast — a shuffled pair join would move the
+    document fact at corpus scale."""
+    df = entry_mod.queries()["huff_gravity_share"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q4_semi_join_decorrelation(spark):
+    """The correlated EXISTS must plan as a single LEFT SEMI join on
+    the order key, not a per-row subquery."""
+    df = entry_mod.queries()["order_priority_q4"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "LeftSemi" in p
+
+
+def test_reclass_has_no_pixel_join(spark):
+    """terra::classify compiles the breaks table into the pixel
+    expression — the plan must contain NO join at all (a 7-row range
+    table joined to 10^10 pixels is the anti-pattern)."""
+    df = entry_mod.queries()["raster_reclass_table"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "Join" not in p
