@@ -320,3 +320,67 @@ def raster_reclass_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dn").cast("bigint").alias("dn_max"),
         )
     )
+
+
+# --- ArcGIS ZonalGeometry analog: shape statistics of rasterized zones --------
+#
+# Per-zone geometry measured IN PIXEL SPACE (the zonal twin of
+# rasterize): pixel count, centroid, bounding box and bbox fill ratio
+# of each tract-octagon zone.  Spark drives from the stored tile table
+# (posexplode over tile-parallel partitions — map-only until the
+# 256-row zone agg); the oracle regenerates pixels from generate_series
+# and replays the identical half-plane membership.  All sums are int64
+# over pixel indices; centroids divide exact sums once at the end.
+
+from chopin_spark.queries.zonal import _in_oct_xy  # noqa: E402
+from chopin_spark import zones as _ZG  # noqa: E402
+
+_ZG_CX = f"((gi + 0.5) * {PW!r})"
+_ZG_CY = f"((gj + 0.5) * {PH!r})"
+
+_ZG_BODY = f"""
+SELECT CAST(FLOOR({_ZG_CY} / {_ZG.TRACT_H!r}) AS BIGINT) * 16
+         + CAST(FLOOR({_ZG_CX} / {_ZG.TRACT_W!r}) AS BIGINT) AS zone_id,
+       COUNT(*) AS n_px,
+       ROUND((CAST(SUM(gi) AS DOUBLE) / COUNT(*) + 0.5) * {PW!r}, 4)
+         AS centroid_x,
+       ROUND((CAST(SUM(gj) AS DOUBLE) / COUNT(*) + 0.5) * {PH!r}, 4)
+         AS centroid_y,
+       CAST(MIN(gi) AS BIGINT) AS bb_i0, CAST(MAX(gi) AS BIGINT) AS bb_i1,
+       CAST(MIN(gj) AS BIGINT) AS bb_j0, CAST(MAX(gj) AS BIGINT) AS bb_j1,
+       ROUND(COUNT(*) / (CAST(MAX(gi) - MIN(gi) + 1 AS DOUBLE)
+                         * (MAX(gj) - MIN(gj) + 1)), 6) AS bbox_fill
+FROM burned
+GROUP BY 1
+"""
+
+_ZG_ORACLE = f"""
+WITH px AS (
+  SELECT i AS gi, j AS gj
+  FROM generate_series(0, {NPX - 1}) s(i),
+       generate_series(0, {NPY - 1}) t(j)
+),
+burned AS (
+  SELECT gi, gj FROM px WHERE {_in_oct_xy(_ZG_CX, _ZG_CY)}
+)
+{_ZG_BODY}
+"""
+
+
+@register("raster_zonal_geometry", _ZG_ORACLE)
+def raster_zonal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal geometry of the rasterized octagon zones: per-zone pixel
+    count, pixel-space centroid, bbox and bbox fill ratio, driven from
+    the stored tiles (posexplode; j is the slow axis of the tile
+    payload) — tile-parallel map work into a 256-row hash-agg."""
+    tiles = _tiles(spark)
+    px = tiles.select(
+        "tile_row", "tile_col",
+        F.posexplode("values").alias("p", "val"),
+    ).select(
+        (F.col("tile_col") * TILE + F.col("p") % TILE).alias("gi"),
+        (F.col("tile_row") * TILE + F.expr(f"p DIV {TILE}")).alias("gj"),
+    )
+    burned = px.filter(F.expr(_in_oct_xy(_ZG_CX, _ZG_CY)))
+    burned.createOrReplaceTempView("burned")
+    return tiles.sparkSession.sql(_ZG_BODY)

@@ -643,3 +643,29 @@ def lapsed_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# --- CUBE grouping sets (the Expand-operator plan shape) ----------------------
+
+_CUBE_SQL = """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+       CAST(GROUPING(source) AS BIGINT) AS g_source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+
+@register("cube_lang_source", _CUBE_SQL)
+def cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(lang, source) corpus census: all four grouping sets in one
+    pass.  Catalyst plans this as an Expand (4× row replication into
+    the partial agg) — replication happens AFTER the scan folds to the
+    two grouping columns, so the cost is 4× the distinct-combination
+    stream, not 4× the corpus; GROUPING() flags disambiguate rolled-up
+    NULLs from the 'ALL' sentinel."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CUBE_SQL)

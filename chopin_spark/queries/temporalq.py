@@ -579,3 +579,50 @@ def knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell / time-bin probes, total pairs in closed form."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_knox_sql("unix_micros(CAST(ts AS TIMESTAMP))"))
+
+
+# --- rolling 7-day user volume (RANGE-frame window) ---------------------------
+#
+# The one window-frame shape the registry lacked: a RANGE frame over a
+# numeric ORDER BY key (epoch days), so gaps in activity are handled by
+# VALUE distance, not row count — ROWS BETWEEN 6 PRECEDING would be
+# wrong across quiet days.  Day keys are exact integers (the µs→day
+# floor can never flip: the quotient's distance from an integer is
+# ≥ 1/86400e6, far above the double ulp), and the windowed sums are
+# int64 — the whole query is deterministic at any partitioning.
+#
+# Scale shape: the raw scan folds to (user, day) BEFORE the window, so
+# the sort frame is activity-span sized per user, not event sized.
+
+
+def _roll7_sql(epoch_us: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(FLOOR(CAST({epoch_us} AS DOUBLE) / 86400000000.0) AS BIGINT)
+           AS day,
+         CAST(FLOOR((value) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT user_id, day, COUNT(*) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM d GROUP BY 1, 2
+)
+SELECT user_id, day, n_events,
+       CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_7day,
+       ROUND(CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0, 2) AS value_7day
+FROM g
+"""
+
+
+@register("rolling_7day_user_volume", _roll7_sql("epoch_us(ts)"))
+def rolling_7day_user_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-day event count and value over daily
+    pre-aggregates — the RANGE-frame (value-distance) window shape."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_roll7_sql("unix_micros(CAST(ts AS TIMESTAMP))"))

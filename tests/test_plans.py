@@ -82,6 +82,7 @@ JVM_ONLY = [
     "moran_i_bivariate", "general_g_tracts", "quadrat_csr_test",
     "clark_evans_index", "std_deviational_ellipse",
     "median_center_weiszfeld", "mann_whitney_u_lang",
+    "rolling_7day_user_volume", "cube_lang_source", "raster_zonal_geometry",
 ]
 
 
