@@ -440,3 +440,118 @@ def opic_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cash-distribution rounds (integer micro-units, bit-exact)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_OPIC_SQL)
+
+
+# --- degree assortativity (Newman's r over the host graph) --------------------
+#
+# Do well-linked hosts link to well-linked hosts?  Pearson correlation
+# of endpoint degrees over every directed realization of the simple
+# undirected edge set (the symmetric form, so r is orientation-free).
+# Degrees are small integers: all five moments are exact int64 and the
+# statistic is one fixed double expression — no sampling, no floats in
+# any reduction.
+
+from chopin_spark.queries.webtext import _TRI_DST, _TRI_SRC  # noqa: E402
+
+_ASSORT_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM (
+    SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst
+    FROM documents WHERE {_TRI_SRC} <> {_TRI_DST}
+  ) raw
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) n
+  GROUP BY 1
+),
+ep AS (
+  SELECT du.d AS j, dv.d AS k
+  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+  UNION ALL
+  SELECT dv.d AS j, du.d AS k
+  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(j * k) AS BIGINT) AS sjk,
+         CAST(SUM(j + k) AS BIGINT) AS sj2,
+         CAST(SUM(j * j + k * k) AS BIGINT) AS sq2
+  FROM ep
+)
+SELECT m2 / 2 AS n_edges,
+       ROUND(
+         (CAST(sjk AS DOUBLE) / m2
+          - (CAST(sj2 AS DOUBLE) / (2.0 * m2))
+            * (CAST(sj2 AS DOUBLE) / (2.0 * m2)))
+         / (CAST(sq2 AS DOUBLE) / (2.0 * m2)
+            - (CAST(sj2 AS DOUBLE) / (2.0 * m2))
+              * (CAST(sj2 AS DOUBLE) / (2.0 * m2))),
+         6) AS assortativity_r
+FROM s
+"""
+
+
+@register("degree_assortativity_hosts", _ASSORT_SQL)
+def degree_assortativity_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the simple undirected host graph
+    (symmetric edge realization, exact integer moments)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ASSORT_SQL)
+
+
+# --- modularity of the label-propagation partition -----------------------------
+#
+# Newman–Girvan Q of the 3-round LPA labels over the SAME undirected
+# graph LPA diffused on: Q = intra/(2m) − Σ_c (d_c/(2m))².  Unlabeled
+# hosts count as singleton communities (COALESCE to a per-node id
+# above the label range).  Both terms are exact int64 sums — intra is
+# a label-equality filter on the directed edge set, d_c a degree
+# rollup — so Q is one fixed double expression.  This evaluates an
+# ALREADY-REGISTERED operator's output quality: the partition query
+# and its quality metric share the unrolled LPA CTEs verbatim.
+
+_MOD_SQL = (
+    f"""
+WITH lab AS ({_LP_SQL}),
+lab2 AS (
+  SELECT host_num AS node,
+         CASE WHEN label < 0 THEN 1000 + host_num ELSE label END AS c
+  FROM lab
+),
+e AS (SELECT * FROM {_EDGES}),
+und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und),
+intra AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ei
+  FROM und
+  JOIN lab2 a ON a.node = und.src
+  JOIN lab2 b ON b.node = und.dst
+  WHERE a.c = b.c
+),
+dc AS (
+  SELECT l.c, CAST(COUNT(*) AS BIGINT) AS d
+  FROM und JOIN lab2 l ON l.node = und.src
+  GROUP BY 1
+),
+dsq AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sd2 FROM dc)
+SELECT m.m2 / 2 AS n_edges,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT c FROM lab2) u) AS n_comms,
+       intra.ei / 2 AS intra_edges,
+       ROUND(CAST(intra.ei AS DOUBLE) / m.m2
+             - CAST(dsq.sd2 AS DOUBLE) / (CAST(m.m2 AS DOUBLE) * m.m2),
+             6) AS modularity_q
+FROM m CROSS JOIN intra CROSS JOIN dsq
+"""
+)
+
+
+@register("modularity_lpa_hosts", _MOD_SQL)
+def modularity_lpa_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman–Girvan modularity of the label-propagation partition —
+    the quality audit of the LPA community output."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_MOD_SQL)

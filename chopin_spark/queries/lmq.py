@@ -448,3 +448,59 @@ def host_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - s / CAST(n_tokens AS DOUBLE), 4) AS entropy",
         )
     )
+
+
+# --- Zipf rank-frequency slope (Heaps'-law twin) -------------------------------
+#
+# The corpus-health scaling exponent: OLS of ln(count) on ln(rank)
+# over the top-200 terms.  Ranks are deterministic (count DESC, term)
+# over the vocabulary-bounded frequency table; both logs land on the
+# 1e-6 integer lattice before any sum (the repo's ln ROUND-grain
+# discipline), so the five OLS moments are exact int64.
+
+
+def _zipf_sql(tok: str) -> str:
+    return f"""
+WITH w AS (
+  SELECT {tok} AS word FROM documents
+),
+cnt AS (
+  SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+),
+rk AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS r FROM cnt
+),
+lat AS (
+  SELECT CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM rk WHERE r <= 200
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM lat
+)
+SELECT n AS n_terms,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+             6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0,
+             4) AS ln_c_at_rank1
+FROM s
+"""
+
+
+@register(
+    "zipf_slope_terms",
+    _zipf_sql("UNNEST(STRING_SPLIT(text, ' '))"),
+)
+def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the term rank-frequency curve (top-200 ranks),
+    integer-lattice logs, exact OLS moments."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_zipf_sql("explode(split(text, ' '))"))

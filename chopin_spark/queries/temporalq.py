@@ -626,3 +626,94 @@ def rolling_7day_user_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregates — the RANGE-frame (value-distance) window shape."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_roll7_sql("unix_micros(CAST(ts AS TIMESTAMP))"))
+
+
+# --- space-time kernel density (STKDE) -----------------------------------------
+#
+# The smoothed intensity surface over (x, y, t) — the density
+# companion of the Knox interaction test: at each of 288 space-time
+# nodes (8×6 grid × 6 five-day bins), the sum of separable Gaussian
+# kernel products over events within the space/time cutoffs.  Both
+# kernel factors quantize to the 2^12 lattice BEFORE the product, so
+# every node's sum is exact int64; the time axis is anchored to the
+# corpus MIN day (one scalar agg), not a hard-coded epoch.
+#
+# Scale shape: the node table is metadata-sized → broadcast
+# nested-loop against the event scan with both cutoffs as residuals,
+# then one 288-key hash-agg; at denser node grids the same query
+# switches to the cell-stencil equi-join (huff_gravity_share pattern).
+
+_STK_HS = 60_000.0   # spatial bandwidth (m)
+_STK_RS = 150_000.0  # spatial cutoff
+_STK_HT = 2.5        # temporal bandwidth (days)
+_STK_RT = 5.0        # temporal cutoff
+_STK_NX, _STK_NY, _STK_NT = 8, 6, 6
+
+
+def _stkde_sql(epoch_us: str, gen3: str) -> str:
+    cw = 800_000.0 / _STK_NX
+    ch = 600_000.0 / _STK_NY
+    return f"""
+WITH ev AS (
+  SELECT {_sx.x_expr('event_id')} AS x, {_sx.y_expr('event_id')} AS y,
+         CAST(FLOOR(CAST({epoch_us} AS DOUBLE) / 86400000000.0) AS BIGINT)
+           AS day
+  FROM events
+),
+d0 AS (SELECT MIN(day) AS d0 FROM ev),
+nodes AS (
+  SELECT gi, gj, tb,
+         (gi + 0.5) * {cw!r} AS cx,
+         (gj + 0.5) * {ch!r} AS cy,
+         2.5 + 5.0 * tb AS tc
+  FROM {gen3}
+),
+pairs AS (
+  SELECT n.gi, n.gj, n.tb,
+         CAST(FLOOR(4096 * EXP(-((e.x - n.cx) * (e.x - n.cx)
+                                 + (e.y - n.cy) * (e.y - n.cy))
+                               / {2.0 * _STK_HS * _STK_HS!r}) + 0.5)
+              AS BIGINT)
+         * CAST(FLOOR(4096 * EXP(-((e.day - d0.d0 + 0.5) - n.tc)
+                                  * ((e.day - d0.d0 + 0.5) - n.tc)
+                                / {2.0 * _STK_HT * _STK_HT!r}) + 0.5)
+                AS BIGINT) AS w
+  FROM ev e CROSS JOIN d0 CROSS JOIN nodes n
+  WHERE (e.x - n.cx) * (e.x - n.cx) + (e.y - n.cy) * (e.y - n.cy)
+          <= {_STK_RS * _STK_RS!r}
+    AND ABS((e.day - d0.d0 + 0.5) - n.tc) <= {_STK_RT!r}
+)
+SELECT gi, gj, tb, COUNT(*) AS n_within,
+       ROUND(CAST(SUM(w) AS DOUBLE) / (4096.0 * 4096.0), 4) AS intensity
+FROM pairs
+GROUP BY 1, 2, 3
+"""
+
+
+_STK_GEN_SPARK = f"""(
+  SELECT gi, gj, tb
+  FROM (SELECT explode(sequence(0, {_STK_NX - 1})) AS gi)
+  CROSS JOIN (SELECT explode(sequence(0, {_STK_NY - 1})) AS gj)
+  CROSS JOIN (SELECT explode(sequence(0, {_STK_NT - 1})) AS tb)
+) g"""
+
+_STK_GEN_DUCK = f"""(
+  SELECT g1.gi, g2.gj, g3.tb
+  FROM generate_series(0, {_STK_NX - 1}) AS g1(gi),
+       generate_series(0, {_STK_NY - 1}) AS g2(gj),
+       generate_series(0, {_STK_NT - 1}) AS g3(tb)
+) g"""
+
+
+@register(
+    "stkde_events",
+    _stkde_sql("epoch_us(ts)", _STK_GEN_DUCK),
+)
+def stkde_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time kernel density of the event pattern at 288 nodes —
+    separable Gaussian kernels on the 2^12 lattice, exact int64 node
+    sums, min-day anchored time axis."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _stkde_sql("unix_micros(CAST(ts AS TIMESTAMP))", _STK_GEN_SPARK)
+    )

@@ -1300,3 +1300,43 @@ def host_typosquat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking — Σ|block|² bounded candidates, integer DP distance."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_TYPO_SQL)
+
+
+# --- Gini coefficient of host content inequality -------------------------------
+#
+# How concentrated is the corpus across hosts?  The crawl-balance
+# audit behind per-host caps and temperature mixing: Gini of per-host
+# character mass over the 97-host universe, computed from the ranked
+# cumulative-sum identity G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with
+# deterministic ranks (mass, host) — all integer until the final
+# ratio.  The rank window runs over the HOST table (universe-bounded),
+# never the fact.
+
+_GINI_SQL = f"""
+WITH h AS (
+  SELECT {_TRI_SRC} AS host_num, CAST(SUM(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT mass, ROW_NUMBER() OVER (ORDER BY mass, host_num) AS i FROM h
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mass) AS BIGINT) AS tot,
+         CAST(SUM(i * mass) AS BIGINT) AS wsum
+  FROM r
+)
+SELECT n AS n_hosts, tot AS total_chars,
+       ROUND((2.0 * wsum - (CAST(n AS DOUBLE) + 1) * tot)
+             / (CAST(n AS DOUBLE) * tot),
+             6) AS gini
+FROM s
+"""
+
+
+@register("host_gini_inequality", _GINI_SQL)
+def host_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-host content mass — the inequality
+    summary driving host-cap and mixing decisions."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_GINI_SQL)

@@ -83,6 +83,8 @@ JVM_ONLY = [
     "clark_evans_index", "std_deviational_ellipse",
     "median_center_weiszfeld", "mann_whitney_u_lang",
     "rolling_7day_user_volume", "cube_lang_source", "raster_zonal_geometry",
+    "degree_assortativity_hosts", "modularity_lpa_hosts",
+    "zipf_slope_terms", "host_gini_inequality", "stkde_events",
 ]
 
 
