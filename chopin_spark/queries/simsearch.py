@@ -767,3 +767,127 @@ def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _qdot_spark(), _FDOT_SPARK, _FNORM_E_SPARK, _FNORM_Q_SPARK
         )
     )
+
+
+# --- maximal marginal relevance (diversified top-k) ----------------------------
+#
+# Carbonell–Goldstein MMR: rerank the exact cosine top-10 so the 3
+# selections trade relevance against redundancy
+# (score = λ·rel − (1−λ)·max sim to already-selected, λ = 0.7).  MMR's
+# greedy loop is inherently k-sequential, but it only ever touches the
+# CANDIDATE set: Spark materializes the top-10 (one fact pass through
+# cosine_topk) and the 10×10 candidate sims via localCheckpoint, then
+# the three rounds run as shared SQL over those views — the fact is
+# scanned exactly once regardless of CTE fan-out (the tile-pyramid
+# no-rescan discipline).  rel and sims round to 4 dp before any score
+# arithmetic, so both engines' argmaxes agree bit-for-bit; ties break
+# on vec_id.
+
+_MMR_LAMBDA = 0.7
+_MMR_K0 = 10  # candidate pool (exact top-k)
+
+
+def _mmr_greedy_body() -> str:
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    return f"""
+sel1 AS (
+  SELECT vec_id, rel FROM cands ORDER BY rel DESC, vec_id LIMIT 1
+),
+r2 AS (
+  SELECT c.vec_id, c.rel,
+         ROUND({lam!r} * c.rel - {mu!r} * s.sim, 6) AS score
+  FROM cands c
+  JOIN sims s ON s.ai = c.vec_id AND s.bi = (SELECT vec_id FROM sel1)
+),
+sel2 AS (
+  SELECT vec_id, rel, score FROM r2 ORDER BY score DESC, vec_id LIMIT 1
+),
+r3 AS (
+  SELECT c.vec_id, c.rel,
+         ROUND({lam!r} * c.rel
+               - {mu!r} * GREATEST(s1.sim, s2.sim), 6) AS score
+  FROM cands c
+  JOIN sims s1 ON s1.ai = c.vec_id AND s1.bi = (SELECT vec_id FROM sel1)
+  JOIN sims s2 ON s2.ai = c.vec_id AND s2.bi = (SELECT vec_id FROM sel2)
+  WHERE c.vec_id <> (SELECT vec_id FROM sel2)
+),
+sel3 AS (
+  SELECT vec_id, rel, score FROM r3 ORDER BY score DESC, vec_id LIMIT 1
+)
+SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel, rel AS mmr_score
+FROM sel1
+UNION ALL
+SELECT CAST(2 AS BIGINT), vec_id, rel, score FROM sel2
+UNION ALL
+SELECT CAST(3 AS BIGINT), vec_id, rel, score FROM sel3
+"""
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        "LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),"
+        f" LIST_TRANSFORM(generate_series(1, {_DIM}),"
+        f"   i -> CAST({a}.embedding[i] AS DOUBLE)"
+        f" * CAST({b}.embedding[i] AS DOUBLE))),"
+        " (x, y) -> x + y)"
+    )
+
+
+_MMR_ORACLE = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cands AS (
+  SELECT e.vec_id,
+         ROUND({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) AS rel,
+         e.embedding
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id
+  LIMIT {_MMR_K0}
+),
+sims AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         ROUND({_duck_dot('a', 'b')}
+               / (SQRT({_duck_dot('a', 'a')})
+                  * SQRT({_duck_dot('b', 'b')})), 4) AS sim
+  FROM cands a CROSS JOIN cands b
+  WHERE a.vec_id <> b.vec_id
+),
+{_mmr_greedy_body()}
+"""
+
+
+@register("ann_mmr_rerank", _MMR_ORACLE)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-3 from the exact cosine top-10 (λ = 0.7):
+    one fact pass for candidates, one 10×10 candidate-sim pass, then
+    the greedy rounds as shared SQL over checkpointed views."""
+    from chopin_spark.simsearch import dot_fold, norm_fold
+
+    emb = load(spark, sf_dir, "embeddings")
+    top = cosine_topk(emb, query_vec_id=0, k=_MMR_K0).select(
+        "vec_id", F.col("cos_sim").alias("rel")
+    )
+    cands = (
+        top.join(emb.select("vec_id", "embedding"), "vec_id")
+        .localCheckpoint()
+    )
+    a = cands.select(
+        F.col("vec_id").alias("ai"), F.col("embedding").alias("ea")
+    )
+    b = cands.select(
+        F.col("vec_id").alias("bi"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ai") != F.col("bi"))
+        .select(
+            "ai", "bi",
+            F.round(
+                dot_fold("ea", "eb") / (norm_fold("ea") * norm_fold("eb")), 4
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    cands.select("vec_id", "rel").createOrReplaceTempView("cands")
+    sims.createOrReplaceTempView("sims")
+    return emb.sparkSession.sql("WITH " + _mmr_greedy_body().lstrip())
