@@ -555,3 +555,105 @@ def modularity_lpa_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality audit of the LPA community output."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_MOD_SQL)
+
+
+# --- attack robustness (giant component after hub removal) ---------------------
+#
+# The crawl-infrastructure resilience audit: how much of the host
+# graph stays connected if the top-5 degree hubs vanish (domain
+# seizure, CDN outage, blocklist)?  Deterministic hub pick
+# (degree DESC, node), then connected components of the surviving
+# graph via the star-CC machinery; isolated survivors count as
+# singleton components.  Oracle recomputes the post-attack components
+# by recursive transitive closure — a different algorithm at the same
+# fixpoint, the dedup_components discipline.
+
+_ATK_K = 5
+
+_ATK_BASE = f"""
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM (
+    SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst
+    FROM documents WHERE {_TRI_SRC} <> {_TRI_DST}
+  ) raw
+),
+nodes AS (
+  SELECT DISTINCT node FROM
+    (SELECT u AS node FROM und UNION ALL SELECT v FROM und) nn
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) nn
+  GROUP BY 1
+),
+hubs AS (
+  SELECT node FROM deg ORDER BY d DESC, node LIMIT {_ATK_K}
+),
+surv AS (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT node FROM hubs)
+),
+se AS (
+  SELECT u, v FROM und
+  WHERE u NOT IN (SELECT node FROM hubs)
+    AND v NOT IN (SELECT node FROM hubs)
+)"""
+
+_ATK_FINAL = f"""
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       CAST({_ATK_K} AS BIGINT) AS n_removed,
+       (SELECT COUNT(*) FROM se) AS n_edges_after,
+       (SELECT COUNT(*) FROM surv) - (SELECT COUNT(DISTINCT node) FROM comp)
+         + (SELECT COUNT(DISTINCT comp_id) FROM comp) AS n_components,
+       (SELECT MAX(sz) FROM
+          (SELECT COUNT(*) AS sz FROM comp GROUP BY comp_id) g)
+         AS giant_size,
+       ROUND((SELECT MAX(sz) FROM
+                (SELECT COUNT(*) AS sz FROM comp GROUP BY comp_id) g)
+             / CAST((SELECT COUNT(*) FROM surv) AS DOUBLE), 6)
+         AS giant_frac
+"""
+
+_ATK_ORACLE = f"""
+WITH RECURSIVE {_ATK_BASE.strip()},
+edges AS (
+  SELECT u AS src, v AS dst FROM se UNION SELECT v, u FROM se
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS comp_id
+  FROM reach GROUP BY a
+)
+{_ATK_FINAL}
+"""
+
+
+@register("attack_robustness_hosts", _ATK_ORACLE)
+def attack_robustness_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Giant-component robustness of the host graph after removing the
+    top-5 degree hubs: survivor components via star-CC (O(log n)
+    rounds), singleton survivors counted as their own components."""
+    from chopin_spark.components import connected_components
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    base = spark.sql(
+        f"WITH {_ATK_BASE.strip()} SELECT u AS d1, v AS d2 FROM se"
+    ).localCheckpoint()
+    comp = connected_components(base).select(
+        F.col("node"), F.col("comp_id")
+    )
+    comp.createOrReplaceTempView("comp")
+    spark.sql(
+        f"WITH {_ATK_BASE.strip()} SELECT * FROM nodes"
+    ).localCheckpoint().createOrReplaceTempView("nodes")
+    spark.sql(
+        f"WITH {_ATK_BASE.strip()} SELECT * FROM surv"
+    ).localCheckpoint().createOrReplaceTempView("surv")
+    spark.sql(
+        f"WITH {_ATK_BASE.strip()} SELECT * FROM se"
+    ).localCheckpoint().createOrReplaceTempView("se")
+    return spark.sql(_ATK_FINAL)

@@ -891,3 +891,160 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands.select("vec_id", "rel").createOrReplaceTempView("cands")
     sims.createOrReplaceTempView("sims")
     return emb.sparkSession.sql("WITH " + _mmr_greedy_body().lstrip())
+
+
+# --- multi-probe LSH ANN (Hamming-1 bucket perturbation) ------------------------
+#
+# Lv et al.'s multi-probe trick: instead of OR-ing many hash tables
+# (ann_lsh_topk's 4 bands), keep ONE 16-bit table and probe the query's
+# bucket plus every Hamming-1 and Hamming-2 perturbation (137 probes)
+# — same memory as one table, recall approaching the banded scheme.  Bit flips are pure
+# arithmetic (CASE on the bit's parity, ± 2^k), so the probe set is
+# dialect-free; candidates come from an equi-join of the probe list
+# (17 rows, broadcast) against the signature table — bucket-bounded at
+# any corpus size.  Exact cosine rerank within candidates; the output
+# also flags membership in the exact brute-force top-10 so the gate
+# certifies recall, not just scores.
+
+_MP_PLANES = 16
+
+
+def _mp_aflip(sig: str, b: str) -> str:
+    """Flip bit `b` (a power-of-two expr) of `sig` arithmetically:
+    s + b − 2·b·bit — dialect-free, composes for Hamming-2 probes."""
+    return (
+        f"(({sig}) + ({b}) - 2 * ({b})"
+        f" * (CAST(FLOOR(({sig}) / ({b})) AS BIGINT) % 2))"
+    )
+
+
+_MP_SIG_COLS = " + ".join(
+    f"(CASE WHEN {_plane_dot_sql(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_MP_PLANES)
+)
+
+_MP_ORACLE = f"""
+WITH sig AS (
+  SELECT e.vec_id, {_MP_SIG_COLS} AS s
+  FROM embeddings e
+),
+qs AS (SELECT s FROM sig WHERE vec_id = 0),
+kb AS (
+  SELECT CAST(FLOOR(POWER(2.0, CAST(k AS DOUBLE)) + 0.5) AS BIGINT) AS b
+  FROM (SELECT UNNEST(generate_series(0, {_MP_PLANES - 1})) AS k) ks
+),
+probes AS (
+  SELECT s AS probe FROM qs
+  UNION ALL
+  SELECT {_mp_aflip('qs.s', 'kb.b')} AS probe FROM qs CROSS JOIN kb
+  UNION ALL
+  SELECT {_mp_aflip(_mp_aflip('qs.s', 'k1.b'), 'k2.b')} AS probe
+  FROM qs CROSS JOIN kb k1 CROSS JOIN kb k2 WHERE k1.b < k2.b
+),
+cand AS (
+  SELECT DISTINCT sig.vec_id
+  FROM sig JOIN probes ON sig.s = probes.probe
+  WHERE sig.vec_id <> 0
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) AS cos_sim
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+  CROSS JOIN q
+),
+exact AS (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND({_DOT} / ({_NORM_E} * {_NORM_Q}), 4) DESC,
+                    e.vec_id) AS xr
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT s.vec_id, s.label, s.cos_sim,
+         ROW_NUMBER() OVER (ORDER BY s.cos_sim DESC, s.vec_id) AS rank,
+         CASE WHEN x.xr <= 10 THEN 1 ELSE 0 END AS in_exact_top10
+  FROM scored s LEFT JOIN exact x ON x.vec_id = s.vec_id
+)
+SELECT rank, vec_id, label, cos_sim, CAST(in_exact_top10 AS BIGINT)
+         AS in_exact_top10
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_multiprobe_lsh", _MP_ORACLE)
+def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10: one 16-bit signature table, 137 probe
+    buckets (exact + Hamming-1 + Hamming-2), equi-join candidates, exact rerank,
+    exact-top-10 membership flags."""
+    from chopin_spark.simsearch import (
+        dot_fold, hyperplane_signature, norm_fold,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "label", "embedding",
+        hyperplane_signature(F.col("embedding"), _MP_PLANES)
+        .cast("long").alias("s"),
+    ).localCheckpoint()
+    qs = sig.filter(F.col("vec_id") == 0).select("s")
+    flips = [
+        F.expr(_mp_aflip("s", str(1 << k))) for k in range(_MP_PLANES)
+    ] + [
+        F.expr(_mp_aflip(_mp_aflip("s", str(1 << k1)), str(1 << k2)))
+        for k1 in range(_MP_PLANES)
+        for k2 in range(k1 + 1, _MP_PLANES)
+    ]
+    probes = qs.select(
+        F.explode(F.array(F.col("s"), *flips)).alias("probe")
+    )
+    cand = (
+        sig.join(F.broadcast(probes), sig.s == F.col("probe"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding")
+        .distinct()
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    scored = cand.crossJoin(qv).select(
+        "vec_id", "label",
+        F.round(
+            dot_fold("embedding", "qvec")
+            / (norm_fold("embedding") * norm_fold("qvec")), 4
+        ).alias("cos_sim"),
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            F.round(
+                dot_fold("embedding", "qvec")
+                / (norm_fold("embedding") * norm_fold("qvec")), 4
+            ).alias("xc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    xr = exact.withColumn(
+        "xr",
+        F.row_number().over(Window.orderBy(F.desc("xc"), "vec_id")),
+    ).select("vec_id", "xr")
+    ranked = (
+        scored.join(xr, "vec_id", "left")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cos_sim"), "vec_id")),
+        )
+        .withColumn(
+            "in_exact_top10",
+            F.when(F.col("xr") <= 10, 1).otherwise(0).cast("long"),
+        )
+    )
+    return ranked.filter(F.col("rank") <= 10).select(
+        "rank", "vec_id", "label", "cos_sim", "in_exact_top10"
+    )

@@ -1340,3 +1340,83 @@ def host_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary driving host-cap and mixing decisions."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_GINI_SQL)
+
+
+# --- consistent-hash crawler shard planner -------------------------------------
+#
+# The fleet-assignment primitive: map every host onto a hash ring of
+# 32 crawler shards × 8 virtual nodes so shard membership is stable
+# under shard add/remove (only ~1/33 of hosts move — the property
+# modulo sharding lacks).  Ring positions come from the repo's
+# cross-engine charfold polynomial hash (textops.py), clockwise
+# distance is pure modular arithmetic, and the owning vnode is an
+# encoded MIN — one agg over the host×vnode candidate set.
+#
+# Scale shape: the vnode table is metadata-sized (256 rows, broadcast);
+# hosts fold out of the fact scan first, so the argmin touches
+# |hosts|·256 rows of column math, never the corpus.  Imbalance is the
+# planner's output contract: per-shard host/mass loads for the
+# rebalancing decision.
+
+from chopin_spark.textops import P30, charfold_duckdb, charfold_spark  # noqa: E402
+
+_CH_SHARDS, _CH_VNODES = 32, 8
+
+
+def _shard_plan_sql(fold, gen_vn: str) -> str:
+    vname = "('s' || CAST(s AS STRING) || '#' || CAST(v AS STRING))"
+    return f"""
+WITH h AS (
+  SELECT {_HOST} AS host, CAST(SUM(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY 1
+),
+vn AS (
+  SELECT s * {_CH_VNODES} + v AS vid, {fold(vname)} AS vpos
+  FROM {gen_vn}
+),
+hp AS (
+  SELECT host, mass, {fold('host')} AS hpos FROM h
+),
+owner AS (
+  SELECT host, mass,
+         MIN(((vn.vpos - hp.hpos + {P30}) % {P30}) * 512 + vn.vid) AS enc
+  FROM hp CROSS JOIN vn
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT host, mass,
+         CAST((enc % 512) / {_CH_VNODES} AS BIGINT) AS shard
+  FROM owner
+),
+shards AS (SELECT s AS shard FROM {gen_vn.replace('AS g(s, v)', 'AS g2(s, v)')} WHERE v = 0)
+SELECT sh.shard,
+       CAST(COUNT(a.host) AS BIGINT) AS n_hosts,
+       CAST(COALESCE(SUM(a.mass), 0) AS BIGINT) AS mass_chars
+FROM shards sh LEFT JOIN assign a ON a.shard = sh.shard
+GROUP BY 1
+"""
+
+
+_CH_GEN_SPARK = f"""(
+  SELECT gs.s, gv.v
+  FROM (SELECT explode(sequence(0, {_CH_SHARDS - 1})) AS s) gs
+  CROSS JOIN (SELECT explode(sequence(0, {_CH_VNODES - 1})) AS v) gv
+) AS g(s, v)"""
+
+_CH_GEN_DUCK = f"""(
+  SELECT g1.s, g2.v
+  FROM generate_series(0, {_CH_SHARDS - 1}) AS g1(s),
+       generate_series(0, {_CH_VNODES - 1}) AS g2(v)
+) AS g(s, v)"""
+
+
+@register(
+    "consistent_hash_shards",
+    _shard_plan_sql(charfold_duckdb, _CH_GEN_DUCK),
+)
+def consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash assignment of hosts to 32 crawler shards (8
+    vnodes each) with per-shard host and mass loads — stable-membership
+    fleet planning over the cross-engine charfold ring."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_shard_plan_sql(charfold_spark, _CH_GEN_SPARK))

@@ -85,7 +85,8 @@ JVM_ONLY = [
     "rolling_7day_user_volume", "cube_lang_source", "raster_zonal_geometry",
     "degree_assortativity_hosts", "modularity_lpa_hosts",
     "zipf_slope_terms", "host_gini_inequality", "stkde_events",
-    "ann_mmr_rerank",
+    "ann_mmr_rerank", "ann_multiprobe_lsh", "consistent_hash_shards",
+    "attack_robustness_hosts",
 ]
 
 
