@@ -487,3 +487,154 @@ def mann_whitney_u_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only window runs over the distinct-value frame."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_MWU_SQL)
+
+
+# --- box-counting (Minkowski) fractal dimension --------------------------------
+#
+# Multi-scale occupancy of the document pattern: occupied-cell counts
+# at four dyadic grid scales, and the box-counting dimension as the
+# OLS slope of ln(N) on ln(1/s) — the multi-resolution summary used to
+# pick partition granularity (a dimension near 2 = space-filling, fine
+# grids pay off; near 0 = concentrated, salting matters more).  Counts
+# are exact; logs land on the 1e-6 lattice before the moment sums.
+
+_BC_SCALES = (1, 2, 4, 8)  # multipliers over the 8×6 base grid
+
+
+_BC_SQL = (
+    "WITH occ AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"""  SELECT CAST({m} AS BIGINT) AS lvl, COUNT(*) AS n_occ
+  FROM (SELECT DISTINCT {sx.grid_ix_expr(_DX, 8 * m)} * 1024
+               + {sx.grid_iy_expr(_DY, 6 * m)} AS c
+        FROM documents) u{m}"""
+        for m in _BC_SCALES
+    )
+    + f"""
+),
+lat AS (
+  SELECT CAST(FLOOR(LN(CAST(lvl AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS x,
+         CAST(FLOOR(LN(CAST(n_occ AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS y,
+         lvl, n_occ
+  FROM occ
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM lat
+)
+SELECT (SELECT n_occ FROM occ WHERE lvl = 1) AS n_occ_base,
+       (SELECT n_occ FROM occ WHERE lvl = 8) AS n_occ_finest,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+             6) AS box_dimension
+FROM s
+"""
+)
+
+
+@register("box_counting_dimension", _BC_SQL)
+def box_counting_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-counting dimension of the document pattern over four dyadic
+    grid scales (8×6 … 64×48) — each scale is one DISTINCT-cell agg
+    over the same scan; the UNION of four scale branches re-reads only
+    the two derived coordinate columns."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BC_SQL)
+
+
+# --- G- and F-functions (NN-distance / empty-space ECDFs) -----------------------
+#
+# spatstat's Gest/Fest pair: G = ECDF of point-to-nearest-point
+# distances (reuses the Clark–Evans NN machinery), F = ECDF of
+# empty-space distances from a fixed 48-probe lattice to the nearest
+# point.  Both against the CSR reference 1 − exp(−λπr²).  The F probes
+# are metadata (broadcast); at corpus scale both NN stages are the
+# bounded cell join + ring fallback, never n².
+
+_GF_RADII = (5_000.0, 10_000.0, 15_000.0, 20_000.0, 30_000.0)
+
+
+def _ecdf_select(nn_view: str, n_expr: str) -> str:
+    bins = ",\n".join(
+        f"""       ROUND(SUM(CASE WHEN nn_dist <= {r!r} THEN 1 ELSE 0 END)
+             / {n_expr}, 6) AS ecdf_{int(r // 1000)}km"""
+        for r in _GF_RADII
+    )
+    return f"SELECT\n{bins}\nFROM {nn_view}"
+
+
+_G_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+nn AS (
+  SELECT a.doc_id,
+         MIN(SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)))
+           AS nn_dist
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+  GROUP BY 1
+)
+{_ecdf_select('nn', 'CAST(COUNT(*) AS DOUBLE)')}
+"""
+
+
+@register("gfunction_nn_ecdf", _G_ORACLE)
+def gfunction_nn_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-function (NN-distance ECDF) of the document pattern at five
+    radii — exact NN via knn_join (k=2, self dropped)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    ctx = docs.select(F.col("doc_id").alias("cid"), "x", "y")
+    g = make_regular_grid(_CE_GNX, _CE_GNY, pad=_CE_RADIUS)
+    knn = knn_join(docs, ctx, g, "doc_id", "cid", _CE_RADIUS, k=2)
+    nn = (
+        knn.filter(F.col("nn_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("nn_dist").alias("nn_dist"))
+    )
+    nn.createOrReplaceTempView("gf_nn")
+    return docs.sparkSession.sql(
+        _ecdf_select("gf_nn", "CAST(COUNT(*) AS DOUBLE)")
+    )
+
+
+_F_PROBE_CELLS_SPARK = """
+  (SELECT explode(sequence(0, 7)) AS pi)
+  CROSS JOIN (SELECT explode(sequence(0, 5)) AS pj)
+"""
+_F_PROBE_CELLS_DUCK = """
+  generate_series(0, 7) AS g1(pi), generate_series(0, 5) AS g2(pj)
+"""
+
+
+def _f_sql(gen: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT {_DX} AS x, {_DY} AS y FROM documents
+),
+probes AS (
+  SELECT pi * 6 + pj AS probe_id,
+         (pi + 0.5) * 100000.0 AS px, (pj + 0.5) * 100000.0 AS py
+  FROM {gen}
+),
+nn AS (
+  SELECT probe_id,
+         MIN(SQRT((x - px) * (x - px) + (y - py) * (y - py))) AS nn_dist
+  FROM probes CROSS JOIN d
+  GROUP BY 1
+)
+{_ecdf_select('nn', 'CAST(48 AS DOUBLE)')}
+"""
+
+
+@register("ffunction_empty_space", _f_sql(_F_PROBE_CELLS_DUCK))
+def ffunction_empty_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-function (empty-space ECDF): distance from a fixed 48-probe
+    lattice to the nearest document, at five radii.  Probe table
+    broadcast; the MIN folds map-side, so the fact never shuffles."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_f_sql(_F_PROBE_CELLS_SPARK))

@@ -669,3 +669,90 @@ def cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLs from the 'ALL' sentinel."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CUBE_SQL)
+
+
+_Q6_ORACLE = """
+SELECT COUNT(*) AS n_lines,
+       ROUND(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                      AS BIGINT)) / 10000.0, 4) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue_q6", _Q6_ORACLE)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-agg probe — every
+    predicate (date window, discount band, quantity cap) must reach
+    the parquet scan as a pushed filter; no join, no shuffle beyond
+    the single-row final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.expr(
+                    "SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000"
+                    " + 0.5) AS BIGINT))"
+                )
+                / 10000.0
+            ).alias("revenue_delta"),
+        )
+        .select(
+            "n_lines", F.round("revenue_delta", 4).alias("revenue_delta")
+        )
+    )
+
+
+_Q15_REV = ("CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000"
+            " + 0.5) AS BIGINT)) AS BIGINT)")
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_Q15_REV} AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(CAST(rev.r AS DOUBLE) / 10000.0, 4) AS total_revenue
+FROM supplier s
+JOIN rev ON rev.l_suppkey = s.s_suppkey
+WHERE rev.r = (SELECT MAX(r) FROM rev)
+"""
+
+
+@register("top_supplier_q15", _Q15_ORACLE)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarter revenue vs the global
+    maximum — the view-plus-scalar-MAX pattern (the revenue agg is
+    computed once and compared against its own 1-row broadcast max;
+    integer-cents revenue makes the equality exact, no float ==)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.expr(_Q15_REV).alias("r"))
+    rev = rev.localCheckpoint()  # one pass: feeds both max and join
+    mx = rev.agg(F.max("r").alias("rmax"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.r == F.col("rmax"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("r").cast("double") / 10000.0, 4)
+            .alias("total_revenue"),
+        )
+    )

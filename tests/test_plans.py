@@ -86,7 +86,9 @@ JVM_ONLY = [
     "degree_assortativity_hosts", "modularity_lpa_hosts",
     "zipf_slope_terms", "host_gini_inequality", "stkde_events",
     "ann_mmr_rerank", "ann_multiprobe_lsh", "consistent_hash_shards",
-    "attack_robustness_hosts",
+    "attack_robustness_hosts", "box_counting_dimension",
+    "gfunction_nn_ecdf", "ffunction_empty_space",
+    "forecast_revenue_q6", "top_supplier_q15",
 ]
 
 
