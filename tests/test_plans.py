@@ -87,6 +87,10 @@ JVM_ONLY = [
     "zipf_slope_terms", "host_gini_inequality", "stkde_events",
     "ann_mmr_rerank", "ann_multiprobe_lsh", "consistent_hash_shards",
     "attack_robustness_hosts", "box_counting_dimension",
+    "national_market_share_q8", "product_profit_q9", "important_parts_q11",
+    "shipmode_priority_q12", "customer_distribution_q13",
+    "parts_supplier_variety_q16", "small_qty_revenue_q17",
+    "promo_part_suppliers_q20",
     "gfunction_nn_ecdf", "ffunction_empty_space",
     "forecast_revenue_q6", "top_supplier_q15",
 ]
