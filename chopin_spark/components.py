@@ -218,6 +218,7 @@ def pagerank_int(
     rank_scale: int = 1_000_000,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank (power iteration on micro-rank units).
 
@@ -237,6 +238,12 @@ def pagerank_int(
     textbook iteration) — the oracle replays the identical recurrence,
     so the fixpoint is bit-reproducible, not normalized.
     Returns (node, rank) with rank in micro-units.
+
+    PERSONALIZED variant: pass `seeds` (a 1-column `node` DataFrame,
+    metadata-sized, broadcast) and the restart mass lands ONLY on the
+    seed set — r0 = rank_scale on seeds / 0 elsewhere, and the damped
+    update adds the (1−d) base term to seeds only.  Same join shape
+    per round; the restart vector never shuffles.
     """
     edges = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -250,7 +257,24 @@ def pagerank_int(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = rank_scale - rank_scale * damping_ppm // 1_000_000
     d = damping_ppm / 1_000_000.0
-    r = nodes.withColumn("rank", F.lit(rank_scale).cast("long"))
+    if seeds is not None:
+        seed_marked = F.broadcast(
+            seeds.select(F.col("node"), F.lit(1).alias("is_seed"))
+        )
+        nodes = nodes.join(seed_marked, "node", "left").select(
+            "node", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
+        ).localCheckpoint()
+        r = nodes.select(
+            "node",
+            (F.col("is_seed").cast("long") * rank_scale).alias("rank"),
+        )
+        base_expr = F.col("is_seed").cast("long") * base
+    else:
+        nodes = nodes.withColumn("is_seed", F.lit(1))
+        r = nodes.select(
+            "node", F.lit(rank_scale).cast("long").alias("rank")
+        )
+        base_expr = F.lit(base)
     for _ in range(iters):
         contrib = (
             edges.join(r.withColumnRenamed("node", "src"), "src")
@@ -268,7 +292,7 @@ def pagerank_int(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_expr
                     + F.expr(
                         f"CAST(FLOOR({d!r} * COALESCE(inb, 0) + 0.5)"
                         " AS BIGINT)"

@@ -504,3 +504,62 @@ def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-lattice logs, exact OLS moments."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_zipf_sql("explode(split(text, ' '))"))
+
+
+# --- CCNet head/middle/tail perplexity buckets ---------------------------------
+#
+# CCNet's defining curation move (Wenzek et al. 2020): per language,
+# split the corpus into head/middle/tail TERCILES of the LM score and
+# report each bucket's document count and token mass (the head bucket
+# is what gets trained on; tail is discarded or down-weighted).
+#
+# Bucketing is HISTOGRAM-based, never a global sort of documents: the
+# per-doc scores fold to (lang, score-bin) counts first, the cumulative
+# window runs over the metadata-sized bin domain (1e-4 grain), and the
+# tercile test is exact integer math over bin-start ranks
+# (3*(cum-c) < tot), so every doc in a bin lands in one deterministic
+# bucket in both engines.  This is the quantile_grid/percentile-norm
+# scale pattern applied to CCNet: at crawl scale the only shuffle
+# beyond the scoring joins is the (lang, bin) count.
+
+_BUCKET_BODY = """
+hist AS (
+  SELECT lang,
+         CAST(FLOOR(nll_per_tok * 10000 + 0.5) AS BIGINT) AS s,
+         COUNT(*) AS c,
+         CAST(SUM(n_bigrams) AS BIGINT) AS m
+  FROM scored
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, s, c, m,
+         SUM(c) OVER (PARTITION BY lang ORDER BY s) AS cc,
+         SUM(c) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+b AS (
+  SELECT lang, c, m,
+         CASE WHEN 3 * (cc - c) < tot THEN 'head'
+              WHEN 3 * (cc - c) < 2 * tot THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM cum
+)
+SELECT lang, bucket,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams
+FROM b
+GROUP BY 1, 2
+"""
+
+_CCNET_ORACLE = f"WITH scored AS ({_LM_ORACLE}),\n{_BUCKET_BODY.lstrip()}"
+
+
+@register("ccnet_perplexity_buckets", _CCNET_ORACLE)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles of the bigram-LM score per
+    language, with per-bucket doc counts and bigram mass.  Reuses the
+    lm_perplexity_bigram scoring plan verbatim, then buckets through
+    the score histogram (no global doc sort — the window runs over
+    1e-4-grain score bins per language)."""
+    lm_perplexity_bigram(spark, sf_dir).createOrReplaceTempView("scored")
+    return spark.sql(f"WITH {_BUCKET_BODY.lstrip()}")

@@ -1048,3 +1048,148 @@ def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= 10).select(
         "rank", "vec_id", "label", "cos_sim", "in_exact_top10"
     )
+
+
+# --- product quantization (PQ) + ADC recall audit ------------------------------
+#
+# The other 100-TB vector-store compression decision (Jégou et al.,
+# IVFADC): split the 64-dim vector into M=8 subspaces of 8 dims, code
+# each subspace as its nearest of K=4 codewords, and answer queries by
+# Asymmetric Distance Computation — summing the query's precomputed
+# per-(subspace, codeword) distance table over the stored codes.  8
+# codes replace 64 dims (32x compression); the audit reports the ADC
+# top-10 flagged against the exact top-10.
+#
+# Scale shape: the codebook is metadata (K*M subvectors; here pinned to
+# the subvectors of vec_ids 1-4 — a trained codebook swaps in without
+# changing the plan).  Encoding is shuffle-FREE: per (vector, subspace)
+# row the 4 codeword distances are inlined and the argmin is one
+# encoded LEAST (dist*4 + code), so the encode stage is a pure map.
+# The query's 32-row distance table broadcasts; ADC is one n*M-row
+# broadcast join + per-vector sum.  Everything is int64 (components
+# int8-quantized half-up like embedding_int8_recall, distances are sums
+# of squared int diffs) — associative, reduction-order-free, and
+# bit-identical across engines by construction.
+
+_PQ_M, _PQ_SUB, _PQ_K = 8, 8, 4
+
+
+def _pq_subdist(a_idx: str, b_idx: str, fold: str) -> str:
+    """Int64 squared L2 between 8-dim subvectors m of arrays a and b;
+    a_idx/b_idx are dialect indexers over position p, fold wraps the
+    8-term sequential sum."""
+    qa = _Q8.format(v=a_idx)
+    qb = _Q8.format(v=b_idx)
+    return fold.format(term=f"({qa} - {qb}) * ({qa} - {qb})")
+
+
+_PQ_FOLD_DUCK = (
+    "LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),"
+    f" LIST_TRANSFORM(generate_series(1, {_PQ_SUB}), i -> {{term}})),"
+    " (a, b) -> a + b)"
+)
+_PQ_FOLD_SPARK = (
+    f"aggregate(transform(sequence(1, {_PQ_SUB}), i -> {{term}}),"
+    " CAST(0 AS BIGINT), (a, b) -> a + b)"
+)
+
+
+def _pq_sql(ms_gen: str, idx: str, fold: str) -> str:
+    # position of lane i of subspace m inside the flat 64-dim array
+    pos = f"(m - 1) * {_PQ_SUB} + i"
+    sub = {
+        c: _pq_subdist(
+            idx.format(arr="e.embedding", p=pos),
+            idx.format(arr=f"cbp.c{c}", p=pos),
+            fold,
+        )
+        for c in range(1, _PQ_K + 1)
+    }
+    enc_least = "LEAST(" + ", ".join(
+        f"{sub[c]} * {_PQ_K} + {c - 1}" for c in range(1, _PQ_K + 1)
+    ) + ")"
+    dt_d = _pq_subdist(
+        idx.format(arr="q.embedding", p=pos),
+        idx.format(arr="cb.embedding", p=pos),
+        fold,
+    )
+    full = _pq_subdist(
+        idx.format(arr="e.embedding", p="i"),
+        idx.format(arr="q.embedding", p="i"),
+        fold.replace(f"sequence(1, {_PQ_SUB})", f"sequence(1, {_DIM})")
+            .replace(f"generate_series(1, {_PQ_SUB})",
+                     f"generate_series(1, {_DIM})"),
+    )
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cb AS (
+  SELECT vec_id AS code, embedding FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {_PQ_K}
+),
+cbp AS (
+  SELECT
+    {", ".join(
+        f"(SELECT embedding FROM embeddings WHERE vec_id = {c}) AS c{c}"
+        for c in range(1, _PQ_K + 1)
+    )}
+),
+ms AS ({ms_gen}),
+dt AS (
+  SELECT ms.m, cb.code, {dt_d} AS d
+  FROM ms CROSS JOIN cb CROSS JOIN q
+),
+enc AS (
+  SELECT e.vec_id, ms.m,
+         CAST({enc_least} % {_PQ_K} + 1 AS BIGINT) AS code
+  FROM embeddings e CROSS JOIN ms CROSS JOIN cbp
+  WHERE e.vec_id > {_PQ_K}
+),
+adc AS (
+  SELECT enc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS approx_d2
+  FROM enc JOIN dt ON dt.m = enc.m AND dt.code = enc.code
+  GROUP BY 1
+),
+ar AS (
+  SELECT vec_id, approx_d2,
+         ROW_NUMBER() OVER (ORDER BY approx_d2, vec_id) AS rank
+  FROM adc
+),
+ex AS (
+  SELECT e.vec_id, {full} AS d2
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id > {_PQ_K}
+),
+er AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS rank
+    FROM ex
+  ) WHERE rank <= 10
+)
+SELECT ar.rank, ar.vec_id, ar.approx_d2,
+       CAST(CASE WHEN er.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_exact_top10
+FROM ar LEFT JOIN er ON er.vec_id = ar.vec_id
+WHERE ar.rank <= 10
+"""
+
+
+_PQ_ORACLE = _pq_sql(
+    f"SELECT UNNEST(generate_series(1, {_PQ_M})) AS m",
+    "{arr}[{p}]",
+    _PQ_FOLD_DUCK,
+)
+
+
+@register("pq_adc_recall", _PQ_ORACLE)
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ(M=8, K=4) + ADC recall audit: the 32x-compressed code path's
+    top-10 against the exact quantized-L2 top-10 from the same query
+    vector — shuffle-free encode, broadcast 32-row distance table,
+    all-int64 arithmetic."""
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _pq_sql(
+            f"SELECT explode(sequence(1, {_PQ_M})) AS m",
+            "element_at({arr}, {p})",
+            _PQ_FOLD_SPARK,
+        )
+    )

@@ -1420,3 +1420,77 @@ def consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     fleet planning over the cross-engine charfold ring."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_shard_plan_sql(charfold_spark, _CH_GEN_SPARK))
+
+
+# --- personalized PageRank (crawl-seed expansion) -------------------------------
+#
+# The crawl-frontier twin of host_pagerank: random-walk-with-restart
+# mass from a trusted SEED set (TrustRank / seed-expansion — "which
+# hosts are close to the seeds under the link topology?").  Identical
+# integer micro-rank recurrence, but r0 and the (1−d) restart term land
+# only on the seeds, so unreachable hosts finish at exactly 0 — the
+# discovery frontier is the >0 support.  Same per-round join shape as
+# PageRank (rank⋈edges + dst-keyed sum); the restart vector is
+# metadata and never shuffles.
+
+_PPR_SEEDS = (3, 17, 42)
+
+
+def _ppr_oracle() -> str:
+    seed_in = "node IN (" + ", ".join(str(s) for s in _PPR_SEEDS) + ")"
+    nseed_in = seed_in.replace("node IN", "n.node IN")
+    ctes = [
+        f"e AS (SELECT * FROM {_PR_EDGES})",
+        """n AS (SELECT DISTINCT node FROM
+             (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1)",
+        f"""r0 AS (SELECT node,
+              CAST(CASE WHEN {seed_in} THEN 1000000 ELSE 0 END AS BIGINT)
+                AS rank FROM n)""",
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+c{it} AS (
+  SELECT e.dst AS node, SUM(r.rank // deg.deg) AS inb
+  FROM e
+  JOIN r{it - 1} r ON r.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY 1
+),
+r{it} AS (
+  SELECT n.node,
+         CAST(CASE WHEN {nseed_in} THEN {_PR_BASE} ELSE 0 END AS BIGINT)
+           + CAST(FLOOR(0.85 * COALESCE(c{it}.inb, 0) + 0.5)
+                  AS BIGINT) AS rank
+  FROM n LEFT JOIN c{it} ON c{it}.node = n.node
+)""".strip())
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT node AS host_num, rank AS rank_micro
+FROM r{_PR_ITERS} WHERE rank > 0"""
+    )
+
+
+@register("host_pagerank_personalized", _ppr_oracle())
+def host_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 3-host trusted seed set over the
+    host link graph (integer-exact, 3 damped rounds, restart mass on
+    seeds only) — the TrustRank-style seed-expansion ranking a crawler
+    uses to prioritize hosts near known-good ones.  Only the reachable
+    support (rank > 0) is returned."""
+    from chopin_spark.components import pagerank_int
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(f"SELECT * FROM {_PR_EDGES}")
+    seeds = spark.createDataFrame(
+        [(s,) for s in _PPR_SEEDS], "node long"
+    )
+    return (
+        pagerank_int(edges, iters=_PR_ITERS, seeds=seeds)
+        .filter(F.col("rank") > 0)
+        .select(
+            F.col("node").alias("host_num"),
+            F.col("rank").alias("rank_micro"),
+        )
+    )
