@@ -563,3 +563,115 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4-grain score bins per language)."""
     lm_perplexity_bigram(spark, sf_dir).createOrReplaceTempView("scored")
     return spark.sql(f"WITH {_BUCKET_BODY.lstrip()}")
+
+
+# --- BPE merge training (3 greedy rounds, vocab-local) --------------------------
+#
+# Sennrich et al. byte-pair-encoding TRAINING, the step upstream of
+# token_bpe_stats: count adjacent-symbol pairs weighted by word
+# frequency, merge the argmax pair everywhere, repeat.  The corpus is
+# touched exactly ONCE (the word-frequency agg); every round after that
+# runs on the vocabulary table (31 rows here; O(|vocab|) at crawl
+# scale — the reason BPE training is feasible on 10^12 docs at all).
+# Merging uses left-to-right non-overlapping REPLACE on the
+# space-padded symbol string — both engines scan the original string
+# identically, so consecutive overlapping sites resolve the same way.
+# Argmax ties break on (count DESC, left, right): deterministic.
+
+_BPE_ROUNDS = 3
+_BPE_MAXLEN = 12
+
+_BPE_CHARSEQ = "(' ' || TRIM(CONCAT(" + ", ".join(
+    f"CASE WHEN LENGTH(w) >= {k} THEN SUBSTR(w, {k}, 1) || ' ' ELSE '' END"
+    for k in range(1, _BPE_MAXLEN + 1)
+) + ")) || ' ')"
+
+_BPE_SYMS = "(LENGTH(TRIM(seq)) - LENGTH(REPLACE(TRIM(seq), ' ', '')) + 1)"
+
+
+def _bpe_wf(tok_gen: str) -> str:
+    return (f"SELECT w, CAST(COUNT(*) AS BIGINT) AS f, {_BPE_CHARSEQ} AS seq"
+            f" FROM ({tok_gen}) tk GROUP BY 1")
+
+
+_BPE_TOKS_DUCK = "SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents"
+_BPE_TOKS_SPARK = "SELECT explode(split(text, ' ')) AS w FROM documents"
+
+
+def _bpe_pairs_duck(src: str) -> str:
+    return f"""SELECT w1, w2, CAST(SUM(f) AS BIGINT) AS c FROM (
+  SELECT f, wl[i] AS w1, wl[i + 1] AS w2 FROM (
+    SELECT f, wl, UNNEST(generate_series(1, LEN(wl) - 1)) AS i
+    FROM (SELECT f, STRING_SPLIT(TRIM(seq), ' ') AS wl FROM {src}) q0
+    WHERE LEN(wl) >= 2
+  ) q1
+) q2 GROUP BY 1, 2"""
+
+
+def _bpe_pairs_spark(src: str) -> str:
+    return f"""SELECT w1, w2, CAST(SUM(f) AS BIGINT) AS c FROM (
+  SELECT f, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT f, explode(transform(sequence(1, size(wl) - 1),
+      i -> named_struct('w1', element_at(wl, CAST(i AS INT)),
+                        'w2', element_at(wl, CAST(i + 1 AS INT))))) AS p
+    FROM (SELECT f, split(trim(seq), ' ') AS wl FROM {src}) q0
+    WHERE size(wl) >= 2
+  ) q1
+) q2 GROUP BY 1, 2"""
+
+
+def _bpe_argmax(pairs: str) -> str:
+    return (f"SELECT w1, w2, c FROM ({pairs}) pr"
+            " ORDER BY c DESC, w1, w2 LIMIT 1")
+
+
+def _bpe_merge(src: str, m: str) -> str:
+    return f"""SELECT w, f,
+  REPLACE(seq, ' ' || m.w1 || ' ' || m.w2 || ' ',
+          ' ' || m.w1 || m.w2 || ' ') AS seq
+FROM {src} CROSS JOIN {m} m"""
+
+
+def _bpe_round_row(r: int, m: str, s_after: str) -> str:
+    return f"""SELECT CAST({r} AS BIGINT) AS round,
+  m.w1 AS merge_left, m.w2 AS merge_right, m.c AS pair_count,
+  (SELECT CAST(SUM(f * {_BPE_SYMS}) AS BIGINT) FROM {s_after})
+    AS corpus_symbols_after
+FROM {m} m"""
+
+
+def _bpe_oracle() -> str:
+    ctes = [f"s0 AS ({_bpe_wf(_BPE_TOKS_DUCK)})"]
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"m{r} AS ({_bpe_argmax(_bpe_pairs_duck(f's{r - 1}'))})"
+        )
+        ctes.append(f"s{r} AS ({_bpe_merge(f's{r - 1}', f'm{r}')})")
+        rows.append(_bpe_round_row(r, f"m{r}", f"s{r}"))
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("bpe_merge_train", _bpe_oracle())
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE merge training, 3 rounds: per round the merged pair,
+    its frequency-weighted count, and the corpus symbol count after
+    applying it.  Spark builds the rounds imperatively (localCheckpoint
+    per round) so the single word-frequency fact agg is never re-run
+    per UNION branch — the tile-pyramid no-rescan discipline."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    s = spark.sql(_bpe_wf(_BPE_TOKS_SPARK)).localCheckpoint()
+    rows = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        s.createOrReplaceTempView(f"bpe_s{r - 1}")
+        m = spark.sql(
+            _bpe_argmax(_bpe_pairs_spark(f"bpe_s{r - 1}"))
+        ).localCheckpoint()
+        m.createOrReplaceTempView(f"bpe_m{r}")
+        s = spark.sql(
+            _bpe_merge(f"bpe_s{r - 1}", f"bpe_m{r}")
+        ).localCheckpoint()
+        s.createOrReplaceTempView(f"bpe_sa{r}")
+        row = spark.sql(_bpe_round_row(r, f"bpe_m{r}", f"bpe_sa{r}"))
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

@@ -1625,3 +1625,94 @@ def join_count_tracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the adjacency enumeration is the shared Moran link join."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_JC_SPARK)
+
+
+# --- Moran's I correlogram (queen-ring lags 1..4) ------------------------------
+#
+# The spatial-scale profile of the autocorrelation: Moran's I computed
+# at Chebyshev ring distances 1-4 (spdep::sp.correlogram shape) — how
+# fast spatial structure decays with lag tells you the padding radius
+# par_pad_grid actually needs.  One offsets dimension (80 rows, shared
+# VALUES-free arithmetic) crossed against the 256-zone table covers
+# all four lags in a single pairs join + one grouped agg; numerator
+# and denominator stay exact int64 via the n·x−S centering identity.
+
+_CORR_MAXLAG = 4
+
+_CORR_BODY = f"""
+z AS (
+  SELECT c.gx, c.gy, COALESCE(SUM(d.n_chars), 0) AS x
+  FROM cells c LEFT JOIN d ON d.gx = c.gx AND d.gy = c.gy
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT gx, gy,
+         CAST({{n}} AS BIGINT) * x - (SELECT SUM(x) FROM z) AS dd
+  FROM z
+),
+off AS (
+  SELECT vx.dx, vy.dy
+  FROM {{vgen_x}} CROSS JOIN {{vgen_y}}
+  WHERE NOT (vx.dx = 0 AND vy.dy = 0)
+),
+nb AS (
+  SELECT t.gx + o.dx AS ngx, t.gy + o.dy AS ngy,
+         GREATEST(ABS(o.dx), ABS(o.dy)) AS lag, t.dd
+  FROM t CROSS JOIN off o
+),
+pairs AS (
+  SELECT nb.lag, nb.dd AS d1, t2.dd AS d2
+  FROM nb JOIN t t2 ON nb.ngx = t2.gx AND nb.ngy = t2.gy
+),
+den AS (SELECT CAST(SUM(dd * dd) AS BIGINT) AS den FROM t)
+SELECT lag,
+       COUNT(*) AS w_links,
+       CAST(SUM(d1 * d2) AS BIGINT) AS num,
+       den.den,
+       ROUND(CAST({{n}} AS DOUBLE) * SUM(d1 * d2)
+             / (CAST(COUNT(*) AS DOUBLE) * den.den), 6) AS moran_i
+FROM pairs CROSS JOIN den
+GROUP BY lag, den.den
+"""
+
+
+def _corr_sql(cells: str, vgen_x: str, vgen_y: str) -> str:
+    d = f"""
+d AS (
+  SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         n_chars
+  FROM documents
+)"""
+    body = _CORR_BODY.format(n=_NZ, vgen_x=vgen_x, vgen_y=vgen_y)
+    return f"WITH {cells.strip()},\n{d.strip()},\n{body}"
+
+
+_CORR_ORACLE = _corr_sql(
+    f"""cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+)""",
+    f"(SELECT UNNEST(generate_series(-{_CORR_MAXLAG}, {_CORR_MAXLAG})) AS dx) vx",
+    f"(SELECT UNNEST(generate_series(-{_CORR_MAXLAG}, {_CORR_MAXLAG})) AS dy) vy",
+)
+
+_CORR_SPARK = _corr_sql(
+    f"""cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+)""",
+    f"(SELECT explode(sequence(-{_CORR_MAXLAG}, {_CORR_MAXLAG})) AS dx) vx",
+    f"(SELECT explode(sequence(-{_CORR_MAXLAG}, {_CORR_MAXLAG})) AS dy) vy",
+)
+
+
+@register("moran_correlogram", _CORR_ORACLE)
+def moran_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I at queen-ring lags 1-4 over the tract grid — the
+    autocorrelation-vs-distance profile, all four lags in one pairs
+    join over an 80-row offsets dimension."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CORR_SPARK)

@@ -91,7 +91,8 @@ JVM_ONLY = [
     "shipmode_priority_q12", "customer_distribution_q13",
     "parts_supplier_variety_q16", "small_qty_revenue_q17",
     "promo_part_suppliers_q20", "ccnet_perplexity_buckets",
-    "pq_adc_recall", "host_pagerank_personalized",
+    "pq_adc_recall", "host_pagerank_personalized", "moran_correlogram",
+    "bpe_merge_train",
     "gfunction_nn_ecdf", "ffunction_empty_space",
     "forecast_revenue_q6", "top_supplier_q15",
 ]
