@@ -252,3 +252,35 @@ def _drain_append(df: DataFrame, prefix: str, spark: SparkSession) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
+
+
+_ENRICH_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0, 4)
+         AS sum_value
+FROM events
+JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2
+"""
+
+
+@register("stream_static_enrich", _ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream broadcast-joined to
+    the static customer dimension per micro-batch (stateless join —
+    only the 1 h window agg keeps state), drained availableNow.  The
+    oracle is the batch join + GROUP BY date_trunc twin."""
+    dim = load(spark, sf_dir, "customer")
+    out = _drain(
+        S.static_enrich_windowed(_events_stream(spark, sf_dir), dim),
+        "stream_se",
+        spark,
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "segment",
+        "n_events",
+        "sum_value",
+    )

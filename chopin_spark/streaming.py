@@ -114,6 +114,53 @@ def sessionized_counts(
     )
 
 
+def static_enrich_windowed(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    seg_col: str = "c_mktsegment",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + tumbling-window aggregation —
+    the join class the stream-stream interval join doesn't cover: the
+    static dimension is planned as a broadcast hash join re-resolved
+    per micro-batch (no state store for the join at all; only the
+    window agg keeps state).  This is the canonical crawl-enrichment
+    shape — events joined to a slowly-changing dimension snapshot —
+    and at cluster scale the dimension refresh is a new batch plan per
+    trigger, never a shuffle of the stream.
+
+    Output (window_start, segment, n_events, sum_value) matches the
+    batch date_trunc twin row-for-row."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    dim = F.broadcast(dim.select(dim_key, seg_col))
+    return (
+        events.join(dim, events[key] == dim[dim_key])
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(seg_col).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.expr("CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)"))
+                / 100.0,
+                4,
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stateful_dedup(
     stream_df: DataFrame, key_col: str, carry_cols: list[str]
 ) -> DataFrame:
