@@ -1716,3 +1716,92 @@ def moran_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     join over an 80-row offsets dimension."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CORR_SPARK)
+
+
+# --- LISA Markov transition matrix (space-time ESDA) ---------------------------
+#
+# Rey's LISA Markov (PySAL giddy shape): classify every tract into its
+# local-Moran quadrant in two epochs (events, days 1-15 vs 16-30) and
+# count the quadrant→quadrant transitions — the dynamics of spatial
+# structure (an HH→LL cell is a collapsing hotspot; the diagonal mass
+# measures regime persistence).  Epoch enters the LISA pipeline as one
+# more grouping key: per-epoch totals join in (never a correlated
+# scalar per epoch), numerators stay exact int64, and the transition
+# matrix is a 256-row self-join on the tract key.
+
+_LMKV_BODY = """
+z AS (
+  SELECT ep.ep, c.gx, c.gy, COALESCE(COUNT(e.gx), 0) AS x
+  FROM cells c
+  CROSS JOIN (VALUES (0), (1)) AS ep(ep)
+  LEFT JOIN e ON e.gx = c.gx AND e.gy = c.gy AND e.ep = ep.ep
+  GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT ep, CAST(SUM(x) AS BIGINT) AS sx FROM z GROUP BY 1
+),
+t AS (
+  SELECT z.ep, z.gx, z.gy, CAST({n} AS BIGINT) * z.x - s.sx AS dd
+  FROM z JOIN s ON s.ep = z.ep
+),
+nb AS (
+  SELECT t.ep, t.gx + o.dx AS ngx, t.gy + o.dy AS ngy, t.dd
+  FROM t CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)
+),
+hood AS (
+  SELECT t2.ep, t2.gx, t2.gy, t2.dd, CAST(SUM(nb.dd) AS BIGINT) AS nsum
+  FROM nb JOIN t t2 ON nb.ep = t2.ep AND nb.ngx = t2.gx AND nb.ngy = t2.gy
+  GROUP BY 1, 2, 3, 4
+),
+q AS (
+  SELECT ep, gx, gy,
+         CASE WHEN dd >= 0 AND nsum >= 0 THEN 'HH'
+              WHEN dd < 0 AND nsum < 0 THEN 'LL'
+              WHEN dd >= 0 THEN 'HL'
+              ELSE 'LH' END AS quadrant
+  FROM hood
+)
+SELECT a.quadrant AS q_from, b.quadrant AS q_to,
+       COUNT(*) AS n_tracts
+FROM q a
+JOIN q b ON a.gx = b.gx AND a.gy = b.gy
+WHERE a.ep = 0 AND b.ep = 1
+GROUP BY 1, 2
+"""
+
+_LMKV_E = f"""
+e AS (
+  SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,
+         CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,
+         CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS ep
+  FROM events WHERE month(ts) = 1
+)"""
+
+_LMKV_SPARK = f"""
+WITH cells AS (
+  SELECT gx, gy
+  FROM (SELECT explode(sequence(0, {TRACT_NX - 1})) AS gx)
+  CROSS JOIN (SELECT explode(sequence(0, {TRACT_NY - 1})) AS gy)
+),
+{_LMKV_E.strip()},
+{_LMKV_BODY.format(n=_NZ)}
+"""
+
+_LMKV_ORACLE = f"""
+WITH cells AS (
+  SELECT g1.gx, g2.gy
+  FROM generate_series(0, {TRACT_NX - 1}) AS g1(gx),
+       generate_series(0, {TRACT_NY - 1}) AS g2(gy)
+),
+{_LMKV_E.strip()},
+{_LMKV_BODY.format(n=_NZ)}
+"""
+
+
+@register("lisa_markov_transitions", _LMKV_ORACLE)
+def lisa_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA Markov: local-Moran quadrant per tract in two 15-day event
+    epochs, quadrant→quadrant transition counts — regime dynamics of
+    the hotspot map, exact-integer throughout."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_LMKV_SPARK)

@@ -243,7 +243,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recompute exactly in SQL.
 
 from chopin_spark.textops import (  # noqa: E402
-    _MERSENNE, _hash_params, SIMHASH_BITS,
+    _MERSENNE, _SHINGLE_B, _hash_params, P30, SIMHASH_BITS,
     shingles_from_uh_duckdb, token_hashes_duckdb, token_hash60_duckdb,
     token_hashes_spark,
 )
@@ -1537,3 +1537,105 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive, reported with the 96-char distance as well."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SNM_SQL)
+
+
+# --- content-defined chunking (CDC) dedup --------------------------------------
+#
+# The missing granularity in the dedup family: exact/minhash/simhash/
+# containment/substring all compare DOCUMENTS (or fixed windows); CDC
+# (FastCDC/rsync lineage) cuts each document at CONTENT-derived
+# boundaries — a rolling gear hash over the last 3 token hashes,
+# boundary where it ≡ 0 (mod 8) — so an insertion early in a page
+# shifts every fixed window but leaves all later CDC chunks (and their
+# dedup hits) intact.  Chunk signature = (length, Σuh, Σuh·rank) mod
+# P30: order-sensitive, integer-exact, commutative-collision-resistant.
+#
+# Scale shape: one shuffle by doc_id feeds every window (LAG gear,
+# cumulative boundary count, per-chunk rank) — per-doc sequential state
+# bounded by doc length, the sessionize pattern; then one signature agg
+# and one broadcast-back join.  No pair enumeration anywhere: duplicate
+# chunks meet in the signature GROUP BY exactly like dedup_exact.
+
+_CDC_MOD = 8  # expected chunk length = 8 tokens
+
+_CDC_BODY = f"""
+l AS (
+  SELECT doc_id, source, pos, uh,
+         LAG(uh, 1) OVER w AS l1, LAG(uh, 2) OVER w AS l2
+  FROM t
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT doc_id, source, pos, uh,
+         CASE WHEN pos >= 3
+                   AND ((((l2 * {_SHINGLE_B} + l1) % {P30})
+                         * {_SHINGLE_B} + uh) % {P30}) % {_CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+c AS (
+  SELECT doc_id, source, pos, uh,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS chunk_no
+  FROM b
+),
+r AS (
+  SELECT doc_id, source, chunk_no, uh,
+         pos - MIN(pos) OVER (PARTITION BY doc_id, chunk_no) + 1 AS rk
+  FROM c
+),
+ch AS (
+  SELECT doc_id, source, chunk_no,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(SUM(uh) % {P30} AS BIGINT) AS s1,
+         CAST(SUM(uh * rk % {P30}) % {P30} AS BIGINT) AS swt
+  FROM r
+  GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT len, s1, swt, COUNT(*) AS occ
+  FROM ch GROUP BY 1, 2, 3
+)
+SELECT ch.source,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN sig.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN sig.occ > 1 THEN ch.len ELSE 0 END) AS BIGINT)
+         AS dup_token_mass
+FROM ch
+JOIN sig ON sig.len = ch.len AND sig.s1 = ch.s1 AND sig.swt = ch.swt
+GROUP BY 1
+"""
+
+_CDC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, i AS pos, uh[i] AS uh
+  FROM (
+    SELECT doc_id, source, uh,
+           UNNEST(generate_series(1, LEN(uh))) AS i
+    FROM (SELECT doc_id, source, {token_hashes_duckdb()} AS uh
+          FROM documents) q0
+  ) q1
+),
+{_CDC_BODY.lstrip()}
+"""
+
+_CDC_SPARK = f"""
+WITH t AS (
+  SELECT doc_id, source, pos + 1 AS pos, uh
+  FROM (SELECT doc_id, source, {token_hashes_spark()} AS _uh
+        FROM documents) q0
+  LATERAL VIEW posexplode(_uh) AS pos, uh
+),
+{_CDC_BODY.lstrip()}
+"""
+
+
+@register("cdc_chunk_dedup", _CDC_ORACLE)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup per ingest source: rolling-gear
+    boundaries (mod-8 on the 3-token shingle hash), exact integer chunk
+    signatures, duplicate-chunk counts and token mass — shift-robust
+    sub-document dedup with zero pair enumeration."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CDC_SPARK)

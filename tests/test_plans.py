@@ -92,7 +92,8 @@ JVM_ONLY = [
     "parts_supplier_variety_q16", "small_qty_revenue_q17",
     "promo_part_suppliers_q20", "ccnet_perplexity_buckets",
     "pq_adc_recall", "host_pagerank_personalized", "moran_correlogram",
-    "bpe_merge_train",
+    "bpe_merge_train", "cdc_chunk_dedup", "lisa_markov_transitions",
+    "stream_static_enrich",
     "gfunction_nn_ecdf", "ffunction_empty_space",
     "forecast_revenue_q6", "top_supplier_q15",
 ]
