@@ -41,7 +41,10 @@ def kernel_col(d: Column, bw: float, kernel: str) -> Column:
 def kernel_sql(d: str, bw: float, kernel: str) -> str:
     """Identical SQL text for Spark SQL and DuckDB oracles."""
     if kernel == "uniform":
-        return f"(CASE WHEN ({d}) > {bw!r} THEN 0.0 ELSE 0.5 END)"
+        # CAST: Spark types a two-decimal-literal CASE as DECIMAL(2,1),
+        # which surfaces as Decimal objects at collect (DuckDB: DOUBLE)
+        return (f"CAST((CASE WHEN ({d}) > {bw!r} THEN 0.0 ELSE 0.5 END)"
+                " AS DOUBLE)")
     t = f"(LEAST({d}, {bw!r}) / {bw!r})"
     if kernel == "quartic":
         return f"((15.0/16.0) * (1.0 - {t}*{t}) * (1.0 - {t}*{t}))"

@@ -409,10 +409,10 @@ it0 AS (
     + ",".join(_wz_iter(k) for k in range(1, 4))
     + """,
 fin AS (
-  SELECT ROUND(SUM(CAST(FLOOR(SQRT((p.xi - c.cx) * (p.xi - c.cx)
-                                   + (p.yi - c.cy) * (p.yi - c.cy))
-                              * 1000 + 0.5) AS BIGINT)) / 1000.0
-               / COUNT(*), 4) AS mean_dist_to_median
+  SELECT ROUND(CAST(SUM(CAST(FLOOR(SQRT((p.xi - c.cx) * (p.xi - c.cx)
+                                        + (p.yi - c.cy) * (p.yi - c.cy))
+                                   * 1000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000.0 / COUNT(*), 4) AS mean_dist_to_median
   FROM pts p CROSS JOIN it3 c
 )
 SELECT it0.cx AS mean_cx, it0.cy AS mean_cy,
@@ -638,3 +638,100 @@ def ffunction_empty_space(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the MIN folds map-side, so the fact never shuffles."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_f_sql(_F_PROBE_CELLS_SPARK))
+
+
+# --- colocation quotient (CLQ) matrix ------------------------------------------
+#
+# Leslie & Kronenfeld's colocation quotient: for language pair (A, B),
+# CLQ_A→B = (C_A→B / N_A) / (N_B' / (N−1)) where C_A→B counts A-points
+# whose nearest OTHER point is a B-point and N_B' excludes the A point
+# itself when A = B — the categorical-attraction statistic the cross-K
+# curve can't give (cross-K is symmetric in distance, CLQ is
+# directional in CATEGORY).  CLQ > 1: A seeks B; < 1: A avoids B.
+#
+# Scale shape: the NN stage is the exact knn_join (cell join + ring
+# fallback, k=2 with the self row dropped — never an n² face); the
+# quotient arithmetic runs on the 25-row language-pair matrix.  The
+# oracle recomputes NN by brute force with the same (dist, id)
+# tie-break, so a hash match certifies the index finds the true
+# nearest neighbor AND its category.
+
+_CLQ_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_DX} AS x, {_DY} AS y FROM documents
+),
+nnr AS (
+  SELECT a.doc_id, a.lang AS lang_a, b.lang AS lang_b,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY (a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y), b.doc_id
+         ) AS rnk
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+),
+c AS (
+  SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM nnr WHERE rnk = 1 GROUP BY 1, 2
+),
+n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM d)
+SELECT c.lang_a, c.lang_b, c.c_ab, na.n AS n_a, nb.n AS n_b,
+       ROUND((CAST(c.c_ab AS DOUBLE) / na.n)
+             / (CAST(nb.n - CASE WHEN c.lang_a = c.lang_b
+                                 THEN 1 ELSE 0 END AS DOUBLE)
+                / (nt - 1)), 6) AS clq
+FROM c
+JOIN n na ON na.lang = c.lang_a
+JOIN n nb ON nb.lang = c.lang_b
+CROSS JOIN tot
+"""
+
+
+@register("colocation_quotient_langs", _CLQ_ORACLE)
+def colocation_quotient_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional colocation quotient between language pairs, NN via
+    the exact cell-indexed knn_join (k=2, self dropped, (dist, id)
+    tie-break); quotient arithmetic on the 25-row pair matrix."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_DX).alias("x"), F.expr(_DY).alias("y")
+    )
+    ctx = docs.select(
+        F.col("doc_id").alias("cid"), F.col("lang").alias("clang"),
+        "x", "y",
+    )
+    g = make_regular_grid(_CE_GNX, _CE_GNY, pad=_CE_RADIUS)
+    knn = knn_join(docs, ctx.drop("clang"), g, "doc_id", "cid",
+                   _CE_RADIUS, k=2)
+    nn = (
+        knn.filter(F.col("nn_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("nn_dist", "nn_id")).alias("_m"))
+        .select("doc_id", F.col("_m.nn_id").alias("nn_id"))
+    )
+    spark_docs = docs.select("doc_id", "lang")
+    nbl = ctx.select(F.col("cid").alias("nn_id"),
+                     F.col("clang").alias("lang_b"))
+    pairs = (
+        nn.join(spark_docs, "doc_id")
+        .join(F.broadcast(nbl), "nn_id")
+        .select(F.col("lang").alias("lang_a"), "lang_b")
+    )
+    pairs.createOrReplaceTempView("clq_pairs")
+    spark_docs.createOrReplaceTempView("clq_docs")
+    return spark.sql("""
+WITH c AS (
+  SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM clq_pairs GROUP BY 1, 2
+),
+n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM clq_docs GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM clq_docs)
+SELECT c.lang_a, c.lang_b, c.c_ab, na.n AS n_a, nb.n AS n_b,
+       ROUND((CAST(c.c_ab AS DOUBLE) / na.n)
+             / (CAST(nb.n - CASE WHEN c.lang_a = c.lang_b
+                                 THEN 1 ELSE 0 END AS DOUBLE)
+                / (nt - 1)), 6) AS clq
+FROM c
+JOIN n na ON na.lang = c.lang_a
+JOIN n nb ON nb.lang = c.lang_b
+CROSS JOIN tot
+""")
