@@ -29,6 +29,7 @@ _MODULES = (
     "manifestq", "trainprep", "streamq", "roads", "rasterops", "lmq",
     "snapshotq",
     "dissolveq", "sketchq", "simplifyq", "graphq", "costdistq", "interactq", "pointpat",
+    "networkq",
     "gatedigest",  # must import last: it folds over every other entry
 )
 

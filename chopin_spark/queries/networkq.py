@@ -1,0 +1,238 @@
+"""Road-NETWORK construction and routing (the sfnetworks/pgRouting
+verb family the euclidean nearest/knn queries can't express).
+
+The reference's flagship demo measures straight-line proximity to
+roads (`terra::nearest`, /root/reference/README.md:1065-1118); the R
+spatial stack's next step is `sfnetworks::as_sfnetwork(ncroads)` —
+planarize the LINESTRING layer at its crossings into a routable graph
+and answer NETWORK-distance questions.  This module is that step,
+Spark-first:
+
+1. **Planarize**: crossing points come from the cell-bucketed segment
+   pair join (queries/roads.road_intersections — never all-pairs);
+   every segment then splits at its crossings.  Split points quantize
+   to integer millimetres immediately, so node identity, edge weights
+   and the whole downstream graph are int64-exact in both engines.
+   Ordering split points along a segment uses the integer squared
+   distance from the segment's A endpoint (monotone along a segment;
+   ≤ 5e15 < 2^53, so even the DOUBLE cast for the length SQRT is
+   exact).  One LEAD window per (line, seg) — a segment-sized
+   partition, never a global sort — yields the sub-edges.
+2. **Route**: multi-source bounded Bellman-Ford (components.sssp_khop)
+   from the crossing nodes gives every reachable node its network
+   distance to the nearest junction — the accessibility statistic
+   (reach/service-area) planners compute on OSM at continent scale.
+
+Scale shape: crossing detection is the quadtree-equivalent bucketed
+join (fan-out bounded by per-cell segment density); splitting is one
+segment-keyed window; SSSP rounds are node-sized frontier joins with
+min-combine, hop-bounded so both engines terminate identically without
+a convergence probe.  At 10^8 road segments every stage is an
+equi-join or a bounded window — no geometry library, no driver loop.
+
+Oracle: DuckDB re-derives the crossings by brute-force all-pairs
+(road_intersections' contract — proves the cell index loses nothing),
+replays the identical quantize/split/edge fold, and enumerates ≤K-hop
+walks with a recursive CTE; the value-hash match certifies graph
+construction AND routing end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chopin_spark.queries import register
+from chopin_spark.queries.roads import (
+    _N_SEGS,
+    _X_N_ROADS,
+    _X_SEGS_SQL,
+    road_intersections,
+    road_segments,
+)
+
+_K = 2_000_000_000  # node key = mx * _K + my (my < _K always)
+_HOPS = 6
+_BAND_MM = 10_000_000  # 10 km isochrone bands
+
+
+def _mq(x: str) -> str:
+    """Quantize a coordinate (metres, double) to integer millimetres —
+    correctly-rounded IEEE multiply + FLOOR, bit-identical across
+    engines (the repo's exactness discipline)."""
+    return f"CAST(FLOOR(({x}) * 1000.0 + 0.5) AS BIGINT)"
+
+
+# the planarize fold: identical text in Spark and DuckDB; only the two
+# source CTEs differ (Spark: temp views over the cell-bucketed plan;
+# DuckDB: closed-form layer + brute-force crossings).
+_FOLD = f"""
+pts AS (
+  SELECT line_id, seg, {_mq('ax')} AS mx, {_mq('ay')} AS my FROM segs
+  UNION ALL
+  SELECT line_id, seg, {_mq('bx')} AS mx, {_mq('by')} AS my FROM segs
+  UNION ALL
+  SELECT line_a AS line_id, seg_a AS seg,
+         {_mq('ix')} AS mx, {_mq('iy')} AS my FROM x
+  UNION ALL
+  SELECT line_b AS line_id, seg_b AS seg,
+         {_mq('ix')} AS mx, {_mq('iy')} AS my FROM x
+),
+dpts AS (SELECT DISTINCT line_id, seg, mx, my FROM pts),
+anch AS (
+  SELECT line_id, seg, {_mq('ax')} AS amx, {_mq('ay')} AS amy FROM segs
+),
+ordp AS (
+  SELECT d.line_id, d.seg, d.mx, d.my,
+         (d.mx - a.amx) * (d.mx - a.amx)
+         + (d.my - a.amy) * (d.my - a.amy) AS d2
+  FROM dpts d JOIN anch a ON a.line_id = d.line_id AND a.seg = d.seg
+),
+sub AS (
+  SELECT line_id, seg, mx, my,
+         LEAD(mx) OVER (PARTITION BY line_id, seg
+                        ORDER BY d2, mx, my) AS nx,
+         LEAD(my) OVER (PARTITION BY line_id, seg
+                        ORDER BY d2, mx, my) AS ny
+  FROM ordp
+),
+edges AS (
+  SELECT line_id, seg, mx * {_K} + my AS u, nx * {_K} + ny AS v,
+         CAST(FLOOR(SQRT(CAST((nx - mx) * (nx - mx)
+                              + (ny - my) * (ny - my) AS DOUBLE)))
+              AS BIGINT) AS w
+  FROM sub WHERE nx IS NOT NULL
+)"""
+
+# DuckDB-side source CTEs: brute-force crossing census over the
+# closed-form 800-road layer (the road_intersections oracle contract).
+from chopin_spark.roads import seg_intersect_sql  # noqa: E402
+
+_O_COND, _O_IX, _O_IY = seg_intersect_sql(
+    "a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay", "b.bx", "b.by"
+)
+
+_ORACLE_SRC = f"""segs AS ({_X_SEGS_SQL}),
+x AS (
+  SELECT a.line_id AS line_a, a.seg AS seg_a,
+         b.line_id AS line_b, b.seg AS seg_b,
+         {_O_IX} AS ix, {_O_IY} AS iy
+  FROM segs a JOIN segs b ON a.line_id < b.line_id
+  WHERE {_O_COND}
+)"""
+
+_SPARK_SRC = """segs AS (SELECT * FROM net_segs),
+x AS (SELECT * FROM net_x)"""
+
+
+def _spark_net_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the Spark-side sources: the closed-form segment layer
+    and the CELL-BUCKETED crossing join (the plan under test)."""
+    road_segments(spark, _X_N_ROADS).createOrReplaceTempView("net_segs")
+    road_intersections(spark, sf_dir).createOrReplaceTempView("net_x")
+
+
+_PLAN_TAIL = """
+SELECT line_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(w) AS BIGINT) AS total_len_mm
+FROM edges GROUP BY line_id"""
+
+_PLANARIZE_ORACLE = f"WITH {_ORACLE_SRC}, {_FOLD} {_PLAN_TAIL}"
+
+
+@register("road_network_planarize", _PLANARIZE_ORACLE)
+def road_network_planarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planarize the road layer at its crossings: per road, the
+    sub-edge count (4 + crossings on it) and total int64-mm length.
+    Certifies node quantization, split ordering, and edge weights."""
+    _spark_net_views(spark, sf_dir)
+    return spark.sql(f"WITH {_SPARK_SRC}, {_FOLD} {_PLAN_TAIL}")
+
+
+# --- network distance to the nearest junction ---------------------------------
+#
+# Multi-source bounded SSSP: seeds = crossing nodes at cost 0; after
+# _HOPS relaxation rounds each reached node holds MIN network distance
+# over all <=_HOPS-hop walks from any junction.  The hop bound makes
+# Spark's Bellman-Ford loop and DuckDB's recursive walk enumeration
+# agree exactly without a convergence probe.
+
+_WALK_ORACLE = f"""
+WITH RECURSIVE {_ORACLE_SRC}, {_FOLD},
+e2 AS (
+  SELECT u AS src, v AS dst, w FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst, w FROM edges
+),
+seeds AS (
+  SELECT DISTINCT {_mq('ix')} * {_K} + {_mq('iy')} AS node FROM x
+),
+walk(node, d, hops) AS (
+  SELECT node, CAST(0 AS BIGINT) AS d, 0 AS hops FROM seeds
+  UNION
+  SELECT e2.dst, w.d + e2.w, w.hops + 1
+  FROM walk w JOIN e2 ON e2.src = w.node
+  WHERE w.hops < {_HOPS}
+),
+best AS (SELECT node, MIN(d) AS d FROM walk GROUP BY 1)
+"""
+
+_DIST_TAIL = f"""
+SELECT CAST((node - (node % {_K})) / {_K} AS BIGINT) AS node_x_mm,
+       node % {_K} AS node_y_mm,
+       CAST(d AS BIGINT) AS net_dist_mm
+FROM best"""
+
+
+def _sssp_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chopin_spark.components import sssp_khop
+
+    _spark_net_views(spark, sf_dir)
+    edges = spark.sql(f"WITH {_SPARK_SRC}, {_FOLD} SELECT u, v, w FROM edges")
+    e2 = edges.selectExpr("u AS src", "v AS dst", "w").unionByName(
+        edges.selectExpr("v AS src", "u AS dst", "w")
+    )
+    seeds = (
+        spark.sql(
+            f"WITH {_SPARK_SRC} SELECT DISTINCT "
+            f"{_mq('ix')} * {_K} + {_mq('iy')} AS node FROM x"
+        )
+        .withColumn("cost", F.lit(0))
+    )
+    return sssp_khop(seeds, e2, k=_HOPS)
+
+
+@register("road_network_dist_to_crossing", _WALK_ORACLE + _DIST_TAIL)
+def road_network_dist_to_crossing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NETWORK distance (int64 mm, along the planarized graph) from
+    every reachable node to its nearest junction — multi-source
+    hop-bounded Bellman-Ford over the sub-edge graph."""
+    return _sssp_best(spark, sf_dir).selectExpr(
+        f"CAST((node - (node % {_K})) / {_K} AS BIGINT) AS node_x_mm",
+        f"node % {_K} AS node_y_mm",
+        "CAST(min_cost AS BIGINT) AS net_dist_mm",
+    )
+
+
+_BAND_TAIL = f"""
+SELECT CAST((d - (d % {_BAND_MM})) / {_BAND_MM} AS BIGINT) AS band_10km,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM best GROUP BY 1"""
+
+
+@register("road_isochrone_bands", _WALK_ORACLE + _BAND_TAIL)
+def road_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone census: how many graph nodes sit in each 10 km
+    network-distance band around the junction set — the service-area
+    rollup over the same bounded SSSP."""
+    return (
+        _sssp_best(spark, sf_dir)
+        .selectExpr(
+            f"CAST((min_cost - (min_cost % {_BAND_MM})) / {_BAND_MM}"
+            " AS BIGINT) AS band_10km"
+        )
+        .groupBy("band_10km")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

@@ -503,11 +503,20 @@ def trajectory_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNOX_DS = 30000.0                 # 30 km
 _KNOX_DT_US = 6 * 3600 * 1000000   # 6 h in µs
-_KNOX_CW = 800000.0 / 16
-_KNOX_CH = 600000.0 / 12
+# cell width == the space cutoff: the 3×3 probe is complete at any
+# cell >= ds, and ds-sized cells minimize candidate density (a 50 km
+# cell carried 2.6× the candidates for the same 30 km answer)
+_KNOX_CW = _KNOX_DS
+_KNOX_CH = _KNOX_DS
 
 
-def _knox_sql(us: str) -> str:
+def _knox_sql(us: str, hint: str = "") -> str:
+    # hint: Spark passes /*+ REPARTITION(n) */ on evt — the probe side
+    # of both pair joins derives from it, and without the shuffle a
+    # single small parquet file scans as ONE task that then evaluates
+    # every candidate pair alone against the broadcast build side
+    # (measured 27 s -> ~2 s at sf0.1).  DuckDB gets no hint: its
+    # morsel scheduler parallelizes the scan itself.
     ds2 = _KNOX_DS * _KNOX_DS
     return f"""
 WITH ev AS (
@@ -518,16 +527,19 @@ WITH ev AS (
   FROM events
 ),
 evt AS (
-  SELECT ev.*, CAST(FLOOR(t / {_KNOX_DT_US}.0) AS BIGINT) AS tb FROM ev
+  SELECT {hint} ev.*, CAST(FLOOR(t / {_KNOX_DT_US}.0) AS BIGINT) AS tb
+  FROM ev
 ),
 sprobe AS (
-  SELECT e.event_id, e.x, e.y, e.cx + o.dx AS pcx, e.cy + o.dy AS pcy
+  SELECT e.event_id, e.x, e.y, e.t, e.cx + o.dx AS pcx, e.cy + o.dy AS pcy
   FROM evt e CROSS JOIN (
     VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
   ) AS o(dx, dy)
 ),
 spairs AS (
-  SELECT COUNT(*) AS s
+  SELECT COUNT(*) AS s,
+         SUM(CASE WHEN ABS(a.t - b.t) < {_KNOX_DT_US}
+                  THEN 1 ELSE 0 END) AS st
   FROM sprobe a JOIN evt b
     ON a.pcx = b.cx AND a.pcy = b.cy AND a.event_id < b.event_id
   WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {ds2!r}
@@ -542,30 +554,16 @@ tpairs AS (
     ON a.ptb = b.tb AND a.event_id < b.event_id
   WHERE ABS(a.t - b.t) < {_KNOX_DT_US}
 ),
-stprobe AS (
-  SELECT e.event_id, e.x, e.y, e.t,
-         e.cx + o.dx AS pcx, e.cy + o.dy AS pcy
-  FROM evt e CROSS JOIN (
-    VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
-  ) AS o(dx, dy)
-),
-stpairs AS (
-  SELECT COUNT(*) AS st
-  FROM stprobe a JOIN evt b
-    ON a.pcx = b.cx AND a.pcy = b.cy AND a.event_id < b.event_id
-  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {ds2!r}
-    AND ABS(a.t - b.t) < {_KNOX_DT_US}
-),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM evt)
 SELECT n.n AS n_events,
        n.n * (n.n - 1) / 2 AS n_pairs,
        CAST(spairs.s AS BIGINT) AS pairs_space,
        CAST(tpairs.t AS BIGINT) AS pairs_time,
-       CAST(stpairs.st AS BIGINT) AS pairs_both,
-       CAST(FLOOR(CAST(stpairs.st AS DOUBLE) * (n.n * (n.n - 1) / 2)
+       CAST(spairs.st AS BIGINT) AS pairs_both,
+       CAST(FLOOR(CAST(spairs.st AS DOUBLE) * (n.n * (n.n - 1) / 2)
                   / spairs.s / tpairs.t * 1000000 + 0.5) AS BIGINT)
          AS knox_ratio_micro
-FROM n CROSS JOIN spairs CROSS JOIN tpairs CROSS JOIN stpairs
+FROM n CROSS JOIN spairs CROSS JOIN tpairs
 """
 
 
@@ -575,10 +573,15 @@ FROM n CROSS JOIN spairs CROSS JOIN tpairs CROSS JOIN stpairs
 )
 def knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knox space-time interaction: observed (ds, dt)-close pair count
-    vs the independence expectation — all three pair sets bounded by
-    cell / time-bin probes, total pairs in closed form."""
+    vs the independence expectation — pair sets bounded by cell /
+    time-bin probes, total pairs in closed form.  The space-time count
+    is a conditional SUM inside the spatial pair join (pairs_both ⊆
+    pairs_space), so the expensive join runs once, not twice."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_knox_sql("unix_micros(CAST(ts AS TIMESTAMP))"))
+    return spark.sql(_knox_sql(
+        "unix_micros(CAST(ts AS TIMESTAMP))",
+        hint="/*+ REPARTITION(64) */",
+    ))
 
 
 # --- rolling 7-day user volume (RANGE-frame window) ---------------------------
