@@ -421,3 +421,135 @@ def hll_per_host_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_hll_host_sql(charfold_spark, _SPK_SERIES))
+
+
+# --- HLL set algebra: shared content between crawl epochs ----------------------
+#
+# The property that makes HLL the fleet-scale sketch is MERGEABILITY:
+# register-wise MAX of two sketches IS the sketch of the union, so
+# |A∩B| falls out by inclusion-exclusion (est_a + est_b − est_union)
+# without ever co-shuffling the two item sets.  Item = 5-token shingle
+# hash (the dedup family's unit), so the intersection measures CONTENT
+# shared across the two crawl half-years — the sketch-algebra answer
+# to "how much of epoch B is recrawled epoch A text" that the exact
+# split_leakage_audit computes pair-by-pair.
+#
+# Scale shape: one shingle explode → (epoch, register) MAX agg (128
+# rows of state); the union sketch is a register-keyed MAX over those
+# 128 rows — sketch algebra on bytes, not data.  The exact distinct /
+# exact intersection run alongside ONLY to report observed error (at
+# production scale you'd drop them; they are the audit, not the op).
+# Σ2^−m_j is a sum of dyadic rationals (order-independent in float64),
+# LN gets the ROUND grain — the module's determinism contract.
+
+_EPOCH_MID = 1704067200 + 15768000  # 2024-07-01ish: half the LCG year
+
+
+def _hll_overlap_sql(series: str, toks: str) -> str:
+    # integer-item rehash: register from the shingle hash itself
+    # (polynomial fold, uniform low bits), rank from an independent
+    # Lehmer step — both pure int64 ops, identical across engines
+    h1 = "tok"
+    h2 = "((tok * 48271) % 2147483647)"
+    est = (
+        f"CASE WHEN {_ALPHA_M} * {_M} * {_M} / sum_inv <= 2.5 * {_M}"
+        f"          AND n_zero > 0"
+        f"     THEN {_M} * LN(CAST({_M} AS DOUBLE) / n_zero)"
+        f"     ELSE {_ALPHA_M} * {_M} * {_M} / sum_inv END"
+    )
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN {epoch_sql('doc_id')} < {_EPOCH_MID}
+              THEN 'a' ELSE 'b' END AS grp, tok
+  FROM ({toks})
+),
+hashed AS (SELECT grp, {h1} AS h1, {h2} AS h2 FROM t),
+regs AS (
+  SELECT grp, h1 % {_M} AS reg,
+         MAX(CASE WHEN h2 = 0 THEN 31
+                  ELSE 31 - LENGTH(BIN(h2)) END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+allregs AS (
+  SELECT 'a' AS grp, reg FROM ({series})
+  UNION ALL SELECT 'b' AS grp, reg FROM ({series})
+  UNION ALL SELECT 'u' AS grp, reg FROM ({series})
+),
+merged AS (
+  SELECT grp, reg, m_j FROM regs
+  UNION ALL
+  SELECT 'u' AS grp, reg, MAX(m_j) AS m_j FROM regs GROUP BY 2
+),
+filled AS (
+  SELECT a.grp, a.reg, COALESCE(MAX(m.m_j), 0) AS m_j
+  FROM allregs a LEFT JOIN merged m ON m.grp = a.grp AND m.reg = a.reg
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT grp,
+         SUM(POWER(2.0, -m_j)) AS sum_inv,
+         SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS n_zero
+  FROM filled GROUP BY 1
+),
+ests AS (SELECT grp, {est} AS est FROM sk),
+wide AS (
+  SELECT MAX(CASE WHEN grp = 'a' THEN est END) AS est_a,
+         MAX(CASE WHEN grp = 'b' THEN est END) AS est_b,
+         MAX(CASE WHEN grp = 'u' THEN est END) AS est_u
+  FROM ests
+),
+ex AS (
+  SELECT CAST(COUNT(CASE WHEN has_a = 1 THEN 1 END) AS BIGINT) AS exact_a,
+         CAST(COUNT(CASE WHEN has_b = 1 THEN 1 END) AS BIGINT) AS exact_b,
+         CAST(COUNT(CASE WHEN has_a = 1 AND has_b = 1 THEN 1 END)
+              AS BIGINT) AS exact_i
+  FROM (
+    SELECT tok,
+           MAX(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS has_a,
+           MAX(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS has_b
+    FROM t GROUP BY tok
+  )
+)
+SELECT ROUND(est_a, 4) AS est_a,
+       ROUND(est_b, 4) AS est_b,
+       ROUND(est_u, 4) AS est_union,
+       ROUND(est_a + est_b - est_u, 4) AS est_intersect,
+       exact_a, exact_b, exact_i AS exact_intersect,
+       ROUND((est_a + est_b - est_u - exact_i)
+             / CAST(exact_i AS DOUBLE), 4) AS intersect_rel_err
+FROM wide CROSS JOIN ex
+"""
+
+
+from chopin_spark.textops import (  # noqa: E402
+    shingles_from_uh_duckdb,
+    shingles_from_uh_spark,
+    token_hashes_duckdb,
+    token_hashes_spark,
+)
+
+_OV_TOKS_DUCK = f"""
+  SELECT doc_id, UNNEST({shingles_from_uh_duckdb(5)}) AS tok
+  FROM (SELECT doc_id, {token_hashes_duckdb()} AS _uh FROM documents)
+"""
+# token-hash array stays its OWN projection (the no-HOF-inlining rule,
+# textops.token_hashes_spark docstring) — explode from a subquery
+_OV_TOKS_SPARK = f"""
+  SELECT doc_id, explode({shingles_from_uh_spark(5)}) AS tok
+  FROM (SELECT doc_id, {token_hashes_spark()} AS _uh FROM documents)
+"""
+
+
+@register(
+    "hll_epoch_overlap",
+    _hll_overlap_sql(_DDB_SERIES, _OV_TOKS_DUCK),
+)
+def hll_epoch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-content estimate between the two crawl half-years by HLL
+    set algebra over 5-token shingle hashes: per-epoch sketches,
+    register-MAX merge for the union, inclusion-exclusion for the
+    intersection — audited against the exact counts."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_hll_overlap_sql(_SPK_SERIES, _OV_TOKS_SPARK))
