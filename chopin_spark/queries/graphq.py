@@ -657,3 +657,78 @@ def attack_robustness_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH {_ATK_BASE.strip()} SELECT * FROM se"
     ).localCheckpoint().createOrReplaceTempView("se")
     return spark.sql(_ATK_FINAL)
+
+
+# --- Adamic-Adar link prediction on the host graph ----------------------------
+#
+# The classic common-neighbor link predictor: for a NON-adjacent pair
+# (u, v), AA(u, v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — shared rare
+# neighbors are strong evidence, shared hubs nearly none.  Enumeration
+# is by wedge CENTER (u–w–v), which is Σ deg(w)² — the hub-quadratic
+# trap at crawl scale — so centers above _AA_DMAX are EXCLUDED, the
+# same hot-bucket guard as ngram max_df / LSH banding: legitimate
+# because a hub's 1/ln(deg) contribution is the one being down-
+# weighted to ~0 by the statistic itself.  Existing edges drop out by
+# anti-join; LN enters once per wedge and the summed ≤1-ulp divergence
+# sits ~1e-12 under the 1e-4 ROUND grain (the Hill-estimator rule).
+#
+# Scale: deg/adj are node-sized; the wedge join is bounded by
+# cap²·n_centers; the anti-join and top-k are candidate-sized.
+
+_AA_DMAX = 32
+_AA_TOPK = 20
+
+_AA_BODY = f"""
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) n
+  GROUP BY node
+),
+adj AS (
+  SELECT u AS w, v AS nb FROM und UNION ALL SELECT v AS w, u AS nb FROM und
+),
+wedges AS (
+  SELECT a.nb AS u, b.nb AS v, dw.d AS wd
+  FROM adj a
+  JOIN adj b ON b.w = a.w AND a.nb < b.nb
+  JOIN deg dw ON dw.node = a.w
+  WHERE dw.d <= {_AA_DMAX}
+),
+scored AS (
+  SELECT wg.u, wg.v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         ROUND(SUM(1.0 / LN(CAST(wg.wd AS DOUBLE))), 4) AS aa_score
+  FROM wedges wg
+  LEFT JOIN und e ON e.u = wg.u AND e.v = wg.v
+  WHERE e.u IS NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY aa_score DESC, u, v) AS BIGINT)
+         AS rank,
+       u AS host_u, v AS host_v, n_common, aa_score
+FROM scored
+ORDER BY rank
+LIMIT {_AA_TOPK}
+"""
+
+_AA_UND = f"""
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM (
+    SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst
+    FROM documents WHERE {_TRI_SRC} <> {_TRI_DST}
+  ) raw
+"""
+
+_AA_ORACLE = f"WITH und AS ({_AA_UND}), {_AA_BODY}"
+
+
+@register("adamic_adar_link_pred", _AA_ORACLE)
+def adamic_adar_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted (non-)links by Adamic-Adar over the undirected
+    host graph: wedge-center enumeration with the _AA_DMAX hub guard,
+    existing edges anti-joined away.  The distinct edge list
+    materializes ONCE (Spark inlines CTEs; und is referenced four
+    times)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(_AA_UND).localCheckpoint().createOrReplaceTempView("aa_und")
+    return spark.sql(f"WITH und AS (SELECT * FROM aa_und), {_AA_BODY}")

@@ -1193,3 +1193,68 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _PQ_FOLD_SPARK,
         )
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 and cosine --------------
+#
+# The RAG-stack fusion verb (Cormack et al. RRF; every hybrid-search
+# engine ships it): fuse a LEXICAL ranking (BM25 over the inverted
+# index) with a SEMANTIC ranking (cosine top-k over embeddings) by
+# rrf = Σ_lists 1/(60 + rank).  Both input rankings are the registry's
+# existing deterministic ranked lists (score-rounded-then-ranked,
+# doc_id tie-break), so the fusion — a 40-row FULL OUTER JOIN — is
+# exactly reproducible.
+#
+# Scale shape: each ranking is already top-k-bounded (rank-k lists are
+# metadata regardless of corpus size); the fusion joins two k-row
+# lists — the expensive parts are the retrieval plans themselves,
+# whose scale stories live with bm25_topk and ann_cosine_topk.  At
+# 10^12 docs the fusion cost is unchanged: that independence is WHY
+# RRF beats score-normalized fusion operationally (no global score
+# calibration pass over either list).
+
+_RRF_K = 60.0
+
+_RRF_TAIL = f"""
+fused AS (
+  SELECT COALESCE(l.doc_id, s.vec_id) AS item_id,
+         CAST(COALESCE(l.rank, -1) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(s.rank, -1) AS BIGINT) AS sem_rank,
+         ROUND(
+           (CASE WHEN l.rank IS NULL THEN 0.0
+                 ELSE 1.0 / ({_RRF_K!r} + l.rank) END)
+           + (CASE WHEN s.rank IS NULL THEN 0.0
+                   ELSE 1.0 / ({_RRF_K!r} + s.rank) END), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s ON s.vec_id = l.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, item_id)
+            AS BIGINT) AS rrf_rank,
+       item_id, rrf_score, lex_rank, sem_rank
+FROM fused
+ORDER BY rrf_rank
+LIMIT 20
+"""
+
+
+def _rrf_oracle() -> str:
+    from chopin_spark.queries.textops import _BM25_ORACLE
+
+    return f"WITH lex AS ({_BM25_ORACLE}), sem AS ({_TOPK_ORACLE}), {_RRF_TAIL}"
+
+
+@register("rrf_hybrid_topk", _rrf_oracle())
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-20 (lexical) and the
+    cosine top-10 vs vec 0 (semantic): rrf = Σ 1/(60+rank), fused over
+    a full outer join of the two bounded rank lists."""
+    from chopin_spark.queries.textops import _BM25_SPARK
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    emb = load(spark, sf_dir, "embeddings")
+    cosine_topk(emb, query_vec_id=0, k=10).select(
+        "vec_id", F.col("rank").cast("long").alias("rank")
+    ).createOrReplaceTempView("rrf_sem")
+    return spark.sql(
+        f"WITH lex AS ({_BM25_SPARK}), sem AS (SELECT * FROM rrf_sem),"
+        f" {_RRF_TAIL}"
+    )
