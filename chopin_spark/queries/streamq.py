@@ -20,6 +20,7 @@ checkpointLocation and the trigger for continuous micro-batches.
 from __future__ import annotations
 
 import itertools
+import os
 import shutil
 import tempfile
 
@@ -283,4 +284,130 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n_events",
         "sum_value",
+    )
+
+
+# --- watermark late-data dropping (append mode) --------------------------------
+#
+# The one streaming semantic the drain-equals-batch queries above CANNOT
+# exhibit: with out-of-order arrival, the watermark FINALIZES windows
+# and late rows for finalized windows are DROPPED — streaming's answer
+# differs from batch BY DESIGN, and the oracle must reproduce exactly
+# which rows die.  Arrival order is engineered: the events table splits
+# into three single-file micro-batches by event_id % 3 (mtime-ordered,
+# maxFilesPerTrigger=1), so every batch spans the whole month and
+# batches 2-3 are massively late.
+#
+# The cross-engine model (calibrated against the real engine, pinned by
+# the value hash):
+#   wm_filter(b) = max over batches <= b-2 of (max_event_time - W), 0-init
+#     — the input-side late filter LAGS one batch behind the run
+#       watermark (the offset-log commit cycle: batch b plans with the
+#       watermark recorded at b-1's START);
+#   a row is dropped iff its window end <= wm_filter(its batch);
+#   a window is emitted iff its end <= final run watermark
+#     (the availableNow no-data batch evicts with the full-stream wm).
+#
+# Scale shape: the streaming plan is the same keyed state-store agg as
+# stream_windowed_hourly; the oracle adds one batch-dimension window
+# (3 rows) over per-batch max timestamps.
+
+_LATE_W_US = 12 * 3600 * 1000000
+_LATE_HR_US = 3600 * 1000000
+_LATE_LAYOUT_V = 1
+
+_LATE_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache", "late_stream",
+)
+_LATE_MEMO: dict = {}
+
+
+def _late_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three mtime-ordered single-file batches of the events table
+    (event_id % 3), memoized per (app, sf_dir) with the snapshotq
+    source-signature tag so a regenerated sf_dir never serves stale
+    batches."""
+    import glob
+    import shutil
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _LATE_MEMO:
+        return _LATE_MEMO[key]
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{int(st.st_mtime)}_{st.st_size}_v{_LATE_LAYOUT_V}"
+    )
+    d = os.path.join(_LATE_CACHE, tag)
+    if not os.path.exists(os.path.join(d, "batch2.parquet")):
+        os.makedirs(d, exist_ok=True)
+        ev = load(spark, sf_dir, "events")
+        for k in range(3):
+            tmp = os.path.join(d, f"_tmp{k}")
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"batch{k}.parquet")
+            shutil.copy(part, dst)
+            # file-stream sources order by (mtime, path): pin both
+            os.utime(dst, (1700000000 + k * 100, 1700000000 + k * 100))
+            shutil.rmtree(tmp)
+    _LATE_MEMO[key] = d
+    return d
+
+
+_LATE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id % 3 AS b, epoch_us(ts) AS t,
+         epoch_us(ts) - epoch_us(ts) % {_LATE_HR_US} AS ws,
+         epoch_us(ts) - epoch_us(ts) % {_LATE_HR_US} + {_LATE_HR_US} AS we
+  FROM events
+),
+bm AS (SELECT b, MAX(t) AS mt FROM ev GROUP BY 1),
+wmx AS (
+  SELECT b,
+         COALESCE(MAX(mt - {_LATE_W_US}) OVER (
+           ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
+         ), 0) AS wm_filter,
+         MAX(mt - {_LATE_W_US}) OVER (ORDER BY b) AS wm_run
+  FROM bm
+),
+surv AS (
+  SELECT ev.ws, ev.we FROM ev JOIN wmx ON wmx.b = ev.b
+  WHERE NOT (ev.we <= wmx.wm_filter)
+),
+fin AS (SELECT MAX(wm_run) AS fw FROM wmx)
+SELECT make_timestamp(ws) AS window_start, COUNT(*) AS n_events
+FROM surv CROSS JOIN fin
+WHERE we <= fw
+GROUP BY 1
+"""
+
+
+@register("stream_watermark_late_drop", _LATE_ORACLE)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode 1 h windowed counts under a 12 h watermark over the
+    three engineered out-of-order micro-batches — late rows for
+    finalized windows dropped, trailing windows withheld; the oracle
+    replays the watermark recurrence row-for-row."""
+    schema = load(spark, sf_dir, "events").schema
+    d = _late_batches_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "batch*.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "12 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    out = _drain_append(agg, "stream_late", spark)
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "n_events",
     )

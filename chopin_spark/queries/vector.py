@@ -1028,3 +1028,88 @@ def cross_k_docs_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         k12.alias("k12_hat"),
         l12.alias("l12_hat"),
     )
+
+
+# --- two-step floating catchment area (2SFCA) accessibility --------------------
+#
+# Luo & Wang's accessibility statistic (the health-geography standard
+# the gravity/Huff family approximates): step 1 gives every supply
+# point j a ratio R_j = s_j / Σ(demand within d0); step 2 gives every
+# demand point i the sum A_i = Σ R_j over supply within d0.  Both
+# steps ride ONE radius-bounded pair set — the same cell-index range
+# join as summarize_sedc (padded explode lands on the 2 000-row POI
+# dimension, docs stay exactly-once in their core cell).
+#
+# Determinism: R_j quantizes to int64 micro BEFORE the step-2 sum
+# (Σ doubles is partition-order dependent — the summarize_st lesson),
+# so A_i is an exact integer fold in both engines.  Step-1 demand is a
+# count (int64).  Scale: step-1 output is supply-dimension-sized, so
+# the step-2 join broadcasts it; the fact-sized pair set is built
+# twice (two scans beat materializing a fact-sized intermediate).
+
+_FCA_D0 = 40_000.0
+
+
+_FCA_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
+),
+p AS (
+  SELECT p_partkey AS pid, p_size AS s, {_PX} AS px, {_PY} AS py FROM part
+),
+pairs AS (
+  SELECT doc_id, pid, s
+  FROM d CROSS JOIN p
+  WHERE SQRT((x - px) * (x - px) + (y - py) * (y - py)) <= {_FCA_D0!r}
+),
+rj AS (
+  SELECT pid,
+         CAST(FLOOR(CAST(MIN(s) AS DOUBLE) * 1000000.0 / COUNT(*) + 0.5)
+              AS BIGINT) AS r_micro
+  FROM pairs GROUP BY 1
+)
+SELECT pairs.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_poi_reach,
+       ROUND(CAST(SUM(rj.r_micro) AS DOUBLE) / 1000000.0, 4) AS a_2sfca
+FROM pairs JOIN rj ON rj.pid = pairs.pid
+GROUP BY 1
+"""
+
+
+@register("accessibility_2sfca", _FCA_ORACLE)
+def accessibility_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2SFCA accessibility per document: supply-to-demand ratios within
+    the 40 km catchment (step 1, int64-micro quantized), summed over
+    reachable supply (step 2) — both steps on the cell-index range
+    join."""
+    from chopin_spark.vector import _prep
+
+    g = make_regular_grid(_GNX, _GNY, pad=_FCA_D0)
+    docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
+    pois = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_size").cast("long").alias("s"),
+        F.expr(_PX).alias("x"),
+        F.expr(_PY).alias("y"),
+    )
+    pairs = (
+        _prep(docs, pois, g, ["doc_id"], ["pid", "s"])
+        .filter(F.col("_d") <= _FCA_D0)
+        .select("doc_id", F.col("c_pid").alias("pid"), F.col("c_s").alias("s"))
+    )
+    rj = pairs.groupBy("pid").agg(
+        F.expr(
+            "CAST(FLOOR(CAST(MIN(s) AS DOUBLE) * 1000000.0 / COUNT(*) + 0.5)"
+            " AS BIGINT)"
+        ).alias("r_micro")
+    )
+    return (
+        pairs.join(F.broadcast(rj), "pid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_poi_reach"),
+            F.round(
+                F.sum("r_micro").cast("double") / 1000000.0, 4
+            ).alias("a_2sfca"),
+        )
+    )
