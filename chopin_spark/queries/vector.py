@@ -1113,3 +1113,99 @@ def accessibility_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a_2sfca"),
         )
     )
+
+
+# --- adaptive-bandwidth geographically weighted mean ---------------------------
+#
+# The spgwr/GWmodel adaptive-kernel move the fixed-bandwidth C3 family
+# can't express: each point's bandwidth is its distance to the 15th
+# nearest neighbor, so the kernel tightens in dense regions and
+# stretches in sparse ones.  Composition of two existing exact
+# operators: knn_join (k=16, self dropped — exact at any grid size via
+# the ring fallback) supplies both the neighbor set AND the bandwidth;
+# the quartic weights then quantize to the kernels.QUANT lattice so
+# the weighted mean is an exact int64 fold (partition-order free).
+#
+# Scale shape: one kNN pair shuffle (cell join, top-k in a single agg
+# pass), a 16-row-per-key window, one neighbor-value equi-join, one
+# agg.  No global sort, no fact×fact face.
+
+_AGW_K = 15
+
+
+def _agw_quartic(d: str, bw: str) -> str:
+    t = f"(LEAST({d}, {bw}) / {bw})"
+    return f"((15.0/16.0) * (1.0 - {t}*{t}) * (1.0 - {t}*{t}))"
+
+
+_AGW_WQ = (
+    f"CAST(FLOOR({_agw_quartic('nn_dist', 'bw')} * 65536 + 0.5) AS BIGINT)"
+)
+
+_AGW_TAIL = f"""
+ranked AS (
+  SELECT doc_id, nn_id, nn_dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY nn_dist, nn_id) AS rn
+  FROM others
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {_AGW_K}),
+bwt AS (
+  SELECT k.doc_id, k.nn_id, k.nn_dist, b.bw
+  FROM kept k
+  JOIN (SELECT doc_id, MAX(nn_dist) AS bw FROM kept GROUP BY 1) b
+    ON b.doc_id = k.doc_id
+),
+wv AS (
+  SELECT t.doc_id, t.bw, {_AGW_WQ} AS wq, v.val
+  FROM bwt t JOIN vals v ON v.nn_id = t.nn_id
+)
+SELECT doc_id,
+       ROUND(MAX(bw), 4) AS adaptive_bw,
+       CAST(SUM(wq) AS BIGINT) AS sum_wq,
+       ROUND(CAST(SUM(wq * val) AS DOUBLE) / SUM(wq), 4) AS gw_mean_chars
+FROM wv
+GROUP BY doc_id
+"""
+
+_AGW_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_DX} AS x, {_DY} AS y FROM documents
+),
+others AS (
+  SELECT a.doc_id, b.doc_id AS nn_id,
+         SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+           AS nn_dist
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+),
+vals AS (SELECT doc_id AS nn_id, CAST(n_chars AS BIGINT) AS val FROM d),
+{_AGW_TAIL}
+"""
+
+
+@register("gw_mean_adaptive", _AGW_ORACLE)
+def gw_mean_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-bandwidth geographically weighted mean of n_chars:
+    bandwidth = distance to the 15th nearest neighbor (exact knn_join),
+    quartic weights on the QUANT lattice, int64-exact weighted fold."""
+    from chopin_spark.vector import knn_join
+
+    docs = _docs_pts(spark, sf_dir)
+    ctx = docs.select(
+        F.col("doc_id").alias("cid"), "x", "y"
+    )
+    g = make_regular_grid(_GNX, _GNY, pad=_RADIUS)
+    knn = knn_join(
+        docs.select("doc_id", "x", "y"), ctx, g,
+        "doc_id", "cid", _RADIUS, k=_AGW_K + 1,
+    )
+    knn.filter(F.col("nn_id") != F.col("doc_id")).createOrReplaceTempView(
+        "agw_others"
+    )
+    docs.selectExpr(
+        "doc_id AS nn_id", "CAST(n_chars AS BIGINT) AS val"
+    ).createOrReplaceTempView("agw_vals")
+    return spark.sql(
+        "WITH others AS (SELECT doc_id, nn_id, nn_dist FROM agw_others),\n"
+        "vals AS (SELECT * FROM agw_vals),\n" + _AGW_TAIL
+    )

@@ -1494,3 +1494,64 @@ def host_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").alias("rank_micro"),
         )
     )
+
+
+# --- crawl politeness scheduling (queueing recurrence as a window scan) --------
+#
+# The crawl-ops question OPIC/recrawl tiers don't answer: given each
+# host's arrival queue and a politeness budget of one fetch per D
+# seconds, WHEN does each fetch actually run and how much does the
+# queue wait?  The Lindley-style recurrence
+#   start_k = max(arr_k, start_{k-1} + D)
+# looks inherently sequential, but closes over a prefix maximum:
+#   start_k = k·D + max_{j<=k}(arr_j − j·D)
+# — one per-host window scan, no recursion, no UDF.  All carriers are
+# integer seconds, so the schedule is exact at any partitioning.
+#
+# Scale shape: ONE host-keyed window (per-host partitions are
+# queue-sized); per-host aggregation folds map-side.  At 10^12 pages
+# this is the shape frontier schedulers actually use for capacity
+# planning — the recurrence never leaves the host partition.
+
+_POL_D_S = 7200  # politeness: one fetch per 2 h per host
+_POL_HOST = "(doc_id % 97)"
+
+_POLITE_SQL = f"""
+WITH q AS (
+  SELECT {_POL_HOST} AS host_num,
+         ({epoch_sql('doc_id')} % 86400) AS arr,
+         doc_id
+  FROM documents
+),
+r AS (
+  SELECT host_num, arr,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host_num
+                                 ORDER BY arr, doc_id) AS BIGINT) AS k
+  FROM q
+),
+s AS (
+  SELECT host_num, arr, k,
+         MAX(arr - k * {_POL_D_S}) OVER (
+           PARTITION BY host_num ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) + k * {_POL_D_S} AS start_s
+  FROM r
+)
+SELECT host_num,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(MAX(start_s) - MIN(arr) AS BIGINT) AS makespan_s,
+       CAST(SUM(start_s - arr) AS BIGINT) AS total_wait_s,
+       CAST(MAX(start_s - arr) AS BIGINT) AS max_wait_s
+FROM s
+GROUP BY 1
+"""
+
+
+@register("crawl_politeness_schedule", _POLITE_SQL)
+def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch schedule under a one-fetch-per-2 h politeness
+    budget: the Lindley queueing recurrence closed into a prefix-max
+    window (start_k = k·D + max prefix of arr_j − j·D), then makespan /
+    wait statistics per host — integer-exact, one window scan."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_POLITE_SQL)
