@@ -1639,3 +1639,81 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-document dedup with zero pair enumeration."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CDC_SPARK)
+
+
+# --- query-likelihood retrieval with Dirichlet smoothing -----------------------
+#
+# The language-model retrieval family beside BM25 (Ponte & Croft;
+# Zhai & Lafferty's Dirichlet prior): score(d) = Σ_t ln((tf + µ·P(t|C))
+# / (dl + µ)) over the SAME query terms.  Unlike BM25, absent terms
+# still contribute (the smoothing mass), so candidates (docs matching
+# ≥1 term) cross the 3-term query dimension and LEFT JOIN their tfs.
+#
+# Scale shape: identical inverted-index access path as bm25_topk —
+# postings of the query terms are the only shuffled volume; the
+# collection LM P(t|C) is one token agg folded to 3 broadcast scalars;
+# the candidate × 3-term frame is candidate-sized.  ln enters once per
+# (candidate, term) and the 3-term sum sits ~1e-15 under the 1e-4
+# ROUND grain.
+
+_QL_MU = 2000.0
+
+
+def _ql_sql(split_fn: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {split_fn} AS tk FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST({{size_fn}}(tk) AS BIGINT) AS dl FROM toks
+),
+allt AS (
+  SELECT doc_id, {{unnest_fn}} AS t FROM toks
+),
+coll AS (SELECT CAST(COUNT(*) AS BIGINT) AS ct FROM allt),
+cf AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cf
+  FROM allt WHERE t IN ({_BM_TERMS_SQL}) GROUP BY 1
+),
+post AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM allt WHERE t IN ({_BM_TERMS_SQL}) GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT doc_id FROM post),
+scored AS (
+  SELECT c.doc_id,
+         SUM(LN((COALESCE(p.tf, 0) + {_QL_MU!r} * (CAST(cf.cf AS DOUBLE) / coll.ct))
+                / (d.dl + {_QL_MU!r}))) AS score,
+         CAST(SUM(CASE WHEN p.tf IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_matched
+  FROM cand c
+  CROSS JOIN cf
+  CROSS JOIN coll
+  JOIN dl d ON d.doc_id = c.doc_id
+  LEFT JOIN post p ON p.doc_id = c.doc_id AND p.t = cf.t
+  GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id, ROUND(score, 4) AS score_ql, n_matched
+FROM scored
+ORDER BY rank
+LIMIT {_BM_K}
+"""
+
+
+_QL_SPARK = _ql_sql("split(text, ' ')").format(
+    size_fn="size", unnest_fn="explode(tk)"
+)
+_QL_ORACLE = _ql_sql("string_split(text, ' ')").format(
+    size_fn="len", unnest_fn="UNNEST(tk)"
+)
+
+
+@register("query_likelihood_topk", _QL_ORACLE)
+def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-20 for the BM25 query
+    terms — the LM retrieval model on the same inverted-index access
+    path; scores rounded before ranking, doc_id tie-break."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_QL_SPARK)
