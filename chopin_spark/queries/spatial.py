@@ -1805,3 +1805,89 @@ def lisa_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hotspot map, exact-integer throughout."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_LMKV_SPARK)
+
+
+# --- STR (sort-tile-recursive) packing: the sample-based spatial partitioner ---
+#
+# The data-driven partitioner Sedona/GeoSpark bulk-loads R-trees with,
+# and the balanced-partitioning move the quadtree above approaches
+# from the other direction: take a bounded SAMPLE, cut it into Sx
+# vertical slices at sample-x quantiles, cut each slice at sample-y
+# quantiles, broadcast the (Sx−1) + Sx·(Sy−1) boundary values, and
+# assign EVERY point by pure comparisons.  The full fact is touched
+# exactly twice (sample filter, assignment); everything between is
+# sample-sized — at 10^12 rows the partitioner costs one ~10^5-row
+# quantile computation, which is precisely why STR is the production
+# default over exact balancing.
+#
+# Determinism: the sample is an LCG predicate (no rand()); boundary
+# values are rank-statistics of sampled doubles (exact values, no
+# interpolation); assignment compares raw doubles to those values.
+
+_STR_SX, _STR_SY = 4, 4
+_STR_SAMPLE = "((doc_id * 2654435761) % 1000003) < 50000"  # ~5%
+
+_STR_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {_DOC_X} AS x, {_DOC_Y} AS y FROM documents
+),
+smp AS (
+  SELECT x, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY x, y) AS BIGINT) AS rx,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM pts WHERE {_STR_SAMPLE}
+),
+bx AS (
+  SELECT v.i, s.x AS bound
+  FROM (VALUES (1), (2), (3)) AS v(i)
+  JOIN smp s ON s.rx = CAST(FLOOR(v.i * s.n / {_STR_SX}.0) AS BIGINT)
+),
+xs_smp AS (
+  SELECT s.rx, s.x, s.y,
+         CAST(COALESCE(SUM(CASE WHEN s.x > b.bound THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS xs
+  FROM smp s LEFT JOIN bx b ON TRUE
+  GROUP BY s.rx, s.x, s.y
+),
+smpy AS (
+  SELECT xs, x, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY xs ORDER BY y, x) AS BIGINT)
+           AS ry,
+         CAST(COUNT(*) OVER (PARTITION BY xs) AS BIGINT) AS m
+  FROM xs_smp
+),
+by_ AS (
+  SELECT s.xs, v.j, s.y AS bound
+  FROM (VALUES (1), (2), (3)) AS v(j)
+  JOIN smpy s ON s.ry = CAST(FLOOR(v.j * s.m / {_STR_SY}.0) AS BIGINT)
+),
+axs AS (
+  SELECT p.doc_id, p.x, p.y,
+         CAST(COALESCE(SUM(CASE WHEN p.x > b.bound THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS xs
+  FROM pts p LEFT JOIN bx b ON TRUE
+  GROUP BY 1, 2, 3
+),
+leaf AS (
+  SELECT a.doc_id, a.x, a.y, a.xs,
+         CAST(COALESCE(SUM(CASE WHEN a.y > b.bound THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS ys
+  FROM axs a LEFT JOIN by_ b ON b.xs = a.xs
+  GROUP BY 1, 2, 3, 4
+)
+SELECT xs * {_STR_SY} + ys AS leaf_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(MIN(x), 4) AS xmin, ROUND(MAX(x), 4) AS xmax,
+       ROUND(MIN(y), 4) AS ymin, ROUND(MAX(y), 4) AS ymax
+FROM leaf
+GROUP BY 1
+"""
+
+
+@register("str_pack_partition", _STR_SQL)
+def str_pack_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR packing into a 4×4 leaf grid: sample-quantile x-slices, then
+    per-slice sample-quantile y-cuts, boundaries broadcast, every point
+    assigned by comparisons — per-leaf occupancy and bbox."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_STR_SQL)
