@@ -451,6 +451,7 @@ def opic_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistic is one fixed double expression — no sampling, no floats in
 # any reduction.
 
+from chopin_spark.pages import epoch_sql  # noqa: E402
 from chopin_spark.queries.webtext import _TRI_DST, _TRI_SRC  # noqa: E402
 
 _ASSORT_SQL = f"""
@@ -732,3 +733,73 @@ def adamic_adar_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     spark.sql(_AA_UND).localCheckpoint().createOrReplaceTempView("aa_und")
     return spark.sql(f"WITH und AS (SELECT * FROM aa_und), {_AA_BODY}")
+
+
+# --- time-respecting reachability (temporal graph) -----------------------------
+#
+# Holme & Saramäki temporal-network semantics: host u reaches w only
+# through edges whose timestamps are NONDECREASING along the path —
+# the redirect/link graph as it actually evolves, not its static
+# collapse.  Earliest-arrival propagates greedily (an earlier arrival
+# never forecloses an option, so min-combine per node is exact), and
+# the hop cap makes Spark's Bellman rounds and DuckDB's walk
+# enumeration terminate on identical sets.
+#
+# Scale shape: per round one frontier ⋈ timestamped-edge equi-join +
+# min agg (node-sized state); edges keep their multi-timestamps (a
+# MIN-per-pair collapse would be WRONG here — a later copy of an edge
+# can be the only usable one), so the join is fact-sized but
+# key-bounded.  Rounds ∝ hop cap, lineage cut per round.
+
+_TR_HOPS = 5
+_TR_EDGES = f"""(
+  SELECT (doc_id * 69069) % 97 AS src,
+         ((doc_id * 48271) + 17) % 97 AS dst,
+         {epoch_sql('doc_id')} AS t
+  FROM documents
+  WHERE (doc_id * 69069) % 97 <> ((doc_id * 48271) + 17) % 97
+)"""
+
+_TR_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT * FROM {_TR_EDGES}),
+walk(node, t, hops) AS (
+  SELECT DISTINCT src, CAST(0 AS BIGINT), 0 FROM e
+  WHERE src % {_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, CAST(e.t AS BIGINT), w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node AND e.t >= w.t
+  WHERE w.hops < {_TR_HOPS}
+)
+SELECT node AS host_num, CAST(MIN(t) AS BIGINT) AS earliest_arrival
+FROM walk GROUP BY 1
+"""
+
+
+@register("temporal_reachability_hosts", _TR_ORACLE)
+def temporal_reachability_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest time-respecting arrival within 5 hops of the seed
+    hosts: per-round frontier join constrained to nondecreasing edge
+    timestamps, min-combined per node."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    e = spark.sql(f"SELECT * FROM {_TR_EDGES}").localCheckpoint()
+    dist = (
+        e.selectExpr("src AS node").filter(F.col("node") % _SEED_MOD == 0)
+        .distinct()
+        .withColumn("t", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(_TR_HOPS):
+        cand = (
+            dist.join(e, (dist["node"] == e["src"]) & (e["t"] >= dist["t"]))
+            .select(e["dst"].alias("node"), e["t"].cast("long").alias("t"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint()
+        )
+    return dist.selectExpr(
+        "CAST(node AS BIGINT) AS host_num",
+        "CAST(t AS BIGINT) AS earliest_arrival",
+    )

@@ -1213,7 +1213,7 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RRF beats score-normalized fusion operationally (no global score
 # calibration pass over either list).
 
-_RRF_K = 60.0
+_RRF_K = 60
 
 _RRF_TAIL = f"""
 fused AS (
@@ -1221,10 +1221,13 @@ fused AS (
          CAST(COALESCE(l.rank, -1) AS BIGINT) AS lex_rank,
          CAST(COALESCE(s.rank, -1) AS BIGINT) AS sem_rank,
          ROUND(
-           (CASE WHEN l.rank IS NULL THEN 0.0
-                 ELSE 1.0 / ({_RRF_K!r} + l.rank) END)
-           + (CASE WHEN s.rank IS NULL THEN 0.0
-                   ELSE 1.0 / ({_RRF_K!r} + s.rank) END), 6) AS rrf_score
+           (CASE WHEN l.rank IS NULL THEN CAST(0 AS DOUBLE)
+                 ELSE CAST(1 AS DOUBLE)
+                      / (CAST({_RRF_K} AS DOUBLE) + l.rank) END)
+           + (CASE WHEN s.rank IS NULL THEN CAST(0 AS DOUBLE)
+                   ELSE CAST(1 AS DOUBLE)
+                        / (CAST({_RRF_K} AS DOUBLE) + s.rank) END),
+           6) AS rrf_score
   FROM lex l FULL OUTER JOIN sem s ON s.vec_id = l.doc_id
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, item_id)

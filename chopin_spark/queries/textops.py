@@ -1717,3 +1717,59 @@ def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; scores rounded before ranking, doc_id tie-break."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_QL_SPARK)
+
+
+# --- Pareto skyline (multi-criteria document selection) -------------------------
+#
+# The classic database skyline operator over two maximize-criteria:
+# length (n_chars) and lexical richness (distinct token count).  A doc
+# is on the skyline iff NO other doc beats it strictly on BOTH.  The
+# 2-D case needs no pair join at all: collapse to one row per a-value
+# (MAX b), take the prefix maximum over strictly-greater a (one window
+# over the DISTINCT-a spine, a-bounded metadata), and a doc survives
+# iff its b exceeds every b reachable at higher a.  At 10^12 docs the
+# only fact-sized stages are the token-count agg and the final
+# broadcast-joined filter — the skyline frontier itself is tiny by
+# nature, which is the operator's selling point for curation shortlists
+# ("no doc both longer AND richer exists").
+
+_SKY_SQL = """
+WITH pts AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS a, b
+  FROM documents
+  JOIN (
+    SELECT doc_id AS td, CAST(COUNT(DISTINCT t) AS BIGINT) AS b
+    FROM ({TOKS}) GROUP BY 1
+  ) tc ON tc.td = doc_id
+),
+spine AS (
+  SELECT a, MAX(b) AS mb FROM pts GROUP BY a
+),
+pref AS (
+  SELECT a,
+         MAX(mb) OVER (ORDER BY a DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_gt
+  FROM spine
+)
+SELECT p.doc_id, p.a AS n_chars, p.b AS n_distinct_tokens
+FROM pts p
+JOIN pref f ON f.a = p.a
+WHERE f.best_gt IS NULL OR p.b > f.best_gt
+"""
+
+_SKY_ORACLE = _SKY_SQL.format(
+    TOKS="SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents"
+)
+_SKY_SPARK = _SKY_SQL.format(
+    TOKS="SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
+)
+
+
+@register("pareto_skyline_docs", _SKY_ORACLE)
+def pareto_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of (n_chars, distinct-token count): docs no other doc
+    strictly dominates on both axes — the 2-D sort-scan formulation
+    (distinct-a spine + prefix max), zero pair enumeration."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SKY_SPARK)
