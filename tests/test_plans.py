@@ -242,3 +242,29 @@ def test_reclass_has_no_pixel_join(spark):
     df = entry_mod.queries()["raster_reclass_table"](spark, SF_SMOKE)
     p = plan_of(df)
     assert "Join" not in p
+
+
+def test_knox_probe_side_is_repartitioned(spark):
+    """knox_space_time's probe side must show the explicit round-robin
+    Exchange (the REPARTITION hint): without it a single small parquet
+    file scans as ONE task and evaluates every candidate pair alone
+    against the broadcast build side (measured 26 s -> 2 s at sf0.1)."""
+    df = entry_mod.queries()["knox_space_time"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "RoundRobinPartitioning" in p
+
+
+def test_network_planarize_no_cartesian(spark):
+    """road_network_planarize's crossing stage must stay the
+    cell-bucketed equi-join — never a cartesian/nested-loop face."""
+    df = entry_mod.queries()["road_network_planarize"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+
+
+def test_2sfca_step1_is_broadcast(spark):
+    """accessibility_2sfca's supply-dimension-sized step-1 ratio table
+    must come back as a broadcast into the step-2 join."""
+    df = entry_mod.queries()["accessibility_2sfca"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
