@@ -325,3 +325,89 @@ def reproject_laea3035_inverse_coords(
         F.round("x", 6).alias("lon_deg"),
         F.round("y", 6).alias("lat_deg"),
     )
+
+
+# --- ellipsoidal geodesic distance (Andoyer–Lambert, GRS80) --------------------
+#
+# The first-order-in-f geodesic that rounds out the ellipsoid family
+# (5070/3035 forward+inverse transforms above): chopin delegates
+# geodesic distances to sf/s2 (s2_distance, R/check.R CRS plumbing);
+# here the classic Andoyer–Lambert series — exact on the sphere term,
+# O(f²)≈4.5e-6 relative on the flattening correction, ~25 m worst-case
+# at CONUS spans, mm-exact vs itself in both engines.
+#
+# Exactness budget: SIN/COS/ATAN are ≤1 ulp per engine; the value
+# chain multiplies ~10 such factors → ≤ ~2e-14 relative divergence,
+# i.e. ≤ 1e-7 m at 5000 km.  ROUND at metre grain (km, 3 dp) leaves a
+# per-row collision band of ~1e-10 — negligible across the corpus.
+# The argmin is on the RAW double distance; anchor separations are
+# hundreds of km, so a 1e-7 m wobble can never flip it.
+#
+# Scale shape: docs × 4 anchor rows — a broadcast dimension cross, one
+# map stage, no shuffle until the 1-per-doc window argmin (bounded
+# fan-in 4; at cluster scale the argmin is a partial min-by, no sort).
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+
+_AND_ANCHORS = """
+anchors AS (
+  SELECT CAST(1 AS BIGINT) AS aid, CAST(-74.0060 AS DOUBLE) AS alon,
+         CAST(40.7128 AS DOUBLE) AS alat
+  UNION ALL SELECT 2, CAST(-118.2437 AS DOUBLE), CAST(34.0522 AS DOUBLE)
+  UNION ALL SELECT 3, CAST(-87.6298 AS DOUBLE), CAST(41.8781 AS DOUBLE)
+  UNION ALL SELECT 4, CAST(-104.9903 AS DOUBLE), CAST(39.7392 AS DOUBLE)
+)"""
+
+_ANDOYER_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_LON} AS dlon, {_LAT} AS dlat FROM documents
+),
+{_AND_ANCHORS.strip()},
+trig AS (
+  SELECT doc_id, aid,
+         SIN(RADIANS((dlat + alat) / 2)) AS sf,
+         COS(RADIANS((dlat + alat) / 2)) AS cf,
+         SIN(RADIANS((dlat - alat) / 2)) AS sg,
+         COS(RADIANS((dlat - alat) / 2)) AS cg,
+         SIN(RADIANS((dlon - alon) / 2)) AS sl,
+         COS(RADIANS((dlon - alon) / 2)) AS cl
+  FROM docs CROSS JOIN anchors
+),
+sc AS (
+  SELECT doc_id, aid, sf, cf, sg, cg,
+         sg * sg * cl * cl + cf * cf * sl * sl AS s,
+         cg * cg * cl * cl + sf * sf * sl * sl AS c
+  FROM trig
+),
+om AS (
+  SELECT doc_id, aid, sf, cf, sg, cg, s, c,
+         ATAN(SQRT(s / c)) AS omega
+  FROM sc WHERE s > 0 AND c > 0
+),
+dd AS (
+  SELECT doc_id, aid,
+         2 * omega * {_GRS80_A!r}
+         * (1 + {_GRS80_F!r}
+                * ((3 * SQRT(s * c) / omega - 1) / (2 * c)
+                     * sf * sf * cg * cg
+                   - (3 * SQRT(s * c) / omega + 1) / (2 * s)
+                     * cf * cf * sg * sg)) AS d
+  FROM om
+),
+rk AS (
+  SELECT doc_id, aid, d,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d, aid) AS rn
+  FROM dd
+)
+SELECT doc_id, aid AS nearest_city, ROUND(d / 1000.0, 3) AS dist_km
+FROM rk WHERE rn = 1
+"""
+
+
+@register("geodesic_nearest_city", _ANDOYER_SQL)
+def geodesic_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest of four anchor cities per document by Andoyer–Lambert
+    ellipsoidal geodesic distance on GRS80 (metre-grain output)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ANDOYER_SQL)

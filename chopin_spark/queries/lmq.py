@@ -675,3 +675,113 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = spark.sql(_bpe_round_row(r, f"bpe_m{r}", f"bpe_sa{r}"))
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+# --- interpolated Kneser–Ney bigram LM ----------------------------------------
+#
+# The smoothing the KenLM models CCNet actually ships use (modified KN;
+# here the classic single-discount interpolated form, D = 0.75):
+#
+#   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1•)
+#            + (D·N1+(w1•)/c(w1•)) · Pcont(w2)
+#   Pcont(w2) = (N1+(•w2) + 1) / (N1+(••) + V)       [add-1 OOV floor]
+#
+# with the unseen-prefix backoff P = Pcont.  Every carrier (c2, c1,
+# N1+ fan-outs, V) is an exact int64 count; D = 0.75 is an exactly
+# representable double, and each probability is a fixed-order chain of
+# correctly-rounded double ops — bit-identical cross-engine — so only
+# the final LN() needs the ROUND-4 error budget (same argument as
+# lm_perplexity_bigram above).
+#
+# Scale shape: identical to the add-1 LM — two count shuffles over the
+# train slice plus one per-suffix count, then hash joins on (w1,w2),
+# (w1), (w2); N1+(••) and V cross in as 1-row broadcasts.  The KN
+# continuation counts are the piece add-1 lacks: they cost one extra
+# vocabulary-bounded aggregate over c2, nothing over the fact.
+
+_KN_PCONT = (
+    "(CAST(COALESCE(nb.n1b, 0) + 1 AS DOUBLE) / (tot.n1all + vocab.v))"
+)
+
+_KN_BODY = f"""
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+  WHERE doc_id % 10 = 0 GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM c2 GROUP BY 1
+),
+nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM c2),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM uni),
+scored AS (
+  SELECT bg.doc_id, bg.lang,
+         CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen,
+         CASE
+           WHEN c1.c1 IS NULL THEN {_KN_PCONT}
+           WHEN c2.c2 IS NULL THEN
+             ((0.75 * CAST(c1.n1f AS DOUBLE)) / c1.c1) * {_KN_PCONT}
+           ELSE
+             (CAST(c2.c2 AS DOUBLE) - 0.75) / c1.c1
+             + ((0.75 * CAST(c1.n1f AS DOUBLE)) / c1.c1) * {_KN_PCONT}
+         END AS p
+  FROM bg
+  LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+  LEFT JOIN c1 ON bg.w1 = c1.w1
+  LEFT JOIN nb ON bg.w2 = nb.w2
+  CROSS JOIN tot CROSS JOIN vocab
+  WHERE bg.doc_id % 10 <> 0
+)
+SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       ROUND(SUM(0.0 - LN(p)) / COUNT(*), 4) AS kn_nll_per_tok
+FROM scored GROUP BY 1, 2
+"""
+
+_KN_TOKS_DUCK = """
+toks AS (
+  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+  FROM (
+    SELECT doc_id, lang, w,
+           UNNEST(generate_series(1, LEN(w) - 1)) AS i
+    FROM toks WHERE LEN(w) >= 2
+  )
+),
+uni AS (
+  SELECT UNNEST(w) AS tok FROM toks WHERE doc_id % 10 = 0
+)"""
+
+_KN_TOKS_SPARK = """
+toks AS (
+  SELECT doc_id, lang, split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2
+  FROM (
+    SELECT doc_id, lang,
+           explode(transform(sequence(1, size(w) - 1),
+                   i -> named_struct('w1', element_at(w, i),
+                                     'w2', element_at(w, i + 1)))) AS p
+    FROM toks WHERE size(w) >= 2
+  )
+),
+uni AS (
+  SELECT explode(w) AS tok FROM toks WHERE doc_id % 10 = 0
+)"""
+
+_KN_SPARK = f"WITH {_KN_TOKS_SPARK.strip()},\n{_KN_BODY.strip()}"
+_KN_ORACLE = f"WITH {_KN_TOKS_DUCK.strip()},\n{_KN_BODY.strip()}"
+
+
+@register("kneser_ney_bigram_ppl", _KN_ORACLE)
+def kneser_ney_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram NLL per held-out document —
+    the continuation-count smoothing of production KenLM filters,
+    trained in-engine on the doc_id%10==0 slice."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_KN_SPARK)

@@ -720,3 +720,137 @@ def stkde_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _stkde_sql("unix_micros(CAST(ts AS TIMESTAMP))", _STK_GEN_SPARK)
     )
+
+
+# --- human-mobility battery: OD matrix, predictability, burstiness, gyration ---
+#
+# The trajectory-mining quartet every movement study computes from a
+# geocoded event stream (González/Barabási lineage): the cell-to-cell
+# origin–destination matrix, per-user transition entropy ("limits of
+# predictability"), Goh–Barabási inter-event burstiness, and radius of
+# gyration.  All carriers are exact int64 (counts, second-quantized
+# gaps, metre-quantized coords); LN/SQRT appear only in final ROUNDed
+# columns.  Scale shape: one per-user window pass (trajectory-local)
+# + one vocabulary-bounded agg each — no pair joins anywhere.
+
+_MOB_SEQ = f"""
+seq AS (
+  SELECT user_id, {_TCELL} AS cell,
+         LAG({_TCELL}) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+  FROM events
+)"""
+
+_OD_SQL = f"""
+WITH {_MOB_SEQ.strip()}
+SELECT prev AS cell_from, cell AS cell_to,
+       CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("od_matrix_cells", _OD_SQL)
+def od_matrix_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin–destination matrix of consecutive user moves between
+    16×12 grid cells (spatial-interaction table)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_OD_SQL)
+
+
+_MOBH_SQL = f"""
+WITH {_MOB_SEQ.strip()},
+t AS (
+  SELECT user_id, prev, cell, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS n_od,
+         SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS s
+  FROM t GROUP BY 1
+)
+SELECT user_id, tot AS n_moves, n_od AS n_distinct_od,
+       ROUND(LN(CAST(tot AS DOUBLE)) - s / tot, 4) AS transition_entropy
+FROM u
+"""
+
+
+@register("mobility_entropy_users", _MOBH_SQL)
+def mobility_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user transition (first-order mobility) entropy over cell
+    moves — H = ln(tot) − Σc·ln(c)/tot with exact integer counts
+    (same LN error budget as host_token_entropy)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MOBH_SQL)
+
+
+def _burst_sql(epoch_us: str) -> str:
+    return f"""
+WITH es AS (
+  SELECT user_id,
+         CAST(FLOOR(CAST({epoch_us} AS DOUBLE) / 1000000.0) AS BIGINT)
+           AS sec,
+         event_id
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         sec - LAG(sec) OVER (PARTITION BY user_id
+                              ORDER BY sec, event_id) AS g
+  FROM es
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS s,
+         CAST(SUM(g * g) AS BIGINT) AS s2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY 1
+)
+SELECT user_id, n AS n_gaps,
+       ROUND(CAST(s AS DOUBLE) / n, 2) AS mean_gap_s,
+       ROUND((SQRT(CAST(n * s2 - s * s AS DOUBLE)) - s)
+             / (SQRT(CAST(n * s2 - s * s AS DOUBLE)) + s), 4) AS burstiness
+FROM agg
+WHERE n >= 2 AND s > 0
+"""
+
+
+@register("interevent_burstiness", _burst_sql("epoch_us(ts)"))
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of per-user
+    inter-event gaps (second-quantized): σ, μ scaled by n so the
+    radicand n·Σg²−S² is exact int64.  B → −1 periodic, 0 Poisson,
+    → 1 bursty."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_burst_sql("unix_micros(CAST(ts AS TIMESTAMP))"))
+
+
+_GYR_SQL = f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST(FLOOR({_TCX} + 0.5) AS BIGINT) AS xm,
+         CAST(FLOOR({_TCY} + 0.5) AS BIGINT) AS ym
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+         CAST(SUM(xm * xm + ym * ym) AS BIGINT) AS s2
+  FROM pts GROUP BY 1
+)
+SELECT user_id, n AS n_pings,
+       ROUND(SQRT(CAST(n * s2 - sx * sx - sy * sy AS DOUBLE)) / n, 2)
+         AS rg_m
+FROM agg WHERE n >= 2
+"""
+
+
+@register("radius_of_gyration_users", _GYR_SQL)
+def radius_of_gyration_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user from metre-quantized coordinates:
+    n²·r² = n·Σ(x²+y²) − Sx² − Sy², exact int64 under the radical."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GYR_SQL)

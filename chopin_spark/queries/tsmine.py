@@ -1,0 +1,253 @@
+"""Time-series mining over the event stream: autocorrelation (ACF),
+SAX symbolic motifs, and Mann–Kendall trend per grid cell (the
+"emerging hot spot" workflow — chopin users hand their zonal summaries
+to exactly these statistics downstream; ESRI's space-time cube bundles
+Mann–Kendall per cell, and SAX (Lin, Keogh, Lonardi & Chiu 2003) is
+the standard motif alphabet for volume series).
+
+Shared-SQL discipline (repo rule): every reduction is an exact-int64
+sum — the series are integer daily counts, centering is scaled by n
+(z_t = n·c_t − Σc, exact), PAA uses block SUMs not means, and SAX
+breakpoints are empirical quartiles via NTILE with a total ORDER BY
+(deterministic in both engines).  Doubles appear only in final
+ROUND()ed ratio columns; the lone SQRT sits inside the ROUNDed
+Mann–Kendall z.
+
+Scale shape: each statistic is one groupBy over (key, day) — a
+vocabulary-bounded shuffle — followed by per-key work bounded by the
+calendar (≤31 days → ≤465 MK pairs, ≤5 lag joins, ≤10 PAA blocks per
+key), so cost is linear in keys no matter the fact size.  Cells/types
+with zero activity are dropped before densification, so the dense
+frame is |active keys| × 31, never |grid| × 31.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chopin_spark import sqlexpr as sx
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+
+# calendar CTEs: the only engine-divergent text (sequence explode)
+_DAYS_SPARK = (
+    "days AS (SELECT CAST(x AS BIGINT) AS dd"
+    " FROM (SELECT explode(sequence(1, 31)) AS x))"
+)
+_DAYS_DUCK = (
+    "days AS (SELECT CAST(UNNEST(generate_series(1, 31)) AS BIGINT) AS dd)"
+)
+_D30_SPARK = (
+    "days AS (SELECT CAST(x AS BIGINT) AS dd"
+    " FROM (SELECT explode(sequence(1, 30)) AS x))"
+)
+_D30_DUCK = (
+    "days AS (SELECT CAST(UNNEST(generate_series(1, 30)) AS BIGINT) AS dd)"
+)
+_LAGS_SPARK = (
+    "lags AS (SELECT CAST(x AS BIGINT) AS k"
+    " FROM (SELECT explode(sequence(1, 5)) AS x))"
+)
+_LAGS_DUCK = (
+    "lags AS (SELECT CAST(UNNEST(generate_series(1, 5)) AS BIGINT) AS k)"
+)
+
+
+# --- lag-k autocorrelation of daily volumes -----------------------------------
+#
+# r_k = Σ(c_t−μ)(c_{t+k}−μ) / Σ(c_t−μ)² per event type, k = 1..5, on
+# the zero-densified January calendar.  Scaling by n clears the mean:
+# with z_t = n·c_t − S both numerator and denominator pick up the same
+# n² factor, so r_k = Σ z_t·z_{t+k} / Σ z_t² over EXACT int64 terms
+# (|z| ≤ 31·c, z² sums ~1e12 at sf1 — headroom to c ≈ 1e8/day/type).
+
+_ACF_BODY = """
+daily AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE month(ts) = 1
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, days.dd AS d,
+         COALESCE(daily.c, CAST(0 AS BIGINT)) AS c
+  FROM types t CROSS JOIN days
+  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = days.dd
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s
+  FROM dense GROUP BY 1
+),
+z AS (
+  SELECT dense.event_type, dense.d, stats.n * dense.c - stats.s AS z
+  FROM dense JOIN stats ON stats.event_type = dense.event_type
+),
+den AS (
+  SELECT event_type, CAST(SUM(z * z) AS BIGINT) AS den
+  FROM z GROUP BY 1
+),
+num AS (
+  SELECT a.event_type, lags.k, CAST(SUM(a.z * b.z) AS BIGINT) AS num
+  FROM z a CROSS JOIN lags
+  JOIN z b ON b.event_type = a.event_type AND b.d = a.d + lags.k
+  GROUP BY 1, 2
+)
+SELECT num.event_type, num.k AS lag, num.num AS num_scaled,
+       ROUND(CAST(num.num AS DOUBLE) / den.den, 6) AS acf
+FROM num JOIN den ON den.event_type = num.event_type
+"""
+
+_ACF_SPARK = f"WITH {_DAYS_SPARK}, {_LAGS_SPARK},\n{_ACF_BODY.strip()}"
+_ACF_ORACLE = f"WITH {_DAYS_DUCK}, {_LAGS_DUCK},\n{_ACF_BODY.strip()}"
+
+
+@register("acf_daily_volume", _ACF_ORACLE)
+def acf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag 1–5 autocorrelation of each event type's daily volume,
+    integer-exact to the final ratio via n-scaled centering."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ACF_SPARK)
+
+
+# --- SAX motifs over daily volumes --------------------------------------------
+#
+# The full SAX pipeline on integer carriers: PAA = SUM over 3-day
+# blocks (day 1–30 → blocks 0–9; sums, not means — same ordering,
+# exact), symbols = empirical quartiles via NTILE(4) with the total
+# tie-break (paa, block), words = 3 consecutive block symbols.  Lin et
+# al.'s Gaussian breakpoints need μ/σ; the quantile alphabet is the
+# distribution-free variant and is exactly reproducible cross-engine.
+
+_SAX_BODY = """
+daily AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE month(ts) = 1 AND day(ts) <= 30
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, days.dd AS d,
+         COALESCE(daily.c, CAST(0 AS BIGINT)) AS c
+  FROM types t CROSS JOIN days
+  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = days.dd
+),
+paa AS (
+  SELECT event_type, CAST(FLOOR((d - 1) / 3.0) AS BIGINT) AS blk,
+         CAST(SUM(c) AS BIGINT) AS v
+  FROM dense GROUP BY 1, 2
+),
+sym AS (
+  SELECT event_type, blk,
+         SUBSTRING('abcd',
+                   NTILE(4) OVER (PARTITION BY event_type
+                                  ORDER BY v, blk),
+                   1) AS s
+  FROM paa
+),
+words AS (
+  SELECT event_type, blk,
+         s || LEAD(s, 1) OVER (PARTITION BY event_type ORDER BY blk)
+           || LEAD(s, 2) OVER (PARTITION BY event_type ORDER BY blk)
+           AS word
+  FROM sym
+)
+SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM words WHERE word IS NOT NULL
+GROUP BY 1, 2
+"""
+
+_SAX_SPARK = f"WITH {_D30_SPARK},\n{_SAX_BODY.strip()}"
+_SAX_ORACLE = f"WITH {_D30_DUCK},\n{_SAX_BODY.strip()}"
+
+
+@register("sax_volume_motifs", _SAX_ORACLE)
+def sax_volume_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words (PAA-3, quartile alphabet abcd) over each event
+    type's January volume series, with motif occurrence counts."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SAX_SPARK)
+
+
+# --- Mann–Kendall trend per grid cell (emerging hot spots) --------------------
+#
+# Per 8×6 cell: S = Σ_{i<j} sign(c_j − c_i) over the 31-day densified
+# count series (465 pairs, calendar-bounded), tie-corrected variance
+# Var(S) = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18 with n = 31
+# (62310), and the continuity-corrected z.  S, the tie term, and every
+# pair sign are exact int64; SQRT lives only inside the ROUNDed z.
+
+_MK_NX, _MK_NY = 8, 6
+_MK_NTERM = 31 * 30 * (2 * 31 + 5)  # 62310
+
+_MK_BODY = f"""
+pts AS (
+  SELECT {sx.grid_ix_expr(sx.x_expr('event_id'), _MK_NX)} AS gx,
+         {sx.grid_iy_expr(sx.y_expr('event_id'), _MK_NY)} AS gy,
+         CAST(day(ts) AS BIGINT) AS d
+  FROM events WHERE month(ts) = 1
+),
+daily AS (
+  SELECT gx, gy, d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2, 3
+),
+cells AS (SELECT DISTINCT gx, gy FROM daily),
+dense AS (
+  SELECT cl.gx, cl.gy, days.dd AS d,
+         COALESCE(daily.c, CAST(0 AS BIGINT)) AS c
+  FROM cells cl CROSS JOIN days
+  LEFT JOIN daily ON daily.gx = cl.gx AND daily.gy = cl.gy
+                 AND daily.d = days.dd
+),
+s AS (
+  SELECT a.gx, a.gy,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM dense a
+  JOIN dense b ON b.gx = a.gx AND b.gy = a.gy AND b.d > a.d
+  GROUP BY 1, 2
+),
+ties AS (
+  SELECT gx, gy,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (
+    SELECT gx, gy, c, CAST(COUNT(*) AS BIGINT) AS t
+    FROM dense GROUP BY 1, 2, 3
+  )
+  GROUP BY 1, 2
+),
+mk AS (
+  SELECT s.gx, s.gy, s.s_stat,
+         CAST({_MK_NTERM} - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+  FROM s JOIN ties ON ties.gx = s.gx AND ties.gy = s.gy
+)
+SELECT gx, gy, s_stat,
+       ROUND(var_s, 6) AS var_s,
+       ROUND(CASE WHEN s_stat > 0
+                    THEN (s_stat - 1) / SQRT(var_s)
+                  WHEN s_stat < 0
+                    THEN (s_stat + 1) / SQRT(var_s)
+                  ELSE 0.0 END, 4) AS z,
+       CASE WHEN s_stat > 0 AND (s_stat - 1) * (s_stat - 1)
+                                > 3.8416 * var_s THEN 'increasing'
+            WHEN s_stat < 0 AND (s_stat + 1) * (s_stat + 1)
+                                > 3.8416 * var_s THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM mk
+"""
+
+_MK_SPARK = f"WITH {_DAYS_SPARK},\n{_MK_BODY.strip()}"
+_MK_ORACLE = f"WITH {_DAYS_DUCK},\n{_MK_BODY.strip()}"
+
+
+@register("mann_kendall_cell_trend", _MK_ORACLE)
+def mann_kendall_cell_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test of daily event volume per
+    grid cell — the per-cell statistic of ESRI's emerging-hot-spot
+    cube.  Trend classification squares the continuity-corrected
+    numerator against 1.96²·Var(S) so the label needs no SQRT."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MK_SPARK)
