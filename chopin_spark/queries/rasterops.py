@@ -385,82 +385,3 @@ def raster_zonal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     burned.createOrReplaceTempView("burned")
     return tiles.sparkSession.sql(_ZG_BODY)
 
-
-# --- terra::rasterize: burn the octagon zone layer into the pixel grid --------
-#
-# The inverse verb of raster_polygonize: vector polygons (the 256
-# corner-cut octagons of pip_octagon_zones) burned onto the 1024×768
-# pixel lattice by pixel-center membership — terra::rasterize's
-# `touches=FALSE` default.  Exactness: pixel centers are odd multiples
-# of 390.625 m while the cut lines solve 9375·a + 12500·b = 3·10⁸ only
-# for even a — a center can NEVER land on an octagon edge, and every
-# product in the half-plane test is an exact multiple of 0.125 well
-# under 2^53, so the predicate is bit-identical in both engines.
-#
-# Scale shape: the pixel side is spark.range (narrow, generated,
-# splittable — no driver array, no Python); the burn is pure column
-# math; the only shuffle is the per-tile aggregate keyed by
-# (tile_row, tile_col) — at a 10^12-pixel raster this is the same
-# embarrassingly-parallel map + partial-agg plan, and polygon layers
-# too big to inline become a broadcast dim or a cell-index equi-join
-# exactly like the zonal path.
-
-from chopin_spark import zones as _Z  # noqa: E402
-from chopin_spark.queries.polygons import _CX as _OCX  # noqa: E402
-from chopin_spark.queries.polygons import _CY as _OCY  # noqa: E402
-
-
-def _oct_pred(x: str, y: str) -> str:
-    """Octagon membership (corner-cut tract) for arbitrary x/y exprs —
-    the same four diagonal half-planes as pip_octagon_zones."""
-    u = f"(({x}) - FLOOR(({x}) / {_Z.TRACT_W!r}) * {_Z.TRACT_W!r})"
-    v = f"(({y}) - FLOOR(({y}) / {_Z.TRACT_H!r}) * {_Z.TRACT_H!r})"
-    c = _OCX * _OCY
-    return (
-        f"(({u}) * {_OCY!r} + ({v}) * {_OCX!r} > {c!r}"
-        f" AND ({_Z.TRACT_W!r} - ({u})) * {_OCY!r} + ({v}) * {_OCX!r} > {c!r}"
-        f" AND ({u}) * {_OCY!r} + ({_Z.TRACT_H!r} - ({v})) * {_OCX!r} > {c!r}"
-        f" AND ({_Z.TRACT_W!r} - ({u})) * {_OCY!r}"
-        f" + ({_Z.TRACT_H!r} - ({v})) * {_OCX!r} > {c!r})"
-    )
-
-
-_RZ_X = f"((i + 0.5) * {PW!r})"
-_RZ_Y = f"((j + 0.5) * {PH!r})"
-
-_RASTERIZE_BODY = f"""
-SELECT CAST(FLOOR(j / {TILE}.0) AS BIGINT) AS tile_row,
-       CAST(FLOOR(i / {TILE}.0) AS BIGINT) AS tile_col,
-       CAST(COUNT(*) AS BIGINT) AS n_burned,
-       CAST(SUM({pixel_value_sql('i', 'j', 1)}) AS BIGINT) AS sum_dn,
-       CAST(COUNT(DISTINCT {_Z.zone_id_expr(_RZ_X, _RZ_Y)}) AS BIGINT)
-         AS n_zones
-FROM px
-WHERE {_oct_pred(_RZ_X, _RZ_Y)}
-GROUP BY 1, 2
-"""
-
-_RASTERIZE_ORACLE = f"""
-WITH px AS (
-  SELECT CAST(s.i AS BIGINT) AS i, CAST(t.j AS BIGINT) AS j
-  FROM generate_series(0, {NPX - 1}) s(i),
-       generate_series(0, {NPY - 1}) t(j)
-)
-{_RASTERIZE_BODY.strip()}
-"""
-
-
-@register("rasterize_octagon_zones", _RASTERIZE_ORACLE)
-def rasterize_octagon_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """terra::rasterize of the octagon zone layer onto the 1024×768
-    lattice: per-tile burned-pixel count, DN checksum of the masked
-    raster, and zones touched."""
-    (
-        spark.range(NPX * NPY)
-        .selectExpr(
-            f"CAST(id % {NPX} AS BIGINT) AS i",
-            f"CAST(id DIV {NPX} AS BIGINT) AS j",
-        )
-        .createOrReplaceTempView("px")
-    )
-    return spark.sql(f"{_RASTERIZE_BODY.strip()}")
