@@ -741,24 +741,6 @@ seq AS (
   FROM events
 )"""
 
-_OD_SQL = f"""
-WITH {_MOB_SEQ.strip()}
-SELECT prev AS cell_from, cell AS cell_to,
-       CAST(COUNT(*) AS BIGINT) AS n_trips,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-FROM seq WHERE prev IS NOT NULL
-GROUP BY 1, 2
-"""
-
-
-@register("od_matrix_cells", _OD_SQL)
-def od_matrix_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Origin–destination matrix of consecutive user moves between
-    16×12 grid cells (spatial-interaction table)."""
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_OD_SQL)
-
-
 _MOBH_SQL = f"""
 WITH {_MOB_SEQ.strip()},
 t AS (

@@ -1,9 +1,7 @@
-"""Time-series mining over the event stream: autocorrelation (ACF),
-SAX symbolic motifs, and Mann–Kendall trend per grid cell (the
-"emerging hot spot" workflow — chopin users hand their zonal summaries
-to exactly these statistics downstream; ESRI's space-time cube bundles
-Mann–Kendall per cell, and SAX (Lin, Keogh, Lonardi & Chiu 2003) is
-the standard motif alphabet for volume series).
+"""Time-series mining over the event stream: autocorrelation (ACF)
+and SAX symbolic motifs (Lin, Keogh, Lonardi & Chiu 2003 — the
+standard motif alphabet for volume series), complementing the existing
+Mann–Kendall / emerging-hotspot family in queries/spatial.py.
 
 Shared-SQL discipline (repo rule): every reduction is an exact-int64
 sum — the series are integer daily counts, centering is scaled by n
@@ -15,8 +13,8 @@ Mann–Kendall z.
 
 Scale shape: each statistic is one groupBy over (key, day) — a
 vocabulary-bounded shuffle — followed by per-key work bounded by the
-calendar (≤31 days → ≤465 MK pairs, ≤5 lag joins, ≤10 PAA blocks per
-key), so cost is linear in keys no matter the fact size.  Cells/types
+calendar (≤5 lag joins, ≤10 PAA blocks per key), so cost is linear in
+keys no matter the fact size.  Cells/types
 with zero activity are dropped before densification, so the dense
 frame is |active keys| × 31, never |grid| × 31.
 """
@@ -169,85 +167,3 @@ def sax_volume_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     type's January volume series, with motif occurrence counts."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SAX_SPARK)
-
-
-# --- Mann–Kendall trend per grid cell (emerging hot spots) --------------------
-#
-# Per 8×6 cell: S = Σ_{i<j} sign(c_j − c_i) over the 31-day densified
-# count series (465 pairs, calendar-bounded), tie-corrected variance
-# Var(S) = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18 with n = 31
-# (62310), and the continuity-corrected z.  S, the tie term, and every
-# pair sign are exact int64; SQRT lives only inside the ROUNDed z.
-
-_MK_NX, _MK_NY = 8, 6
-_MK_NTERM = 31 * 30 * (2 * 31 + 5)  # 62310
-
-_MK_BODY = f"""
-pts AS (
-  SELECT {sx.grid_ix_expr(sx.x_expr('event_id'), _MK_NX)} AS gx,
-         {sx.grid_iy_expr(sx.y_expr('event_id'), _MK_NY)} AS gy,
-         CAST(day(ts) AS BIGINT) AS d
-  FROM events WHERE month(ts) = 1
-),
-daily AS (
-  SELECT gx, gy, d, CAST(COUNT(*) AS BIGINT) AS c
-  FROM pts GROUP BY 1, 2, 3
-),
-cells AS (SELECT DISTINCT gx, gy FROM daily),
-dense AS (
-  SELECT cl.gx, cl.gy, days.dd AS d,
-         COALESCE(daily.c, CAST(0 AS BIGINT)) AS c
-  FROM cells cl CROSS JOIN days
-  LEFT JOIN daily ON daily.gx = cl.gx AND daily.gy = cl.gy
-                 AND daily.d = days.dd
-),
-s AS (
-  SELECT a.gx, a.gy,
-         CAST(SUM(CASE WHEN b.c > a.c THEN 1
-                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
-           AS s_stat
-  FROM dense a
-  JOIN dense b ON b.gx = a.gx AND b.gy = a.gy AND b.d > a.d
-  GROUP BY 1, 2
-),
-ties AS (
-  SELECT gx, gy,
-         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
-  FROM (
-    SELECT gx, gy, c, CAST(COUNT(*) AS BIGINT) AS t
-    FROM dense GROUP BY 1, 2, 3
-  )
-  GROUP BY 1, 2
-),
-mk AS (
-  SELECT s.gx, s.gy, s.s_stat,
-         CAST({_MK_NTERM} - ties.tie_term AS DOUBLE) / 18.0 AS var_s
-  FROM s JOIN ties ON ties.gx = s.gx AND ties.gy = s.gy
-)
-SELECT gx, gy, s_stat,
-       ROUND(var_s, 6) AS var_s,
-       ROUND(CASE WHEN s_stat > 0
-                    THEN (s_stat - 1) / SQRT(var_s)
-                  WHEN s_stat < 0
-                    THEN (s_stat + 1) / SQRT(var_s)
-                  ELSE 0.0 END, 4) AS z,
-       CASE WHEN s_stat > 0 AND (s_stat - 1) * (s_stat - 1)
-                                > 3.8416 * var_s THEN 'increasing'
-            WHEN s_stat < 0 AND (s_stat + 1) * (s_stat + 1)
-                                > 3.8416 * var_s THEN 'decreasing'
-            ELSE 'no trend' END AS trend
-FROM mk
-"""
-
-_MK_SPARK = f"WITH {_DAYS_SPARK},\n{_MK_BODY.strip()}"
-_MK_ORACLE = f"WITH {_DAYS_DUCK},\n{_MK_BODY.strip()}"
-
-
-@register("mann_kendall_cell_trend", _MK_ORACLE)
-def mann_kendall_cell_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann–Kendall monotonic-trend test of daily event volume per
-    grid cell — the per-cell statistic of ESRI's emerging-hot-spot
-    cube.  Trend classification squares the continuity-corrected
-    numerator against 1.96²·Var(S) so the label needs no SQRT."""
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_MK_SPARK)

@@ -372,92 +372,6 @@ def ripley_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# --- bivariate cross-K (docs vs events) ---------------------------------------
-#
-# Ripley's cross-type K̂_xy(r): clustering of the EVENT pattern around
-# the DOCUMENT pattern (spatstat::Kcross shape, no edge correction,
-# closed extent).  Under independence K̂_xy(r) ≈ πr².  Same
-# bounded-radius cell join as the univariate statistic — the two point
-# sets meet only inside padded grid cells, never as a full cross.
-
-_EVX = sx.x_expr("event_id")
-_EVY = sx.y_expr("event_id")
-
-_XK_ORACLE = f"""
-WITH d AS (
-  SELECT doc_id, {_DX} AS x, {_DY} AS y FROM documents
-),
-e AS (
-  SELECT event_id, {_EVX} AS x, {_EVY} AS y FROM events
-),
-pairs AS (
-  SELECT CAST(FLOOR(SQRT((d.x - e.x) * (d.x - e.x)
-                         + (d.y - e.y) * (d.y - e.y)) / {_RK_STEP!r})
-              AS BIGINT) AS bin
-  FROM d JOIN e ON SQRT((d.x - e.x) * (d.x - e.x)
-                        + (d.y - e.y) * (d.y - e.y)) <= {_RK_MAX!r}
-),
-bins AS (SELECT bin, COUNT(*) AS cnt FROM pairs GROUP BY 1),
-cum AS (
-  SELECT bin,
-         CAST(SUM(cnt) OVER (ORDER BY bin
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
-  FROM bins
-)
-SELECT CAST((bin + 1) * {_RK_STEP!r} AS BIGINT) AS r_m,
-       cum_pairs,
-       ROUND({_EXT_AREA!r} * cum_pairs
-             / (CAST((SELECT COUNT(*) FROM d) AS DOUBLE)
-                * (SELECT COUNT(*) FROM e)), 4) AS k_cross,
-       ROUND(SQRT({_EXT_AREA!r} * cum_pairs
-                  / (CAST((SELECT COUNT(*) FROM d) AS DOUBLE)
-                     * (SELECT COUNT(*) FROM e)) / PI()), 4) AS l_cross
-FROM cum
-"""
-
-
-@register("cross_k_docs_events", _XK_ORACLE)
-def cross_k_docs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bivariate Ripley K̂_xy / L̂_xy of events around documents at
-    r = 20..100 km, via the padded-cell doc⋈event join (no n×m
-    cross; candidates are stencil-local)."""
-    from chopin_spark.vector import _prep
-
-    docs = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", F.expr(_EVX).alias("x"), F.expr(_EVY).alias("y")
-    )
-    g = make_regular_grid(8, 6, pad=_RK_MAX)
-    pairs = _prep(docs, ev, g, ["doc_id"], ["event_id"]).filter(
-        F.col("_d") <= _RK_MAX
-    )
-    n1 = docs.count()  # driver scalars: two fact counts
-    n2 = ev.count()
-    bins = pairs.groupBy(
-        F.floor(F.col("_d") / _RK_STEP).cast("long").alias("bin")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = bins.withColumn("cum_pairs", F.sum("cnt").over(w).cast("long"))
-    k = F.round(
-        F.lit(_EXT_AREA) * F.col("cum_pairs") / (float(n1) * n2), 4
-    )
-    el = F.round(
-        F.sqrt(
-            F.lit(_EXT_AREA) * F.col("cum_pairs") / (float(n1) * n2)
-            / math.pi
-        ),
-        4,
-    )
-    return cum.select(
-        ((F.col("bin") + 1) * F.lit(_RK_STEP)).cast("long").alias("r_m"),
-        "cum_pairs",
-        k.alias("k_cross"),
-        el.alias("l_cross"),
-    )
-
-
 # --- DBSCAN (density-based clusters of the document point pattern) -----------
 
 _DB_EPS = 50_000.0
