@@ -1773,3 +1773,77 @@ def pareto_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-a spine + prefix max), zero pair enumeration."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SKY_SPARK)
+
+
+# --- isotonic calibration of the quality classifier ----------------------------
+#
+# The probability-calibration step between training a filter and
+# trusting its scores (Zadrozny & Elkan; sklearn's
+# IsotonicRegression): bin documents by score decile, measure the
+# empirical label rate (lang='en', the classifier's training target),
+# and fit the monotone-nondecreasing rate curve by pool-adjacent-
+# violators.  PAVA is sequential, but its SOLUTION has the closed
+# minimax form iso(i) = max_{j<=i} min_{k>=i} avg(y[j..k]) — over 10
+# deciles that is a 220-triple enumeration of exact integer interval
+# sums (cp_k − cp_{j−1})/(cn_k − cn_{j−1}), so the whole fit is one
+# declarative plan: NTILE → prefix sums → bounded interval join →
+# two deterministic argmin/argmax windows.  Scale shape: the fact
+# table is touched once (score + decile); everything after the 10-row
+# pre-agg is metadata-sized, at any corpus size.
+
+_ISO_CORE = """
+d AS (
+  SELECT NTILE(10) OVER (ORDER BY q_score, doc_id) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s2
+),
+b AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM d GROUP BY 1
+),
+pref AS (
+  SELECT bin, n, pos,
+         CAST(SUM(n) OVER (ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         CAST(SUM(pos) OVER (ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+  FROM b
+),
+iv AS (
+  SELECT j.bin AS j, k.bin AS k,
+         k.cp - j.cp + j.pos AS num,
+         k.cn - j.cn + j.n AS den
+  FROM pref j JOIN pref k ON j.bin <= k.bin
+),
+mn AS (
+  SELECT i.bin AS i, iv.j, iv.num, iv.den,
+         ROW_NUMBER() OVER (PARTITION BY i.bin, iv.j
+                            ORDER BY CAST(iv.num AS DOUBLE) / iv.den,
+                                     iv.k) AS rn
+  FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+),
+mx AS (
+  SELECT i, num, den,
+         ROW_NUMBER() OVER (PARTITION BY i
+                            ORDER BY CAST(num AS DOUBLE) / den DESC,
+                                     j) AS rn2
+  FROM mn WHERE rn = 1
+)
+SELECT b.bin, b.n, b.pos,
+       ROUND(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+       ROUND(CAST(mx.num AS DOUBLE) / mx.den, 6) AS iso_rate
+FROM b JOIN mx ON mx.i = b.bin AND mx.rn2 = 1
+"""
+
+
+def _iso_sql(qcls: str) -> str:
+    return f"WITH s2 AS (\n{qcls}\n),\n{_ISO_CORE}"
+
+
+@register("isotonic_calibration_qcls", _iso_sql(_QCLS_ORACLE))
+def isotonic_calibration_qcls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration curve of the deployed quality
+    classifier: per score decile, raw empirical en-rate and the
+    monotone minimax fit — same scorer text the filter ships."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_iso_sql(_QCLS_SPARK))

@@ -167,3 +167,68 @@ def sax_volume_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     type's January volume series, with motif occurrence counts."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_SAX_SPARK)
+
+
+# --- seasonal decomposition (STL-lite: trend / day-of-week / remainder) --------
+#
+# Classical additive decomposition of each event type's daily volume:
+# trend = centered 7-day moving average (full windows only), seasonal
+# = day-of-week mean of the detrended series, remainder = what's left.
+# Every carrier stays exact int64 by scaling out the divisions —
+# detrended×7 = 7c − Σ₇c, remainder×(7·sden) = sden·det7 − snum — so
+# the decomposition is bit-reproducible at any partitioning; the
+# ROUNDed doubles are exact-integer ratios evaluated once.
+
+_STL_BODY = """
+daily AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE month(ts) = 1
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, days.dd AS d,
+         COALESCE(daily.c, CAST(0 AS BIGINT)) AS c
+  FROM types t CROSS JOIN days
+  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = days.dd
+),
+w AS (
+  SELECT event_type, d, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS t7,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS t7n
+  FROM dense
+),
+det AS (
+  SELECT event_type, d, c, t7, 7 * c - t7 AS det7
+  FROM w WHERE t7n = 7
+),
+dow AS (
+  SELECT event_type, d % 7 AS dw, CAST(SUM(det7) AS BIGINT) AS snum,
+         CAST(COUNT(*) AS BIGINT) AS sden
+  FROM det GROUP BY 1, 2
+)
+SELECT det.event_type, det.d, det.c,
+       ROUND(CAST(det.t7 AS DOUBLE) / 7, 4) AS trend,
+       ROUND(CAST(dow.snum AS DOUBLE) / (7 * dow.sden), 4) AS seasonal,
+       ROUND(CAST(dow.sden * det.det7 - dow.snum AS DOUBLE)
+             / (7 * dow.sden), 4) AS remainder
+FROM det JOIN dow ON dow.event_type = det.event_type
+                 AND dow.dw = det.d % 7
+"""
+
+_STL_SPARK = f"WITH {_DAYS_SPARK},\n{_STL_BODY.strip()}"
+_STL_ORACLE = f"WITH {_DAYS_DUCK},\n{_STL_BODY.strip()}"
+
+
+@register("stl_decompose_volume", _STL_ORACLE)
+def stl_decompose_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event volume per type:
+    7-day-MA trend, day-of-week seasonal, remainder — divisions scaled
+    out so every intermediate is exact int64."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_STL_SPARK)

@@ -1555,3 +1555,76 @@ def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     wait statistics per host — integer-exact, one window scan."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_POLITE_SQL)
+
+
+# --- Jensen–Shannon term-distribution drift between crawl epochs --------------
+#
+# The distribution-space drift check that complements the set-based
+# shingle_novelty_by_epoch and the hash-based url_content_drift: JSD
+# between each language's unigram distribution in the first half-year
+# of crawl timestamps (epoch quarters 0–1) and the second (2–3).
+# JSD = ½KL(P‖M)+½KL(Q‖M) with M=(P+Q)/2; substituting p=a/A, q=b/B
+# gives per-term ratios 2aB/(aB+bA) and 2bA/(aB+bA) whose carriers are
+# exact int64 products — LN enters once per (lang, term) under the
+# ROUND-4 budget.  Bounded in [0, ln 2]; 0 = identical distributions.
+#
+# Scale shape: one token-count shuffle keyed (lang, term) with the
+# epoch split folded into two conditional SUMs of the same agg (no
+# second scan, no join of two epoch tables), then a language-bounded
+# rollup.
+
+_JSD_BODY = """
+ct AS (
+  SELECT lang, tok,
+         CAST(SUM(CASE WHEN ep <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN ep >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM toks GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+  FROM ct GROUP BY 1
+)
+SELECT ct.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       MIN(tot.ta) AS tok_a, MIN(tot.tb) AS tok_b,
+       ROUND(SUM(
+         CASE WHEN ct.a > 0 THEN
+           0.5 * (CAST(ct.a AS DOUBLE) / tot.ta)
+               * LN(CAST(2 * ct.a * tot.tb AS DOUBLE)
+                    / (ct.a * tot.tb + ct.b * tot.ta))
+         ELSE 0.0 END
+         +
+         CASE WHEN ct.b > 0 THEN
+           0.5 * (CAST(ct.b AS DOUBLE) / tot.tb)
+               * LN(CAST(2 * ct.b * tot.ta AS DOUBLE)
+                    / (ct.a * tot.tb + ct.b * tot.ta))
+         ELSE 0.0 END
+       ), 4) AS jsd_nats
+FROM ct JOIN tot ON tot.lang = ct.lang
+GROUP BY 1
+"""
+
+_JSD_SPARK = f"""
+WITH toks AS (
+  SELECT lang, {_EPOCH_Q} AS ep, explode(split(text, ' ')) AS tok
+  FROM documents
+),
+{_JSD_BODY.strip()}
+"""
+
+_JSD_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, {_EPOCH_Q} AS ep, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  FROM documents
+),
+{_JSD_BODY.strip()}
+"""
+
+
+@register("term_dist_jsd_epochs", _JSD_ORACLE)
+def term_dist_jsd_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between each language's
+    unigram term distribution in crawl epochs 0–1 vs 2–3 — the
+    distribution-drift alarm of a continuously refreshed corpus."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_JSD_SPARK)
