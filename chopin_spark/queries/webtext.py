@@ -1580,27 +1580,29 @@ ct AS (
          CAST(SUM(CASE WHEN ep >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS b
   FROM toks GROUP BY 1, 2
 ),
-tot AS (
-  SELECT lang, CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
-  FROM ct GROUP BY 1
+ct2 AS (
+  SELECT lang, a, b,
+         CAST(SUM(a) OVER (PARTITION BY lang) AS BIGINT) AS ta,
+         CAST(SUM(b) OVER (PARTITION BY lang) AS BIGINT) AS tb
+  FROM ct
 )
-SELECT ct.lang,
+SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_terms,
-       MIN(tot.ta) AS tok_a, MIN(tot.tb) AS tok_b,
+       MIN(ta) AS tok_a, MIN(tb) AS tok_b,
        ROUND(SUM(
-         CASE WHEN ct.a > 0 THEN
-           0.5 * (CAST(ct.a AS DOUBLE) / tot.ta)
-               * LN(CAST(2 * ct.a * tot.tb AS DOUBLE)
-                    / (ct.a * tot.tb + ct.b * tot.ta))
+         CASE WHEN a > 0 THEN
+           0.5 * (CAST(a AS DOUBLE) / ta)
+               * LN(CAST(2 * a * tb AS DOUBLE)
+                    / (a * tb + b * ta))
          ELSE 0.0 END
          +
-         CASE WHEN ct.b > 0 THEN
-           0.5 * (CAST(ct.b AS DOUBLE) / tot.tb)
-               * LN(CAST(2 * ct.b * tot.ta AS DOUBLE)
-                    / (ct.a * tot.tb + ct.b * tot.ta))
+         CASE WHEN b > 0 THEN
+           0.5 * (CAST(b AS DOUBLE) / tb)
+               * LN(CAST(2 * b * ta AS DOUBLE)
+                    / (a * tb + b * ta))
          ELSE 0.0 END
        ), 4) AS jsd_nats
-FROM ct JOIN tot ON tot.lang = ct.lang
+FROM ct2
 GROUP BY 1
 """
 

@@ -268,3 +268,30 @@ def test_2sfca_step1_is_broadcast(spark):
     df = entry_mod.queries()["accessibility_2sfca"](spark, SF_SMOKE)
     p = plan_of(df)
     assert "BroadcastHashJoin" in p
+
+
+def test_jsd_scans_documents_once(spark):
+    """term_dist_jsd_epochs folds the epoch split into conditional SUMs
+    of ONE token agg — the plan must scan documents exactly once (a
+    two-branch epoch formulation would scan the fact twice)."""
+    df = entry_mod.queries()["term_dist_jsd_epochs"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert p.count("documents.parquet") == 1
+
+
+def test_kneser_ney_marginal_joins_not_cartesian(spark):
+    """The KN scorer attaches the two 1-row scalars (N1+(••), V) as
+    broadcast crosses and the count tables as hash joins — never a
+    CartesianProduct over the bigram stream."""
+    df = entry_mod.queries()["kneser_ney_bigram_ppl"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+
+
+def test_mobility_queries_have_no_pair_join(spark):
+    """The mobility battery is trajectory-local: one user-keyed window
+    (or plain agg) — no join operator may appear at all."""
+    for name in ("interevent_burstiness", "radius_of_gyration_users"):
+        df = entry_mod.queries()[name](spark, SF_SMOKE)
+        p = plan_of(df)
+        assert "Join" not in p, name
