@@ -232,3 +232,199 @@ def stl_decompose_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     out so every intermediate is exact int64."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_STL_SPARK)
+
+
+# --- Kleinberg burst detection (2-state automaton over daily volumes) ----------
+#
+# Kleinberg's "bursty and hierarchical structure in streams" (KDD
+# 2002), batch variant: each day an event type emits c of the day's n
+# events; a 2-state automaton (base rate p0 = R/D, burst rate
+# p1 = min(1.25·p0, 31/32)) with an up-transition penalty γ explains the
+# series; the optimal (Viterbi) state sequence marks the burst days.
+#
+# Exactness: binomial log-costs are quantized to an integer lattice
+# (FLOOR at 2^10) IMMEDIATELY after the one LN evaluation — the whole
+# DP then runs in exact int64 min-plus arithmetic, so both engines
+# agree bit-for-bit regardless of association order (costs ~7e6; the
+# FLOOR boundary band is ~1.6e-9 per value).
+#
+# Scale shape — the point of this operator: Viterbi is sequential, but
+# min-plus 2×2 matrix products are ASSOCIATIVE, so prefix costs L(t)
+# and suffix costs R(t) come from a Hillis–Steele doubling scan —
+# ⌈log2 T⌉ self-joins each, not T sequential rounds.  At 31 days that
+# is 5+5 joins over a (type, day) table; at 10^5 timesteps it is 17 —
+# the same shape that makes pointer-doubling CC and watershed scale.
+# Day t is a burst iff the best path forced through state 1 at t
+# strictly beats the best through state 0 (marginal labeling —
+# deterministic, no backpointers to ship).  The Spark side cuts
+# lineage per round (155-row frames; the final plan reads zero
+# parquet); the DuckDB oracle is the INDEPENDENT sequential recursive-
+# CTE DP, so a doubling bug cannot cancel out.
+
+_KB_Q = 1024
+_KB_G = 2 * _KB_Q
+_KB_INF = 10**15
+
+# shared emission lattice: (event_type, d, c, n) -> integer costs
+_KB_BASE = """
+daily AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE month(ts) = 1
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, days.dd AS d,
+         COALESCE(daily.c, CAST(0 AS BIGINT)) AS c
+  FROM types t CROSS JOIN days
+  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = days.dd
+),
+dn AS (
+  SELECT event_type, d, c,
+         CAST(SUM(c) OVER (PARTITION BY d) AS BIGINT) AS n
+  FROM dense
+),
+rates AS (
+  SELECT event_type, d, c, n,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE)
+           / SUM(n) OVER (PARTITION BY event_type) AS p0
+  FROM dn
+),
+base AS {MAT}(
+  SELECT event_type, d, c, n,
+         CAST(FLOOR(0.0 - {Q} * (c * LN(p0)
+                                 + (n - c) * LN(1.0 - p0)))
+              AS BIGINT) AS e0,
+         CAST(FLOOR(0.0 - {Q} * (c * LN(LEAST(1.25 * p0, 0.96875))
+                                 + (n - c)
+                                   * LN(1.0 - LEAST(1.25 * p0, 0.96875))))
+              AS BIGINT) AS e1
+  FROM rates
+)
+""".replace("{Q}", str(_KB_Q))
+
+_KB_BASE_SPARK = _KB_BASE.replace("{MAT}", "")
+_KB_BASE_DUCK = _KB_BASE.replace("{MAT}", "MATERIALIZED ")
+
+_KB_FINAL = f"""
+SELECT p.event_type, p.d, b.c,
+       p.m00 + LEAST(s.m00, s.m01) AS cost_base,
+       p.m01 + LEAST(s.m10, s.m11) AS cost_burst,
+       CAST(CASE WHEN p.m01 + LEAST(s.m10, s.m11)
+                      < p.m00 + LEAST(s.m00, s.m01)
+                 THEN 1 ELSE 0 END AS BIGINT) AS burst
+FROM kb_pref p
+JOIN kb_suf s ON s.event_type = p.event_type AND s.d = p.d
+JOIN kb_base b ON b.event_type = p.event_type AND b.d = p.d
+"""
+
+_KB_ORACLE = f"""
+WITH RECURSIVE {_DAYS_DUCK},
+{_KB_BASE_DUCK.strip()},
+fwd AS (
+  SELECT event_type, CAST(0 AS BIGINT) AS t,
+         CAST(0 AS BIGINT) AS l0, CAST({_KB_INF} AS BIGINT) AS l1
+  FROM types
+  UNION ALL
+  SELECT m.event_type, m.d,
+         LEAST(fwd.l0, fwd.l1) + m.e0,
+         LEAST(fwd.l0 + {_KB_G}, fwd.l1) + m.e1
+  FROM fwd JOIN base m ON m.event_type = fwd.event_type
+                      AND m.d = fwd.t + 1
+),
+bwd AS (
+  SELECT event_type, CAST(31 AS BIGINT) AS t,
+         CAST(0 AS BIGINT) AS r0, CAST(0 AS BIGINT) AS r1
+  FROM types
+  UNION ALL
+  SELECT m.event_type, bwd.t - 1,
+         LEAST(m.e0 + bwd.r0, {_KB_G} + m.e1 + bwd.r1),
+         LEAST(m.e0 + bwd.r0, m.e1 + bwd.r1)
+  FROM bwd JOIN base m ON m.event_type = bwd.event_type
+                      AND m.d = bwd.t
+  WHERE bwd.t >= 1
+)
+SELECT f.event_type, f.t AS d, b.c,
+       f.l0 + w.r0 AS cost_base,
+       f.l1 + w.r1 AS cost_burst,
+       CAST(CASE WHEN f.l1 + w.r1 < f.l0 + w.r0
+                 THEN 1 ELSE 0 END AS BIGINT) AS burst
+FROM fwd f
+JOIN bwd w ON w.event_type = f.event_type AND w.t = f.t
+JOIN base b ON b.event_type = f.event_type AND b.d = f.t
+WHERE f.t >= 1
+"""
+
+# compose anchor row with a joined row: PRE = joined(d−step) ⊗ anchor
+# (prefix scan, joined is the EARLIER factor); SUF = anchor ⊗
+# joined(d+step).  Min-plus products do not commute — the two scans
+# need opposite orders.  Fallback (edge of the window) keeps the
+# anchor unchanged.
+_KB_COMPOSE_PRE = """
+SELECT a.event_type, a.d,
+       CASE WHEN j.d IS NULL THEN a.m00
+            ELSE LEAST(j.m00 + a.m00, j.m01 + a.m10) END AS m00,
+       CASE WHEN j.d IS NULL THEN a.m01
+            ELSE LEAST(j.m00 + a.m01, j.m01 + a.m11) END AS m01,
+       CASE WHEN j.d IS NULL THEN a.m10
+            ELSE LEAST(j.m10 + a.m00, j.m11 + a.m10) END AS m10,
+       CASE WHEN j.d IS NULL THEN a.m11
+            ELSE LEAST(j.m10 + a.m01, j.m11 + a.m11) END AS m11
+FROM {src} a LEFT JOIN {src} j
+  ON j.event_type = a.event_type AND j.d = a.d - {step}
+"""
+
+_KB_COMPOSE_SUF = """
+SELECT a.event_type, a.d,
+       CASE WHEN j.d IS NULL THEN a.m00
+            ELSE LEAST(a.m00 + j.m00, a.m01 + j.m10) END AS m00,
+       CASE WHEN j.d IS NULL THEN a.m01
+            ELSE LEAST(a.m00 + j.m01, a.m01 + j.m11) END AS m01,
+       CASE WHEN j.d IS NULL THEN a.m10
+            ELSE LEAST(a.m10 + j.m00, a.m11 + j.m10) END AS m10,
+       CASE WHEN j.d IS NULL THEN a.m11
+            ELSE LEAST(a.m10 + j.m01, a.m11 + j.m11) END AS m11
+FROM {src} a LEFT JOIN {src} j
+  ON j.event_type = a.event_type AND j.d = a.d + {step}
+"""
+
+
+@register("kleinberg_burst_volume", _KB_ORACLE)
+def kleinberg_burst_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg 2-state burst detection per event type: integer
+    min-plus Viterbi evaluated as a log-depth prefix/suffix doubling
+    scan (5+5 joins for 31 days), lineage cut per round."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+        f"WITH {_DAYS_SPARK},\n{_KB_BASE_SPARK.strip()}\nSELECT * FROM base"
+    ).localCheckpoint().createOrReplaceTempView("kb_base")
+
+    # prefix: M_d with start-state pinning handled by reading row [0][*]
+    spark.sql(f"""
+        SELECT event_type, d, e0 AS m00, {_KB_G} + e1 AS m01,
+               e0 AS m10, e1 AS m11
+        FROM kb_base
+    """).localCheckpoint().createOrReplaceTempView("kb_pref_0")
+    # suffix base: matrix of day d+1; identity at d = 31
+    spark.sql(f"""
+        SELECT b.event_type, b.d,
+               COALESCE(nx.e0, CAST(0 AS BIGINT)) AS m00,
+               COALESCE({_KB_G} + nx.e1, CAST({_KB_INF} AS BIGINT)) AS m01,
+               COALESCE(nx.e0, CAST({_KB_INF} AS BIGINT)) AS m10,
+               COALESCE(nx.e1, CAST(0 AS BIGINT)) AS m11
+        FROM kb_base b
+        LEFT JOIN kb_base nx ON nx.event_type = b.event_type
+                            AND nx.d = b.d + 1
+    """).localCheckpoint().createOrReplaceTempView("kb_suf_0")
+
+    for i, step in enumerate((1, 2, 4, 8, 16)):
+        spark.sql(
+            _KB_COMPOSE_PRE.format(src=f"kb_pref_{i}", step=step)
+        ).localCheckpoint().createOrReplaceTempView(f"kb_pref_{i + 1}")
+        spark.sql(
+            _KB_COMPOSE_SUF.format(src=f"kb_suf_{i}", step=step)
+        ).localCheckpoint().createOrReplaceTempView(f"kb_suf_{i + 1}")
+    spark.sql("SELECT * FROM kb_pref_5").createOrReplaceTempView("kb_pref")
+    spark.sql("SELECT * FROM kb_suf_5").createOrReplaceTempView("kb_suf")
+    return spark.sql(_KB_FINAL)

@@ -98,3 +98,22 @@ def test_geodesic_sanity_pins(spark):
     assert set(df.nearest_city.unique()) == {1, 2, 3, 4}
     # distances bounded by the window diagonal (~4700 km)
     assert (df.dist_km > 0).all() and (df.dist_km < 5000).all()
+
+
+def test_kleinberg_burst_semantics(spark):
+    df = _run(spark, "kleinberg_burst_volume", sf="/root/testdata/sf0.001")
+    assert len(df) == 155  # 5 types x 31 days
+    assert df.burst.sum() > 0, "tuned rates must fire on small-sample noise"
+    # flag is exactly the strict cost comparison
+    assert (df.burst == (df.cost_burst < df.cost_base).astype(int)).all()
+    # bursts are CONTIGUOUS runs (the γ exit cost pools adjacent
+    # days), and each maximal run's aggregate share beats the type's
+    # base rate R/D — a single day inside a run may dip below it
+    n_day = df.groupby("d").c.transform("sum")
+    df = df.assign(n=n_day).sort_values(["event_type", "d"])
+    for et, g in df.groupby("event_type"):
+        rate = g.c.sum() / g.n.sum()
+        run = (g.burst.diff().fillna(g.burst) != 0).cumsum()
+        for _, r in g[g.burst == 1].groupby(run[g.burst == 1]):
+            assert r.d.diff().dropna().eq(1).all(), "run must be contiguous"
+            assert r.c.sum() / r.n.sum() > rate, (et, r.d.tolist())
