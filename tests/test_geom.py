@@ -89,7 +89,13 @@ def test_clip_area_equals_rect_intersection(ax, ay, aw, ah, bx, by, bw, bh):
         (ax, ay, ax + aw, ay + ah), (bx, by, bx + bw, by + bh)
     )
     got = polygon_area(clipped) if len(clipped) >= 3 else 0.0
-    assert abs(got - want) <= 1e-6 * max(1.0, want)
+    # FP error of the clip is a few ulps of cmax² (shoelace products),
+    # NOT of the area — a sliver intersection at 5e4-scale coords
+    # carries ~5e-6 absolute noise, so the bound must scale with the
+    # coordinate magnitude, not just the result.
+    cmax = max(ax + aw, ay + ah, bx + bw, by + bh)
+    tol = 1e-6 * max(1.0, want) + 64 * np.finfo(float).eps * cmax * cmax
+    assert abs(got - want) <= tol
 
 
 def test_polsby_popper_square_vs_strip():
