@@ -1847,3 +1847,115 @@ def isotonic_calibration_qcls(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone minimax fit — same scorer text the filter ships."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_iso_sql(_QCLS_SPARK))
+
+
+# --- NDCG@10 retrieval evaluation ----------------------------------------------
+#
+# The missing half of a retrieval stack: the repo ships five rankers
+# (BM25, query-likelihood, RRF fusion, ANN, MMR) — this op EVALUATES
+# one.  Per single-term query, the deployed BM25 ordering is scored
+# against deterministic tf-graded qrels (rel = min(tf, 3): more
+# mentions, more relevant) with NDCG@10.  Gains use the exact integer
+# 2^rel−1 ∈ {1,3,7} (a CASE, no POWER); discounts are LN ratios on
+# small integers; per-query DCG sums ≤10 doubles under the ROUND-4
+# budget.  NDCG < 1 is structural, not a bug: BM25's tf saturation
+# (k1) deliberately disagrees with raw-tf relevance in the tail.
+#
+# Scale shape: identical to bm25_topk — postings of the query terms
+# only (the IN filter prunes before any shuffle), df/N/avgdl ride
+# broadcasts, then two 10-row-per-query window heads.
+
+_NDCG_K = 10
+
+
+def _ndcg_sql(split_fn: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {split_fn} AS tk FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST({{size_fn}}(tk) AS BIGINT) AS dl FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+post AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, {{unnest_fn}} AS t FROM toks)
+  WHERE t IN ({_BM_TERMS_SQL})
+  GROUP BY 1, 2
+),
+rel AS (
+  SELECT doc_id, t, LEAST(tf, CAST(3 AS BIGINT)) AS rel FROM post
+),
+df AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1
+),
+scored AS (
+  SELECT p.t, p.doc_id, r.rel,
+         LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * (p.tf * ({_BM_K1!r} + 1.0))
+         / (p.tf + {_BM_K1!r}
+            * (1.0 - {_BM_B!r} + {_BM_B!r} * d.dl / s.avgdl)) AS score
+  FROM post p
+  JOIN rel r ON r.doc_id = p.doc_id AND r.t = p.t
+  JOIN df f ON f.t = p.t
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT t, rel,
+         ROW_NUMBER() OVER (PARTITION BY t
+                            ORDER BY ROUND(score, 4) DESC, doc_id) AS rnk
+  FROM scored
+),
+gains AS (
+  SELECT t, rnk,
+         CASE WHEN rel >= 3 THEN 7 WHEN rel = 2 THEN 3 ELSE 1 END AS g
+  FROM ranked
+),
+dcg AS (
+  SELECT t, SUM(g / (LN(CAST(rnk + 1 AS DOUBLE)) / LN(2.0))) AS dcg
+  FROM gains WHERE rnk <= {_NDCG_K}
+  GROUP BY 1
+),
+ideal AS (
+  SELECT t, g,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY g DESC, rnk) AS irnk
+  FROM gains
+),
+idcg AS (
+  SELECT t, SUM(g / (LN(CAST(irnk + 1 AS DOUBLE)) / LN(2.0))) AS idcg
+  FROM ideal WHERE irnk <= {_NDCG_K}
+  GROUP BY 1
+),
+nrel AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+)
+SELECT d.t AS term, nrel.n_rel,
+       ROUND(d.dcg, 4) AS dcg_at10,
+       ROUND(i.idcg, 4) AS idcg_at10,
+       ROUND(d.dcg / i.idcg, 4) AS ndcg_at10
+FROM dcg d
+JOIN idcg i ON i.t = d.t
+JOIN nrel ON nrel.t = d.t
+"""
+
+
+_NDCG_SPARK = _ndcg_sql("split(text, ' ')").format(
+    size_fn="size", unnest_fn="explode(tk)"
+)
+_NDCG_ORACLE = _ndcg_sql("string_split(text, ' ')").format(
+    size_fn="len", unnest_fn="UNNEST(tk)"
+)
+
+
+@register("ndcg_bm25_eval", _NDCG_ORACLE)
+def ndcg_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the deployed BM25 ranking per query term, against
+    tf-graded qrels — the retrieval-evaluation op of the ranking
+    family."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_NDCG_SPARK)
