@@ -1959,3 +1959,112 @@ def ndcg_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     family."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_NDCG_SPARK)
+
+
+# --- Bradley–Terry source ranking from pairwise quality preferences ------------
+#
+# The preference-model shape of an RLHF data pipeline: pairwise "doc A
+# beats doc B" judgments aggregated into per-SOURCE strengths with the
+# Bradley–Terry model, fit by 3 unrolled MM rounds (Hunter 2004):
+# w_i ← W_i / Σ_j n_ij/(w_i+w_j), renormalized to mean 1.
+#
+# Preferences come from the deployed quality scorer's TOTAL order
+# (q_score, doc_id) — so wins(s1,s2) is a rank statistic computed with
+# ONE window pass over the source-exploded ranking (k× data for k
+# sources), never the |s1|·|s2| pair join.  n_ij = |s_i|·|s_j| exactly
+# (every cross-source pair is comparable under a total order) — a
+# built-in sanity identity the tests pin.
+#
+# Scale shape: one fact scan for the scorer, one k-way window, then
+# the MM rounds run on the k×k wins table (metadata).  The Spark side
+# checkpoints the wins table so the 2-references-per-round MM chain
+# re-reads 25 rows, not the corpus; the DuckDB twin marks it
+# MATERIALIZED for the same reason.
+
+_BT_ROUNDS = """
+n AS (
+  SELECT a.i, a.j, a.wins + b.wins AS n
+  FROM bt_wins a JOIN bt_wins b ON b.i = a.j AND b.j = a.i
+),
+tw AS (SELECT i, CAST(SUM(wins) AS BIGINT) AS w_i FROM bt_wins GROUP BY 1),
+k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM tw),
+w0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM tw),
+{MM}
+SELECT tw.i AS source, tw.w_i AS n_wins,
+       ROUND(w3n.w, 4) AS bt_strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(w3n.w, 4) DESC, tw.i)
+            AS BIGINT) AS quality_rank
+FROM tw JOIN w3n ON w3n.i = tw.i
+"""
+
+
+def _bt_mm_round(prev: str, out: str) -> str:
+    return f"""
+{out}_raw AS (
+  SELECT n.i, tw.w_i / SUM(n.n / (wi.w + wj.w)) AS w
+  FROM n
+  JOIN {prev} wi ON wi.i = n.i
+  JOIN {prev} wj ON wj.i = n.j
+  JOIN tw ON tw.i = n.i
+  GROUP BY n.i, tw.w_i
+),
+{out} AS (
+  SELECT i, w * (SELECT k FROM k) / SUM(w) OVER () AS w FROM {out}_raw
+)"""
+
+
+_BT_MM = ",".join(
+    _bt_mm_round(p, o) for p, o in (("w0", "w1n"), ("w1n", "w2n"),
+                                    ("w2n", "w3n"))
+)
+_BT_FINAL = _BT_ROUNDS.replace("{MM}", _BT_MM)
+
+
+def _bt_wins_sql(qcls: str) -> str:
+    return f"""
+s2 AS (
+{qcls}
+),
+ranked AS (
+  SELECT s2.doc_id, d.source,
+         ROW_NUMBER() OVER (ORDER BY s2.q_score, s2.doc_id) AS ord
+  FROM s2 JOIN documents d ON d.doc_id = s2.doc_id
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+exp AS (
+  SELECT r.ord, r.source AS src, s.source AS other
+  FROM ranked r CROSS JOIN srcs s
+),
+run AS (
+  SELECT ord, src, other,
+         SUM(CASE WHEN src = other THEN 1 ELSE 0 END)
+           OVER (PARTITION BY other ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cnt_before
+  FROM exp
+)
+SELECT src AS i, other AS j,
+       CAST(SUM(COALESCE(cnt_before, CAST(0 AS BIGINT))) AS BIGINT) AS wins
+FROM run WHERE src <> other
+GROUP BY 1, 2
+"""
+
+
+_BT_ORACLE = (
+    "WITH bt_wins AS MATERIALIZED (\nWITH "
+    + _bt_wins_sql(_QCLS_ORACLE).strip()
+    + "\n),\n"
+    + _BT_FINAL.strip()
+)
+
+
+@register("bradley_terry_sources", _BT_ORACLE)
+def bradley_terry_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strength of each document source from pairwise
+    quality-score preferences (3 MM rounds over rank-derived win
+    counts)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        "WITH " + _bt_wins_sql(_QCLS_SPARK).strip()
+    ).localCheckpoint().createOrReplaceTempView("bt_wins")
+    return spark.sql("WITH " + _BT_FINAL.strip())

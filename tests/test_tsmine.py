@@ -117,3 +117,24 @@ def test_kleinberg_burst_semantics(spark):
         for _, r in g[g.burst == 1].groupby(run[g.burst == 1]):
             assert r.d.diff().dropna().eq(1).all(), "run must be contiguous"
             assert r.c.sum() / r.n.sum() > rate, (et, r.d.tolist())
+
+
+def test_bradley_terry_identities(spark):
+    import pandas as pd
+
+    from chopin_spark.queries import load_all
+    from chopin_spark.tables import load as load_t
+
+    df = _run(spark, "bradley_terry_sources")
+    # mean strength 1 (renormalized each MM round)
+    assert abs(df.bt_strength.mean() - 1.0) < 1e-3
+    # total wins across sources = number of cross-source pairs
+    sizes = (
+        load_t(spark, SF_CORRECT, "documents")
+        .groupBy("source").count().toPandas().set_index("source")["count"]
+    )
+    n_pairs = (sizes.sum() ** 2 - (sizes ** 2).sum()) // 2
+    assert df.n_wins.sum() == n_pairs
+    # strength order consistent with win-count order (balanced design)
+    assert (df.sort_values("n_wins").bt_strength.diff().dropna()
+            >= -1e-9).all()
