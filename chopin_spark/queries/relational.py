@@ -1008,3 +1008,77 @@ def promo_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part", "supplier"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q20_SQL)
+
+
+# --- Fellegi–Sunter probabilistic record linkage --------------------------------
+#
+# The census/data-integration classic (Fellegi & Sunter 1969): link the
+# customer dimension against a corrupted twin (derived in-plan by
+# deterministic LCG perturbation — name typo 30%, segment swap 20%,
+# balance jitter ±$10) using per-field match weights
+# w = ln(m/u) on agreement, ln((1−m)/(1−u)) on disagreement, with
+# link / possible / non-link decision bands.  Distinct from the dedup
+# family: FS scores AGREEMENT PATTERNS across typed fields with
+# trained m/u probabilities (baked literals here, the classifier-
+# weights convention), not token-set similarity.
+#
+# Exactness: agreements are exact string/int comparisons (balances in
+# cents); the score is a sum of three fixed double literals — bit-
+# identical.  Scale shape: candidate pairs come from BLOCKING on
+# nationkey (the standard FS practice) — Σ_b |block|², never |A|·|B|;
+# at web scale the block key becomes (nation, name-prefix) and the
+# same plan holds.
+
+_FS_T = 2654435761
+_FS_S = 1103515245
+_FS_B = 48271
+
+_FS_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey AS k, c_nationkey AS nat, c_name AS nm,
+         c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+twin AS (
+  SELECT k AS tk, nat AS tnat,
+         CASE WHEN (k * {_FS_T}) % 100 < 30
+              THEN CONCAT('Cust0mer', SUBSTRING(nm, 9)) ELSE nm END AS tnm,
+         CASE WHEN (k * {_FS_S}) % 100 < 20
+              THEN 'CORRUPTED' ELSE seg END AS tseg,
+         cents + (k * {_FS_B}) % 2001 - 1000 AS tcents
+  FROM cust
+),
+pairs AS (
+  SELECT c.k, t.tk,
+         CASE WHEN c.nm = t.tnm THEN 6.551080335043404
+              ELSE -1.2029723039923526 END
+         + CASE WHEN c.seg = t.tseg THEN 1.3862943611198906
+                ELSE -1.3862943611198906 END
+         + CASE WHEN ABS(c.cents - t.tcents) <= 500 THEN 3.912023005428146
+                ELSE -0.6830968447064438 END AS score
+  FROM cust c JOIN twin t ON t.tnat = c.nat
+),
+decided AS (
+  SELECT CASE WHEN score >= 6.0 THEN 'link'
+              WHEN score >= 0.0 THEN 'possible' ELSE 'non-link' END
+           AS decision,
+         CASE WHEN k = tk THEN 1 ELSE 0 END AS is_true
+  FROM pairs
+)
+SELECT decision,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(is_true) AS BIGINT) AS n_true_matches,
+       ROUND(CAST(SUM(is_true) AS DOUBLE) / COUNT(*), 6) AS precision_band
+FROM decided
+GROUP BY 1
+"""
+
+
+@register("fellegi_sunter_linkage", _FS_SQL)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage of the customer dimension against
+    its LCG-corrupted twin: nation blocking, three-field agreement
+    weights, link/possible/non-link bands with per-band precision."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_FS_SQL)
