@@ -836,3 +836,55 @@ def radius_of_gyration_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     n²·r² = n·Σ(x²+y²) − Sx² − Sy², exact int64 under the radical."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_GYR_SQL)
+
+
+# --- difference-in-differences (causal effect estimation) ----------------------
+#
+# The workhorse of observational causal inference (Card & Krueger
+# shape): a "treatment" rolls out to half the users on Jan 16 (users
+# with even user_id — the deterministic cohort), and the estimand is
+# the treatment effect on purchase value under parallel trends:
+# DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre).
+#
+# Exactness: values carry as exact integer cents, each cell mean is
+# one cents/count division, and the estimator is a fixed-order chain
+# of four such doubles — bit-identical cross-engine, ROUND once.
+# Scale shape: ONE scan, one 4-cell agg (partial+final), driver-free.
+
+_DID_SQL = """
+WITH cells AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS post,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE event_type = 'purchase' AND month(ts) = 1
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT treated, post, cents, n,
+         CAST(cents AS DOUBLE) / n / 100.0 AS mean_value
+  FROM cells
+)
+SELECT ROUND(a.mean_value - b.mean_value - c.mean_value + d.mean_value,
+             6) AS did_effect,
+       ROUND(a.mean_value, 6) AS treat_post,
+       ROUND(b.mean_value, 6) AS treat_pre,
+       ROUND(c.mean_value, 6) AS ctrl_post,
+       ROUND(d.mean_value, 6) AS ctrl_pre,
+       a.n AS n_treat_post, b.n AS n_treat_pre,
+       c.n AS n_ctrl_post, d.n AS n_ctrl_pre
+FROM m a, m b, m c, m d
+WHERE a.treated = 1 AND a.post = 1 AND b.treated = 1 AND b.post = 0
+  AND c.treated = 0 AND c.post = 1 AND d.treated = 0 AND d.post = 0
+"""
+
+
+@register("did_purchase_effect", _DID_SQL)
+def did_purchase_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the Jan-16 rollout's
+    effect on purchase value (even-user treatment cohort): four
+    cents-exact cell means, one scan, one agg."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_DID_SQL)
