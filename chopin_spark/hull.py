@@ -98,3 +98,27 @@ def convex_hull_stats(pts: DataFrame) -> DataFrame:
         schema="zone_id BIGINT, n_vertices BIGINT, area2 BIGINT,"
         " perim_m DOUBLE",
     )
+
+
+def _verts(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    verts = _chain(list(zip(pdf["ix"], pdf["iy"])))
+    if len(verts) < 2:
+        return pd.DataFrame(columns=["zone_id", "vidx", "ix", "iy"])
+    return pd.DataFrame(
+        [(key[0], i, x, y) for i, (x, y) in enumerate(verts)],
+        columns=["zone_id", "vidx", "ix", "iy"],
+    )
+
+
+def convex_hull_vertices(pts: DataFrame) -> DataFrame:
+    """pts(zone_id, ix, iy) → per-zone CCW hull vertices with their
+    traversal index (zone_id, vidx, ix, iy) — same two-level reduce as
+    convex_hull_stats, shuffle volume = hull vertices only."""
+    schema_v = "zone_id BIGINT, ix BIGINT, iy BIGINT"
+    partial = pts.mapInPandas(
+        lambda it: (_hull_rows(pdf) for pdf in it), schema=schema_v
+    )
+    return partial.groupBy("zone_id").applyInPandas(
+        _verts,
+        schema="zone_id BIGINT, vidx BIGINT, ix BIGINT, iy BIGINT",
+    )

@@ -1199,3 +1199,104 @@ def flow_path_length_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"c % {W} AS x", f"CAST(c DIV {W} AS BIGINT) AS y",
         "w AS len_units", "a AS outlet_idx",
     )
+
+
+# --- Strahler stream order (hydrology-verb family, strahler.py) ---------------
+#
+# Engine: block-local bottom-up passes over the same D8 forest as
+# flow_accumulation_d8 (strahler.py — flowacc's template with the
+# max/count-of-max combine).  Oracle: VALUE ITERATION carried in the
+# recursive working table — an independent formulation.  Each round
+# recomputes every cell's order from its children's previous-round
+# orders; the child-order MULTISET is folded into ONE exact-int64 sum
+# s = SUM(9^ord) (a cell has <= 8 D8 children, so base-9 digits never
+# carry): the leading digit's position is the max child order m, the
+# digit itself the count attaining m.  new = 1 if s=0; m+1 if digit>=2;
+# else m.  Self-rows with weight 0 keep parentless cells in the state.
+# _SO_ROUNDS rounds of synchronous iteration reach the fixpoint iff
+# the forest's order-depth is smaller — the engine asserts the same
+# convergence dynamically (strahler.LAST_ROUNDS), and the parity test
+# pins oracle == engine so a too-small ladder shows up as a hash
+# mismatch, not a silent wrong answer.
+
+from chopin_spark.strahler import strahler_order  # noqa: E402
+
+_SO_ROUNDS = 40
+_SO_MAXORD = 12
+_SO_POW9 = "CASE i.ord " + " ".join(
+    f"WHEN {o} THEN CAST({9 ** o} AS BIGINT)" for o in range(1, _SO_MAXORD + 1)
+) + " END"
+_SO_M = "CASE " + " ".join(
+    f"WHEN s >= {9 ** o} THEN {o}" for o in range(_SO_MAXORD, 0, -1)
+) + " ELSE 0 END"
+# 9^m for the same m — the leading-digit divisor, exact int64
+_SO_MPOW = "CASE " + " ".join(
+    f"WHEN s >= {9 ** o} THEN CAST({9 ** o} AS BIGINT)"
+    for o in range(_SO_MAXORD, 0, -1)
+) + " ELSE CAST(1 AS BIGINT) END"
+
+_SO_ORACLE = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(i % {W} AS BIGINT) AS x, CAST(i // {W} AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series(0, {W * H - 1})) AS i)
+),
+f AS (
+  SELECT x, y, CAST({_FX} AS BIGINT) AS fx, CAST({_FY} AS BIGINT) AS fy
+  FROM cells
+),
+-- child->parent edges (w=1) plus a w=0 self row per cell so every
+-- cell, parentless ones included, survives each round's aggregation
+e AS (
+  SELECT x AS cx, y AS cy, fx AS px, fy AS py, 1 AS w
+  FROM f WHERE fx IS NOT NULL
+  UNION ALL
+  SELECT x, y, x, y, 0 FROM f
+),
+it AS (
+  SELECT 0 AS rnd, x, y, CAST(1 AS BIGINT) AS ord FROM f
+  UNION ALL
+  SELECT q.rnd + 1, q.x, q.y,
+         CASE WHEN q.s = 0 THEN CAST(1 AS BIGINT)
+              WHEN CAST((q.s - (q.s % (.MPOW.))) / (.MPOW.)
+                        AS BIGINT) >= 2
+                THEN CAST(({_SO_M}) + 1 AS BIGINT)
+              ELSE CAST({_SO_M} AS BIGINT) END
+  FROM (
+    SELECT e.px AS x, e.py AS y, MAX(i.rnd) AS rnd,
+           CAST(SUM(CASE WHEN e.w = 1 THEN {_SO_POW9}
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
+    FROM it i JOIN e ON e.cx = i.x AND e.cy = i.y
+    GROUP BY 1, 2
+  ) q
+  WHERE q.rnd < {_SO_ROUNDS}
+)
+SELECT ord AS strahler_order, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(x * 37 + y) AS BIGINT) AS xy_fold
+FROM it WHERE rnd = {_SO_ROUNDS}
+GROUP BY 1
+"""
+_SO_ORACLE = _SO_ORACLE.replace(".MPOW.", "(" + _SO_MPOW + ")")
+
+
+@register("strahler_stream_order", _SO_ORACLE)
+def strahler_stream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strahler order histogram of the deterministic D8 flow forest —
+    engine rounds scale with block-boundary crossings (strahler.py),
+    one co-partitioned shuffle per round."""
+    cells = spark.range(0, W * H, 1, 8).selectExpr(
+        f"CAST(id % {W} AS BIGINT) AS x",
+        f"CAST(id DIV {W} AS BIGINT) AS y",
+    ).selectExpr(
+        "x", "y",
+        f"CAST({_zf('x', 'y')} AS BIGINT) AS z",
+        f"CAST({_FX} AS BIGINT) AS fx",
+        f"CAST({_FY} AS BIGINT) AS fy",
+    )
+    orders = strahler_order(cells, tile_w=8, tile_h=8)
+    return (
+        orders.groupBy(F.col("ord").alias("strahler_order"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(F.col("x") * 37 + F.col("y")).cast("long").alias("xy_fold"),
+        )
+    )

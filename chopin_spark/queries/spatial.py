@@ -1891,3 +1891,121 @@ def str_pack_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned by comparisons — per-leaf occupancy and bbox."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_STR_SQL)
+
+
+# --- per-zone minimum rotated rectangle (rotating calipers) -------------------
+#
+# terra::minRect / sf::st_minimum_rotated_rectangle analog: the
+# min-AREA rectangle over each zone's point pattern, computed by the
+# rotating-calipers theorem (Freeman & Shapira 1975: the optimum rect
+# is flush with a hull edge).  For hull edge e=(dx,dy) the rect area
+# is (Δ along e)·(Δ along normal)/|e|² — all three factors EXACT
+# int64 (projections of integer points on integer edges), so the
+# per-zone argmin orders by a correctly-rounded double ratio of exact
+# ints (identical in both engines) with a full integer tie-chain.
+# Extrema of a linear functional over a point set are attained at hull
+# vertices, so the engine projects only the two-level-reduce hull
+# vertices (chopin_spark.hull.convex_hull_vertices — shuffle volume =
+# hull vertices); the oracle projects ALL distinct points over its
+# O(n³) edge characterization — different algorithm, same extrema.
+#
+# Scale shape: facts reduce to per-zone hull vertices (tens) before
+# any pairwise work; the edge×vertex join is O(h²) per zone.
+
+_MRR_BODY = """
+proj AS (
+  SELECT e.zone_id, e.qx - e.px AS dx, e.qy - e.py AS dy,
+         MAX((e.qx - e.px) * p.ix + (e.qy - e.py) * p.iy) AS emax,
+         MIN((e.qx - e.px) * p.ix + (e.qy - e.py) * p.iy) AS emin,
+         MAX((e.py - e.qy) * p.ix + (e.qx - e.px) * p.iy) AS nmax,
+         MIN((e.py - e.qy) * p.ix + (e.qx - e.px) * p.iy) AS nmin
+  FROM e JOIN {pts_src} p ON p.zone_id = e.zone_id
+  GROUP BY 1, 2, 3
+),
+rects AS (
+  -- each caliper extent is an exact int64 < 2^53 (coords < 2^20,
+  -- edge deltas < 2^18), but their PRODUCT can exceed int64 — one
+  -- correctly-rounded double multiply is deterministic in both
+  -- engines, and the argmin ordering is unaffected
+  SELECT zone_id, dx, dy,
+         CAST(emax - emin AS DOUBLE) * CAST(nmax - nmin AS DOUBLE)
+           AS a_scaled,
+         CAST(dx * dx + dy * dy AS BIGINT) AS l2
+  FROM proj
+),
+zarea AS (
+  SELECT zone_id, CAST(SUM(px * qy - py * qx) AS BIGINT) AS area2
+  FROM e GROUP BY 1
+),
+best AS (
+  SELECT zone_id, a_scaled, l2, dx, dy,
+         ROW_NUMBER() OVER (
+           PARTITION BY zone_id
+           ORDER BY a_scaled / l2, a_scaled, l2, dx, dy
+         ) AS rk
+  FROM rects WHERE a_scaled > 0
+)
+SELECT b.zone_id, b.dx, b.dy,
+       ROUND(b.a_scaled / b.l2, 4) AS mrr_area,
+       z.area2,
+       ROUND(CAST(z.area2 AS DOUBLE) / 2.0 / (b.a_scaled / b.l2), 4)
+         AS rectangularity
+FROM best b JOIN zarea z ON z.zone_id = b.zone_id
+WHERE b.rk = 1
+"""
+
+_MRR_ORACLE = f"""
+WITH d AS (
+  SELECT {sx.grid_cell_expr(_DOC_X, _DOC_Y, NX, NY)} AS zone_id,
+         CAST(FLOOR({_DOC_X}) AS BIGINT) AS ix,
+         CAST(FLOOR({_DOC_Y}) AS BIGINT) AS iy
+  FROM documents
+),
+pts AS (SELECT DISTINCT zone_id, ix, iy FROM d),
+e AS (
+  SELECT p.zone_id, p.ix AS px, p.iy AS py, q.ix AS qx, q.iy AS qy
+  FROM pts p JOIN pts q
+    ON p.zone_id = q.zone_id AND (p.ix <> q.ix OR p.iy <> q.iy)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts r
+    WHERE r.zone_id = p.zone_id
+      AND (r.ix <> p.ix OR r.iy <> p.iy)
+      AND (r.ix <> q.ix OR r.iy <> q.iy)
+      AND ({_HULL_CROSS} < 0
+        OR ({_HULL_CROSS} = 0
+           AND NOT (r.ix BETWEEN LEAST(p.ix, q.ix)
+                             AND GREATEST(p.ix, q.ix)
+                AND r.iy BETWEEN LEAST(p.iy, q.iy)
+                             AND GREATEST(p.iy, q.iy))))
+  )
+),
+{_MRR_BODY.strip().format(pts_src="pts")}
+"""
+
+_MRR_SPARK = f"""
+WITH nv AS (SELECT zone_id, COUNT(*) AS n FROM hull_verts GROUP BY 1),
+e AS (
+  SELECT v.zone_id, v.ix AS px, v.iy AS py, w.ix AS qx, w.iy AS qy
+  FROM hull_verts v
+  JOIN nv ON nv.zone_id = v.zone_id
+  JOIN hull_verts w ON w.zone_id = v.zone_id
+                   AND w.vidx = (v.vidx + 1) % nv.n
+),
+{_MRR_BODY.strip().format(pts_src="hull_verts")}
+"""
+
+
+@register("zone_min_rotated_rect", _MRR_ORACLE)
+def zone_min_rotated_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone minimum rotated rectangle via rotating calipers over
+    the distributed hull — exact-integer caliper extrema, argmin by a
+    correctly-rounded ratio with a full integer tie-chain."""
+    from chopin_spark.hull import convex_hull_vertices
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr(sx.grid_cell_expr(_DOC_X, _DOC_Y, NX, NY)).alias("zone_id"),
+        F.expr(f"CAST(FLOOR({_DOC_X}) AS BIGINT)").alias("ix"),
+        F.expr(f"CAST(FLOOR({_DOC_Y}) AS BIGINT)").alias("iy"),
+    )
+    convex_hull_vertices(docs).createOrReplaceTempView("hull_verts")
+    return spark.sql(_MRR_SPARK)

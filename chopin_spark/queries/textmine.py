@@ -1,0 +1,272 @@
+"""Text-mining trio over the documents table: robust winnowing
+fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+local fingerprinting guarantee), RAKE keyword extraction (Rose et al.
+2010 — degree/frequency scoring of stopword-delimited phrases), and
+corpus readability from integer syllable/word/sentence aggregates
+(Flesch 1948).
+
+Complements the existing fingerprint family (doc_fingerprint is a
+prefix polynomial hash, queries/textops.py:140; simhash / minhash are
+whole-doc sketches): winnowing selects a position-robust SUBSET of
+k-gram hashes with the guarantee that any match of length ≥ w+k−1 is
+caught — the unit the reference-scale dedup literature uses for local
+(substring-level) overlap, where the whole-doc sketches only see
+global similarity.
+
+Shared-SQL discipline: every carrier is exact int64 (shingle hashes
+< 2^30 via chopin_spark.textops; the winnow argmin is packed as
+h·2^20 + (2^20−1−pos), < 2^50; RAKE degree/freq are counts).  Doubles
+appear only in final ROUND()ed ratio columns, always computed from
+integer aggregates — never averaged over per-row doubles (summation
+order is not cross-engine stable; integer sums are).
+
+Scale shape (100 TB): winnowing is one narrow projection per document
+(array HOFs + a window over ≤ doc-length rows partitioned BY doc) —
+embarrassingly parallel, zero shuffles until the per-doc agg; the
+selected-fingerprint density is ~2/(w+1), so downstream joins see a
+4× smaller postings table than full shingling.  RAKE is two
+vocabulary-bounded aggs over an exploded phrase-token frame.
+Readability is a single linear scan folded to |lang| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chopin_spark.queries import register
+from chopin_spark.tables import load
+from chopin_spark.textops import (
+    shingles_from_uh_duckdb,
+    shingles_from_uh_spark,
+    token_hashes_duckdb,
+    token_hashes_spark,
+)
+
+# --- robust winnowing fingerprints ---------------------------------------------
+#
+# k = 5 token shingles, window w = 4.  For every window of w
+# consecutive shingle hashes, select the minimum; ties broken by the
+# RIGHTMOST minimal position (the "robust" rule that makes the
+# selected set depend only on local content, not window phase).  The
+# (min-hash, rightmost) argmin is one packed-int64 window MIN:
+#     key(pos) = h(pos) · 2^20 + (2^20 − 1 − pos)
+# so the usual integer MIN realizes (min h, max pos).  Positions are
+# 1-based in both engines (Spark posexplode is 0-based: pos+1).
+
+_WIN_W = 4
+_POS_M = 1 << 20  # position packing radix (h < 2^30 → key < 2^50)
+
+_WINNOW_BODY = f"""
+keyed AS (
+  SELECT doc_id, pos,
+         sh * {_POS_M} + ({_POS_M - 1} - pos) AS key
+  FROM sh
+),
+wins AS (
+  SELECT doc_id, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                                 AND CURRENT ROW) AS wkey
+  FROM keyed
+),
+sel AS (
+  -- (wkey - wkey%M)/M: exact integer division in BOTH engines (bare
+  -- `/` is double division, and CAST(double) truncates in Spark but
+  -- ROUNDS in DuckDB — the subtraction makes the quotient exact)
+  SELECT DISTINCT doc_id,
+         CAST((wkey - (wkey % {_POS_M})) / {_POS_M} AS BIGINT) AS fp,
+         {_POS_M - 1} - (wkey % {_POS_M}) AS fp_pos
+  FROM wins WHERE pos >= {_WIN_W}
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_fp,
+         CAST(SUM(fp) AS BIGINT) AS fp_sum,
+         CAST(MIN(fp) AS BIGINT) AS fp_min
+  FROM sel GROUP BY 1
+),
+grams AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kgrams FROM sh GROUP BY 1
+)
+SELECT g.doc_id, g.n_kgrams, p.n_fp,
+       ROUND(CAST(p.n_fp AS DOUBLE) / g.n_kgrams, 4) AS density,
+       p.fp_sum, p.fp_min
+FROM grams g JOIN per_doc p ON p.doc_id = g.doc_id
+"""
+
+_WINNOW_SPARK = f"""
+WITH sh AS (
+  SELECT doc_id, pos + 1 AS pos, sh
+  FROM (SELECT doc_id, {shingles_from_uh_spark(5)} AS _sh
+        FROM (SELECT doc_id, {token_hashes_spark()} AS _uh
+              FROM documents) q00) q0
+  LATERAL VIEW posexplode(_sh) AS pos, sh
+),
+{_WINNOW_BODY.strip()}
+"""
+
+_WINNOW_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, i AS pos, _sh[i] AS sh
+  FROM (
+    SELECT doc_id, _sh, UNNEST(generate_series(1, LEN(_sh))) AS i
+    FROM (SELECT doc_id, {shingles_from_uh_duckdb(5)} AS _sh
+          FROM (SELECT doc_id, {token_hashes_duckdb()} AS _uh
+                FROM documents) q00) q0
+  ) q1
+),
+{_WINNOW_BODY.strip()}
+"""
+
+
+@register("winnowing_fingerprints", _WINNOW_ORACLE)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (k=5 shingles, w=4 windows, rightmost-min tie
+    rule) — per-doc selected-fingerprint count, density ≈ 2/(w+1), and
+    exact integer checksums of the selected set."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_WINNOW_SPARK)
+
+
+# --- RAKE keyword extraction ----------------------------------------------------
+#
+# Candidate phrases = maximal stopword-free token runs (the repo's
+# two-word stopword lexicon 'a'/'the', as in lang_id_stopword).  Word
+# scores: freq(w) = occurrences in candidates, deg(w) = Σ over
+# occurrences of the containing phrase's length (RAKE's degree =
+# within-phrase co-occurrence counting, self included).  score =
+# deg/freq.  Phrase ids are a running stopword count (window SUM) —
+# identical in both engines.
+
+_RAKE_BODY = """
+marked AS (
+  SELECT doc_id, pos, t,
+         CASE WHEN t IN ('a', 'the') THEN 1 ELSE 0 END AS is_stop
+  FROM tok
+),
+numbered AS (
+  SELECT doc_id, pos, t, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM marked
+),
+runs AS (
+  -- run_id must be assigned over ALL tokens (WHERE runs before window
+  -- functions, so filtering first would zero every run_id); stopword
+  -- rows are dropped only after numbering
+  SELECT doc_id, pos, t, run_id FROM numbered WHERE is_stop = 0
+),
+phrase_len AS (
+  SELECT doc_id, run_id, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM runs GROUP BY 1, 2
+),
+occ AS (
+  SELECT r.t, p.plen
+  FROM runs r
+  JOIN phrase_len p ON p.doc_id = r.doc_id AND p.run_id = r.run_id
+),
+scored AS (
+  SELECT t AS word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM occ GROUP BY 1
+)
+SELECT word, freq, degree,
+       ROUND(CAST(degree AS DOUBLE) / freq, 4) AS rake_score
+FROM scored
+WHERE freq >= 5
+ORDER BY rake_score DESC, degree DESC, word ASC
+LIMIT 20
+"""
+
+_RAKE_SPARK = f"""
+WITH tok AS (
+  SELECT doc_id, pos + 1 AS pos, t
+  FROM (SELECT doc_id, split(text, ' ') AS _tk FROM documents) q0
+  LATERAL VIEW posexplode(_tk) AS pos, t
+),
+{_RAKE_BODY.strip()}
+"""
+
+_RAKE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, _tk[i] AS t
+  FROM (
+    SELECT doc_id, _tk, UNNEST(generate_series(1, LEN(_tk))) AS i
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS _tk FROM documents) q0
+  ) q1
+),
+{_RAKE_BODY.strip()}
+"""
+
+
+@register("rake_keywords", _RAKE_ORACLE)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: stopword-delimited candidate phrases,
+    degree/frequency word scores, corpus top-20 — two
+    vocabulary-bounded aggs, no pair enumeration."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_RAKE_SPARK)
+
+
+# --- corpus readability (Flesch reading ease from integer aggregates) ----------
+#
+# Syllables ≈ maximal vowel-group count per token (the standard
+# dictionary-free proxy); pseudo-sentences = ⌈tokens/10⌉ (the corpus
+# is unpunctuated synthetic prose, so sentence boundaries are fixed
+# 10-token frames — deterministic and engine-identical).  The Flesch
+# score is computed per LANGUAGE from the int64 sums (score of the
+# aggregate), never averaged over per-doc doubles.
+
+_READ_BODY = """
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         CAST({size_fn}({split_fn}) AS BIGINT) AS n_words,
+         CAST(CEIL(CAST({size_fn}({split_fn}) AS DOUBLE) / 10.0) AS BIGINT)
+           AS n_sentences,
+         CAST({syll_expr} AS BIGINT) AS n_syllables
+  FROM documents
+),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS words,
+         CAST(SUM(n_sentences) AS BIGINT) AS sentences,
+         CAST(SUM(n_syllables) AS BIGINT) AS syllables
+  FROM per_doc GROUP BY 1
+)
+SELECT lang, n_docs, words, sentences, syllables,
+       ROUND(CAST(words AS DOUBLE) / sentences, 4) AS words_per_sentence,
+       ROUND(CAST(syllables AS DOUBLE) / words, 4) AS syllables_per_word,
+       ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                     - 84.6 * (CAST(syllables AS DOUBLE) / words), 2)
+         AS flesch
+FROM per_lang
+"""
+
+_READ_SPARK = _READ_BODY.format(
+    size_fn="size",
+    split_fn="split(text, ' ')",
+    syll_expr=(
+        "aggregate(transform(split(text, ' '),"
+        " _t -> cast(size(regexp_extract_all(_t, '[aeiou]+', 0)) as bigint)),"
+        " cast(0 as bigint), (_a, _b) -> _a + _b)"
+    ),
+)
+
+_READ_ORACLE = _READ_BODY.format(
+    size_fn="LEN",
+    split_fn="STRING_SPLIT(text, ' ')",
+    syll_expr=(
+        "LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),"
+        " _t -> CAST(LEN(REGEXP_EXTRACT_ALL(_t, '[aeiou]+')) AS BIGINT)))"
+    ),
+)
+
+
+@register("readability_flesch", _READ_ORACLE)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch reading ease from exact integer
+    word/sentence/vowel-group-syllable sums — one linear scan folded to
+    |lang| rows, full codegen, no shuffle beyond the final agg."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_READ_SPARK)

@@ -428,3 +428,74 @@ def kleinberg_burst_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("SELECT * FROM kb_pref_5").createOrReplaceTempView("kb_pref")
     spark.sql("SELECT * FROM kb_suf_5").createOrReplaceTempView("kb_suf")
     return spark.sql(_KB_FINAL)
+
+
+# --- exponential smoothing forecast (dyadic-exact EWMA) -------------------------
+#
+# Simple exponential smoothing with alpha = 1/2 over each event type's
+# zero-densified January calendar: s_1 = c_1, s_d = (c_d + s_{d-1})/2.
+# The halving recurrence is cleared by the scaled state
+# S_d = s_d * 2^(d-1), which is a pure PREFIX SUM of integer terms:
+#     S_d = c_1 + SUM_{u=2..d} c_u * 2^(u-2)
+# so the whole recurrence is one window SUM over exact int64 carriers
+# (c < 2^23 keeps S < 2^53, so the final CAST to DOUBLE and the
+# division by a power of two are both EXACT — the forecast column is a
+# bit-reproducible dyadic rational, no ROUND grain needed; at crawl
+# scale c ~ 1e9/day the same plan runs with the ROUND(6) grain).  The
+# one-step-ahead residual c_31 - s_30 is dyadic-exact the same way.
+#
+# Scale shape: one groupBy (event_type, day) — vocabulary-bounded —
+# then a 31-row window per key; cost linear in keys, flat in fact rows.
+
+_EWMA_BODY = """
+daily AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE month(ts) = 1
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM daily),
+dense AS (
+  SELECT t.event_type, days.dd AS d,
+         COALESCE(daily.c, CAST(0 AS BIGINT)) AS c
+  FROM types t CROSS JOIN days
+  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = days.dd
+),
+weighted AS (
+  SELECT event_type, d, c,
+         c * CAST(CASE WHEN d = 1 THEN 1.0
+                       ELSE POWER(2.0, CAST(d - 2 AS DOUBLE)) END AS BIGINT)
+           AS term
+  FROM dense
+),
+scaled AS (
+  SELECT event_type, d, c,
+         CAST(SUM(term) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+           AS s_scaled
+  FROM weighted
+)
+SELECT s31.event_type,
+       CAST(SUM(dense.c) AS BIGINT) AS total,
+       s31.s_scaled AS s31_scaled,
+       CAST(s31.s_scaled AS DOUBLE) / 1073741824.0 AS ewma_forecast,
+       CAST(s31.c31 AS DOUBLE)
+         - CAST(s30.s_scaled AS DOUBLE) / 536870912.0 AS last_step_error
+FROM (SELECT event_type, c AS c31, s_scaled FROM scaled WHERE d = 31) s31
+JOIN (SELECT event_type, s_scaled FROM scaled WHERE d = 30) s30
+  ON s30.event_type = s31.event_type
+JOIN dense ON dense.event_type = s31.event_type
+GROUP BY 1, 3, 4, 5
+"""
+
+_EWMA_SPARK = f"WITH {_DAYS_SPARK},\n{_EWMA_BODY.strip()}"
+_EWMA_ORACLE = f"WITH {_DAYS_DUCK},\n{_EWMA_BODY.strip()}"
+
+
+@register("ewma_volume_forecast", _EWMA_ORACLE)
+def ewma_volume_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=1/2 exponential-smoothing forecast of each event type's
+    daily volume — the halving recurrence cleared to a single exact
+    int64 prefix sum (S_d = s_d*2^(d-1)), forecast and one-step
+    residual emitted as exact dyadic doubles."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_EWMA_SPARK)
