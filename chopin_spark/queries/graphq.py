@@ -803,3 +803,92 @@ def temporal_reachability_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(node AS BIGINT) AS host_num",
         "CAST(t AS BIGINT) AS earliest_arrival",
     )
+
+
+# --- double-sweep diameter lower bound (Magnien, Latapy & Habib 2009) ---------
+#
+# The standard cheap diameter estimator: BFS from a deterministic seed
+# (min node), restart from the farthest node found (tie: min node) —
+# the second eccentricity is a lower bound that is exact on trees and
+# near-exact on web-ish graphs.  Runs on the SYMMETRIZED 97-host link
+# graph.  Both sweeps are the bounded-round BFS used by
+# crawl_depth_bfs (components.bfs_depths: per round one node-keyed
+# equi-join + min-combine — no full-graph materialization); the
+# between-sweep argmax is ONE metadata-sized row to the driver.
+# _DS_CAP bounds both engines identically (fixture eccentricities are
+# ~5; the cap exists so a pathological graph can't run unbounded).
+
+_DS_CAP = 16
+
+_DS_UEDGES = f"""(
+  SELECT src, dst FROM {_EDGES}
+  UNION
+  SELECT dst AS src, src AS dst FROM {_EDGES}
+)"""
+
+_DS_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT * FROM {_DS_UEDGES}),
+n AS (SELECT DISTINCT src AS node FROM e),
+seed1 AS (SELECT MIN(node) AS s FROM n),
+w1(node, depth) AS (
+  SELECT s, 0 FROM seed1
+  UNION
+  SELECT e.dst, w1.depth + 1
+  FROM w1 JOIN e ON e.src = w1.node
+  WHERE w1.depth < {_DS_CAP}
+),
+d1 AS (SELECT node, MIN(depth) AS depth FROM w1 GROUP BY 1),
+far1 AS (
+  SELECT node, depth FROM d1
+  ORDER BY depth DESC, node ASC LIMIT 1
+),
+w2(node, depth) AS (
+  SELECT node, 0 FROM far1
+  UNION
+  SELECT e.dst, w2.depth + 1
+  FROM w2 JOIN e ON e.src = w2.node
+  WHERE w2.depth < {_DS_CAP}
+),
+d2 AS (SELECT node, MIN(depth) AS depth FROM w2 GROUP BY 1),
+far2 AS (
+  SELECT node, depth FROM d2
+  ORDER BY depth DESC, node ASC LIMIT 1
+)
+SELECT (SELECT s FROM seed1) AS seed,
+       CAST((SELECT depth FROM far1) AS BIGINT) AS ecc_seed,
+       CAST((SELECT node FROM far1) AS BIGINT) AS far_node,
+       CAST((SELECT depth FROM far2) AS BIGINT) AS diameter_lb,
+       CAST((SELECT node FROM far2) AS BIGINT) AS antipode,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS n_reached
+"""
+
+
+@register("graph_diameter_double_sweep", _DS_ORACLE)
+def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep BFS diameter lower bound on the symmetrized host
+    graph — two bounded BFS fixpoints, one scalar driver round-trip."""
+    from chopin_spark.components import bfs_depths
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(f"SELECT * FROM {_DS_UEDGES}")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seed = nodes.agg(F.min("node").alias("node"))
+    d1 = bfs_depths(edges, seed, max_depth=_DS_CAP)
+    far1 = d1.orderBy(F.col("depth").desc(), F.col("node").asc()).limit(1)
+    r1 = far1.collect()[0]  # metadata-sized: one (node, depth) row
+    n_reached = d1.count()
+    d2 = bfs_depths(
+        edges, seed.sparkSession.createDataFrame([(r1["node"],)], "node long"),
+        max_depth=_DS_CAP,
+    )
+    far2 = d2.orderBy(F.col("depth").desc(), F.col("node").asc()).limit(1)
+    r2 = far2.collect()[0]
+    seed_val = seed.collect()[0]["node"]
+    return edges.sparkSession.createDataFrame(
+        [(
+            int(seed_val), int(r1["depth"]), int(r1["node"]),
+            int(r2["depth"]), int(r2["node"]), int(n_reached),
+        )],
+        "seed long, ecc_seed long, far_node long, diameter_lb long,"
+        " antipode long, n_reached long",
+    )

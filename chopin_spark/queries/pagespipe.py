@@ -293,3 +293,139 @@ def pages_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     split column is computed at scan time and partition-prunable."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_split_sql(charfold_spark("host")))
+
+
+# --- toponym gazetteer geocoding from TEXT (the north star's other
+# geocode leg: "web pages geocoded from URL/text") ----------------------------
+#
+# Classic gazetteer resolution (GeoNames-style): mention extraction
+# (tokens matching a gazetteer of place names), per-mention sense
+# DISAMBIGUATION (a language-match prior beats raw population — the
+# standard country-bias heuristic), population-weighted doc centroid,
+# then the same real-S2 cell assignment + hierarchical rollup as the
+# URL leg.  The gazetteer is synthesized deterministically from the
+# corpus vocabulary (names = tokens with >= _TOPO_MIN_C occurrences;
+# each name carries TWO candidate senses with hash-derived lon/lat,
+# population, and language), so both engines build it from the same
+# scan — no external data.
+#
+# Exactness: coordinates are quantized to int64 micro-degrees the
+# moment they exist; the weighted centroid is a ratio of exact int64
+# sums (m*pop*lon_u <= ~2^60 at sf1) evaluated as two correctly-rounded
+# double divisions — deterministic cross-engine.  Disambiguation
+# orders by (lang_match, pop, sense) — all integers.
+#
+# Scale shape (100 TB): vocabulary-bounded gazetteer (broadcast-sized)
+# equi-joined to the exploded token stream — the shuffle carries
+# mention rows, not text; centroid + S2 chain are pure column math;
+# the rollup is one partial+final agg on the Hilbert-coherent parent.
+
+_TOPO_MIN_C = 40
+_TOPO_LANGS = ("de", "en", "es", "fr", "zh")  # fixture lang domain
+
+
+def _topo_sql(unnest_src: str, fold: str) -> str:
+    sense_lang = "CASE (f * (s + 2)) % 5" + "".join(
+        f" WHEN {i} THEN '{la}'" for i, la in enumerate(_TOPO_LANGS)
+    ) + " END"
+    # pre-reduce the sense fold so lonlat's 2654435761 multiplier stays
+    # inside int64 (f < 2^30, and lonlat multiplies by ~2^31)
+    lon, lat = lonlat_sql("((f * 7 + s * 31) % 999983)")
+    return f"""
+WITH tok AS ({unnest_src}),
+vocab AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+),
+gaznames AS (
+  SELECT t, c, {fold} AS f FROM vocab WHERE c >= {_TOPO_MIN_C}
+),
+gaz AS (
+  SELECT t, c, f, s,
+         ((f * (s * 2 + 3) + 17) % 99991) + c AS pop,
+         {sense_lang} AS sense_lang,
+         CAST(FLOOR(({lon}) * 1000000.0 + 0.5) AS BIGINT) AS lon_u,
+         CAST(FLOOR(({lat}) * 1000000.0 + 0.5) AS BIGINT) AS lat_u
+  FROM gaznames CROSS JOIN senses
+),
+mentions AS (
+  SELECT d.doc_id, d.lang, tok.t, CAST(COUNT(*) AS BIGINT) AS m
+  FROM tok
+  JOIN documents d ON d.doc_id = tok.doc_id
+  JOIN gaznames g ON g.t = tok.t
+  GROUP BY 1, 2, 3
+),
+best_sense AS (
+  SELECT mn.doc_id, mn.m, gz.pop, gz.lon_u, gz.lat_u,
+         ROW_NUMBER() OVER (
+           PARTITION BY mn.doc_id, mn.t
+           ORDER BY CASE WHEN gz.sense_lang = mn.lang THEN 1 ELSE 0 END
+                      DESC,
+                    gz.pop DESC, gz.s ASC
+         ) AS rk
+  FROM mentions mn JOIN gaz gz ON gz.t = mn.t
+)
+SELECT doc_id,
+       CAST(CAST(lx AS DOUBLE) / wsum / 1000000.0 AS DOUBLE) AS lon,
+       CAST(CAST(ly AS DOUBLE) / wsum / 1000000.0 AS DOUBLE) AS lat,
+       n_mentions
+FROM (
+  SELECT doc_id,
+         CAST(SUM(m * pop) AS BIGINT) AS wsum,
+         CAST(SUM(m * pop * lon_u) AS BIGINT) AS lx,
+         CAST(SUM(m * pop * lat_u) AS BIGINT) AS ly,
+         CAST(SUM(m) AS BIGINT) AS n_mentions
+  FROM best_sense WHERE rk = 1
+  GROUP BY 1
+) q
+"""
+
+
+# the S2-chain rollup over the centroid stage — Spark runs it as a
+# SECOND statement over a temp view (the combined text trips the
+# analyzer's 100-iteration resolution cap: 8 Hilbert levels of nested
+# projections x the gazetteer CTE stack); DuckDB inlines the same two
+# stages as one text
+_TOPO_ROLLUP = f"""
+SELECT (s2_prefix >> 8) AS s2_cell4,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_mentions) AS BIGINT) AS n_mentions,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM ({s2_prefix_sql('topo_base', 'lon', 'lat', 8)})
+GROUP BY 1
+"""
+
+
+_TOPO_SENSES_SPARK = (
+    "senses AS (SELECT CAST(x AS BIGINT) AS s"
+    " FROM (SELECT explode(sequence(0, 1)) AS x))"
+)
+_TOPO_SENSES_DUCK = (
+    "senses AS (SELECT CAST(UNNEST(generate_series(0, 1)) AS BIGINT) AS s)"
+)
+
+_TOPO_SPARK = _topo_sql(
+    "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents",
+    charfold_spark("t"),
+).replace("WITH tok", f"WITH {_TOPO_SENSES_SPARK},\ntok", 1)
+
+_TOPO_ORACLE = _TOPO_ROLLUP.replace(
+    "topo_base",
+    "("
+    + _topo_sql(
+        "SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents",
+        charfold_duckdb("t"),
+    ).replace("WITH tok", f"WITH {_TOPO_SENSES_DUCK},\ntok", 1)
+    + ")",
+    1,
+)
+
+
+@register("toponym_gazetteer_geocode", _TOPO_ORACLE)
+def toponym_gazetteer_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-mention gazetteer geocoding: corpus-derived gazetteer,
+    language-prior sense disambiguation, int64-exact population-
+    weighted centroids, real-S2 cell rollup — the 'geocoded from
+    text' leg of the north star beside pages_geocode_s2_rollup."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(_TOPO_SPARK).createOrReplaceTempView("topo_base")
+    return spark.sql(_TOPO_ROLLUP)

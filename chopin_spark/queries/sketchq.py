@@ -553,3 +553,109 @@ def hll_epoch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_hll_overlap_sql(_SPK_SERIES, _OV_TOKS_SPARK))
+
+
+# --- KMV (bottom-k) distinct sketch with direct intersection ------------------
+#
+# The k-minimum-values sketch (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD 2007) beside the HLL family: keep the k smallest DISTINCT
+# hash values; D-hat = (k-1)*M/h_(k).  Unlike HLL's
+# inclusion-exclusion, KMV estimates the intersection DIRECTLY: the
+# union's bottom-k is a uniform sample of the union, so
+# |A ∩ B|-hat = (matches in bottom-k(U)) / k * D-hat(U) — the
+# mergeable-sample property that makes bottom-k the right sketch for
+# multi-way overlap audits at crawl scale (sketch size k, merge =
+# union + re-truncate, all associative).
+#
+# Determinism: hashes and kth-order statistics are exact int64 (the
+# rehash is an independent Lehmer step from the same shingle hash the
+# HLL sketch reuses); the only doubles are final correctly-rounded
+# ratios under ROUND(4).  Degenerate n_distinct < k falls back to the
+# exact count (the sketch IS the set).  Scale: one DISTINCT + one
+# bounded window per group — the window input is already unique hash
+# values, and a k-th order statistic over 2^31 uniform values touches
+# ~k rows per partition after the per-partition bottom-k combine.
+
+_KMV_K = 64
+_KMV_M = 2147483647
+
+
+def _kmv_sql(toks: str) -> str:
+    rehash = "((tok * 1103515245 + 12345) % 2147483647)"
+    est = (
+        f"CASE WHEN kk < {_KMV_K} THEN CAST(kk AS DOUBLE)"
+        f"     ELSE CAST({_KMV_K} - 1 AS DOUBLE) * {_KMV_M} / hk END"
+    )
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN {epoch_sql('doc_id')} < {_EPOCH_MID}
+              THEN 'a' ELSE 'b' END AS grp, tok
+  FROM ({toks})
+),
+dh AS (SELECT DISTINCT grp, {rehash} AS h FROM t),
+rk AS (
+  SELECT grp, h,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM dh
+),
+kth AS (
+  SELECT grp, CAST(MAX(h) AS BIGINT) AS hk,
+         CAST(COUNT(*) AS BIGINT) AS kk
+  FROM rk WHERE rn <= {_KMV_K} GROUP BY 1
+),
+-- union bottom-k ⊆ union of the per-group bottom-ks (each group's k
+-- smallest already contains every union candidate), so the global
+-- ORDER BY window runs over <= 2k rows — metadata-sized, not the
+-- distinct-hash universe
+du AS (SELECT DISTINCT h FROM rk WHERE rn <= {_KMV_K}),
+rku AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM du),
+kthu AS (
+  SELECT CAST(MAX(h) AS BIGINT) AS hk, CAST(COUNT(*) AS BIGINT) AS kk
+  FROM rku WHERE rn <= {_KMV_K}
+),
+bk AS (SELECT h FROM rku WHERE rn <= {_KMV_K}),
+matches AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM bk
+  JOIN (SELECT h FROM dh WHERE grp = 'a') a ON a.h = bk.h
+  JOIN (SELECT h FROM dh WHERE grp = 'b') b ON b.h = bk.h
+),
+ests AS (
+  SELECT MAX(CASE WHEN grp = 'a' THEN {est} END) AS est_a,
+         MAX(CASE WHEN grp = 'b' THEN {est} END) AS est_b
+  FROM kth
+),
+estu AS (SELECT {est} AS est_u FROM kthu),
+ex AS (
+  SELECT CAST(COUNT(CASE WHEN has_a = 1 AND has_b = 1 THEN 1 END)
+              AS BIGINT) AS exact_i
+  FROM (
+    SELECT tok,
+           MAX(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS has_a,
+           MAX(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS has_b
+    FROM t GROUP BY tok
+  ) q
+)
+SELECT ROUND(est_a, 4) AS est_a,
+       ROUND(est_b, 4) AS est_b,
+       ROUND(est_u, 4) AS est_union,
+       n_both,
+       ROUND(CAST(n_both AS DOUBLE) / {_KMV_K} * est_u, 4)
+         AS est_intersect,
+       exact_i AS exact_intersect,
+       ROUND((CAST(n_both AS DOUBLE) / {_KMV_K} * est_u - exact_i)
+             / CAST(exact_i AS DOUBLE), 4) AS intersect_rel_err
+FROM ests CROSS JOIN estu CROSS JOIN matches CROSS JOIN ex
+"""
+
+
+@register("kmv_epoch_intersect", _kmv_sql(_OV_TOKS_DUCK))
+def kmv_epoch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct sketches per crawl epoch with the
+    direct union-sample intersection estimator, audited against the
+    exact overlap — the mergeable-sample counterpart to
+    hll_epoch_overlap's register sketch."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_kmv_sql(_OV_TOKS_SPARK))
