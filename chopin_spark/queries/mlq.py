@@ -129,3 +129,90 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     logprobs end-to-end; emits the confusion matrix."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_NB_SPARK)
+
+
+# --- Burrows' Delta stylometry between sources ---------------------------------
+#
+# The standard authorship-attribution distance (Burrows 2002; Evert et
+# al. 2017): z-score the relative frequencies of the top-m corpus
+# words across the 5 ingest sources, Delta(a,b) = mean |z_a - z_b|.
+#
+# Exactness: relative frequencies are quantized ONCE to int64
+# micro-frequencies (FLOOR(n*1e6/T + 0.5) — one correctly-rounded
+# division, deterministic), after which mean/variance clear to exact
+# integers: with ns sources, S = sum fq, V = ns*sum fq^2 - S^2
+# (population variance x ns^2), z = (ns*fq - S)/sqrt(V), so
+# |z_a - z_b| = ns*|fq_a - fq_b|/sqrt(V) — one sqrt + one division per
+# term under the ROUND(4) grain.  The (word x source) frame is
+# densified (absent pairs = 0) before moments; V = 0 words carry zero
+# discriminating power and contribute 0.
+#
+# Scale shape: one vocabulary-bounded count agg; everything after is
+# top-m x |sources| (metadata-sized).  Source pairs = |sources|^2/2.
+
+_BD_TOP = 20
+
+
+def _bd_sql(unnest_fn: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, {unnest_fn} AS t
+  FROM (SELECT source, tk FROM (
+    SELECT source, {{split_fn}} AS tk FROM documents) q0) q1
+),
+cnt AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS tt FROM cnt GROUP BY 1
+),
+topw AS (
+  SELECT t FROM (
+    SELECT t, SUM(n) AS g FROM cnt GROUP BY 1
+    ORDER BY g DESC, t ASC LIMIT {_BD_TOP}
+  ) q
+),
+dense AS (
+  SELECT w.t, s.source,
+         CAST(FLOOR(COALESCE(c.n, 0) * 1000000.0 / s.tt + 0.5) AS BIGINT)
+           AS fq
+  FROM topw w
+  CROSS JOIN tot s
+  LEFT JOIN cnt c ON c.t = w.t AND c.source = s.source
+),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM tot),
+mom AS (
+  SELECT t,
+         CAST(SUM(fq) AS BIGINT) AS s1,
+         CAST((SELECT ns FROM ns) * SUM(fq * fq)
+              - SUM(fq) * SUM(fq) AS BIGINT) AS v
+  FROM dense GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS src1, b.source AS src2, a.t,
+         ABS(a.fq - b.fq) AS dfq
+  FROM dense a
+  JOIN dense b ON b.t = a.t AND a.source < b.source
+)
+SELECT p.src1, p.src2,
+       ROUND(SUM(CASE WHEN m.v > 0
+                      THEN CAST((SELECT ns FROM ns) AS DOUBLE) * p.dfq
+                           / SQRT(CAST(m.v AS DOUBLE))
+                      ELSE 0.0 END) / {_BD_TOP}, 4) AS burrows_delta,
+       CAST(SUM(p.dfq) AS BIGINT) AS fq_l1
+FROM pairs p JOIN mom m ON m.t = p.t
+GROUP BY 1, 2
+"""
+
+
+_BD_SPARK = _bd_sql("explode(tk)").format(split_fn="split(text, ' ')")
+_BD_ORACLE = _bd_sql("UNNEST(tk)").format(split_fn="STRING_SPLIT(text, ' ')")
+
+
+@register("burrows_delta_sources", _BD_ORACLE)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every ingest-source
+    pair over the top-20 word profile — micro-frequency int64 carriers,
+    z-scores cleared to one sqrt + one division per term."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BD_SPARK)

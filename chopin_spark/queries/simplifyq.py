@@ -133,3 +133,120 @@ def simplify_dp_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, its checksum, and the simplified squared-length sum are
     value-hash exact — recursion replayed, not approximated."""
     return dp_simplify_summary(_vertices(spark), _TAU2, _ROUNDS)
+
+
+# --- Chaikin corner-cutting smoothing (exact dyadic, 2 rounds) -----------------
+#
+# The smoothing counterpart to DP simplification (terra has smooth()
+# via the smoothr package; Chaikin 1974 is its default algorithm):
+# each round replaces every segment (P_i, P_i+1) with the quarter
+# points Q = (3P_i + P_i+1)/4 and R = (P_i + 3P_i+1)/4, keeping the
+# open-curve endpoints.  Working in 4^r-scaled INTEGER coordinates
+# makes every round exact int64 (Q = 3a+b, R = a+3b; endpoints x4), so
+# both engines unroll the identical two rounds as shared CTE text —
+# no floats until the final length/roughness ratios.  Roughness =
+# sum of squared second differences (the discrete bending energy the
+# cut provably shrinks); its 4^2r scale divides out as an exact
+# power-of-two dyadic division.
+#
+# Scale shape: each round is one self-join on (line_id, idx+1) + a
+# per-line MAX — co-partitioned by line_id throughout, rounds
+# constant (2), vertex growth 2x/round.
+
+def _chaikin_round(src: str, r: int) -> str:
+    return f"""
+mx{r} AS (SELECT line_id, MAX(idx) AS mi FROM {src} GROUP BY 1),
+c{r} AS (
+  SELECT v.line_id, CAST(0 AS BIGINT) AS idx,
+         v.x * 4 AS x, v.y * 4 AS y
+  FROM {src} v WHERE v.idx = 0
+  UNION ALL
+  SELECT a.line_id, 2 * a.idx + 1, 3 * a.x + b.x, 3 * a.y + b.y
+  FROM {src} a JOIN {src} b
+    ON b.line_id = a.line_id AND b.idx = a.idx + 1
+  UNION ALL
+  SELECT a.line_id, 2 * a.idx + 2, a.x + 3 * b.x, a.y + 3 * b.y
+  FROM {src} a JOIN {src} b
+    ON b.line_id = a.line_id AND b.idx = a.idx + 1
+  UNION ALL
+  SELECT v.line_id, 2 * mx.mi + 1, v.x * 4, v.y * 4
+  FROM {src} v JOIN mx{r} mx
+    ON mx.line_id = v.line_id AND v.idx = mx.mi
+)"""
+
+
+def _stage_stats(src: str, scale: int, tag: str) -> str:
+    """Per-line vertex count, length (original units), and dyadic-exact
+    bending roughness for one smoothing stage."""
+    return f"""
+len{tag} AS (
+  SELECT a.line_id,
+         SUM(SQRT(CAST((b.x - a.x) * (b.x - a.x)
+                       + (b.y - a.y) * (b.y - a.y) AS DOUBLE))) AS s
+  FROM {src} a JOIN {src} b
+    ON b.line_id = a.line_id AND b.idx = a.idx + 1
+  GROUP BY 1
+),
+rg{tag} AS (
+  SELECT a.line_id,
+         CAST(SUM((c.x - 2 * b.x + a.x) * (c.x - 2 * b.x + a.x)
+                  + (c.y - 2 * b.y + a.y) * (c.y - 2 * b.y + a.y))
+              AS BIGINT) AS rough_scaled
+  FROM {src} a
+  JOIN {src} b ON b.line_id = a.line_id AND b.idx = a.idx + 1
+  JOIN {src} c ON c.line_id = a.line_id AND c.idx = a.idx + 2
+  GROUP BY 1
+),
+st{tag} AS (
+  SELECT n.line_id, n.n, l.s, r.rough_scaled
+  FROM (SELECT line_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {src} GROUP BY 1) n
+  JOIN len{tag} l ON l.line_id = n.line_id
+  JOIN rg{tag} r ON r.line_id = n.line_id
+)"""
+
+
+_CHK_TAIL = f"""
+SELECT a.line_id,
+       a.n AS n_before, b.n AS n_after,
+       ROUND(a.s, 4) AS len_before,
+       ROUND(b.s / 16.0, 4) AS len_after,
+       a.rough_scaled AS rough_before,
+       ROUND(CAST(b.rough_scaled AS DOUBLE) / 256.0, 4) AS rough_after
+FROM st0 a JOIN st2 b ON b.line_id = a.line_id
+"""
+
+
+def _chaikin_sql(vsrc: str) -> str:
+    return (
+        f"WITH v AS ({vsrc}),"
+        + _chaikin_round("v", 1) + ","
+        + _chaikin_round("c1", 2) + ","
+        + _stage_stats("v", 1, "0") + ","
+        + _stage_stats("c2", 16, "2")
+        + _CHK_TAIL
+    )
+
+
+_CHK_V_DUCK = f"""
+  SELECT l AS line_id, i AS idx,
+         CAST({_VX} AS BIGINT) AS x, CAST({_VY} AS BIGINT) AS y
+  FROM generate_series(0, {_NL - 1}) a(l),
+       generate_series(0, {_M - 1}) b(i)
+"""
+
+_CHK_V_SPARK = f"""
+  SELECT l AS line_id, i AS idx,
+         CAST({_VX} AS BIGINT) AS x, CAST({_VY} AS BIGINT) AS y
+  FROM (SELECT explode(sequence(0, {_NL - 1})) AS l)
+  CROSS JOIN (SELECT explode(sequence(0, {_M - 1})) AS i)
+"""
+
+
+@register("chaikin_smooth_roads", _chaikin_sql(_CHK_V_DUCK))
+def chaikin_smooth_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact-dyadic Chaikin corner-cutting rounds over the polyline
+    fixture: per-line vertex growth, length change, and the bending
+    roughness the cut shrinks — all integer carriers until the final
+    ratios."""
+    return spark.sql(_chaikin_sql(_CHK_V_SPARK))

@@ -270,3 +270,87 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     |lang| rows, full codegen, no shuffle beyond the final agg."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_READ_SPARK)
+
+
+# --- bitext candidate mining (cross-lingual parallel-corpus discovery) ---------
+#
+# The CCMatrix/CCAligned pipeline verb: find cross-language document
+# pairs that plausibly translate each other.  Anchor features =
+# RARE 5-token shingles (df <= _BT_DF_CAP) — the numbers / names /
+# code spans that survive translation; candidate pairs share >= 2
+# anchors AND pass the 2:1 length-ratio gate (Resnik & Smith's STRAND
+# filters).  Jaccard over each pair's anchor sets ranks candidates.
+#
+# Scale shape: the inverted anchor index bounds every shingle's pair
+# fan-out at df_cap² (the repo's hot-bucket rule — same guard as
+# dedup_ngram_jaccard_capped); the cross-lang constraint a.lang <
+# b.lang halves the join and kills same-language near-dup noise.
+# Length ratio and Jaccard are exact integer predicates.
+
+_BT_DF_CAP = 3
+_BT_MIN_ANCHORS = 2
+
+
+def _bitext_sql(sh_src: str, size_fn: str, split_fn: str) -> str:
+    return f"""
+WITH sh AS ({sh_src}),
+dlen AS (
+  SELECT doc_id, CAST({size_fn}({split_fn}) AS BIGINT) AS n_tok
+  FROM documents
+),
+df AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY 1
+),
+an AS (
+  SELECT sh.doc_id, sh.lang, sh.s
+  FROM sh JOIN df ON df.s = sh.s AND df.c <= {_BT_DF_CAP}
+),
+asz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_anchors FROM an GROUP BY 1
+),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         a.lang AS lang1, b.lang AS lang2,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM an a JOIN an b ON b.s = a.s AND a.lang < b.lang
+  GROUP BY 1, 2, 3, 4
+)
+SELECT p.d1, p.d2, p.lang1, p.lang2, p.n_shared,
+       l1.n_tok AS tok1, l2.n_tok AS tok2,
+       ROUND(CAST(p.n_shared AS DOUBLE)
+             / (s1.n_anchors + s2.n_anchors - p.n_shared), 4)
+         AS anchor_jaccard
+FROM p
+JOIN dlen l1 ON l1.doc_id = p.d1
+JOIN dlen l2 ON l2.doc_id = p.d2
+JOIN asz s1 ON s1.doc_id = p.d1
+JOIN asz s2 ON s2.doc_id = p.d2
+WHERE p.n_shared >= {_BT_MIN_ANCHORS}
+  AND 2 * LEAST(l1.n_tok, l2.n_tok) >= GREATEST(l1.n_tok, l2.n_tok)
+"""
+
+
+_BT_SH_SPARK = f"""
+  SELECT DISTINCT doc_id, lang, s
+  FROM (SELECT doc_id, lang, explode({shingles_from_uh_spark(5)}) AS s
+        FROM (SELECT doc_id, lang, {token_hashes_spark()} AS _uh
+              FROM documents) q0) q1
+"""
+
+_BT_SH_DUCK = f"""
+  SELECT DISTINCT doc_id, lang, UNNEST({shingles_from_uh_duckdb(5)}) AS s
+  FROM (SELECT doc_id, lang, {token_hashes_duckdb()} AS _uh
+        FROM documents) q0
+"""
+
+_BITEXT_SPARK = _bitext_sql(_BT_SH_SPARK, "size", "split(text, ' ')")
+_BITEXT_ORACLE = _bitext_sql(_BT_SH_DUCK, "LEN", "STRING_SPLIT(text, ' ')")
+
+
+@register("bitext_mining_pairs", _BITEXT_ORACLE)
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual parallel-document candidates: rare-shingle anchor
+    blocking (df-capped inverted index), 2:1 length-ratio gate, exact
+    anchor-Jaccard scores."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_BITEXT_SPARK)
