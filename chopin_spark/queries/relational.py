@@ -1082,3 +1082,64 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, link/possible/non-link bands with per-band precision."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_FS_SQL)
+
+
+# --- market-basket association rules (Agrawal & Srikant a-priori pass) ---------
+#
+# Support / confidence / lift over order baskets — the canonical
+# distributed co-occurrence workload (and PMI's basket-data sibling:
+# lift is PMI's exponential on transaction support).  The pair join is
+# a-priori pruned: items below the pair support floor cannot appear in
+# a qualifying pair, so they are dropped BEFORE the per-basket
+# self-join (the hot-bucket rule on basket data); per-basket fan-out
+# is bounded by basket size squared (~4^2 here, never |items|^2).
+#
+# All supports are exact int64; confidence and lift are final
+# correctly-rounded ratios.  Rules are emitted in both directions
+# (confidence is asymmetric).
+
+_MB_MINSUP = 3  # pair support floor (items pruned at the same floor)
+
+_MB_SQL = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS oid, CAST(l_partkey AS BIGINT) AS item
+  FROM lineitem
+),
+ntx AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n FROM b),
+supp AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY 1
+),
+freq AS (SELECT item, s FROM supp WHERE s >= {_MB_MINSUP}),
+fb AS (
+  SELECT b.oid, b.item FROM b JOIN freq f ON f.item = b.item
+),
+pairs AS (
+  SELECT a.item AS i1, c.item AS i2, CAST(COUNT(*) AS BIGINT) AS sab
+  FROM fb a JOIN fb c ON c.oid = a.oid AND a.item < c.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_MB_MINSUP}
+),
+rules AS (
+  SELECT i1 AS antecedent, i2 AS consequent, sab FROM pairs
+  UNION ALL
+  SELECT i2, i1, sab FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.sab AS pair_support,
+       sa.s AS ante_support,
+       ROUND(CAST(r.sab AS DOUBLE) / sa.s, 4) AS confidence,
+       ROUND(CAST(r.sab AS DOUBLE) * ntx.n
+             / (CAST(sa.s AS DOUBLE) * sc.s), 4) AS lift
+FROM rules r
+JOIN supp sa ON sa.item = r.antecedent
+JOIN supp sc ON sc.item = r.consequent
+CROSS JOIN ntx
+"""
+
+
+@register("market_basket_rules", _MB_SQL)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: a-priori-pruned pair
+    supports, directional confidence, lift — exact integer supports,
+    basket-bounded pair fan-out."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_MB_SQL)

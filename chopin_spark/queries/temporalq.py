@@ -888,3 +888,83 @@ def did_purchase_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents-exact cell means, one scan, one agg."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_DID_SQL)
+
+
+# --- CUPED variance-reduced experiment readout (Deng et al. WSDM 2013) ---------
+#
+# The industry-standard pre-period adjustment beside the DiD estimator
+# above: users split by parity (the same synthetic assignment rule as
+# did_purchase_effect), metric Y = second-half purchase count,
+# covariate X = first-half total event count; theta = cov(X,Y)/var(X)
+# pooled, effect_cuped = effect_raw - theta * (pre-period imbalance),
+# variance reduction = R^2 = cov^2/(varX*varY).
+#
+# Exactness: counts are int64; every moment (n, SX, SY, SXY, SXX, SYY
+# and per-arm sums) is an exact integer, so theta / effects / R^2 are
+# single correctly-rounded double expressions over exact carriers —
+# no per-user doubles are ever summed.  Scale: one groupBy user (fact
+# shuffle), then moments fold to ONE row; arms are a broadcast CASE.
+
+_CUPED_BODY = """
+u AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+           AS x,
+         CAST(SUM(CASE WHEN day(ts) > 15
+                        AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE month(ts) = 1
+  GROUP BY 1, 2
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM u
+),
+arms AS (
+  SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0
+  FROM u
+)
+SELECT m.n AS n_users,
+       ROUND((CAST(m.n AS DOUBLE) * m.sxy - CAST(m.sx AS DOUBLE) * m.sy)
+             / (CAST(m.n AS DOUBLE) * m.sxx
+                - CAST(m.sx AS DOUBLE) * m.sx), 6) AS theta,
+       ROUND(CAST(a.sy1 AS DOUBLE) / a.n1
+             - CAST(a.sy0 AS DOUBLE) / a.n0, 6) AS effect_raw,
+       ROUND(CAST(a.sy1 AS DOUBLE) / a.n1
+             - CAST(a.sy0 AS DOUBLE) / a.n0
+             - ((CAST(m.n AS DOUBLE) * m.sxy
+                 - CAST(m.sx AS DOUBLE) * m.sy)
+                / (CAST(m.n AS DOUBLE) * m.sxx
+                   - CAST(m.sx AS DOUBLE) * m.sx))
+               * (CAST(a.sx1 AS DOUBLE) / a.n1
+                  - CAST(a.sx0 AS DOUBLE) / a.n0), 6) AS effect_cuped,
+       ROUND(POWER(CAST(m.n AS DOUBLE) * m.sxy
+                   - CAST(m.sx AS DOUBLE) * m.sy, 2)
+             / ((CAST(m.n AS DOUBLE) * m.sxx
+                 - CAST(m.sx AS DOUBLE) * m.sx)
+                * (CAST(m.n AS DOUBLE) * m.syy
+                   - CAST(m.sy AS DOUBLE) * m.sy)), 6)
+         AS variance_reduction
+FROM mom m CROSS JOIN arms a
+"""
+
+_CUPED_SQL = f"WITH {_CUPED_BODY.strip()}"
+
+
+@register("cuped_adjusted_effect", _CUPED_SQL)
+def cuped_adjusted_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-period covariate adjustment of the parity-split
+    purchase experiment: theta, raw vs adjusted effect, and the R^2
+    variance reduction — all from exact int64 moments."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CUPED_SQL)

@@ -354,3 +354,94 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor-Jaccard scores."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_BITEXT_SPARK)
+
+
+# --- TextTiling topic segmentation (Hearst 1997) --------------------------------
+#
+# Lexical-cohesion segmentation: cosine similarity between adjacent
+# 10-token blocks, boundary wherever the gap similarity drops below
+# mean - std/2 of the doc's gap profile.  Similarities are quantized
+# ONCE to int64 micro-units (FLOOR(cos*1e6 + 0.5) after one sqrt + one
+# division, both correctly rounded), after which the Hearst threshold
+# clears to a PURE INTEGER predicate: with n gaps, S = sum q,
+# V = n*sum q^2 - S^2 (population variance x n^2),
+#     q < S/n - sqrt(V)/(2n)  <=>  L > 0 AND L^2 > V,  L = 2S - 2nq
+# — the segmentation decision is exact int64 comparisons, no float
+# summation anywhere.
+#
+# Scale shape: one groupBy (doc, block, token) — per-doc bounded — and
+# one adjacent-block equi-join per doc; the gap profile is <= 40 rows
+# per doc and never leaves its partition.
+
+_TT_BLK = 10
+
+
+def _texttiling_sql(tok_src: str) -> str:
+    return f"""
+WITH tok AS ({tok_src}),
+blk AS (
+  SELECT doc_id, CAST(FLOOR((pos - 1) / {_TT_BLK}.0) AS BIGINT) AS b,
+         t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2, 3
+),
+norms AS (
+  SELECT doc_id, b, CAST(SUM(c * c) AS BIGINT) AS nrm
+  FROM blk GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.doc_id, a.b, CAST(SUM(a.c * x.c) AS BIGINT) AS dot
+  FROM blk a JOIN blk x
+    ON x.doc_id = a.doc_id AND x.b = a.b + 1 AND x.t = a.t
+  GROUP BY 1, 2
+),
+gaps AS (
+  SELECT n1.doc_id, n1.b,
+         CAST(FLOOR(COALESCE(d.dot, 0)
+                    / SQRT(CAST(n1.nrm AS DOUBLE) * n2.nrm)
+                    * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM norms n1
+  JOIN norms n2 ON n2.doc_id = n1.doc_id AND n2.b = n1.b + 1
+  LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.b = n1.b
+),
+prof AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s,
+         CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS BIGINT) AS v
+  FROM gaps GROUP BY 1
+)
+SELECT g.doc_id,
+       p.n AS n_gaps,
+       p.s AS sum_simq,
+       CAST(MIN(g.q) AS BIGINT) AS min_simq,
+       CAST(SUM(CASE WHEN 2 * p.s - 2 * p.n * g.q > 0
+                      AND (2 * p.s - 2 * p.n * g.q)
+                          * (2 * p.s - 2 * p.n * g.q) > p.v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries
+FROM gaps g JOIN prof p ON p.doc_id = g.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+_TT_TOK_SPARK = """
+  SELECT doc_id, pos + 1 AS pos, t
+  FROM (SELECT doc_id, split(text, ' ') AS _tk FROM documents) q0
+  LATERAL VIEW posexplode(_tk) AS pos, t
+"""
+
+_TT_TOK_DUCK = """
+  SELECT doc_id, i AS pos, _tk[i] AS t
+  FROM (
+    SELECT doc_id, _tk, UNNEST(generate_series(1, LEN(_tk))) AS i
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS _tk FROM documents) q0
+  ) q1
+"""
+
+
+@register("texttiling_segments", _texttiling_sql(_TT_TOK_DUCK))
+def texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling lexical-cohesion segmentation: block-cosine gap
+    profile quantized once, Hearst's mean - std/2 boundary rule cleared
+    to exact integer comparisons; per-doc gap/boundary counts."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_texttiling_sql(_TT_TOK_SPARK))
