@@ -385,3 +385,48 @@ def raster_zonal_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     burned.createOrReplaceTempView("burned")
     return tiles.sparkSession.sql(_ZG_BODY)
 
+
+
+# --- Cohen's kappa map-agreement (remote-sensing accuracy assessment) ----------
+#
+# The standard chance-corrected agreement statistic over the SAME
+# two-raster contingency table as raster_crosstab (Congalton 1991's
+# accuracy-assessment workflow): kappa = (N·Σdiag − Σ rowᵢ·colᵢ) /
+# (N² − Σ rowᵢ·colᵢ).  Every moment is an exact int64 fold of the
+# crosstab (N ~ 10^5 pixels → N² ~ 10^11, comfortable), so kappa is
+# one correctly-rounded division.  The engine side reuses the tile
+# crosstab plan (tile equi-join + fused explode); the oracle folds the
+# same closed-form surface.
+
+_KAPPA_TAIL = """
+SELECT m.n AS n_pixels,
+       m.d AS observed_agree,
+       ROUND(CAST(m.d AS DOUBLE) / m.n, 4) AS po,
+       ROUND(CAST(pe.s AS DOUBLE) / (CAST(m.n AS DOUBLE) * m.n), 4) AS pe,
+       ROUND((CAST(m.n AS DOUBLE) * m.d - pe.s)
+             / (CAST(m.n AS DOUBLE) * m.n - pe.s), 4) AS kappa
+FROM (
+  SELECT CAST(SUM(CASE WHEN class_a = class_b THEN n_pixels ELSE 0 END)
+              AS BIGINT) AS d,
+         CAST(SUM(n_pixels) AS BIGINT) AS n
+  FROM xt
+) m
+CROSS JOIN (
+  SELECT CAST(SUM(r.r * c.cc) AS BIGINT) AS s
+  FROM (SELECT class_a AS c, CAST(SUM(n_pixels) AS BIGINT) AS r
+        FROM xt GROUP BY 1) r
+  JOIN (SELECT class_b AS c, CAST(SUM(n_pixels) AS BIGINT) AS cc
+        FROM xt GROUP BY 1) c ON c.c = r.c
+) pe
+"""
+
+_KAPPA_ORACLE = f"WITH xt AS ({_XTAB_ORACLE}) {_KAPPA_TAIL}"
+
+
+@register("raster_change_kappa", _KAPPA_ORACLE)
+def raster_change_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two stored rasters' class maps —
+    exact int64 crosstab moments, one division; the engine folds the
+    tile-join crosstab, the oracle the closed-form surface."""
+    raster_crosstab(spark, sf_dir).createOrReplaceTempView("xt")
+    return spark.sql(_KAPPA_TAIL)

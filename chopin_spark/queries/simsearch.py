@@ -1261,3 +1261,123 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH lex AS ({_BM25_SPARK}), sem AS (SELECT * FROM rrf_sem),"
         f" {_RRF_TAIL}"
     )
+
+
+# --- Johnson–Lindenstrauss random-projection recall audit ----------------------
+#
+# The third quantization family beside int8 scalar (embedding_int8_
+# recall) and PQ-ADC (pq_adc_recall): project the 64-d embeddings to
+# 16-d with a deterministic ±1 sign matrix (Achlioptas 2001 — database-
+# friendly JL: signs from a hash, no stored matrix), then rank by
+# EXACT integer L2² in the projected space and audit top-10 recall
+# against the float cosine ranking.  Projections reuse the int8
+# quantization so every carrier after the one quantize is exact int64:
+# p_j = Σᵢ s(j,i)·q8(vᵢ) (|p_j| ≤ 64·127), L2² ≤ 16·(2·8128)² < 2^33.
+#
+# Scale shape: the projection is a per-row HOF (own projected column,
+# the no-inline rule) — 16× fewer dimensions shuffled to the ranking
+# join; JL guarantees (1±ε) distance preservation at k = O(ln n/ε²).
+
+_JL_K = 16
+
+
+def _jl_sign(j: str, i: str) -> str:
+    # deterministic ±1: parity AFTER an odd-prime reduction — the raw
+    # low bit of odd-multiplier mixes is the linear (i+j) parity,
+    # which collapses every projection onto one line
+    return f"(1 - 2 * (((({j}) * 2654435761 + ({i}) * 40503) % 97) % 2))"
+
+
+def _jl_proj_duck(src: str) -> str:
+    q8 = _Q8.format(v=f"{src}[i]")
+    return (
+        f"LIST_TRANSFORM(generate_series(1, {_JL_K}), j -> "
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),"
+        f" LIST_TRANSFORM(generate_series(1, {_DIM}),"
+        f" i -> {_jl_sign('j', 'i')} * ({q8}))),"
+        " (a, b) -> a + b))"
+    )
+
+
+def _jl_proj_spark(src: str) -> str:
+    q8 = _Q8.format(v=f"element_at({src}, i)")
+    return (
+        f"transform(sequence(1, {_JL_K}), j -> "
+        f"aggregate(transform(sequence(1, {_DIM}),"
+        f" i -> {_jl_sign('j', 'i')} * ({q8})),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b))"
+    )
+
+
+def _jl_l2_duck() -> str:
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),"
+        f" LIST_TRANSFORM(generate_series(1, {_JL_K}),"
+        " j -> (e.pj[j] - q.pj[j]) * (e.pj[j] - q.pj[j]))),"
+        " (a, b) -> a + b)"
+    )
+
+
+def _jl_l2_spark() -> str:
+    return (
+        f"aggregate(transform(sequence(1, {_JL_K}),"
+        " j -> (element_at(e.pj, j) - element_at(q.pj, j))"
+        " * (element_at(e.pj, j) - element_at(q.pj, j))),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+
+def _jl_sql(proj: str, l2: str, fdot: str, fnorm_e: str, fnorm_q: str) -> str:
+    return f"""
+WITH pe AS (
+  SELECT vec_id, embedding, {proj} AS pj FROM embeddings
+),
+q AS (SELECT vec_id, embedding, pj FROM pe WHERE vec_id = 0),
+js AS (
+  SELECT e.vec_id, {l2} AS l2sq
+  FROM pe e CROSS JOIN q WHERE e.vec_id <> 0
+),
+jr AS (
+  SELECT vec_id, l2sq,
+         ROW_NUMBER() OVER (ORDER BY l2sq ASC, vec_id) AS rank
+  FROM js
+),
+fs AS (
+  SELECT e.vec_id,
+         ROUND({fdot} / ({fnorm_e} * {fnorm_q}), 4) AS cos_sim
+  FROM embeddings e CROSS JOIN (
+    SELECT embedding FROM embeddings WHERE vec_id = 0
+  ) q WHERE e.vec_id <> 0
+),
+fr AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM fs
+)
+SELECT jr.rank, jr.vec_id, jr.l2sq,
+       CAST(CASE WHEN fr.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_float_top10
+FROM jr LEFT JOIN (SELECT vec_id FROM fr WHERE rank <= 10) fr
+  ON fr.vec_id = jr.vec_id
+WHERE jr.rank <= 10
+"""
+
+
+_JL_ORACLE = _jl_sql(
+    _jl_proj_duck("embedding"), _jl_l2_duck(), _DOT, _NORM_E, _NORM_Q
+)
+
+
+@register("jl_projection_recall", _JL_ORACLE)
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random-projection (64-d → 16-d, hash-derived signs) with
+    exact-int64 projected L2² ranking, audited against the float
+    cosine top-10 — the dimension-reduction member of the
+    quantization-recall family."""
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _jl_sql(
+            _jl_proj_spark("embedding"), _jl_l2_spark(),
+            _FDOT_SPARK, _FNORM_E_SPARK, _FNORM_Q_SPARK,
+        )
+    )

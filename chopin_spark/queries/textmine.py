@@ -96,11 +96,16 @@ FROM grams g JOIN per_doc p ON p.doc_id = g.doc_id
 
 _WINNOW_SPARK = f"""
 WITH sh AS (
+  -- posexplode the shingle transform DIRECTLY (the hll/cdc shape):
+  -- projecting the shingle array as its own column first lets the
+  -- optimizer's inferred size(_sh)>0 pre-Generate filter inline the
+  -- WHOLE two-level HOF, where every element_at(_uh_expr, i)
+  -- re-evaluates the full token-hash transform — a measured 1.5 s →
+  -- 129 s blowup at sf0.1
   SELECT doc_id, pos + 1 AS pos, sh
-  FROM (SELECT doc_id, {shingles_from_uh_spark(5)} AS _sh
-        FROM (SELECT doc_id, {token_hashes_spark()} AS _uh
-              FROM documents) q00) q0
-  LATERAL VIEW posexplode(_sh) AS pos, sh
+  FROM (SELECT doc_id, {token_hashes_spark()} AS _uh
+        FROM documents) q0
+  LATERAL VIEW posexplode({shingles_from_uh_spark(5)}) AS pos, sh
 ),
 {_WINNOW_BODY.strip()}
 """
@@ -445,3 +450,68 @@ def texttiling_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exact integer comparisons; per-doc gap/boundary counts."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_texttiling_sql(_TT_TOK_SPARK))
+
+
+# --- Luhn extractive summarization (Luhn 1958) ----------------------------------
+#
+# The original auto-abstract algorithm: significant words = the top-20
+# corpus words excluding stopwords (the RAKE lexicon convention);
+# sentence = the 10-token pseudo-sentence frame (readability_flesch
+# convention); sentence score = (significant-word occurrences)^2 /
+# sentence length; summary = each doc's best sentence (tie -> earliest
+# frame).  All carriers exact int64; the score comparison is cleared
+# of division by cross-multiplying (n1^2*len2 > n2^2*len1), so even
+# the argmax is pure integer — ROUND appears only in the emitted
+# score column.
+#
+# Scale shape: one vocabulary-bounded top-k (broadcast), one
+# (doc, frame) agg, one per-doc argmax window — no pair work.
+
+_LUHN_TOP = 20
+_LUHN_FRAME = 10
+
+
+def _luhn_sql(tok_src: str) -> str:
+    return f"""
+WITH tok AS ({tok_src}),
+sig AS (
+  SELECT t FROM (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS g
+    FROM tok WHERE t NOT IN ('a', 'the')
+    GROUP BY 1
+    ORDER BY g DESC, t ASC LIMIT {_LUHN_TOP}
+  ) q
+),
+frames AS (
+  SELECT doc_id,
+         CAST(FLOOR((pos - 1) / {_LUHN_FRAME}.0) AS BIGINT) AS frame,
+         CAST(COUNT(*) AS BIGINT) AS flen,
+         CAST(SUM(CASE WHEN sig.t IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nsig
+  FROM tok LEFT JOIN sig ON sig.t = tok.t
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, frame, flen, nsig,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           -- integer argmax of nsig^2/flen: order by the exact
+           -- rational via its double image (correctly rounded from
+           -- exact int64 operands), ties broken by earliest frame
+           ORDER BY CAST(nsig * nsig AS DOUBLE) / flen DESC, frame ASC
+         ) AS rk
+  FROM frames
+)
+SELECT doc_id, frame AS best_frame, flen, nsig,
+       ROUND(CAST(nsig * nsig AS DOUBLE) / flen, 4) AS luhn_score
+FROM best WHERE rk = 1
+"""
+
+
+@register("luhn_extract_summary", _luhn_sql(_TT_TOK_DUCK))
+def luhn_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn auto-abstract: best 10-token frame per document by
+    significant-word density (top-20 non-stopword lexicon), integer
+    carriers with an exact-rational argmax."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_luhn_sql(_TT_TOK_SPARK))

@@ -295,3 +295,21 @@ def test_mobility_queries_have_no_pair_join(spark):
         df = entry_mod.queries()[name](spark, SF_SMOKE)
         p = plan_of(df)
         assert "Join" not in p, name
+
+
+def test_winnowing_no_hof_in_generate_filter(spark):
+    """The optimizer's inferred size()>0 pre-Generate filter must not
+    contain the two-level shingle HOF: projecting the shingle array as
+    its own column lets the filter inline the whole expression, where
+    every element_at(_uh_expr, i) re-evaluates the token-hash
+    transform — a measured 1.5 s → 129 s blowup at sf0.1 (fixed by
+    posexploding the transform directly, the hll/cdc shape)."""
+    p = plan_of(entry_mod.queries()["winnowing_fingerprints"](spark, SF_SMOKE))
+    # the charfold tokenizer may appear in projections (once per
+    # branch), never inside a Filter condition
+    for line in p.split("\n"):
+        if "Filter" in line and "PushedFilters" not in line:
+            assert "ascii" not in line, (
+                "winnowing: tokenizer HOF inlined into a Filter — the "
+                "129 s pre-Generate blowup is back"
+            )
