@@ -216,3 +216,84 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-scores cleared to one sqrt + one division per term."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_BD_SPARK)
+
+
+# --- IPS off-policy evaluation (Horvitz-Thompson / Li et al. 2011) -------------
+#
+# Offline evaluation of a target content-selection policy from logged
+# interaction data — the recsys/bandit counterpart to the causal
+# family in temporalq: context = lang, logged arm = ingest source,
+# reward = length-quality indicator (n_chars >= 300), logging
+# propensity = the empirical p(source|lang) on the eval split.  The
+# target policy is trained on the doc_id%2=0 half (argmax per-lang
+# mean reward, tie -> source asc) and evaluated on the held-out half.
+#
+# With empirical propensities the per-lang IPS sum COLLAPSES exactly:
+# every matched row shares the same arm, so sum(r/p)/n =
+# R_matched / n_matched — the estimator is a ratio of exact int64
+# counts (the collapse is documented, not accidental; with true
+# propensities the terms would differ and need the dyadic-sum
+# discipline).  DM (direct method) reuses the train-split mean.
+#
+# Scale: two groupBys (train stats, eval stats) over (lang, source) —
+# vocabulary-bounded; the policy is a broadcast-sized dimension.
+
+_IPS_RW = "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END"
+
+_IPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, CAST({_IPS_RW} AS BIGINT) AS r,
+         -- fold on floor(doc_id/20) parity: source IS doc_id % 20 in
+         -- the fixture, so a doc_id%2 fold would put every even source
+         -- in train and every odd source in eval (zero matched rows);
+         -- (x - x%20)/20 is the exact-integer-division idiom (bare
+         -- CAST(x/20) truncates in Spark but rounds in DuckDB)
+         CAST((doc_id - (doc_id % 20)) / 20 AS BIGINT) % 2 AS fold
+  FROM documents
+),
+train AS (
+  SELECT lang, source,
+         CAST(SUM(r) AS BIGINT) AS rs, CAST(COUNT(*) AS BIGINT) AS c
+  FROM d WHERE fold = 0 GROUP BY 1, 2
+),
+policy AS (
+  SELECT lang, source AS arm,
+         ROUND(CAST(rs AS DOUBLE) / c, 4) AS dm_value
+  FROM (
+    SELECT lang, source, rs, c,
+           ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY CAST(rs AS DOUBLE) / c DESC, source ASC
+           ) AS rk
+    FROM train
+  ) q WHERE rk = 1
+),
+eval_stats AS (
+  SELECT d.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(CASE WHEN d.source = p.arm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_matched,
+         CAST(SUM(CASE WHEN d.source = p.arm THEN d.r ELSE 0 END)
+              AS BIGINT) AS r_matched
+  FROM d JOIN policy p ON p.lang = d.lang
+  WHERE d.fold = 1
+  GROUP BY 1
+)
+SELECT e.lang, p.arm AS target_arm, e.n_eval, e.n_matched,
+       -- NULL when the target arm never appears in the eval fold
+       -- (IPS undefined; Spark ANSI raises on /0, DuckDB returns inf)
+       CASE WHEN e.n_matched = 0 THEN NULL
+            ELSE ROUND(CAST(e.r_matched AS DOUBLE) / e.n_matched, 4)
+       END AS ips_value,
+       p.dm_value
+FROM eval_stats e JOIN policy p ON p.lang = e.lang
+"""
+
+
+@register("ips_offline_policy_eval", _IPS_SQL)
+def ips_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of the per-lang best-source policy:
+    train/eval doc split, empirical-propensity IPS (exactly collapsing
+    to a matched-row count ratio) beside the direct-method estimate."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_IPS_SQL)

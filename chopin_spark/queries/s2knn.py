@@ -624,3 +624,79 @@ def nearest_poi_sphere_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return accepted.unionByName(residue).select(
         "doc_id", "poi_id", F.round("_d", 2).alias("dist_m")
     )
+
+
+# --- great-circle cross-track distance (corridor proximity) -------------------
+#
+# The third spherical primitive beside haversine (this module) and the
+# Andoyer geodesic (geodesic_nearest_city): signed cross-track
+# distance from each geocoded document to the great circle through
+# A=(-120,30), B=(-75,42) — the "how far off the corridor" verb used
+# for flight/shipping-lane and pipeline-buffer analyses.  Vector
+# formulation (no bearings/atan2): with unit vectors a, b, p and the
+# circle normal n = a x b / |a x b|,  dxt = asin(p . n) * R.
+#
+# Determinism: SIN/COS/ASIN are correctly rounded in both engines'
+# libm for these magnitudes to within the ROUND(4)/coarse-band grain
+# (the module-wide haversine argument); the band edges are 100 km so a
+# sub-ulp disagreement cannot cross one.  Scale: pure column math —
+# one projection chain, one partial+final band agg.
+
+_XT_A = (-120.0, 30.0)
+_XT_B = (-75.0, 42.0)
+
+
+def _xt_sql() -> str:
+    def unit(lon: str, lat: str, tag: str) -> str:
+        return (
+            f"COS(RADIANS({lat})) * COS(RADIANS({lon})) AS {tag}x, "
+            f"COS(RADIANS({lat})) * SIN(RADIANS({lon})) AS {tag}y, "
+            f"SIN(RADIANS({lat})) AS {tag}z"
+        )
+
+    r = float(s2.EARTH_RADIUS_M)
+    return f"""
+WITH ab AS (
+  SELECT {unit(str(_XT_A[0]), str(_XT_A[1]), 'a')},
+         {unit(str(_XT_B[0]), str(_XT_B[1]), 'b')}
+),
+nrm AS (
+  SELECT ay * bz - az * by AS nx,
+         az * bx - ax * bz AS ny,
+         ax * by - ay * bx AS nz
+  FROM ab
+),
+nn AS (
+  SELECT nx / SQRT(nx * nx + ny * ny + nz * nz) AS nx,
+         ny / SQRT(nx * nx + ny * ny + nz * nz) AS ny,
+         nz / SQRT(nx * nx + ny * ny + nz * nz) AS nz
+  FROM nrm
+),
+docs AS (
+  SELECT doc_id, {unit('lon', 'lat', 'p')}
+  FROM (SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents) q
+),
+xt AS (
+  SELECT d.doc_id,
+         ASIN(d.px * nn.nx + d.py * nn.ny + d.pz * nn.nz) * {r!r} AS dxt
+  FROM docs d CROSS JOIN nn
+)
+SELECT CAST(FLOOR(ABS(dxt) / 100000.0) AS BIGINT) AS band_100km,
+       CAST(SUM(CASE WHEN dxt >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_left,
+       CAST(SUM(CASE WHEN dxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_right,
+       ROUND(MIN(ABS(dxt)), 4) AS min_abs_m,
+       ROUND(MAX(ABS(dxt)), 4) AS max_abs_m
+FROM xt
+GROUP BY 1
+"""
+
+
+@register("corridor_cross_track", _xt_sql())
+def corridor_cross_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed great-circle cross-track distance from every geocoded doc
+    to the A-B corridor, folded to 100 km side-split bands — pure
+    column math, vector formulation (no atan2)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_xt_sql())

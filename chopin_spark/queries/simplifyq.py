@@ -248,5 +248,25 @@ def chaikin_smooth_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two exact-dyadic Chaikin corner-cutting rounds over the polyline
     fixture: per-line vertex growth, length change, and the bending
     roughness the cut shrinks — all integer carriers until the final
-    ratios."""
-    return spark.sql(_chaikin_sql(_CHK_V_SPARK))
+    ratios.
+
+    Spark composes the rounds imperatively with a localCheckpoint per
+    stage: each round references its source 5x and the stats CTEs 8x
+    more, and Spark inlines WITH chains per reference (no common-
+    subplan reuse — the tile-pyramid lesson), which blew planning +
+    codegen to 6.5 s for a 1320-row fixture as one statement; the
+    cascade runs in ~1 s.  The oracle stays one text (DuckDB reuses
+    CTEs)."""
+    spark.sql(f"SELECT * FROM ({_CHK_V_SPARK}) q").localCheckpoint(
+    ).createOrReplaceTempView("chk_v")
+    for rnd, src in ((1, "chk_v"), (2, "chk_c1")):
+        spark.sql(
+            f"WITH {_chaikin_round(src, rnd).strip()}"
+            f" SELECT * FROM c{rnd}"
+        ).localCheckpoint().createOrReplaceTempView(f"chk_c{rnd}")
+    return spark.sql(
+        "WITH "
+        + _stage_stats("chk_v", 1, "0").strip() + ","
+        + _stage_stats("chk_c2", 16, "2").strip()
+        + _CHK_TAIL
+    )

@@ -2009,3 +2009,86 @@ def zone_min_rotated_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     convex_hull_vertices(docs).createOrReplaceTempView("hull_verts")
     return spark.sql(_MRR_SPARK)
+
+
+# --- RANSAC robust line fit (Fischler & Bolles 1981) ---------------------------
+#
+# Deterministic-hypothesis RANSAC over the document point pattern: 64
+# candidate lines through LCG-drawn point pairs (doc_id is contiguous
+# from 0 at every sf, so the draw is pure modular arithmetic), inlier
+# = perpendicular distance <= tol, winner = max inlier count (tie:
+# smallest hypothesis id).  The distance test clears the division:
+# cross((P2-P1), (P-P1))^2 <= tol^2 * |P2-P1|^2 — cross is exact int64
+# (< 2^41 on quantized meters... here < 2^41? coords < 2^20 so cross
+# < 2^41), and both squared sides are single correctly-rounded double
+# products of exact ints — identical in both engines, so the inlier
+# predicate is deterministic.
+#
+# Scale shape: hypotheses are a fixed 64-row broadcast dimension; the
+# inlier count is one (hypothesis x fact) broadcast join + agg — fact
+# rows are touched 64x by column math, never pairwise with each other.
+
+_RS_NHYP = 64
+_RS_TOL = 20_000.0  # metres
+
+
+def _ransac_sql(hyp_seq: str) -> str:
+    return f"""
+WITH pts AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(FLOOR({_DOC_X}) AS BIGINT) AS x,
+         CAST(FLOOR({_DOC_Y}) AS BIGINT) AS y
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pts),
+hyp0 AS (
+  SELECT h, (h * 69069 + 7) % n.c AS ia, (h * 48271 + 13) % n.c AS ib
+  FROM ({hyp_seq}) q CROSS JOIN n
+),
+hyp AS (
+  SELECT h0.h, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM hyp0 h0
+  JOIN pts a ON a.id = h0.ia
+  JOIN pts b ON b.id = h0.ib
+  WHERE a.x <> b.x OR a.y <> b.y
+),
+scored AS (
+  SELECT hyp.h, hyp.x1, hyp.y1, hyp.x2, hyp.y2,
+         CAST(SUM(CASE WHEN
+           CAST((hyp.x2 - hyp.x1) * (p.y - hyp.y1)
+                - (hyp.y2 - hyp.y1) * (p.x - hyp.x1) AS DOUBLE)
+           * CAST((hyp.x2 - hyp.x1) * (p.y - hyp.y1)
+                  - (hyp.y2 - hyp.y1) * (p.x - hyp.x1) AS DOUBLE)
+           <= {_RS_TOL} * {_RS_TOL}
+              * (CAST((hyp.x2 - hyp.x1) * (hyp.x2 - hyp.x1)
+                      + (hyp.y2 - hyp.y1) * (hyp.y2 - hyp.y1) AS DOUBLE))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+         CAST(COUNT(*) AS BIGINT) AS n_pts
+  FROM hyp CROSS JOIN pts p
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT h AS best_hypothesis, x1, y1, x2, y2, n_inliers,
+       ROUND(CAST(n_inliers AS DOUBLE) / n_pts, 4) AS inlier_share
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_inliers DESC, h ASC) AS rk
+  FROM scored
+) q WHERE rk = 1
+"""
+
+
+_RS_SEQ_SPARK = (
+    "SELECT CAST(x AS BIGINT) AS h"
+    f" FROM (SELECT explode(sequence(0, {_RS_NHYP - 1})) AS x)"
+)
+_RS_SEQ_DUCK = (
+    "SELECT CAST(UNNEST(generate_series(0,"
+    f" {_RS_NHYP - 1})) AS BIGINT) AS h"
+)
+
+
+@register("ransac_line_fit", _ransac_sql(_RS_SEQ_DUCK))
+def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC consensus line over the document points: 64 deterministic
+    LCG hypotheses, division-free inlier tests, max-consensus winner."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ransac_sql(_RS_SEQ_SPARK))
