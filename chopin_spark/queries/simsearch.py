@@ -989,15 +989,26 @@ def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("s"),
     ).localCheckpoint()
     qs = sig.filter(F.col("vec_id") == 0).select("s")
-    flips = [
-        F.expr(_mp_aflip("s", str(1 << k))) for k in range(_MP_PLANES)
-    ] + [
-        F.expr(_mp_aflip(_mp_aflip("s", str(1 << k1)), str(1 << k2)))
-        for k1 in range(_MP_PLANES)
-        for k2 in range(k1 + 1, _MP_PLANES)
-    ]
+    # probe set as ONE nested-HOF array (s ^ bit == the oracle's
+    # arithmetic flip, bit-for-bit): the old 137 inlined flip
+    # expressions (Hamming-2 nests doubling the tree) blew whole-stage
+    # codegen's 64 KB method cap — Spark disabled codegen for the plan
+    # on every bench rep.  The HOF form is a few hundred bytes; it runs
+    # interpreted over exactly ONE row (the query signature).
     probes = qs.select(
-        F.explode(F.array(F.col("s"), *flips)).alias("probe")
+        F.explode(
+            F.expr(
+                "flatten(array("
+                " array(s),"
+                f" transform(sequence(0, {_MP_PLANES - 1}),"
+                "   k -> s ^ shiftleft(CAST(1 AS BIGINT), k)),"
+                f" flatten(transform(sequence(0, {_MP_PLANES - 2}),"
+                f"   k1 -> transform(sequence(k1 + 1, {_MP_PLANES - 1}),"
+                "     k2 -> s ^ shiftleft(CAST(1 AS BIGINT), k1)"
+                "            ^ shiftleft(CAST(1 AS BIGINT), k2))))"
+                "))"
+            )
+        ).alias("probe")
     )
     cand = (
         sig.join(F.broadcast(probes), sig.s == F.col("probe"))
