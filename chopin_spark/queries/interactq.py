@@ -244,3 +244,73 @@ def huff_gravity_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.sum("shq") / 1.0e9, 4).alias("expected_visits"),
     )
+
+
+# --- radiation model (Simini, González, Maritan & Barabási 2012) ---------------
+#
+# The parameter-free spatial-interaction model beside the fitted Huff
+# gravity above: expected flux fraction from origin i to destination j
+#     p_ij = m_i n_j / ((m_i + s_ij)(m_i + n_j + s_ij))
+# where s_ij = total population strictly closer to i than j (excluding
+# both endpoints) — the "intervening opportunities" term that replaces
+# gravity's decay exponent.  Zones = the 8x6 doc grid with population
+# = doc counts; centroid distances are exact integer squares, so the
+# s_ij radius test (d²_ik < d²_ij) and every carrier before the final
+# ratio are exact int64.
+#
+# Scale shape: zones are metadata-sized aggregates of the fact scan
+# (one groupBy); the O(Z³) intervening-opportunity triple stage runs
+# entirely on that broadcast-sized zone table — at web scale Z is the
+# analyst's grid choice, never the fact cardinality.
+
+_RAD_NX, _RAD_NY = 8, 6
+_RAD_CW = 800000 // _RAD_NX  # 100 km cells
+_RAD_CH = 600000 // _RAD_NY
+
+_RAD_SQL = f"""
+WITH z AS (
+  SELECT CAST(FLOOR(({_DX}) / {_RAD_CW}) AS BIGINT) AS gx,
+         CAST(FLOOR(({_DY}) / {_RAD_CH}) AS BIGINT) AS gy,
+         CAST(COUNT(*) AS BIGINT) AS pop
+  FROM documents
+  GROUP BY 1, 2
+),
+zz AS (
+  SELECT gx * {_RAD_NY} + gy AS zid,
+         gx * {_RAD_CW} + {_RAD_CW // 2} AS cx,
+         gy * {_RAD_CH} + {_RAD_CH // 2} AS cy,
+         pop
+  FROM z
+),
+pairs AS (
+  SELECT i.zid AS i, j.zid AS j, i.pop AS mi, j.pop AS nj,
+         i.cx AS icx, i.cy AS icy,
+         (i.cx - j.cx) * (i.cx - j.cx)
+         + (i.cy - j.cy) * (i.cy - j.cy) AS d2
+  FROM zz i JOIN zz j ON i.zid <> j.zid
+),
+svals AS (
+  SELECT p.i, p.j, p.mi, p.nj,
+         CAST(COALESCE(SUM(CASE WHEN k.zid <> p.i AND k.zid <> p.j
+                        AND (k.cx - p.icx) * (k.cx - p.icx)
+                            + (k.cy - p.icy) * (k.cy - p.icy) < p.d2
+                       THEN k.pop ELSE 0 END), 0) AS BIGINT) AS s
+  FROM pairs p CROSS JOIN zz k
+  GROUP BY 1, 2, 3, 4
+)
+SELECT i, j, mi, nj, s,
+       ROUND(CAST(mi AS DOUBLE) * nj
+             / (CAST(mi + s AS DOUBLE) * (mi + nj + s)), 6) AS p_flux
+FROM svals
+ORDER BY p_flux DESC, i ASC, j ASC
+LIMIT 30
+"""
+
+
+@register("radiation_model_flux", _RAD_SQL)
+def radiation_model_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter-free radiation-model flux fractions between doc-grid
+    zones: intervening-opportunity sums on exact integer distances,
+    top-30 origin-destination pairs."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_RAD_SQL)

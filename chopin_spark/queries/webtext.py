@@ -1630,3 +1630,70 @@ def term_dist_jsd_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-drift alarm of a continuously refreshed corpus."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_JSD_SPARK)
+
+
+# --- global motif census (wedges, 3-stars, triangles, transitivity) -----------
+#
+# The whole-graph summary over host_triangle_counts' fixture: wedge
+# and 3-star counts come from degree combinatorics (sum C(d,2),
+# sum C(d,3) — exact int64: the products are divisible by 2!/3! so the
+# one double division is an exact integer), the triangle total from
+# the same degree-ordered wedge join, and the global transitivity
+# ratio 3T / wedges ties them together (Newman's clustering
+# coefficient).  One degree agg + the oriented join — no new shuffle
+# shapes; the census is the broadcast-sized tail of the triangle plan.
+
+_MOTIF_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM (
+    SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst
+    FROM documents WHERE {_TRI_SRC} <> {_TRI_DST}
+  ) raw
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) n
+  GROUP BY node
+),
+ore AS (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND u < v)
+              THEN v ELSE u END AS t
+  FROM und
+  JOIN deg d1 ON d1.node = u
+  JOIN deg d2 ON d2.node = v
+),
+tri AS (
+  SELECT COUNT(*) AS t3
+  FROM ore e1
+  JOIN ore e2 ON e2.s = e1.t
+  JOIN ore e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) AS BIGINT) AS deg_sum,
+         CAST(SUM(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) AS wedges,
+         CAST(SUM(CAST(d * (d - 1) * (d - 2) / 6 AS BIGINT)) AS BIGINT)
+           AS three_stars,
+         CAST(MAX(d) AS BIGINT) AS max_degree
+  FROM deg
+)
+SELECT m.n_nodes,
+       CAST(m.deg_sum / 2 AS BIGINT) AS n_edges,
+       m.max_degree, m.wedges, m.three_stars,
+       CAST(tri.t3 AS BIGINT) AS triangles,
+       ROUND(3.0 * tri.t3 / m.wedges, 6) AS transitivity
+FROM moments m CROSS JOIN tri
+"""
+
+
+@register("graph_motif_census", _MOTIF_SQL)
+def graph_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph motif census: wedges / 3-stars from degree
+    combinatorics, triangle total from the degree-ordered join, global
+    transitivity — the graph-health summary beside the per-host
+    kernels."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_MOTIF_SQL)
