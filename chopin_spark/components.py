@@ -416,6 +416,44 @@ def bfs_depths(
     return visited
 
 
+def bfs_depths_labeled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+) -> DataFrame:
+    """All-sources labeled BFS: (s, node, depth) with depth = minimum
+    hop count from EACH source s — the all-pairs-distances primitive
+    behind closeness/harmonic centrality.  Identical per-round shape
+    to :func:`bfs_depths` with the key widened to (s, node): frontier
+    ⋈ edges → distinct → anti-join visited.  State is |sources|·|V|
+    worst case — the centrality regime where |sources| is a chosen
+    pivot set (here: all 97 hosts; at web scale the standard practice
+    is a sampled pivot set, same plan)."""
+    edges = edges.select("src", "dst").localCheckpoint()
+    visited = (
+        sources.select(F.col("node").alias("s"))
+        .distinct()
+        .withColumn("node", F.col("s"))
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("s", "node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("s", "node"), ["s", "node"], "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("s", "node")
+    return visited
+
+
 def pointer_jump(
     succ: DataFrame,
     node: str = "node",

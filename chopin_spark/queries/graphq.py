@@ -892,3 +892,256 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seed long, ecc_seed long, far_node long, diameter_lb long,"
         " antipode long, n_reached long",
     )
+
+
+# --- closeness + harmonic centrality (all-pairs BFS) ---------------------------
+#
+# The distance-based centrality pair beside PageRank/HITS/k-core:
+# closeness (Bavelas/Freeman, reached-only normalization) and harmonic
+# centrality (Boldi & Vigna 2014 — Common Crawl publishes exactly this
+# per host).  Distances from components.bfs_depths_labeled (all-pairs
+# labeled BFS on the symmetrized host graph; at web scale the source
+# side becomes a sampled pivot set, same plan).  Harmonic mass is
+# quantized per term (FLOOR(1e6/d + 0.5) — 1/d of an int, one
+# correctly-rounded division) so the centrality SUM is exact int64 —
+# no float summation anywhere; closeness is one final ratio.
+
+_CC_CAP = 16
+
+_CLOSE_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT * FROM {_DS_UEDGES}),
+n AS (SELECT DISTINCT src AS node FROM e),
+w(s, node, depth) AS (
+  SELECT node, node, 0 FROM n
+  UNION
+  SELECT w.s, e.dst, w.depth + 1
+  FROM w JOIN e ON e.src = w.node
+  WHERE w.depth < {_CC_CAP}
+),
+d AS (
+  SELECT s, node, CAST(MIN(depth) AS BIGINT) AS dist
+  FROM w GROUP BY 1, 2
+)
+SELECT s AS host_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum,
+       ROUND(CAST(COUNT(*) - 1 AS DOUBLE) / SUM(dist), 6) AS closeness,
+       CAST(SUM(CASE WHEN dist > 0
+                     THEN CAST(FLOOR(1000000.0 / dist + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS harmonic_u
+FROM d GROUP BY 1
+"""
+
+
+@register("closeness_harmonic_centrality", _CLOSE_ORACLE)
+def closeness_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + harmonic centrality per host from all-pairs labeled
+    BFS — per-term-quantized harmonic mass (exact int64 sums), one
+    final closeness ratio."""
+    from chopin_spark.components import bfs_depths_labeled
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(f"SELECT * FROM {_DS_UEDGES}")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    d = bfs_depths_labeled(edges, nodes, max_depth=_CC_CAP)
+    return d.groupBy(F.col("s").alias("host_id")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+        F.sum("depth").cast("long").alias("dist_sum"),
+        F.round(
+            (F.count(F.lit(1)) - 1).cast("double") / F.sum("depth"), 6
+        ).alias("closeness"),
+        F.sum(
+            F.when(
+                F.col("depth") > 0,
+                F.floor(F.lit(1000000.0) / F.col("depth") + 0.5).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("harmonic_u"),
+    )
+
+
+# --- betweenness centrality (Brandes 2001, depth-bounded, exact int64) ---------
+#
+# The last classic centrality: for every source, forward sweep counts
+# shortest paths per depth level (sigma), backward sweep accumulates
+# dependencies delta(v) = sum over DAG successors w of
+# sigma(v)/sigma(w) * (1 + delta(w)).  Dependencies are rationals, so
+# each TERM is quantized once to micro-units
+# (FLOOR(sigma_v*(1e6 + dq_w)/sigma_w + 0.5) — one correctly-rounded
+# division of exact ints, identical in both engines), after which
+# every accumulation is an exact int64 SUM — reduction-order-free.
+# The horizon is capped at _BC_CAP hops (both engines; fixture
+# eccentricities are ~6, so the cap is not binding — at web scale the
+# same cap IS the standard k-bounded-betweenness practice).
+#
+# Scale shape: state is |pivots| x |V| (pivot sampling at web scale);
+# rounds = 2 x diameter, each one (s, node)-keyed equi-join + agg with
+# a lineage cut — the Pregel Brandes plan.  The oracle unrolls the
+# same rounds as a CTE chain.
+
+_BC_CAP = 12
+
+
+def _bc_oracle() -> str:
+    parts = [
+        f"WITH RECURSIVE e AS MATERIALIZED (SELECT * FROM {_DS_UEDGES})",
+        "n AS (SELECT DISTINCT src AS node FROM e)",
+        f"""w(s, node, depth) AS (
+  SELECT node, node, 0 FROM n
+  UNION
+  SELECT w.s, e.dst, w.depth + 1
+  FROM w JOIN e ON e.src = w.node
+  WHERE w.depth < {_BC_CAP}
+)""",
+        # MATERIALIZED: d and sig are referenced by every unrolled round —
+        # DuckDB inlines plain CTEs per reference (file-handle and
+        # plan blowup; the raster_morph_open lesson)
+        "d AS MATERIALIZED (SELECT s, node, CAST(MIN(depth) AS BIGINT) AS dist"
+        " FROM w GROUP BY 1, 2)",
+        "sig0 AS (SELECT node AS s, node, CAST(1 AS BIGINT) AS sig FROM n)",
+    ]
+    for k in range(1, _BC_CAP + 1):
+        parts.append(f"""sig{k} AS (
+  SELECT p.s, dd.node, CAST(SUM(p.sig) AS BIGINT) AS sig
+  FROM sig{k - 1} p
+  JOIN e ON e.src = p.node
+  JOIN d dd ON dd.s = p.s AND dd.node = e.dst AND dd.dist = {k}
+  GROUP BY 1, 2
+)""")
+    parts.append(
+        "sig AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM sig{k}"
+                             for k in range(_BC_CAP + 1))
+        + ")"
+    )
+    parts.append(
+        f"del{_BC_CAP} AS (SELECT s, node, CAST(0 AS BIGINT) AS dq"
+        f" FROM d WHERE dist = {_BC_CAP})"
+    )
+    for k in range(_BC_CAP - 1, 0, -1):
+        parts.append(f"""del{k} AS (
+  SELECT dv.s, dv.node,
+         CAST(COALESCE(SUM(
+           CAST(FLOOR(sv.sig * (1000000.0 + dw.dq) / sw.sig + 0.5)
+                AS BIGINT)), 0) AS BIGINT) AS dq
+  FROM d dv
+  JOIN sig sv ON sv.s = dv.s AND sv.node = dv.node
+  LEFT JOIN e ON e.src = dv.node
+  LEFT JOIN d dn ON dn.s = dv.s AND dn.node = e.dst
+                AND dn.dist = {k + 1}
+  LEFT JOIN sig sw ON sw.s = dn.s AND sw.node = dn.node
+  LEFT JOIN del{k + 1} dw ON dw.s = dn.s AND dw.node = dn.node
+  WHERE dv.dist = {k}
+  GROUP BY 1, 2
+)""")
+    parts.append(
+        "alldel AS ("
+        + " UNION ALL ".join(f"SELECT * FROM del{k}"
+                             for k in range(1, _BC_CAP + 1))
+        + ")"
+    )
+    tail = """
+SELECT node AS host_id,
+       CAST(SUM(dq) AS BIGINT) AS betweenness_u,
+       ROUND(CAST(SUM(dq) AS DOUBLE) / 2000000.0, 4) AS betweenness
+FROM alldel
+GROUP BY 1
+HAVING SUM(dq) > 0
+"""
+    return ",\n".join(parts) + tail
+
+
+@register("betweenness_brandes", _bc_oracle())
+def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded exact Brandes betweenness on the symmetrized host
+    graph: labeled-BFS sigma levels forward, per-term-quantized
+    dependency accumulation backward — all int64 carriers; the
+    undirected double-count divides out in the final scaling."""
+    from chopin_spark.components import bfs_depths_labeled
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(f"SELECT * FROM {_DS_UEDGES}").localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    d = bfs_depths_labeled(edges, nodes, max_depth=_BC_CAP).localCheckpoint()
+
+    # forward: sigma per depth level (explicit renames — alias() reuse
+    # of the same checkpointed frame trips Spark's resolver)
+    sig = nodes.select(
+        F.col("node").alias("s"), "node", F.lit(1).cast("long").alias("sig")
+    ).localCheckpoint()
+    ev = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
+    level = sig
+    for k in range(1, _BC_CAP + 1):
+        dd = d.filter(F.col("depth") == k).select(
+            F.col("s").alias("dds"), F.col("node").alias("ddnode")
+        )
+        level = (
+            level.join(ev, level.node == ev.esrc)
+            .join(dd, (F.col("dds") == F.col("s"))
+                  & (F.col("ddnode") == F.col("edst")))
+            .groupBy(F.col("s"), F.col("ddnode").alias("node2"))
+            .agg(F.sum("sig").cast("long").alias("sig"))
+            .withColumnRenamed("node2", "node")
+            .localCheckpoint()
+        )
+        if level.isEmpty():
+            break
+        sig = sig.unionByName(level).localCheckpoint()
+
+    # backward: quantized dependency accumulation, deepest level first
+    maxd = d.agg(F.max("depth")).collect()[0][0]  # scalar round count
+    delta = (
+        d.filter(F.col("depth") == maxd)
+        .select("s", "node", F.lit(0).cast("long").alias("dq"))
+        .localCheckpoint()
+    )
+    acc = delta
+    sv = sig.select(F.col("s").alias("vs"), F.col("node").alias("vnode"),
+                    F.col("sig").alias("vsig"))
+    sw = sig.select(F.col("s").alias("ws"), F.col("node").alias("wnode"),
+                    F.col("sig").alias("wsig"))
+    for k in range(maxd - 1, 0, -1):
+        dv = d.filter(F.col("depth") == k).select("s", "node")
+        dn = d.filter(F.col("depth") == k + 1).select(
+            F.col("s").alias("ns"), F.col("node").alias("nnode")
+        )
+        dw = delta.select(F.col("s").alias("qs"), F.col("node").alias("qnode"),
+                          F.col("dq").alias("qdq"))
+        term = (
+            dv.join(sv, (F.col("vs") == F.col("s"))
+                    & (F.col("vnode") == F.col("node")))
+            .join(ev, F.col("esrc") == F.col("node"), "left")
+            .join(dn, (F.col("ns") == F.col("s"))
+                  & (F.col("nnode") == F.col("edst")), "left")
+            .join(sw, (F.col("ws") == F.col("ns"))
+                  & (F.col("wnode") == F.col("nnode")), "left")
+            .join(dw, (F.col("qs") == F.col("ns"))
+                  & (F.col("qnode") == F.col("nnode")), "left")
+            .groupBy("s", "node")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.floor(
+                            F.col("vsig")
+                            * (F.lit(1000000.0) + F.col("qdq"))
+                            / F.col("wsig")
+                            + 0.5
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("dq")
+            )
+            .localCheckpoint()
+        )
+        delta = term
+        acc = acc.unionByName(term).localCheckpoint()
+
+    return (
+        acc.groupBy(F.col("node").alias("host_id"))
+        .agg(F.sum("dq").cast("long").alias("betweenness_u"))
+        .filter(F.col("betweenness_u") > 0)
+        .select(
+            "host_id", "betweenness_u",
+            F.round(F.col("betweenness_u").cast("double") / 2000000.0, 4)
+            .alias("betweenness"),
+        )
+    )
