@@ -1684,7 +1684,9 @@ SELECT m.n_nodes,
        CAST(m.deg_sum / 2 AS BIGINT) AS n_edges,
        m.max_degree, m.wedges, m.three_stars,
        CAST(tri.t3 AS BIGINT) AS triangles,
-       ROUND(3.0 * tri.t3 / m.wedges, 6) AS transitivity
+       -- CAST, not a 3.0 literal: Spark types `3.0` as DECIMAL and the
+       -- whole ratio arrives as Decimal object (DuckDB: DOUBLE)
+       ROUND(CAST(3 * tri.t3 AS DOUBLE) / m.wedges, 6) AS transitivity
 FROM moments m CROSS JOIN tri
 """
 
