@@ -422,11 +422,255 @@ def webmercator_inverse_xy_sql(x: str, y: str) -> tuple[str, str]:
     return lon, lat
 
 
+# --- Transverse Mercator / UTM, ELLIPSOIDAL (EPSG:326xx exact) --------------
+#
+# Snyder PP 1395 eqs. 8-9..8-15 (forward) and 8-17..8-25 + 3-21/3-26
+# (inverse, footpoint-latitude series) on GRS80/WGS84 — the true UTM
+# projected CRS family (EPSG:32601-32660), completing the reference's
+# two-way reproject_std parity (/root/reference/R/check.R:129-157) for
+# the third projected-CRS family after Albers 5070 and LAEA 3035.  The
+# series are truncated at e^6 like Snyder's worked examples (O(e^8)
+# meridian-arc truncation ≈ 0.2 mm); validity is the standard ±4-5° of
+# the central meridian, i.e. a UTM zone plus overlap.
+#
+# Unlike Albers/LAEA there is no ln(): the formulas use only
+# sin/cos/tan/sqrt and polynomials, but tan and higher powers of the
+# arc A make per-term engine divergence ~1e-9 m, so oracle-facing
+# outputs report km at ROUND(·,4) (0.1 m buckets) like Web Mercator.
+# Tests pin: the WGS84 quarter meridian (M(90°) = 10 001 965.729 m,
+# the published constant the metre was historically derived from),
+# central-meridian exactness (x = FE, y = k0·M(φ)), E/W and N/S
+# symmetry, meridian-convergence-free scale k0 at the CM, and
+# forward∘inverse roundtrips ≤1e-8°.
+
+
+@dataclass(frozen=True)
+class TMParams:
+    """Transverse Mercator on the ellipsoid; defaults = UTM zone 16N
+    (EPSG:32616, CM −87° — the CONUS-center zone for the doc window)."""
+
+    a: float = 6378137.0              # GRS80/WGS84 semi-major
+    e2: float = 0.006694380022903416  # GRS80 first eccentricity²
+    k0: float = 0.9996
+    lon0: float = -87.0
+    fe: float = 500000.0
+    fn: float = 0.0
+
+    @property
+    def ep2(self) -> float:           # second eccentricity²  e'² (8-12)
+        return self.e2 / (1.0 - self.e2)
+
+    # meridian-arc series M(φ) = a(c0·φ − c2·sin2φ + c4·sin4φ − c6·sin6φ)
+    # (Snyder 3-21, truncated at e^6)
+    @property
+    def c0(self) -> float:
+        e2, e4, e6 = self.e2, self.e2**2, self.e2**3
+        return 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+
+    @property
+    def c2(self) -> float:
+        e2, e4, e6 = self.e2, self.e2**2, self.e2**3
+        return 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+
+    @property
+    def c4(self) -> float:
+        e4, e6 = self.e2**2, self.e2**3
+        return 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+
+    @property
+    def c6(self) -> float:
+        return 35.0 * self.e2**3 / 3072.0
+
+    # footpoint-latitude series coefficients (Snyder 3-26 in e1, 3-24)
+    @property
+    def e1(self) -> float:
+        s = math.sqrt(1.0 - self.e2)
+        return (1.0 - s) / (1.0 + s)
+
+    @property
+    def i2(self) -> float:
+        return 3.0 * self.e1 / 2.0 - 27.0 * self.e1**3 / 32.0
+
+    @property
+    def i4(self) -> float:
+        return 21.0 * self.e1**2 / 16.0 - 55.0 * self.e1**4 / 32.0
+
+    @property
+    def i6(self) -> float:
+        return 151.0 * self.e1**3 / 96.0
+
+    @property
+    def i8(self) -> float:
+        return 1097.0 * self.e1**4 / 512.0
+
+    def meridian_arc(self, lat_deg: float) -> float:
+        """M(φ) in meters (Snyder 3-21)."""
+        p = math.radians(lat_deg)
+        return self.a * (
+            self.c0 * p
+            - self.c2 * math.sin(2.0 * p)
+            + self.c4 * math.sin(4.0 * p)
+            - self.c6 * math.sin(6.0 * p)
+        )
+
+
+UTM_16N = TMParams()
+
+
+def tm_forward_py(lon: float, lat: float, p: TMParams = UTM_16N) -> tuple[float, float]:
+    """Python twin of :func:`tm_ell_xy_sql` (test reference)."""
+    phi = math.radians(lat)
+    s, c, t = math.sin(phi), math.cos(phi), math.tan(phi)
+    big_n = p.a / math.sqrt(1.0 - p.e2 * s * s)
+    big_t = t * t
+    big_c = p.ep2 * c * c
+    big_a = math.radians(lon - p.lon0) * c
+    m = p.meridian_arc(lat)
+    x = p.fe + p.k0 * big_n * (
+        big_a
+        + (1.0 - big_t + big_c) * big_a**3 / 6.0
+        + (5.0 - 18.0 * big_t + big_t * big_t + 72.0 * big_c - 58.0 * p.ep2)
+        * big_a**5 / 120.0
+    )
+    y = p.fn + p.k0 * (
+        m
+        + big_n * t * (
+            big_a * big_a / 2.0
+            + (5.0 - big_t + 9.0 * big_c + 4.0 * big_c * big_c)
+            * big_a**4 / 24.0
+            + (61.0 - 58.0 * big_t + big_t * big_t + 600.0 * big_c
+               - 330.0 * p.ep2) * big_a**6 / 720.0
+        )
+    )
+    return x, y
+
+
+def tm_inverse_py(x: float, y: float, p: TMParams = UTM_16N) -> tuple[float, float]:
+    """Python twin of :func:`tm_ell_inverse_xy_sql` (test reference)."""
+    mu = (y - p.fn) / p.k0 / (p.a * p.c0)
+    phi1 = (
+        mu
+        + p.i2 * math.sin(2.0 * mu)
+        + p.i4 * math.sin(4.0 * mu)
+        + p.i6 * math.sin(6.0 * mu)
+        + p.i8 * math.sin(8.0 * mu)
+    )
+    s1, c1, t1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+    big_c1 = p.ep2 * c1 * c1
+    big_t1 = t1 * t1
+    w = 1.0 - p.e2 * s1 * s1
+    n1 = p.a / math.sqrt(w)
+    r1 = p.a * (1.0 - p.e2) / (w * math.sqrt(w))
+    d = (x - p.fe) / (n1 * p.k0)
+    lat = math.degrees(
+        phi1
+        - (n1 * t1 / r1) * (
+            d * d / 2.0
+            - (5.0 + 3.0 * big_t1 + 10.0 * big_c1 - 4.0 * big_c1 * big_c1
+               - 9.0 * p.ep2) * d**4 / 24.0
+            + (61.0 + 90.0 * big_t1 + 298.0 * big_c1 + 45.0 * big_t1 * big_t1
+               - 252.0 * p.ep2 - 3.0 * big_c1 * big_c1) * d**6 / 720.0
+        )
+    )
+    lon = p.lon0 + math.degrees(
+        (
+            d
+            - (1.0 + 2.0 * big_t1 + big_c1) * d**3 / 6.0
+            + (5.0 - 2.0 * big_c1 + 28.0 * big_t1 - 3.0 * big_c1 * big_c1
+               + 8.0 * p.ep2 + 24.0 * big_t1 * big_t1) * d**5 / 120.0
+        )
+        / c1
+    )
+    return lon, lat
+
+
+def tm_meridian_arc_sql(lat: str, p: TMParams = UTM_16N) -> str:
+    """M(φ) as shared SQL (Snyder 3-21); coefficients are driver-side
+    literals so both engines evaluate the identical polynomial."""
+    ph = f"radians({lat})"
+    return (
+        f"({p.a!r} * ({p.c0!r} * {ph} - {p.c2!r} * sin(2.0 * {ph})"
+        f" + {p.c4!r} * sin(4.0 * {ph}) - {p.c6!r} * sin(6.0 * {ph})))"
+    )
+
+
+def tm_ell_xy_sql(lon: str, lat: str, p: TMParams = UTM_16N) -> tuple[str, str]:
+    """Forward ellipsoidal Transverse Mercator (Snyder 8-9/8-10).
+
+    The expressions inline N/T/C/A with driver-literal constants —
+    same staging as albers_ell_xy_sql.  Callers that feed these into
+    further arithmetic should project them to their own columns first
+    (no-inline rule) to keep codegen spans small."""
+    ph = f"radians({lat})"
+    s = f"sin({ph})"
+    c = cos_sql(ph)
+    t = f"(sin({ph}) / {cos_sql(ph)})"
+    big_n = f"({p.a!r} / sqrt(1.0 - {p.e2!r} * {s} * {s}))"
+    big_t = f"({t} * {t})"
+    big_c = f"({p.ep2!r} * {c} * {c})"
+    big_a = f"(radians(({lon}) - {p.lon0!r}) * {c})"
+    a2 = f"({big_a} * {big_a})"
+    m = tm_meridian_arc_sql(lat, p)
+    x = (
+        f"({p.fe!r} + {p.k0!r} * {big_n} * {big_a} * (1.0"
+        f" + {a2} * ((1.0 - {big_t} + {big_c}) / 6.0"
+        f" + {a2} * (5.0 - 18.0 * {big_t} + {big_t} * {big_t}"
+        f" + 72.0 * {big_c} - {58.0 * p.ep2!r}) / 120.0)))"
+    )
+    y = (
+        f"({p.fn!r} + {p.k0!r} * ({m} + {big_n} * {t} * {a2} * (0.5"
+        f" + {a2} * ((5.0 - {big_t} + 9.0 * {big_c}"
+        f" + 4.0 * {big_c} * {big_c}) / 24.0"
+        f" + {a2} * (61.0 - 58.0 * {big_t} + {big_t} * {big_t}"
+        f" + 600.0 * {big_c} - {330.0 * p.ep2!r}) / 720.0))))"
+    )
+    return x, y
+
+
+def tm_ell_inverse_xy_sql(x: str, y: str, p: TMParams = UTM_16N) -> tuple[str, str]:
+    """Inverse ellipsoidal Transverse Mercator (Snyder 8-17/8-18 with
+    the 3-26 footpoint-latitude series — closed form, no iteration)."""
+    mu = f"((({y}) - {p.fn!r}) / {p.k0!r} / {p.a * p.c0!r})"
+    phi1 = (
+        f"({mu} + {p.i2!r} * sin(2.0 * {mu}) + {p.i4!r} * sin(4.0 * {mu})"
+        f" + {p.i6!r} * sin(6.0 * {mu}) + {p.i8!r} * sin(8.0 * {mu}))"
+    )
+    s1 = f"sin({phi1})"
+    c1 = cos_sql(phi1)
+    t1 = f"({s1} / {c1})"
+    w = f"(1.0 - {p.e2!r} * {s1} * {s1})"
+    n1 = f"({p.a!r} / sqrt({w}))"
+    # N1/R1 = w / (1 − e²)  — avoids a second sqrt
+    n1_over_r1 = f"({w} / {1.0 - p.e2!r})"
+    big_c1 = f"({p.ep2!r} * {c1} * {c1})"
+    big_t1 = f"({t1} * {t1})"
+    d = f"((({x}) - {p.fe!r}) / ({n1} * {p.k0!r}))"
+    d2 = f"({d} * {d})"
+    lat = (
+        f"degrees({phi1} - ({n1_over_r1} * {t1}) * {d2} * (0.5"
+        f" - {d2} * ((5.0 + 3.0 * {big_t1} + 10.0 * {big_c1}"
+        f" - 4.0 * {big_c1} * {big_c1} - {9.0 * p.ep2!r}) / 24.0"
+        f" - {d2} * (61.0 + 90.0 * {big_t1} + 298.0 * {big_c1}"
+        f" + 45.0 * {big_t1} * {big_t1} - {252.0 * p.ep2!r}"
+        f" - 3.0 * {big_c1} * {big_c1}) / 720.0)))"
+    )
+    lon = (
+        f"({p.lon0!r} + degrees({d} * (1.0"
+        f" - {d2} * ((1.0 + 2.0 * {big_t1} + {big_c1}) / 6.0"
+        f" - {d2} * (5.0 - 2.0 * {big_c1} + 28.0 * {big_t1}"
+        f" - 3.0 * {big_c1} * {big_c1} + {8.0 * p.ep2!r}"
+        f" + 24.0 * {big_t1} * {big_t1}) / 120.0)) / {c1}))"
+    )
+    return lon, lat
+
+
 # --- DataFrame-level API (chopin's reproject_std / reproject_to_raster) -----
 
 _FORWARD = {
     ("EPSG:4326", "EPSG:5070"): albers_ell_xy_sql,
     ("EPSG:4326", "EPSG:3035"): laea_ell_xy_sql,
+    ("EPSG:4326", "EPSG:32616"): tm_ell_xy_sql,
+    ("EPSG:32616", "EPSG:4326"): tm_ell_inverse_xy_sql,
     ("EPSG:5070", "EPSG:4326"): albers_ell_inverse_xy_sql,
     ("EPSG:3035", "EPSG:4326"): laea_ell_inverse_xy_sql,
     ("EPSG:4326", "SPHERE:ALBERS_CONUS"): albers_xy_sql,

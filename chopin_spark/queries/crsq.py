@@ -411,3 +411,84 @@ def geodesic_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     ellipsoidal geodesic distance on GRS80 (metre-grain output)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_ANDOYER_SQL)
+
+
+# --- true UTM zone 16N (ellipsoidal Transverse Mercator, EPSG:32616) ---------
+#
+# The third projected-CRS family (after Albers 5070 / LAEA 3035):
+# Snyder 8-9..8-15 forward and 8-17..8-25 inverse on GRS80 — the CRS a
+# chopin user actually hands to reproject_std for metric local work
+# (/root/reference/R/check.R:129-157; UTM is the reference docs' go-to
+# example of a "projected CRS in meters").  Documents are affinely
+# remapped into the zone-16 slab (lon −90..−84, CM −87) with
+# driver-literal factors so the series stay inside their ±4° validity.
+# Outputs in km at ROUND(·,4) like Web Mercator: tan/sin divergence is
+# a few ulp RELATIVE (~2e-10 m on a 5e5 m easting), seven orders
+# inside the 0.1 m grain.
+
+from chopin_spark.crs import tm_ell_inverse_xy_sql, tm_ell_xy_sql  # noqa: E402
+
+_LON16 = f"((({_LON}) - -125.0) * {6.0 / 58.0!r} + -90.0)"
+
+_UX, _UY = tm_ell_xy_sql(_LON16, _LAT)
+
+_UTM16_ORACLE = f"""
+SELECT doc_id,
+       ROUND({_UX} / 1000.0, 4) AS ux_km,
+       ROUND({_UY} / 1000.0, 4) AS uy_km
+FROM documents
+"""
+
+
+@register("reproject_utm16_coords", _UTM16_ORACLE)
+def reproject_utm16_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TRUE EPSG:32616 (UTM zone 16N) coordinates —
+    ellipsoidal Transverse Mercator on GRS80, validated in
+    tests/test_crs.py against the published WGS84 quarter meridian
+    (M(90°) = 10 001 965.729 m), Snyder's Clarke-1866 worked example
+    (x=127 106.5, y=4 484 124.4 at 0.5 m), central-meridian exactness,
+    E/W symmetry, and k0 scale at the CM."""
+    docs = load(spark, sf_dir, "documents")
+    gf = GeoFrame(
+        docs.select(
+            "doc_id", F.expr(_LON16).alias("x"), F.expr(_LAT).alias("y")
+        ),
+        crs="EPSG:4326",
+    ).reproject_std("EPSG:32616")
+    return gf.df.select(
+        "doc_id",
+        F.round(F.col("x") / 1000.0, 4).alias("ux_km"),
+        F.round(F.col("y") / 1000.0, 4).alias("uy_km"),
+    )
+
+
+_IUX_LON, _IUX_LAT = tm_ell_inverse_xy_sql(f"({_UX})", f"({_UY})")
+
+_INVUTM_ORACLE = f"""
+SELECT doc_id,
+       ROUND({_IUX_LON}, 6) AS lon_deg,
+       ROUND({_IUX_LAT}, 6) AS lat_deg
+FROM documents
+"""
+
+
+@register("reproject_utm16_inverse_coords", _INVUTM_ORACLE)
+def reproject_utm16_inverse_coords(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE EPSG:32616 → EPSG:4326 per document: forward TM composed
+    in-plan with the Snyder 8-17/8-18 inverse (closed 3-26 footpoint
+    series, no iteration); roundtrip ≤2e-8° inside the zone is pinned
+    in tests/test_crs.py."""
+    docs = load(spark, sf_dir, "documents")
+    gf = GeoFrame(
+        docs.select(
+            "doc_id", F.expr(_LON16).alias("x"), F.expr(_LAT).alias("y")
+        ),
+        crs="EPSG:4326",
+    ).reproject("EPSG:32616").reproject("EPSG:4326")
+    return gf.df.select(
+        "doc_id",
+        F.round("x", 6).alias("lon_deg"),
+        F.round("y", 6).alias("lat_deg"),
+    )

@@ -422,3 +422,124 @@ def test_laea_inverse_false_origin_maps_to_center(spark):
     assert abs(r["lon"] - LAEA_3035.lon0) < 1e-12  # exact ρ=0 branch
     # latitude goes through the 3-18 series: O(e^8) truncation ~3e-9°
     assert abs(r["lat"] - LAEA_3035.lat1) < 1e-8
+
+
+# --- ellipsoidal Transverse Mercator / UTM (EPSG:32616 exact) -----------------
+
+
+def test_tm_quarter_meridian_published_constant():
+    """The meridian-arc series (Snyder 3-21) must reproduce the
+    published WGS84 quarter meridian M(90°) = 10 001 965.729 m — the
+    external ground truth the metre was historically derived from
+    (1/10 000 000 of it, before the ellipsoid was refined)."""
+    from chopin_spark.crs import UTM_16N
+
+    assert abs(UTM_16N.meridian_arc(90.0) - 10_001_965.729) < 5e-3
+    assert UTM_16N.meridian_arc(0.0) == 0.0
+
+
+def test_tm_matches_snyder_example():
+    """Snyder PP 1395 Transverse Mercator numerical example (Clarke
+    1866, k0=0.9996, CM −75°, point 40°30′N 73°30′W): x = 127 106.5 m,
+    y = 4 484 124.4 m (no false easting)."""
+    from chopin_spark.crs import TMParams, tm_forward_py, tm_inverse_py
+
+    p = TMParams(a=6378206.4, e2=0.00676866, k0=0.9996, lon0=-75.0,
+                 fe=0.0, fn=0.0)
+    x, y = tm_forward_py(-73.5, 40.5, p)
+    assert abs(x - 127_106.5) < 0.5 and abs(y - 4_484_124.4) < 0.5
+    lon, lat = tm_inverse_py(x, y, p)
+    assert abs(lon - -73.5) < 1e-9 and abs(lat - 40.5) < 1e-8
+
+
+def test_tm_central_meridian_exact():
+    """On the CM: x = FE exactly, y = k0·M(φ) exactly; at the equator
+    origin both are the false values."""
+    from chopin_spark.crs import UTM_16N, tm_forward_py
+
+    x0, y0 = tm_forward_py(-87.0, 0.0)
+    assert x0 == 500000.0 and y0 == 0.0
+    x, y = tm_forward_py(-87.0, 43.25)
+    assert x == 500000.0
+    assert abs(y - 0.9996 * UTM_16N.meridian_arc(43.25)) < 1e-9
+
+
+def test_tm_symmetry_and_scale():
+    """E/W mirror symmetry about the CM (same y, mirrored x) and N/S
+    mirror about the equator; the point scale on the CM is k0 to 1e-6
+    relative (measured against the exact parallel arc N·cosφ·dλ)."""
+    import math
+
+    from chopin_spark.crs import UTM_16N, tm_forward_py
+
+    xe, ye = tm_forward_py(-84.2, 37.0)
+    xw, yw = tm_forward_py(-89.8, 37.0)
+    assert abs((xe - 500000.0) + (xw - 500000.0)) < 1e-6
+    assert abs(ye - yw) < 1e-6
+    xn, yn = tm_forward_py(-85.0, 33.0)
+    xs, ys = tm_forward_py(-85.0, -33.0)
+    assert abs(xn - xs) < 1e-9 and abs(yn + ys) < 1e-6
+
+    lat, dl = 40.0, 1e-4
+    a1 = tm_forward_py(-87.0, lat)
+    a2 = tm_forward_py(-87.0 + dl, lat)
+    s = math.sin(math.radians(lat))
+    n_rad = UTM_16N.a / math.sqrt(1.0 - UTM_16N.e2 * s * s)
+    arc = n_rad * math.cos(math.radians(lat)) * math.radians(dl)
+    assert abs(abs(a2[0] - a1[0]) / arc - 0.9996) < 1e-6
+
+
+def test_tm_sql_matches_python(spark):
+    """The shared SQL text reproduces the driver-side python twin to
+    sub-mm / 1e-11 deg across the zone-16 slab (both directions)."""
+    from chopin_spark.crs import (
+        tm_ell_inverse_xy_sql, tm_ell_xy_sql, tm_forward_py, tm_inverse_py,
+    )
+
+    pts = [(-90.0, 24.0), (-88.3, 31.7), (-87.0, 40.0), (-85.1, 47.3),
+           (-84.0, 49.9), (-87.0, 0.5)]
+    fx, fy = tm_ell_xy_sql("lon", "lat")
+    df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+        "lon", "lat", f"{fx} AS x", f"{fy} AS y"
+    )
+    rows = df.collect()
+    for r in rows:
+        px, py = tm_forward_py(r["lon"], r["lat"])
+        assert abs(r["x"] - px) < 1e-3 and abs(r["y"] - py) < 1e-3
+    il, ia = tm_ell_inverse_xy_sql("x", "y")
+    inv = df.selectExpr("lon", "lat", f"{il} AS lon2", f"{ia} AS lat2")
+    for r in inv.collect():
+        plo, pla = tm_inverse_py(*tm_forward_py(r["lon"], r["lat"]))
+        assert abs(r["lon2"] - plo) < 1e-9 and abs(r["lat2"] - pla) < 1e-9
+
+
+def test_tm_roundtrip_under_5mm(spark):
+    """forward∘inverse returns the input to ≤5e-8 deg (~4 mm) across
+    the zone-16 slab including the ±1° overlap margin (the measured
+    worst is 3.9e-8° at the far corner, 4° from the CM at 50°N — the
+    e^6/A^6 series truncation, not an implementation defect)."""
+    from chopin_spark.crs import tm_ell_inverse_xy_sql, tm_ell_xy_sql
+
+    fx, fy = tm_ell_xy_sql("lon", "lat")
+    il, ia = tm_ell_inverse_xy_sql("px", "py")
+    pts = [(-91.0 + 0.8 * i, 24.0 + 2.6 * j)
+           for i in range(11) for j in range(11)]
+    df = spark.createDataFrame(pts, "lon double, lat double").selectExpr(
+        "lon", "lat", f"{fx} AS px", f"{fy} AS py"
+    ).selectExpr("lon", "lat", f"{il} AS lon2", f"{ia} AS lat2")
+    r = df.selectExpr(
+        "MAX(ABS(lon2 - lon)) AS dlon", "MAX(ABS(lat2 - lat)) AS dlat"
+    ).collect()[0]
+    assert r["dlon"] < 5e-8 and r["dlat"] < 5e-8, r
+
+
+def test_tm_geoframe_registry(spark):
+    """EPSG:32616 is reachable both ways through the GeoFrame registry
+    (reproject_std parity for the third projected family)."""
+    from chopin_spark.crs import GeoFrame
+
+    df = spark.createDataFrame([(-86.0, 35.0)], "x double, y double")
+    gf = GeoFrame(df, crs="EPSG:4326").reproject("EPSG:32616")
+    assert gf.crs == "EPSG:32616"
+    back = gf.reproject("EPSG:4326").df.collect()[0]
+    assert abs(back["x"] - -86.0) < 1e-7 and abs(back["y"] - 35.0) < 1e-7
