@@ -609,3 +609,160 @@ def sssp_khop(
             .localCheckpoint()
         )
     return dist.select("node", F.col("d").alias("min_cost"))
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 25,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(node, scc_id) over a DIRECTED graph; scc_id = MIN node id in
+    the strongly connected component (mutual-reachability classes).
+
+    Trim + coloring — the two phases of Slota/Rajamanickam/Madduri's
+    MultiStep SCC decomposition, each expressed as equi-join rounds:
+
+    1. TRIM: iteratively delete vertices with zero in-degree or zero
+       out-degree in the remaining subgraph — each is its own trivial
+       SCC.  This kills DAG periphery (and entire DAGs, including the
+       coloring algorithm's adversarial decreasing-chain case) in
+       cheap anti-join rounds.
+    2. COLOR (Orzan): propagate the max vertex id FORWARD along edges
+       to a fixpoint — color(v) = max id that reaches v.  Roots
+       (color(v)==v) are SCC representatives; a BACKWARD propagation
+       from the roots restricted to same-color vertices collects
+       exactly SCC(root): color(v)=r means r reaches v, and every
+       vertex on a v→…→r path provably also has color r, so the
+       restriction loses nothing.  Assign, delete, repeat — each outer
+       round removes at least every current root's SCC, so outer
+       rounds are bounded by the condensation's color-chain depth.
+
+    Every round is one shuffle equi-join + partial/final agg with
+    localCheckpoint lineage cuts; convergence checks are scalar
+    aggregates (no data collect).  At web scale the standard third
+    phase (one forward+backward BFS from a pivot to peel the giant
+    SCC before coloring) slots in as two bfs_depths calls; at fixture
+    scale trim+color converges in a handful of rounds (LAST_ROUNDS
+    records the observed counts).  Non-convergence raises — the
+    connected_components discipline, never silent truncation.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], "node long, scc_rep long")
+    outer_rounds = 0
+    for _outer in range(1, max_outer + 1):
+        if remaining.isEmpty():
+            break
+        outer_rounds = _outer
+        # --- phase 1: trim zero-in / zero-out vertices (own SCCs) ----
+        for _trim in range(max_rounds):
+            has_in = e.select(F.col("v").alias("node")).distinct()
+            has_out = e.select(F.col("u").alias("node")).distinct()
+            trivial = remaining.join(
+                has_in.join(has_out, "node"), "node", "left_anti"
+            ).localCheckpoint()
+            if trivial.isEmpty():
+                break
+            assigned = assigned.unionByName(
+                trivial.select("node", F.col("node").alias("scc_rep"))
+            ).localCheckpoint()
+            remaining = remaining.join(
+                trivial, "node", "left_anti"
+            ).localCheckpoint()
+            e = (
+                e.join(trivial.withColumnRenamed("node", "u"), "u", "left_anti")
+                .join(trivial.withColumnRenamed("node", "v"), "v", "left_anti")
+                .localCheckpoint()
+            )
+        if remaining.isEmpty():
+            break
+        # --- phase 2a: forward max-id coloring to fixpoint -----------
+        color = remaining.withColumn("color", F.col("node")).localCheckpoint()
+        # labels only ever increase, so sum(color) strictly increases
+        # until the fixpoint — scalar convergence probe per round
+        prev = color.agg(F.sum("color")).first()[0]
+        for _r in range(1, max_rounds + 1):
+            msgs = e.join(
+                color.select(F.col("node").alias("u"), F.col("color")), "u"
+            ).select(F.col("v").alias("node"), "color")
+            color = (
+                color.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint()
+            )
+            cur = color.agg(F.sum("color")).first()[0]
+            if cur == prev:
+                LAST_ROUNDS["scc_color"] = _r
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"scc coloring did not converge in {max_rounds} rounds;"
+                " raise max_rounds (rounds track the remaining"
+                " subgraph's forward diameter)"
+            )
+        # --- phase 2b: backward collect within color -----------------
+        reached = color.filter(F.col("color") == F.col("node")).localCheckpoint()
+        prev_n = reached.count()
+        for _r in range(1, max_rounds + 1):
+            # edge (u,v): v already collected for root c and u has
+            # color c  ⇒  u belongs to SCC(c)
+            msgs = (
+                e.join(
+                    reached.select(F.col("node").alias("v"), F.col("color")),
+                    "v",
+                )
+                .select(F.col("u").alias("node"), F.col("color"))
+                .join(
+                    color.select("node", F.col("color").alias("_c")), "node"
+                )
+                .filter(F.col("color") == F.col("_c"))
+                .select("node", "color")
+            )
+            reached = (
+                reached.unionByName(msgs).distinct().localCheckpoint()
+            )
+            n = reached.count()
+            if n == prev_n:
+                LAST_ROUNDS["scc_collect"] = _r
+                break
+            prev_n = n
+        else:
+            raise RuntimeError(
+                f"scc backward collect did not converge in {max_rounds}"
+                " rounds; raise max_rounds"
+            )
+        scc = reached.select("node", F.col("color").alias("scc_rep"))
+        assigned = assigned.unionByName(scc).localCheckpoint()
+        remaining = remaining.join(scc, "node", "left_anti").localCheckpoint()
+        e = (
+            e.join(scc.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(scc.select(F.col("node").alias("v")), "v", "left_anti")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components did not finish in {max_outer}"
+            " outer rounds (condensation color-chain depth exceeds"
+            " max_outer); raise max_outer"
+        )
+    LAST_ROUNDS["scc_outer"] = outer_rounds
+    # canonicalize: scc_id = MIN member id (the coloring rep is the MAX
+    # id that reaches the SCC, which is engine-internal; min-member is
+    # the oracle-friendly canonical label)
+    rep = assigned.groupBy("scc_rep").agg(F.min("node").alias("scc_id"))
+    return assigned.join(rep, "scc_rep").select("node", "scc_id")

@@ -1145,3 +1145,110 @@ def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("betweenness"),
         )
     )
+
+
+# --- strongly connected components / condensation ------------------------------
+#
+# The DIRECTED twin of link_graph_components: crawl link graphs are
+# directed, and the web's macro structure (Broder's bowtie: giant SCC,
+# IN, OUT, tendrils) is an SCC decomposition, not a weak-CC one.
+# Engine: components.strongly_connected_components — MultiStep-style
+# trim (zero-in/zero-out peeling) + Orzan coloring (forward max-id
+# fixpoint, backward same-color collect), every round an equi-join +
+# agg with lineage cuts.  Oracle: an INDEPENDENT algorithm — the full
+# transitive closure by recursive CTE, SCCs as mutual-reachability
+# classes (closure is |V|²-bounded, fine at fixture scale; the engine
+# side never materializes reachability).  Scale shape: trim is
+# anti-join rounds; coloring rounds track forward diameter; the giant
+# SCC dominates real crawls and would be peeled by one forward+backward
+# BFS (bfs_depths) before coloring — documented in docs/SCALE.md.
+
+# union of TWO affine maps: a single (a·d+b, c·d+e) mod-97 draw is
+# functional in src (a permutation — SCCs would just be its cycles);
+# the union gives out-degree ≤2 per node, i.e. a genuine digraph with
+# a giant SCC plus periphery (the Broder-bowtie shape)
+_SCC_EDGES = """(
+  SELECT DISTINCT (doc_id * 31337) % 97 AS src,
+         ((doc_id * 57331) + 29) % 97 AS dst
+  FROM documents
+  WHERE doc_id % 151 = 0
+    AND (doc_id * 31337) % 97 <> ((doc_id * 57331) + 29) % 97
+  UNION
+  SELECT DISTINCT ((doc_id * 12289) + 5) % 97 AS src,
+         ((doc_id * 75571) + 11) % 97 AS dst
+  FROM documents
+  WHERE doc_id % 211 = 0
+    AND ((doc_id * 12289) + 5) % 97 <> ((doc_id * 75571) + 11) % 97
+)"""
+
+_SCC_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT * FROM {_SCC_EDGES}),
+n AS (
+  SELECT DISTINCT src AS node FROM e
+  UNION
+  SELECT DISTINCT dst FROM e
+),
+reach AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (
+  SELECT n.node AS v,
+         LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc_id
+  FROM n LEFT JOIN mutual m ON m.v = n.node
+  GROUP BY n.node
+),
+cond AS (
+  SELECT DISTINCT s1.scc_id AS a, s2.scc_id AS b
+  FROM e
+  JOIN scc s1 ON s1.v = e.src
+  JOIN scc s2 ON s2.v = e.dst
+  WHERE s1.scc_id <> s2.scc_id
+)
+SELECT s.scc_id,
+       CAST(COUNT(*) AS BIGINT) AS scc_size,
+       CAST(COALESCE(MAX(c.deg), 0) AS BIGINT) AS cond_out_degree
+FROM scc s
+LEFT JOIN (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM cond GROUP BY a) c ON c.a = s.scc_id
+GROUP BY s.scc_id
+ORDER BY s.scc_id
+"""
+
+
+@register("host_scc_condensation", _SCC_ORACLE)
+def host_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC decomposition of a sparse directed host graph plus its
+    condensation out-degrees (Broder bowtie structure): scc_id = min
+    member, scc_size, and the number of distinct downstream SCCs."""
+    from chopin_spark.components import strongly_connected_components
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(f"SELECT * FROM {_SCC_EDGES}").localCheckpoint()
+    scc = strongly_connected_components(edges).localCheckpoint()
+    s1 = scc.select(F.col("node").alias("src"), F.col("scc_id").alias("a"))
+    s2 = scc.select(F.col("node").alias("dst"), F.col("scc_id").alias("b"))
+    cond = (
+        edges.join(s1, "src").join(s2, "dst")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return (
+        scc.groupBy("scc_id")
+        .agg(F.count("*").cast("long").alias("scc_size"))
+        .join(cond, scc.scc_id == cond.a, "left")
+        .select(
+            "scc_id", "scc_size",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long")
+            .alias("cond_out_degree"),
+        )
+        .orderBy("scc_id")
+    )

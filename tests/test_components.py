@@ -126,3 +126,44 @@ def test_sssp_khop_matches_reference_relaxation(spark):
         got = {r.node: r.min_cost for r in
                sssp_khop(seeds, edges, k=k).collect()}
         assert got == ref(k), k
+
+
+def test_strongly_connected_components_known_graph(spark):
+    """Trim+coloring SCC on a graph with a 3-cycle, a 2-cycle bridged
+    by a DAG path, a decreasing chain (the coloring algorithm's
+    adversarial case — trim must kill it without outer-round blowup),
+    and a detached edge: scc_id = min member, exact classes."""
+    from chopin_spark.components import (
+        LAST_ROUNDS, strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (5, 6), (6, 5), (3, 4), (4, 5),
+         (10, 9), (9, 8), (8, 7), (7, 5), (11, 12)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5,
+                   7: 7, 8: 8, 9: 9, 10: 10, 11: 11, 12: 12}
+    # the chain dies in trim, so a single outer round suffices
+    assert LAST_ROUNDS["scc_outer"] == 1
+
+
+def test_strongly_connected_components_two_sccs_same_color_chain(spark):
+    """Two cycles in series (higher ids upstream): the coloring phase
+    paints BOTH with the upstream max id, the backward collect must
+    separate them, and the second outer round picks up the remainder."""
+    from chopin_spark.components import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [(8, 9), (9, 8), (9, 1), (1, 2), (2, 1)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {8: 8, 9: 8, 1: 1, 2: 1}
