@@ -659,3 +659,101 @@ def kmv_epoch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_kmv_sql(_OV_TOKS_SPARK))
+
+
+# --- AMS F2 sketch (self-join size / skew estimator) ---------------------------
+#
+# Alon–Matias–Szegedy second frequency moment (STOC'96): F2 = Σ_h f_h²
+# is exactly the row count of the self-equi-join on the key — THE
+# number a planner needs to decide whether a join key is skewed enough
+# to salt (docs/SCALE.md salting rule).  The sketch estimates it in
+# one streaming pass with O(1) state per sketch row: Z_i = Σ_x ξ_i(x)
+# over the stream, E[Z_i²] = F2; variance drops by averaging 4 rows
+# and a median-of-3 groups kills outliers.  Exact F2 needs a full
+# groupBy per key — at 100 TB the sketch is 12 integers per executor
+# merged by plain SUM (algebraic agg, map-side combinable), no key
+# shuffle at all.
+#
+# Deterministic fixture discipline: the key is a ZIPF-LIKE synthetic
+# host (⌊97/(u+1)⌋, u = doc_id mod 97 — the head key carries half the
+# mass, exactly the shape a salting decision is about; a near-uniform
+# key makes F2 ≈ n²/k and the probe pointless).  ξ_i(h) = ±1 from the
+# parity of a CUBED affine hash (((h·A_i + B_i) mod 9973)³ mod 9973) —
+# a plain affine parity is too equidistributed over a small key range
+# (measured: every |Σξ| ≤ 3, collapsing Z for uniform-ish tails); the
+# cubic residue breaks the linearity (measured rel_err ≈ −11%, a
+# credible single-sketch draw).  Exact int64 carriers end-to-end
+# (s³ ≤ 9973³ ≈ 9.9e11; |Z| ≤ n, Z² ≤ n² — headroom to n ≈ 3e9, past
+# which the group means move to DOUBLE).  The median-of-3 is the
+# closed form a+b+c − max − min.  Estimate quality is data, not a
+# guarantee: the query reports exact F2, the estimate, and the signed
+# relative error; the oracle replays every step.
+
+_AMS_COEFS = [
+    (131, 7), (137, 11), (139, 13), (149, 17),
+    (151, 19), (157, 23), (163, 29), (167, 31),
+    (173, 37), (179, 41), (181, 43), (191, 47),
+]
+
+_AMS_HOST = "CAST(FLOOR(97.0 / ((doc_id % 97) + 1)) AS BIGINT)"
+
+
+def _ams_sign(a: int, b: int) -> str:
+    s = f"((({_AMS_HOST}) * {a} + {b}) % 9973)"
+    return f"(CASE WHEN {s} * {s} * {s} % 9973 % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+_AMS_Z = ",\n         ".join(
+    f"CAST(SUM({_ams_sign(a, b)}) AS BIGINT) AS z{i}"
+    for i, (a, b) in enumerate(_AMS_COEFS)
+)
+
+_AMS_GROUPS = [
+    # CAST, not a /4.0 literal: Spark types exact-numeric literals as
+    # DECIMAL and the division would come back decimal(31,6), not the
+    # DOUBLE DuckDB produces
+    "(" + " + ".join(f"z{i} * z{i}" for i in range(g * 4, g * 4 + 4))
+    + ") / CAST(4 AS DOUBLE)"
+    for g in range(3)
+]
+
+_AMS_SQL = f"""
+WITH z AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         {_AMS_Z}
+  FROM documents
+),
+exact AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS f2
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f
+        FROM documents GROUP BY {_AMS_HOST}) t
+),
+est AS (
+  SELECT n_docs,
+         {_AMS_GROUPS[0]} AS g0,
+         {_AMS_GROUPS[1]} AS g1,
+         {_AMS_GROUPS[2]} AS g2
+  FROM z
+)
+SELECT e.n_docs,
+       x.f2 AS exact_f2,
+       e.g0 + e.g1 + e.g2
+         - GREATEST(e.g0, e.g1, e.g2)
+         - LEAST(e.g0, e.g1, e.g2) AS est_f2,
+       ROUND((e.g0 + e.g1 + e.g2
+                - GREATEST(e.g0, e.g1, e.g2)
+                - LEAST(e.g0, e.g1, e.g2)) / x.f2 - 1.0, 6)
+         AS rel_err
+FROM est e CROSS JOIN exact x
+"""
+
+
+@register("ams_f2_host_skew", _AMS_SQL)
+def ams_f2_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch of the host frequency vector (12 ±1 sign rows,
+    median of 3 means-of-4) next to the exact self-join size Σf² —
+    the one-pass skew probe a salting planner runs before a key join."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_AMS_SQL)

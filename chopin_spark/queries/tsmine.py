@@ -499,3 +499,109 @@ def ewma_volume_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual emitted as exact dyadic doubles."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_EWMA_SPARK)
+
+
+# --- banded matrix profile (z-normalized motif discovery) ----------------------
+#
+# The matrix-profile motif primitive (Yeh et al., "Matrix Profile I",
+# ICDM 2016) restricted to a time BAND: for every length-4 window of
+# the hourly volume series, the nearest z-normalized neighbor among
+# windows 4..48 hours later (exclusion zone = window length, so no
+# self-overlap trivial matches).  The full profile is O(n²); banding
+# makes it O(n·L) — the standard scale concession, and the right one
+# for volume telemetry where a motif 6 months away is not actionable.
+#
+# Shared-SQL discipline: z-normalized distance is derived from the
+# Pearson correlation identity d² = 2m(1−r), with r computed from
+# EXACT int64 carriers — P = m·Σab − Σa·Σb, V = m·Σa² − (Σa)² — so r
+# (int ÷ sqrt of int-product, all IEEE-correctly-rounded ops) is
+# bit-identical across engines, and the argmax ranking (ORDER BY r
+# DESC, i, j) is fully deterministic.  Constant windows (V = 0, z-norm
+# undefined) are excluded on both sides, the standard convention.
+#
+# Scale shape: the band join is an equi-join on event_type with a
+# bounded range predicate (≤45 candidates per window) over a
+# calendar-bounded dense frame (|types| × 744 rows) — cost is linear
+# in types regardless of fact volume; the only fact-sized work is the
+# initial (type, hour) count shuffle.
+
+_HRS_SPARK = (
+    "hrs AS (SELECT CAST(x AS BIGINT) AS hh"
+    " FROM (SELECT explode(sequence(0, 743)) AS x))"
+)
+_HRS_DUCK = (
+    "hrs AS (SELECT CAST(UNNEST(generate_series(0, 743)) AS BIGINT) AS hh)"
+)
+
+_MP_BODY = """
+hourly AS (
+  SELECT event_type,
+         CAST((day(ts) - 1) * 24 + hour(ts) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE month(ts) = 1
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT t.event_type, hrs.hh AS h,
+         COALESCE(hourly.c, CAST(0 AS BIGINT)) AS c
+  FROM types t CROSS JOIN hrs
+  LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = hrs.hh
+),
+win AS (
+  SELECT event_type, h, c AS c0,
+         LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS c1,
+         LEAD(c, 2) OVER (PARTITION BY event_type ORDER BY h) AS c2,
+         LEAD(c, 3) OVER (PARTITION BY event_type ORDER BY h) AS c3
+  FROM dense
+),
+feat AS (
+  SELECT event_type, h,
+         c0 + c1 + c2 + c3 AS s,
+         c0 * c0 + c1 * c1 + c2 * c2 + c3 * c3 AS q,
+         c0, c1, c2, c3
+  FROM win WHERE c3 IS NOT NULL
+),
+pairs AS (
+  SELECT a.event_type, a.h AS i, b.h AS j,
+         4 * (a.c0 * b.c0 + a.c1 * b.c1 + a.c2 * b.c2 + a.c3 * b.c3)
+           - a.s * b.s AS p,
+         4 * a.q - a.s * a.s AS va,
+         4 * b.q - b.s * b.s AS vb
+  FROM feat a
+  JOIN feat b ON b.event_type = a.event_type
+             AND b.h >= a.h + 4 AND b.h <= a.h + 48
+  WHERE 4 * a.q - a.s * a.s > 0 AND 4 * b.q - b.s * b.s > 0
+),
+scored AS (
+  SELECT event_type, i, j,
+         CAST(p AS DOUBLE)
+           / SQRT(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)) AS r
+  FROM pairs
+),
+ranked AS (
+  SELECT event_type, i, j, r,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY r DESC, i, j) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM scored
+)
+SELECT event_type, i AS motif_i, j AS motif_j,
+       ROUND(SQRT(GREATEST(0.0, 8.0 * (1.0 - r))), 9) AS znorm_dist,
+       ROUND(r, 9) AS pearson_r,
+       CAST(n_pairs AS BIGINT) AS n_pairs
+FROM ranked WHERE rn = 1
+"""
+
+_MP_SPARK = f"WITH {_HRS_SPARK},\n{_MP_BODY.strip()}"
+_MP_ORACLE = f"WITH {_HRS_DUCK},\n{_MP_BODY.strip()}"
+
+
+@register("matrix_profile_motif_volume", _MP_ORACLE)
+def matrix_profile_motif_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded z-normalized matrix profile over hourly volumes: the
+    single best repeated 4-hour motif per event type among windows
+    4-48 h apart (d² = 2m(1−r) with r from exact-int64 carriers —
+    bit-identical ranking across engines)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MP_SPARK)
