@@ -611,12 +611,40 @@ def sssp_khop(
     return dist.select("node", F.col("d").alias("min_cost"))
 
 
+def _reachable_from(
+    e: DataFrame, seed: int, forward: bool, max_rounds: int
+) -> DataFrame:
+    """Nodes reachable from `seed` along e (u→v), incl. the seed;
+    forward=False walks reversed edges.  One equi-join per BFS level."""
+    a, b = ("u", "v") if forward else ("v", "u")
+    spark = e.sparkSession
+    visited = spark.createDataFrame([(seed,)], "node long").localCheckpoint()
+    frontier = visited
+    for _ in range(max_rounds):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", a), a)
+            .select(F.col(b).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return visited
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"SCC FW-BW reachability did not close in {max_rounds} BFS"
+        " levels; raise max_rounds (levels track graph diameter)"
+    )
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_outer: int = 25,
     max_rounds: int = 40,
+    giant_peel: bool = True,
 ) -> DataFrame:
     """(node, scc_id) over a DIRECTED graph; scc_id = MIN node id in
     the strongly connected component (mutual-reachability classes).
@@ -639,14 +667,19 @@ def strongly_connected_components(
        round removes at least every current root's SCC, so outer
        rounds are bounded by the condensation's color-chain depth.
 
+    With giant_peel=True (default) MultiStep's third phase runs once
+    between trim and coloring: a forward and a backward BFS from the
+    max-degree pivot, whose intersection is SCC(pivot) — at crawl
+    scale that is Broder's giant SCC (~25-30% of hosts), peeled in
+    2×diameter equi-join rounds so the coloring fixpoint only ever
+    sees the small-SCC residue.
+
     Every round is one shuffle equi-join + partial/final agg with
     localCheckpoint lineage cuts; convergence checks are scalar
-    aggregates (no data collect).  At web scale the standard third
-    phase (one forward+backward BFS from a pivot to peel the giant
-    SCC before coloring) slots in as two bfs_depths calls; at fixture
-    scale trim+color converges in a handful of rounds (LAST_ROUNDS
-    records the observed counts).  Non-convergence raises — the
-    connected_components discipline, never silent truncation.
+    aggregates (no data collect); at fixture scale trim+peel+color
+    converges in a handful of rounds (LAST_ROUNDS records the observed
+    counts).  Non-convergence raises — the connected_components
+    discipline, never silent truncation.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -689,6 +722,35 @@ def strongly_connected_components(
             )
         if remaining.isEmpty():
             break
+        # --- phase 1b (first round only): FW-BW giant-SCC peel -------
+        if giant_peel and _outer == 1:
+            pivot = (
+                e.select(F.col("u").alias("node"))
+                .unionByName(e.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+                .orderBy(F.desc("deg"), F.asc("node"))
+                .first()
+            )
+            pv = int(pivot["node"])
+            giant = (
+                _reachable_from(e, pv, True, max_rounds)
+                .join(_reachable_from(e, pv, False, max_rounds), "node")
+                .localCheckpoint()
+            )
+            LAST_ROUNDS["scc_giant_size"] = giant.count()
+            assigned = assigned.unionByName(
+                giant.select("node", F.lit(pv).cast("long").alias("scc_rep"))
+            ).localCheckpoint()
+            remaining = remaining.join(giant, "node", "left_anti").localCheckpoint()
+            e = (
+                e.join(giant.withColumnRenamed("node", "u"), "u", "left_anti")
+                .join(giant.withColumnRenamed("node", "v"), "v", "left_anti")
+                .localCheckpoint()
+            )
+            # the peel exposes fresh zero-in/zero-out periphery (the
+            # bowtie's IN/OUT sets): loop back to trim before coloring
+            continue
         # --- phase 2a: forward max-id coloring to fixpoint -----------
         color = remaining.withColumn("color", F.col("node")).localCheckpoint()
         # labels only ever increase, so sum(color) strictly increases

@@ -297,3 +297,137 @@ def ips_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a matched-row count ratio) beside the direct-method estimate."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_IPS_SQL)
+
+
+# --- single-pass OLS via normal equations (exact-int Gram + Cramer) -----------
+#
+# The classic "trillion-row regression in one aggregate": the Gram
+# matrix X'X and moment vector X'y are SUM aggregates — map-side
+# combinable, one shuffle of 14 scalars regardless of fact size — and
+# the 4×4 normal-equation solve is a Cramer-rule cofactor expansion
+# over those scalars (closed form, no iteration; the explicit-inverse
+# analog of what MLlib's l-BFGS would fit).  Gradient methods need a
+# pass per step; the normal-equation plan needs ONE pass, full stop —
+# at 100 TB that is the entire cost difference.
+#
+# Cross-engine discipline: features are quantized to int64 at the scan
+# (×100 on the 2-decimal money/rate columns — exact, the decimal-money
+# rule), so every Gram entry is an EXACT int64 sum with no float
+# summation-order hazard (bounds at sf1000: Σq·p ≈ 50·1e7·6e9 = 3e18,
+# inside int64; y'y alone exceeds int64 and is carried as
+# DECIMAL(38,0), exact in both engines, cast to DOUBLE once).  The
+# determinants then evaluate a FIXED expression tree over those exact
+# ints in DOUBLE — correctly-rounded IEEE ops, bit-identical across
+# engines — and outputs round at 1e-6.
+
+_OLS_Q = "CAST(l_quantity AS BIGINT)"
+_OLS_D = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+_OLS_T = "CAST(ROUND(l_tax * 100) AS BIGINT)"
+_OLS_Y = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+
+
+def _det3(m) -> str:
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (
+        f"({a} * ({e} * {i} - {f} * {h})"
+        f" - {b} * ({d} * {i} - {f} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+def _det4(m) -> str:
+    """Cofactor expansion along the first row — the SAME association
+    order in both engines, so the double result is bit-identical."""
+    minor = lambda r, c: [  # noqa: E731
+        [m[i][j] for j in range(4) if j != c] for i in range(4) if i != r
+    ]
+    return (
+        f"({m[0][0]} * {_det3(minor(0, 0))}"
+        f" - {m[0][1]} * {_det3(minor(0, 1))}"
+        f" + {m[0][2]} * {_det3(minor(0, 2))}"
+        f" - {m[0][3]} * {_det3(minor(0, 3))})"
+    )
+
+
+_G = [
+    ["gn", "gq", "gd", "gt"],
+    ["gq", "gqq", "gqd", "gqt"],
+    ["gd", "gqd", "gdd", "gdt"],
+    ["gt", "gqt", "gdt", "gtt"],
+]
+_B = ["gy", "gqy", "gdy", "gty"]
+
+
+def _replace_col(col: int):
+    return [
+        [(_B[i] if j == col else _G[i][j]) for j in range(4)]
+        for i in range(4)
+    ]
+
+
+_OLS_BETas = ",\n       ".join(
+    f"{_det4(_replace_col(k))} / {_det4(_G)} AS b{k}" for k in range(4)
+)
+
+_OLS_SQL = f"""
+WITH q AS (
+  SELECT {_OLS_Q} AS xq, {_OLS_D} AS xd, {_OLS_T} AS xt, {_OLS_Y} AS yy
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xq) AS BIGINT) AS sq, CAST(SUM(xd) AS BIGINT) AS sd,
+         CAST(SUM(xt) AS BIGINT) AS st, CAST(SUM(yy) AS BIGINT) AS sy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sqq,
+         CAST(SUM(xq * xd) AS BIGINT) AS sqd,
+         CAST(SUM(xq * xt) AS BIGINT) AS sqt,
+         CAST(SUM(xd * xd) AS BIGINT) AS sdd,
+         CAST(SUM(xd * xt) AS BIGINT) AS sdt,
+         CAST(SUM(xt * xt) AS BIGINT) AS stt,
+         CAST(SUM(xq * yy) AS BIGINT) AS sqy,
+         CAST(SUM(xd * yy) AS BIGINT) AS sdy,
+         CAST(SUM(xt * yy) AS BIGINT) AS sty,
+         CAST(SUM(CAST(yy * yy AS DECIMAL(38, 0))) AS DOUBLE) AS syy
+  FROM q
+),
+g AS (
+  SELECT CAST(n AS DOUBLE) AS gn,
+         CAST(sq AS DOUBLE) AS gq, CAST(sd AS DOUBLE) AS gd,
+         CAST(st AS DOUBLE) AS gt, CAST(sy AS DOUBLE) AS gy,
+         CAST(sqq AS DOUBLE) AS gqq, CAST(sqd AS DOUBLE) AS gqd,
+         CAST(sqt AS DOUBLE) AS gqt, CAST(sdd AS DOUBLE) AS gdd,
+         CAST(sdt AS DOUBLE) AS gdt, CAST(stt AS DOUBLE) AS gtt,
+         CAST(sqy AS DOUBLE) AS gqy, CAST(sdy AS DOUBLE) AS gdy,
+         CAST(sty AS DOUBLE) AS gty, syy, n
+  FROM s
+),
+beta AS (
+  SELECT n, gn, gy, gqy, gdy, gty, syy,
+         gq, gd, gt, gqq, gqd, gqt, gdd, gdt, gtt,
+       {_OLS_BETas}
+  FROM g
+)
+SELECT n,
+       ROUND(b0 / 100.0, 6) AS beta_intercept,
+       ROUND(b1 / 100.0, 6) AS beta_qty,
+       ROUND(b2, 6) AS beta_discount,
+       ROUND(b3, 6) AS beta_tax,
+       ROUND(1.0 - (
+         syy - 2.0 * (b0 * gy + b1 * gqy + b2 * gdy + b3 * gty)
+         + (b0 * (b0 * gn + b1 * gq + b2 * gd + b3 * gt)
+            + b1 * (b0 * gq + b1 * gqq + b2 * gqd + b3 * gqt)
+            + b2 * (b0 * gd + b1 * gqd + b2 * gdd + b3 * gdt)
+            + b3 * (b0 * gt + b1 * gqt + b2 * gdt + b3 * gtt))
+       ) / (syy - gy * gy / gn), 9) AS r2
+FROM beta
+"""
+
+
+@register("ols_price_normal_eq", _OLS_SQL)
+def ols_price_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of extendedprice on (1, quantity, discount, tax) solved in
+    ONE aggregate pass: exact-int64 Gram/moment sums, Cramer 4×4
+    cofactor solve, R² from the same scalars — no gradient iterations,
+    no second pass.  Coefficients reported in original units."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_OLS_SQL)

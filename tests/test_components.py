@@ -148,8 +148,9 @@ def test_strongly_connected_components_known_graph(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5,
                    7: 7, 8: 8, 9: 9, 10: 10, 11: 11, 12: 12}
-    # the chain dies in trim, so a single outer round suffices
-    assert LAST_ROUNDS["scc_outer"] == 1
+    # the chain dies in trim; with the FW-BW peel spending its own
+    # outer round, two rounds close the graph
+    assert LAST_ROUNDS["scc_outer"] <= 2
 
 
 def test_strongly_connected_components_two_sccs_same_color_chain(spark):
@@ -167,3 +168,29 @@ def test_strongly_connected_components_two_sccs_same_color_chain(spark):
         for r in strongly_connected_components(edges).collect()
     }
     assert got == {8: 8, 9: 8, 1: 1, 2: 1}
+
+
+def test_scc_giant_peel_matches_coloring(spark):
+    """FW-BW pivot peel on and off must produce identical SCCs (the
+    peel is an optimization, not a semantics change); the recorded
+    giant size matches the true largest SCC."""
+    from chopin_spark.components import (
+        LAST_ROUNDS, strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+         (6, 7), (2, 8), (8, 2), (9, 1), (5, 10)],
+        "src long, dst long",
+    )
+    on = {r["node"]: r["scc_id"]
+          for r in strongly_connected_components(edges).collect()}
+    giant = LAST_ROUNDS["scc_giant_size"]
+    off = {r["node"]: r["scc_id"]
+           for r in strongly_connected_components(
+               edges, giant_peel=False).collect()}
+    assert on == off
+    assert on == {1: 1, 2: 1, 3: 1, 8: 1, 4: 4, 5: 4, 6: 4,
+                  7: 7, 9: 9, 10: 10}
+    # pivot is node 2 (degree 5); its SCC is {1,2,3,8}
+    assert giant == 4
