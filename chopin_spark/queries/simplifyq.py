@@ -270,3 +270,120 @@ def chaikin_smooth_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _stage_stats("chk_c2", 16, "2").strip()
         + _CHK_TAIL
     )
+
+
+# --- Visvalingam–Whyatt simplification (effective-area, round-unrolled) -------
+#
+# The OTHER canonical line-simplifier (Visvalingam & Whyatt 1993,
+# rmapshaper/mapshaper's default — the tool chopin users reach for
+# before DP when shape character matters): repeatedly delete the
+# vertex with the smallest effective area (triangle with its two
+# SURVIVING neighbors), recomputing neighbors after each removal.
+# Bounded variant here: exactly K global-min removals per line —
+# K unrolled rounds, each one window pass (LAG/LEAD over survivors)
+# + one ROW_NUMBER argmin + one NOT EXISTS anti-join, IDENTICAL SQL
+# in both engines (the chaikin/DP discipline).  Exact int64: areas
+# are cross-product 2A values of integer coords; ties break by idx.
+#
+# Scale shape: rounds are a fixed K (a simplification BUDGET, the way
+# production generalization pipelines batch it), each round touching
+# |lines|×|alive| rows partitioned by line — embarrassingly parallel
+# across lines, no cross-line traffic.  The priority-queue sequential
+# formulation (remove-one-recompute-one) is PER LINE; K-round batching
+# trades a bounded area-ordering deviation for full vectorization.
+
+_VW_ROUNDS = 8
+
+
+# The round SQL is ONE text used by both engines; execution differs
+# (the no-inline-blowup rule): alive{r-1} is referenced twice per
+# round, so a single nested-CTE plan recomputes alive0 2^K times —
+# DuckDB gets AS MATERIALIZED barriers, Spark runs each round against
+# a localCheckpoint'ed temp view (the DP/chaikin engine discipline).
+
+_VW_W = "PARTITION BY line_id ORDER BY idx"
+
+def _vw_area_sql(prev: str) -> str:
+    w = _VW_W
+    return f"""
+  SELECT line_id, idx, x, y,
+         ABS((x - LAG(x) OVER ({w})) * (LEAD(y) OVER ({w}) - LAG(y) OVER ({w}))
+           - (y - LAG(y) OVER ({w})) * (LEAD(x) OVER ({w}) - LAG(x) OVER ({w})))
+           AS a2
+  FROM {prev}"""
+
+
+def _vw_drop_sql(a: str) -> str:
+    return f"""
+  SELECT line_id, idx, a2 FROM (
+    SELECT line_id, idx, a2,
+           ROW_NUMBER() OVER (PARTITION BY line_id ORDER BY a2, idx) AS rn
+    FROM {a} WHERE a2 IS NOT NULL
+  ) t WHERE rn = 1"""
+
+
+def _vw_alive_sql(prev: str, drop: str) -> str:
+    return f"""
+  SELECT v.line_id, v.idx, v.x, v.y FROM {prev} v
+  WHERE NOT EXISTS (SELECT 1 FROM {drop} d
+                    WHERE d.line_id = v.line_id AND d.idx = v.idx)"""
+
+
+def _vw_summary_sql(alive: str, drops: str) -> str:
+    return f"""
+WITH removed AS (
+  SELECT line_id, CAST(SUM(a2) AS BIGINT) AS removed_area2,
+         CAST(COUNT(*) AS BIGINT) AS n_removed
+  FROM ({drops}) u GROUP BY line_id
+)
+SELECT a.line_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(a.x) AS BIGINT) AS sum_x,
+       CAST(SUM(a.y) AS BIGINT) AS sum_y,
+       r.n_removed, r.removed_area2
+FROM {alive} a
+JOIN removed r ON r.line_id = a.line_id
+GROUP BY a.line_id, r.n_removed, r.removed_area2
+ORDER BY a.line_id
+"""
+
+
+def _vw_oracle() -> str:
+    ctes = [f"alive0 AS MATERIALIZED ({_CHK_V_DUCK})"]
+    for r in range(1, _VW_ROUNDS + 1):
+        ctes.append(
+            f"a{r} AS MATERIALIZED ({_vw_area_sql(f'alive{r - 1}')})"
+        )
+        ctes.append(f"drop{r} AS MATERIALIZED ({_vw_drop_sql(f'a{r}')})")
+        ctes.append(
+            f"alive{r} AS MATERIALIZED"
+            f" ({_vw_alive_sql(f'alive{r - 1}', f'drop{r}')})"
+        )
+    drops = " UNION ALL ".join(
+        f"SELECT line_id, a2 FROM drop{r}" for r in range(1, _VW_ROUNDS + 1)
+    )
+    body = _vw_summary_sql(f"alive{_VW_ROUNDS}", drops)
+    assert body.startswith("\nWITH ")
+    return "WITH " + ",\n".join(ctes) + "," + body[len("\nWITH "):]
+
+
+@register("simplify_vw_roads", _vw_oracle())
+def simplify_vw_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visvalingam–Whyatt simplification, 8 exact-int effective-area
+    removal rounds per line over the shared 40×33 polyline fixture:
+    survivor count/coordinate checksums plus the removed 2A mass."""
+    spark.sql(f"SELECT * FROM ({_CHK_V_SPARK}) q").localCheckpoint(
+    ).createOrReplaceTempView("vw_alive_0")
+    for r in range(1, _VW_ROUNDS + 1):
+        spark.sql(_vw_area_sql(f"vw_alive_{r - 1}")).localCheckpoint(
+        ).createOrReplaceTempView(f"vw_a_{r}")
+        spark.sql(_vw_drop_sql(f"vw_a_{r}")).localCheckpoint(
+        ).createOrReplaceTempView(f"vw_drop_{r}")
+        spark.sql(
+            _vw_alive_sql(f"vw_alive_{r - 1}", f"vw_drop_{r}")
+        ).localCheckpoint().createOrReplaceTempView(f"vw_alive_{r}")
+    drops = " UNION ALL ".join(
+        f"SELECT line_id, a2 FROM vw_drop_{r}"
+        for r in range(1, _VW_ROUNDS + 1)
+    )
+    return spark.sql(_vw_summary_sql(f"vw_alive_{_VW_ROUNDS}", drops))
