@@ -968,3 +968,150 @@ def cuped_adjusted_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance reduction — all from exact int64 moments."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_CUPED_SQL)
+
+
+# --- Markov-chain attribution with removal effects -----------------------------
+#
+# The model-based counterpart of attribution_last_touch (Anderl et al.
+# 2016, "Mapping the customer journey" — the standard data-driven
+# attribution): user journeys (split at each purchase) become a
+# first-order Markov chain over states {start, view, click, signup,
+# error} with absorbers {conv, end}; a channel's credit is its REMOVAL
+# EFFECT — how much the start→conv absorption probability drops when
+# every path through that channel is failed.
+#
+# Absorption probabilities come from VALUE ITERATION, 12 rounds, all
+# five variants (base + 4 removals) carried as 25 columns of ONE row:
+# x_{k+1}(s) = Σ_t p(s,t)·x_k(t) + p(s,conv), with x(c) pinned to 0 in
+# variant rm-c.  Transition probabilities are exact-int count ratios,
+# each round a fixed double expression tree — bit-identical across
+# engines regardless of convergence, so 12 rounds need no epsilon
+# argument (the simplifyq/graphq unrolled-fixpoint discipline).  Rounds
+# materialize (DuckDB: MATERIALIZED CTEs; Spark: per-round checkpointed
+# one-row views) because each round references the previous ~6× —
+# inlined, that is a 6^12 expression tree.
+#
+# Scale shape: the fact-sized work is ONE window pass (journey split +
+# LEAD) and one (from,to) count shuffle — 30 cells; everything after is
+# arithmetic on a single row.  At 100 TB the chain fit costs the same
+# two shuffles; only the sessionize window grows.
+
+_MK_STATES = [("s", "start"), ("v", "view"), ("c", "click"),
+              ("g", "signup"), ("e", "error")]
+_MK_TOS = [("v", "view"), ("c", "click"), ("g", "signup"),
+           ("e", "error"), ("y", "conv")]
+_MK_VARIANTS = [("b", None), ("rv", "v"), ("rc", "c"),
+                ("rg", "g"), ("re", "e")]
+_MK_ROUNDS = 12
+
+_MK_TRANS = """
+  SELECT user_id, ts, event_id, event_type,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS j
+  FROM events
+"""
+
+_MK_STEP = """
+  SELECT user_id, j, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id, j
+                                ORDER BY ts, event_id) AS nxt,
+         ROW_NUMBER() OVER (PARTITION BY user_id, j
+                            ORDER BY ts, event_id) AS rn
+  FROM mk_ev
+"""
+
+_MK_CNT = """
+  SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT 'start' AS f,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+                ELSE event_type END AS t
+    FROM mk_step WHERE rn = 1
+    UNION ALL
+    SELECT event_type AS f,
+           CASE WHEN nxt IS NULL THEN 'end'
+                WHEN nxt = 'purchase' THEN 'conv' ELSE nxt END AS t
+    FROM mk_step WHERE event_type <> 'purchase'
+  ) u GROUP BY f, t
+"""
+
+_MK_PROW = "  SELECT\n    " + ",\n    ".join(
+    f"CAST(SUM(CASE WHEN f = '{fn}' AND t = '{tn}' THEN c ELSE 0 END)"
+    f" AS DOUBLE)"
+    f" / GREATEST(SUM(CASE WHEN f = '{fn}' THEN c ELSE 0 END), 1)"
+    f" AS p_{fc}_{tc}"
+    for fc, fn in _MK_STATES for tc, tn in _MK_TOS
+) + "\n  FROM mk_cnt"
+
+_MK_X0 = "  SELECT " + ", ".join(
+    f"CAST(0.0 AS DOUBLE) AS x_{m}_{fc}"
+    for m, _ in _MK_VARIANTS for fc, _ in _MK_STATES
+)
+
+
+def _mk_round_exprs() -> str:
+    cols = []
+    for m, removed in _MK_VARIANTS:
+        for fc, _ in _MK_STATES:
+            if removed is not None and fc == removed:
+                cols.append(f"CAST(0.0 AS DOUBLE) AS x_{m}_{fc}")
+                continue
+            terms = [f"p_{fc}_y"]
+            terms += [
+                f"p_{fc}_{tc} * x_{m}_{tc}"
+                for tc, _ in _MK_TOS[:4] if tc != removed
+            ]
+            cols.append("(" + " + ".join(terms) + f") AS x_{m}_{fc}")
+    return "  SELECT " + ",\n         ".join(cols)
+
+
+_MK_FINAL = "\nUNION ALL\n".join(
+    f"SELECT '{_MK_TOS[i][1]}' AS channel,"
+    f" ROUND(x_b_s, 6) AS base_conv,"
+    f" ROUND(x_{m}_s, 6) AS removal_conv,"
+    f" ROUND(1.0 - x_{m}_s / x_b_s, 6) AS removal_effect,"
+    f" ROUND((1.0 - x_{m}_s / x_b_s) / "
+    "((1.0 - x_rv_s / x_b_s) + (1.0 - x_rc_s / x_b_s)"
+    " + (1.0 - x_rg_s / x_b_s) + (1.0 - x_re_s / x_b_s)), 6)"
+    f" AS attribution_share"
+    f" FROM mk_x_{_MK_ROUNDS}"
+    for i, (m, _) in enumerate(_MK_VARIANTS[1:])
+)
+
+
+def _mk_oracle() -> str:
+    ctes = [
+        f"mk_ev AS MATERIALIZED ({_MK_TRANS})",
+        f"mk_step AS MATERIALIZED ({_MK_STEP})",
+        f"mk_cnt AS MATERIALIZED ({_MK_CNT})",
+        f"mk_prow AS MATERIALIZED ({_MK_PROW})",
+        f"mk_x_0 AS MATERIALIZED ({_MK_X0})",
+    ]
+    for r in range(1, _MK_ROUNDS + 1):
+        ctes.append(
+            f"mk_x_{r} AS MATERIALIZED"
+            f" ({_mk_round_exprs()}\n  FROM mk_prow, mk_x_{r - 1})"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + _MK_FINAL
+
+
+@register("attribution_markov_removal", _mk_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven channel attribution: first-order Markov journey
+    chain (journeys split at purchases), absorption probability via 12
+    value-iteration rounds, credit = per-channel removal effect,
+    normalized to attribution shares."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(_MK_TRANS).createOrReplaceTempView("mk_ev")
+    spark.sql(_MK_STEP).createOrReplaceTempView("mk_step")
+    spark.sql(_MK_CNT).localCheckpoint().createOrReplaceTempView("mk_cnt")
+    spark.sql(_MK_PROW).localCheckpoint().createOrReplaceTempView("mk_prow")
+    spark.sql(_MK_X0).createOrReplaceTempView("mk_x_0")
+    for r in range(1, _MK_ROUNDS + 1):
+        spark.sql(
+            f"{_mk_round_exprs()}\n  FROM mk_prow CROSS JOIN mk_x_{r - 1}"
+        ).localCheckpoint().createOrReplaceTempView(f"mk_x_{r}")
+    return spark.sql(_MK_FINAL)
