@@ -818,3 +818,229 @@ def ring_validity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_crossings"),
         F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_valid"),
     )
+
+
+# --- pole of inaccessibility (polylabel, batched-beam quadtree) ---------------
+#
+# Mapbox's polylabel (the label-placement / maximum-inscribed-circle
+# verb every cartographic pipeline runs after dissolve): refine a
+# quadtree over the polygon keeping the cell whose center maximizes
+# signed distance to the boundary.  The reference algorithm is a
+# priority queue (remove-one-expand-one); here it is the BATCHED BEAM
+# variant — each round scores ALL live cells (one cells×edges join +
+# min-agg), keeps the top B=6 per polygon by the upper bound
+# d + r_cell (admissible, so the true optimum cell survives while the
+# beam holds), and splits each survivor into 4 — the vectorization
+# trade production polylabel ports make on GPUs/SQL engines.
+#
+# Fixture: 48 holed octagons (the pip_holed_zones family with a
+# zone-dependent hole OFFSET, so every polygon's pole differs; hole
+# offsets keep the hole strictly inside the octagon).  Segment
+# distance and the inside predicate are fixed double expression trees
+# over driver-literal constants — bit-identical across engines; rounds
+# materialize (MATERIALIZED / checkpointed views — the VW seam).
+#
+# Scale shape: rounds are a fixed K=7 (cell size W/512); each round is
+# |polygons| × B×4 cells × |edges| — embarrassingly parallel across
+# polygons, no cross-polygon traffic, the same per-feature
+# independence as the zonal family.
+
+_PL_ZONES = 48
+_PL_B = 6
+_PL_ROUNDS = 7
+_PL_W, _PL_H = Z.TRACT_W, Z.TRACT_H
+
+# outer octagon vertices (local coords), CCW — shared with octagon_ring
+_PL_OCT = [
+    (_CX, 0.0), (_PL_W - _CX, 0.0), (_PL_W, _CY), (_PL_W, _PL_H - _CY),
+    (_PL_W - _CX, _PL_H), (_CX, _PL_H), (0.0, _PL_H - _CY), (0.0, _CY),
+]
+
+# zone-dependent hole offsets: ±10% of the tract in 5 steps — the hole
+# (half-extents 0.2·W/0.2·H) stays ≥5% clear of the octagon cuts
+_PL_OX = f"((CAST((z * 7) % 5 AS DOUBLE) - 2.0) * {0.05 * _PL_W!r})"
+_PL_OY = f"((CAST((z * 11) % 5 AS DOUBLE) - 2.0) * {0.05 * _PL_H!r})"
+
+
+def _pl_edges_sql(zsrc: str) -> str:
+    """12 directed edges per zone: 8 octagon + 4 hole-rectangle."""
+    arms = []
+    ring = _PL_OCT + [_PL_OCT[0]]
+    for k in range(8):
+        (ax, ay), (bx, by) = ring[k], ring[k + 1]
+        arms.append(
+            f"SELECT z, {ax!r} AS ax, {ay!r} AS ay,"
+            f" {bx!r} AS bx, {by!r} AS by FROM {zsrc}"
+        )
+    hx, hy = _HW, _HH
+    cxm, cym = _PL_W / 2.0, _PL_H / 2.0
+    hole = [(-hx, -hy), (hx, -hy), (hx, hy), (-hx, hy)]
+    hring = hole + [hole[0]]
+    for k in range(4):
+        (ax, ay), (bx, by) = hring[k], hring[k + 1]
+        arms.append(
+            f"SELECT z, {cxm!r} + {_PL_OX} + {ax!r},"
+            f" {cym!r} + {_PL_OY} + {ay!r},"
+            f" {cxm!r} + {_PL_OX} + {bx!r},"
+            f" {cym!r} + {_PL_OY} + {by!r} FROM {zsrc}"
+        )
+    return " UNION ALL ".join(arms)
+
+
+# inside predicate for a cell center joined to the zone row (hole
+# offset via the zone id): the pip_holed_zones half-plane forms
+def _pl_in(cx: str, cy: str, z: str) -> str:
+    ox = _PL_OX.replace("z *", f"{z} *")
+    oy = _PL_OY.replace("z *", f"{z} *")
+    return (
+        f"({cx} * {_CY!r} + {cy} * {_CX!r} > {_CX * _CY!r}"
+        f" AND ({_PL_W!r} - {cx}) * {_CY!r} + {cy} * {_CX!r} > {_CX * _CY!r}"
+        f" AND {cx} * {_CY!r} + ({_PL_H!r} - {cy}) * {_CX!r} > {_CX * _CY!r}"
+        f" AND ({_PL_W!r} - {cx}) * {_CY!r} + ({_PL_H!r} - {cy}) * {_CX!r}"
+        f" > {_CX * _CY!r}"
+        f" AND NOT (ABS({cx} - {_PL_W / 2.0!r} - {ox}) < {_HW!r}"
+        f"          AND ABS({cy} - {_PL_H / 2.0!r} - {oy}) < {_HH!r}))"
+    )
+
+_PL_SEED = f"""
+  SELECT z.z, g.gx, g.gy,
+         (CAST(g.gx AS DOUBLE) + 0.5) * {_PL_W / 4.0!r} AS cx,
+         (CAST(g.gy AS DOUBLE) + 0.5) * {_PL_H / 4.0!r} AS cy,
+         {_PL_W / 8.0!r} AS hx, {_PL_H / 8.0!r} AS hy
+  FROM pl_zones z CROSS JOIN pl_grid g
+"""
+
+
+def _pl_score_sql(cells: str) -> str:
+    """Signed distance of each cell center to the zone's boundary:
+    min point-segment distance over the 12 edges, negated outside."""
+    l2 = "((e.bx - e.ax) * (e.bx - e.ax) + (e.by - e.ay) * (e.by - e.ay))"
+    t = (
+        f"LEAST(GREATEST(((c.cx - e.ax) * (e.bx - e.ax)"
+        f" + (c.cy - e.ay) * (e.by - e.ay)) / {l2}, 0.0), 1.0)"
+    )
+    return f"""
+  SELECT c.z, c.cx, c.cy, c.hx, c.hy,
+         (CASE WHEN {_pl_in('c.cx', 'c.cy', 'c.z')}
+               THEN 1.0 ELSE -1.0 END)
+           * MIN(SQRT(
+               (c.cx - (e.ax + {t} * (e.bx - e.ax)))
+                 * (c.cx - (e.ax + {t} * (e.bx - e.ax)))
+               + (c.cy - (e.ay + {t} * (e.by - e.ay)))
+                 * (c.cy - (e.ay + {t} * (e.by - e.ay))))) AS d
+  FROM {cells} c JOIN pl_edges e ON e.z = c.z
+  GROUP BY c.z, c.cx, c.cy, c.hx, c.hy
+"""
+
+
+def _pl_beam_sql(scored: str) -> str:
+    """Top-B cells per zone by the admissible bound d + cell radius."""
+    return f"""
+  SELECT z, cx, cy, hx, hy, d FROM (
+    SELECT z, cx, cy, hx, hy, d,
+           ROW_NUMBER() OVER (PARTITION BY z
+             ORDER BY d + SQRT(hx * hx + hy * hy) DESC, cx, cy) AS rn
+    FROM {scored}
+  ) t WHERE rn <= {_PL_B}
+"""
+
+
+def _pl_split_sql(beam: str) -> str:
+    return f"""
+  SELECT b.z,
+         b.cx + q.sx * b.hx / 2.0 AS cx,
+         b.cy + q.sy * b.hy / 2.0 AS cy,
+         b.hx / 2.0 AS hx, b.hy / 2.0 AS hy
+  FROM {beam} b CROSS JOIN pl_quad q
+"""
+
+_PL_FINAL = f"""
+SELECT z AS zone_i,
+       ROUND(cx, 3) AS label_x, ROUND(cy, 3) AS label_y,
+       ROUND(d, 3) AS pole_dist
+FROM (
+  SELECT z, cx, cy, d,
+         ROW_NUMBER() OVER (PARTITION BY z ORDER BY d DESC, cx, cy) AS rn
+  FROM pl_scored_{_PL_ROUNDS}
+) t WHERE rn = 1
+ORDER BY z
+"""
+
+_PL_ZSRC_DUCK = (
+    f"pl_zones AS (SELECT CAST(UNNEST(generate_series(0, {_PL_ZONES - 1}))"
+    " AS BIGINT) AS z)"
+)
+_PL_ZSRC_SPARK = (
+    f"pl_zones AS (SELECT CAST(x AS BIGINT) AS z"
+    f" FROM (SELECT explode(sequence(0, {_PL_ZONES - 1})) AS x))"
+)
+_PL_GRID_DUCK = (
+    "pl_grid AS (SELECT a.gx, b.gy FROM"
+    " (SELECT UNNEST(generate_series(0, 3)) AS gx) a,"
+    " (SELECT UNNEST(generate_series(0, 3)) AS gy) b)"
+)
+_PL_GRID_SPARK = (
+    "pl_grid AS (SELECT gx, gy FROM"
+    " (SELECT explode(sequence(0, 3)) AS gx)"
+    " CROSS JOIN (SELECT explode(sequence(0, 3)) AS gy))"
+)
+_PL_QUAD_DUCK = (
+    "pl_quad AS (SELECT a.sx, b.sy FROM"
+    " (SELECT UNNEST([CAST(-1 AS DOUBLE), CAST(1 AS DOUBLE)]) AS sx) a,"
+    " (SELECT UNNEST([CAST(-1 AS DOUBLE), CAST(1 AS DOUBLE)]) AS sy) b)"
+)
+_PL_QUAD_SPARK = (
+    "pl_quad AS (SELECT sx, sy FROM"
+    " (SELECT explode(array(CAST(-1 AS DOUBLE), CAST(1 AS DOUBLE))) AS sx)"
+    " CROSS JOIN"
+    " (SELECT explode(array(CAST(-1 AS DOUBLE), CAST(1 AS DOUBLE))) AS sy))"
+)
+
+
+def _pl_oracle() -> str:
+    ctes = [
+        _PL_ZSRC_DUCK, _PL_GRID_DUCK, _PL_QUAD_DUCK,
+        f"pl_edges AS MATERIALIZED ({_pl_edges_sql('pl_zones')})",
+        f"pl_cells_0 AS MATERIALIZED ({_PL_SEED})",
+    ]
+    for r in range(1, _PL_ROUNDS + 1):
+        ctes.append(
+            f"pl_scored_{r} AS MATERIALIZED"
+            f" ({_pl_score_sql(f'pl_cells_{r - 1}')})"
+        )
+        if r < _PL_ROUNDS:
+            ctes.append(
+                f"pl_beam_{r} AS MATERIALIZED"
+                f" ({_pl_beam_sql(f'pl_scored_{r}')})"
+            )
+            ctes.append(
+                f"pl_cells_{r} AS MATERIALIZED"
+                f" ({_pl_split_sql(f'pl_beam_{r}')})"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + _PL_FINAL
+
+
+@register("polylabel_holed_zones", _pl_oracle())
+def polylabel_holed_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pole of inaccessibility per holed-octagon zone via 7 batched
+    quadtree-beam rounds (B=6, admissible d + r_cell bound): the label
+    point and its clearance, deterministic ties by (d, cx, cy)."""
+    spark.sql(f"WITH {_PL_ZSRC_SPARK} SELECT * FROM pl_zones"
+              ).createOrReplaceTempView("pl_zones")
+    spark.sql(f"WITH {_PL_GRID_SPARK} SELECT * FROM pl_grid"
+              ).createOrReplaceTempView("pl_grid")
+    spark.sql(f"WITH {_PL_QUAD_SPARK} SELECT * FROM pl_quad"
+              ).createOrReplaceTempView("pl_quad")
+    spark.sql(_pl_edges_sql("pl_zones")).localCheckpoint(
+    ).createOrReplaceTempView("pl_edges")
+    spark.sql(_PL_SEED).localCheckpoint(
+    ).createOrReplaceTempView("pl_cells_0")
+    for r in range(1, _PL_ROUNDS + 1):
+        spark.sql(_pl_score_sql(f"pl_cells_{r - 1}")).localCheckpoint(
+        ).createOrReplaceTempView(f"pl_scored_{r}")
+        if r < _PL_ROUNDS:
+            spark.sql(_pl_beam_sql(f"pl_scored_{r}")).localCheckpoint(
+            ).createOrReplaceTempView(f"pl_beam_{r}")
+            spark.sql(_pl_split_sql(f"pl_beam_{r}")).localCheckpoint(
+            ).createOrReplaceTempView(f"pl_cells_{r}")
+    return spark.sql(_PL_FINAL)

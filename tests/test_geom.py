@@ -265,3 +265,73 @@ def test_lshape_quantum_certificate():
     assert worst_margin > 2.5e-3
     assert worst_drift < 1e-3
     assert worst_margin > 2 * worst_drift
+
+
+def test_polylabel_pole_is_interior_and_locally_optimal():
+    """Every zone's pole must be strictly inside its holed octagon with
+    the reported clearance equal to an independent python min-segment
+    distance, and no coarse-grid probe point may beat it by more than
+    the final cell diagonal (the beam's admissibility bound)."""
+    import math
+
+    import duckdb
+
+    from chopin_spark.queries.polygons import (
+        _CX, _CY, _HH, _HW, _PL_H, _PL_ROUNDS, _PL_W, _pl_oracle,
+    )
+
+    rows = duckdb.connect().execute(_pl_oracle()).fetchall()
+    assert len(rows) == 48
+
+    def hole_off(z):
+        return (((z * 7) % 5) - 2.0) * 0.05 * _PL_W, \
+               (((z * 11) % 5) - 2.0) * 0.05 * _PL_H
+
+    def edges(z):
+        ox, oy = hole_off(z)
+        oct_ = [(_CX, 0.0), (_PL_W - _CX, 0.0), (_PL_W, _CY),
+                (_PL_W, _PL_H - _CY), (_PL_W - _CX, _PL_H), (_CX, _PL_H),
+                (0.0, _PL_H - _CY), (0.0, _CY)]
+        segs = list(zip(oct_, oct_[1:] + oct_[:1]))
+        hcx, hcy = _PL_W / 2.0 + ox, _PL_H / 2.0 + oy
+        hole = [(hcx - _HW, hcy - _HH), (hcx + _HW, hcy - _HH),
+                (hcx + _HW, hcy + _HH), (hcx - _HW, hcy + _HH)]
+        segs += list(zip(hole, hole[1:] + hole[:1]))
+        return segs
+
+    def seg_dist(px, py, a, b):
+        ax, ay = a
+        bx, by = b
+        l2 = (bx - ax) ** 2 + (by - ay) ** 2
+        t = max(0.0, min(1.0, ((px - ax) * (bx - ax)
+                               + (py - ay) * (by - ay)) / l2))
+        return math.hypot(px - (ax + t * (bx - ax)),
+                          py - (ay + t * (by - ay)))
+
+    def inside(px, py, z):
+        ox, oy = hole_off(z)
+        u, v = px, py
+        octin = (u * _CY + v * _CX > _CX * _CY
+                 and (_PL_W - u) * _CY + v * _CX > _CX * _CY
+                 and u * _CY + (_PL_H - v) * _CX > _CX * _CY
+                 and (_PL_W - u) * _CY + (_PL_H - v) * _CX > _CX * _CY)
+        inhole = (abs(u - _PL_W / 2.0 - ox) < _HW
+                  and abs(v - _PL_H / 2.0 - oy) < _HH)
+        return octin and not inhole
+
+    diag = math.hypot(_PL_W / 4.0 / 2 ** (_PL_ROUNDS - 1),
+                      _PL_H / 4.0 / 2 ** (_PL_ROUNDS - 1))
+    for z, lx, ly, d in rows:
+        assert inside(lx, ly, z), (z, lx, ly)
+        ref = min(seg_dist(lx, ly, a, b) for a, b in edges(z))
+        assert abs(ref - d) < 2e-3, (z, ref, d)
+        assert d > 0.1 * _PL_H
+        # probe a 25x25 grid: nothing may beat the pole by > one cell
+        # diagonal (admissible-bound guarantee of the final round)
+        best = max(
+            (min(seg_dist(px, py, a, b) for a, b in edges(z))
+             for px in [(i + 0.5) * _PL_W / 25 for i in range(25)]
+             for py in [(j + 0.5) * _PL_H / 25 for j in range(25)]
+             if inside(px, py, z)),
+        )
+        assert best <= d + diag, (z, best, d, diag)
