@@ -29,7 +29,7 @@ _MODULES = (
     "manifestq", "trainprep", "streamq", "roads", "rasterops", "lmq",
     "snapshotq",
     "dissolveq", "sketchq", "simplifyq", "graphq", "costdistq", "interactq", "pointpat",
-    "networkq", "tsmine", "privacyq", "textmine", "mlq",
+    "networkq", "tsmine", "privacyq", "textmine", "mlq", "classifyq",
     "gatedigest",  # must import last: it folds over every other entry
 )
 
