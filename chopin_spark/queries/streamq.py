@@ -411,3 +411,65 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "n_events",
     )
+
+
+# --- stream-stream LEFT OUTER interval join (abandonment) ---------------------
+#
+# The outer-join operator class: unmatched views surface as null-click
+# rows once the watermark proves finality.  The drained stream is cut
+# at max(ts) − 3 h (watermark 2 h + gap 30 min + 30 min margin) on
+# BOTH sides — rows past the cut are legitimately withheld in the
+# state store at end-of-stream, so streaming == batch only up to the
+# finality horizon (that cut IS the semantics of an outer stream join;
+# asserting anything later would be asserting unflushed state).
+
+_SSOUTER_ORACLE = """
+WITH cut AS (
+  SELECT MAX(ts) - INTERVAL 3 HOUR AS c FROM events
+),
+v AS (
+  SELECT user_id, ts FROM events, cut
+  WHERE event_type = 'view' AND ts <= cut.c
+),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT v.user_id, v.ts AS v_ts, c.ts AS c_ts
+  FROM v LEFT JOIN c
+    ON c.user_id = v.user_id
+   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_abandoned,
+       CAST(SUM(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed
+FROM j GROUP BY 1
+"""
+
+
+@register("stream_view_click_outer_join", _SSOUTER_ORACLE)
+def stream_view_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join drained append-mode:
+    per-user attributed vs abandoned view counts, cut at the finality
+    horizon (max ts − 3 h) in both engines."""
+    ev = _events_stream(spark, sf_dir)
+    out = _drain_append(
+        S.view_click_left_outer_join(ev, ev), "stream_ssoj", spark
+    )
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    cut = spark.sql("SELECT MAX(ts) - INTERVAL 3 HOUR AS c FROM events")
+    return (
+        out.crossJoin(F.broadcast(cut))
+        .filter(F.col("v_ts") <= F.col("c"))
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("c_ts").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_abandoned"),
+            F.sum(
+                F.when(F.col("c_ts").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_attributed"),
+        )
+    )

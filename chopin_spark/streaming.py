@@ -293,3 +293,45 @@ def view_click_interval_join(
             f" AND c_ts <= v_ts + interval {gap_min} minutes"
         ),
     )
+
+
+def view_click_left_outer_join(
+    views: DataFrame, clicks: DataFrame, gap_min: int = 30
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like
+    view_click_interval_join, but views with NO click inside the gap
+    emit a null-click row once the watermark proves no match can still
+    arrive — the abandoned-journey signal (view→no-click) that the
+    inner join silently drops.  Outer results are watermark-driven:
+    a view row leaves the state store (and emits its null) only when
+    the global watermark passes v_ts + gap, so correctness depends on
+    the same bounded-state property as the inner join and costs no
+    extra state.  Append mode; the final no-data microbatch flushes
+    rows whose outcome is final under the terminal watermark — rows
+    younger than (max event time − watermark − gap) are legitimately
+    withheld, and consumers must cut at that horizon (the repo's
+    stream queries do, identically in the batch oracle)."""
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return v.join(
+        c,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts"
+            f" AND c_ts <= v_ts + interval {gap_min} minutes"
+        ),
+        "leftOuter",
+    )
