@@ -236,3 +236,118 @@ def road_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_10km")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     )
+
+
+# --- stroke building (every-best-fit angular continuity) ----------------------
+#
+# Thomson & Richardson's stroke model — the cartographic-generalization
+# / space-syntax primitive (sfnetworks' to_spatial_smooth cousin;
+# "natural roads" in the OSM literature): at every planarized node,
+# pair the two incident edges whose continuation is straightest
+# (MUTUAL best, deviation < 40°), then chain the pairs — each chain is
+# a perceptual "stroke".  Because pairing is mutual-best, every edge
+# joins ≤2 links (one per endpoint), so strokes are simple paths and
+# the components fixpoint runs on a path graph.
+#
+# Continuation quality is the cosine between the two away-from-node
+# direction vectors (straight ⇒ cos → −1): exact int64 dots/norms from
+# the millimetre-quantized planarize fold, one fixed double tree per
+# candidate — bit-identical ranking, ties by edge id.  Edge ids are a
+# ROW_NUMBER over the deterministic (line, seg, u, v) order (at web
+# scale: a collision-checked hash instead — no global sort; the
+# pairing/link stages are node-local either way).
+
+_STK_COS = -0.766044443118978  # cos 140° — deviation-from-straight < 40°
+
+_STK_BODY = f"""
+eidt AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY line_id, seg, u, v) AS eid,
+         u, v, w
+  FROM edges
+),
+epts AS (
+  SELECT eid, u, v, w,
+         (u - (u % {_K})) / {_K} AS ux, u % {_K} AS uy,
+         (v - (v % {_K})) / {_K} AS vx, v % {_K} AS vy
+  FROM eidt
+),
+incid AS (
+  SELECT eid, u AS node, vx - ux AS dx, vy - uy AS dy FROM epts
+  UNION ALL
+  SELECT eid, v AS node, ux - vx AS dx, uy - vy AS dy FROM epts
+),
+cand AS (
+  SELECT i.node, i.eid AS e1, j.eid AS e2,
+         CAST(i.dx * j.dx + i.dy * j.dy AS DOUBLE)
+           / SQRT(CAST(i.dx * i.dx + i.dy * i.dy AS DOUBLE)
+                  * CAST(j.dx * j.dx + j.dy * j.dy AS DOUBLE)) AS c
+  FROM incid i JOIN incid j ON j.node = i.node AND j.eid <> i.eid
+),
+best AS (
+  SELECT node, e1, e2 FROM (
+    SELECT node, e1, e2, c,
+           ROW_NUMBER() OVER (PARTITION BY node, e1
+                              ORDER BY c, e2) AS rn
+    FROM cand WHERE c < {_STK_COS!r}
+  ) t WHERE rn = 1
+),
+links AS (
+  SELECT a.e1 AS s, a.e2 AS t
+  FROM best a JOIN best b
+    ON b.node = a.node AND b.e1 = a.e2 AND b.e2 = a.e1
+  WHERE a.e1 < a.e2
+)"""
+
+_STK_FINAL = """
+SELECT stroke_id,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(w) AS BIGINT) AS total_len_mm
+FROM strokes GROUP BY stroke_id
+ORDER BY stroke_id
+"""
+
+_STK_ORACLE = f"""WITH RECURSIVE {_ORACLE_SRC}, {_FOLD}, {_STK_BODY.strip()},
+ulinks AS (
+  SELECT s AS a, t AS b FROM links UNION SELECT t, s FROM links
+),
+reach AS (
+  SELECT a, b FROM ulinks
+  UNION
+  SELECT r.a, l.b FROM reach r JOIN ulinks l ON l.a = r.b
+),
+comp AS (
+  SELECT a AS eid, LEAST(a, MIN(b)) AS stroke_id FROM reach GROUP BY a
+),
+strokes AS (
+  SELECT e.eid, e.w, COALESCE(c.stroke_id, e.eid) AS stroke_id
+  FROM eidt e LEFT JOIN comp c ON c.eid = e.eid
+)
+{_STK_FINAL}
+"""
+
+
+@register("road_stroke_building", _STK_ORACLE)
+def road_stroke_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strokes over the planarized road network: mutual-best angular
+    continuation pairing (<40° deviation) chained into perceptual
+    units; per stroke, edge count and total length."""
+    from chopin_spark.components import connected_components
+
+    _spark_net_views(spark, sf_dir)
+    base = spark.sql(
+        f"WITH {_SPARK_SRC}, {_FOLD}, {_STK_BODY.strip()}"
+        " SELECT l.s, l.t FROM links l"
+    ).localCheckpoint()
+    eidt = spark.sql(
+        f"WITH {_SPARK_SRC}, {_FOLD}, {_STK_BODY.strip()}"
+        " SELECT e.eid, e.w FROM eidt e"
+    ).localCheckpoint()
+    comp = connected_components(base, "s", "t")
+    strokes = eidt.join(
+        comp.withColumnRenamed("node", "eid"), "eid", "left"
+    ).select(
+        "eid", "w",
+        F.coalesce("comp_id", F.col("eid")).alias("stroke_id"),
+    )
+    strokes.createOrReplaceTempView("strokes")
+    return spark.sql(_STK_FINAL)
