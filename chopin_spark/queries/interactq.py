@@ -314,3 +314,145 @@ def radiation_model_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-30 origin-destination pairs."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_RAD_SQL)
+
+
+# --- doubly-constrained gravity OD matrix (IPF / Furness balancing) -----------
+#
+# The transport-planning verb the singly-constrained family (Huff,
+# radiation) can't express: balance a distance-decay seed matrix to
+# KNOWN productions O_i and attractions D_j (trip distribution /
+# survey raking / small-area synthesis — Deming–Stephan 1940 IPF,
+# Furness 1965 in transport).  8 unrolled balancing rounds, each a
+# row-scale then a column-scale.
+#
+# Cross-engine exactness: the matrix RE-QUANTIZES to integer
+# micro-trips after every scaling (FLOOR(t·f + 0.5) with f a fixed
+# double tree target/marginal-sum) — so every marginal sum is an exact
+# int64 SUM, immune to reduction order, and the scale factors are the
+# only doubles (the mlq micro-nat discipline applied to IPF).  The
+# residuals the query reports are therefore honest: they contain the
+# true IPF convergence gap plus ≤0.5 micro-trip/cell quantization.
+#
+# Scale shape: state is the |zones|² OD matrix — at continental scale
+# (10⁴ TAZ zones → 10⁸ cells) each round is one groupBy(i) + one
+# groupBy(j) over the cells, map-side combinable, 16 rounds max; the
+# fact-sized work is only the marginal extraction.
+
+_IPF_NZ = 16  # 4×4 coarse zone grid
+_IPF_ROUNDS = 8
+_IPF_GRID = 4
+
+# zone of a document: coarse 4×4 grid over the planar window.  FLOOR
+# before the BIGINT cast — CAST(double AS BIGINT) truncates in Spark
+# but rounds-to-nearest in DuckDB (the repo-wide cast rule)
+_IPF_ZONE = (
+    f"(LEAST(CAST(FLOOR(({sx.x_expr('doc_id')}) / 800000.0 * {_IPF_GRID})"
+    f" AS BIGINT), {_IPF_GRID - 1}) * {_IPF_GRID}"
+    f" + LEAST(CAST(FLOOR(({sx.y_expr('doc_id')}) / 600000.0 * {_IPF_GRID})"
+    f" AS BIGINT), {_IPF_GRID - 1}))"
+)
+
+_IPF_MARG = f"""
+  SELECT {_IPF_ZONE} AS z, CAST(SUM(n_chars) AS BIGINT) AS o
+  FROM documents GROUP BY 1
+"""
+
+# attractions: the same mass re-keyed by a fixed zone permutation
+# (z+5 mod 16) — guarantees ΣO = ΣD exactly, as IPF requires
+_IPF_TGT = """
+  SELECT m.z, m.o, p.o AS d
+  FROM ipf_marg m
+  JOIN (SELECT (z + 5) % 16 AS z, o FROM ipf_marg) p ON p.z = m.z
+"""
+
+# seed: inverse-square distance decay between 4×4 grid-cell centers,
+# pre-scaled to integer micro-trips
+_IPF_SEED = f"""
+  SELECT a.z AS i, b.z AS j,
+         CAST(FLOOR(1000000.0 / (1.0
+           + CAST(((a.z - (a.z % {_IPF_GRID})) / {_IPF_GRID}
+                   - (b.z - (b.z % {_IPF_GRID})) / {_IPF_GRID})
+                  * ((a.z - (a.z % {_IPF_GRID})) / {_IPF_GRID}
+                   - (b.z - (b.z % {_IPF_GRID})) / {_IPF_GRID})
+                  + (a.z % {_IPF_GRID} - b.z % {_IPF_GRID})
+                  * (a.z % {_IPF_GRID} - b.z % {_IPF_GRID}) AS DOUBLE)))
+              AS BIGINT) AS t
+  FROM ipf_tgt a CROSS JOIN ipf_tgt b
+"""
+
+
+def _ipf_row_sql(prev: str) -> str:
+    return f"""
+  SELECT p.i, p.j,
+         CAST(FLOOR(CAST(p.t AS DOUBLE)
+              * (CAST(g.o AS DOUBLE) / CAST(g.rs AS DOUBLE)) + 0.5)
+              AS BIGINT) AS t
+  FROM {prev} p
+  JOIN (SELECT p2.i, MAX(tg.o) AS o, SUM(p2.t) AS rs
+        FROM {prev} p2 JOIN ipf_tgt tg ON tg.z = p2.i
+        GROUP BY p2.i) g ON g.i = p.i
+"""
+
+
+def _ipf_col_sql(prev: str) -> str:
+    return f"""
+  SELECT p.i, p.j,
+         CAST(FLOOR(CAST(p.t AS DOUBLE)
+              * (CAST(g.d AS DOUBLE) / CAST(g.cs AS DOUBLE)) + 0.5)
+              AS BIGINT) AS t
+  FROM {prev} p
+  JOIN (SELECT p2.j, MAX(tg.d) AS d, SUM(p2.t) AS cs
+        FROM {prev} p2 JOIN ipf_tgt tg ON tg.z = p2.j
+        GROUP BY p2.j) g ON g.j = p.j
+"""
+
+
+_IPF_FINAL = f"""
+SELECT tg.z AS zone,
+       tg.o AS target_o, rs.rs AS row_sum,
+       tg.d AS target_d, cs.cs AS col_sum,
+       ABS(rs.rs - tg.o) AS row_resid,
+       ABS(cs.cs - tg.d) AS col_resid
+FROM ipf_tgt tg
+JOIN (SELECT i, CAST(SUM(t) AS BIGINT) AS rs
+      FROM ipf_t_{2 * _IPF_ROUNDS} GROUP BY i) rs ON rs.i = tg.z
+JOIN (SELECT j, CAST(SUM(t) AS BIGINT) AS cs
+      FROM ipf_t_{2 * _IPF_ROUNDS} GROUP BY j) cs ON cs.j = tg.z
+ORDER BY tg.z
+"""
+
+
+def _ipf_oracle() -> str:
+    ctes = [
+        f"ipf_marg AS MATERIALIZED ({_IPF_MARG})",
+        f"ipf_tgt AS MATERIALIZED ({_IPF_TGT})",
+        f"ipf_t_0 AS MATERIALIZED ({_IPF_SEED})",
+    ]
+    for r in range(1, _IPF_ROUNDS + 1):
+        ctes.append(
+            f"ipf_t_{2 * r - 1} AS MATERIALIZED"
+            f" ({_ipf_row_sql(f'ipf_t_{2 * r - 2}')})"
+        )
+        ctes.append(
+            f"ipf_t_{2 * r} AS MATERIALIZED"
+            f" ({_ipf_col_sql(f'ipf_t_{2 * r - 1}')})"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + _IPF_FINAL
+
+
+@register("gravity_ipf_od_balance", _ipf_oracle())
+def gravity_ipf_od_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-constrained gravity OD matrix: inverse-square seed
+    balanced to per-zone productions/attractions by 8 IPF rounds with
+    integer micro-trip re-quantization each step; reports both
+    marginals and residuals per zone."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(_IPF_MARG).localCheckpoint().createOrReplaceTempView("ipf_marg")
+    spark.sql(_IPF_TGT).localCheckpoint().createOrReplaceTempView("ipf_tgt")
+    spark.sql(_IPF_SEED).localCheckpoint().createOrReplaceTempView("ipf_t_0")
+    for r in range(1, _IPF_ROUNDS + 1):
+        spark.sql(_ipf_row_sql(f"ipf_t_{2 * r - 2}")).localCheckpoint(
+        ).createOrReplaceTempView(f"ipf_t_{2 * r - 1}")
+        spark.sql(_ipf_col_sql(f"ipf_t_{2 * r - 1}")).localCheckpoint(
+        ).createOrReplaceTempView(f"ipf_t_{2 * r}")
+    return spark.sql(_IPF_FINAL)
