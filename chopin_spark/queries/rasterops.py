@@ -430,3 +430,93 @@ def raster_change_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile-join crosstab, the oracle the closed-form surface."""
     raster_crosstab(spark, sf_dir).createOrReplaceTempView("xt")
     return spark.sql(_KAPPA_TAIL)
+
+
+# --- two-scale TPI landform classification (radius-2 halo) --------------------
+#
+# Weiss 2001 topographic position classes (GRASS r.tpi / gdaldem TPI)
+# on the partitioned raster: TPI at 3×3 and 5×5, sign-classified at
+# ±θ into the 9 (sgn_small, sgn_large) landform combos.  The 5×5
+# window needs a radius-2 halo — this query is the driver check for
+# raster.halo_joined_r, the radius-PARAMETERIZED generalization of the
+# strip exchange (shuffle volume stays the halo surface, ≈2r/TILE of
+# tile volume).  Classification is exact int64 (v·cnt − sum vs θ·cnt,
+# no division) so class counts are engine-exact; the oracle recomputes
+# every pixel's two windows closed-form from the value function — a
+# mis-assembled radius-2 strip (corners are now r×r blocks) breaks it.
+
+from chopin_spark.raster import TPI_THETA, tpi_landform_tiles  # noqa: E402
+
+_TPI_NAMES = (
+    "CASE class_id WHEN 0 THEN 'valley' WHEN 1 THEN 'lower_slope'"
+    " WHEN 2 THEN 'incised_drain' WHEN 3 THEN 'flat_in_basin'"
+    " WHEN 4 THEN 'plain' WHEN 5 THEN 'flat_on_crest'"
+    " WHEN 6 THEN 'local_pit_on_ridge' WHEN 7 THEN 'upper_slope'"
+    " ELSE 'ridge' END"
+)
+
+
+def _tpi_win(rad: int, what: str) -> str:
+    terms = []
+    for di in range(-rad, rad + 1):
+        for dj in range(-rad, rad + 1):
+            inb = (
+                f"i + {di} BETWEEN 0 AND {NPX - 1}"
+                f" AND j + {dj} BETWEEN 0 AND {NPY - 1}"
+            )
+            val = pixel_value_sql(f"i + {di}", f"j + {dj}", 0) \
+                if what == "sum" else "1"
+            terms.append(f"(CASE WHEN {inb} THEN {val} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_TPI_ORACLE = f"""
+WITH px AS (
+  SELECT g1.i, g2.j
+  FROM generate_series(0, {NPX - 1}) AS g1(i),
+       generate_series(0, {NPY - 1}) AS g2(j)
+),
+w AS (
+  SELECT i, j,
+         {pixel_value_sql('i', 'j', 0)} AS v,
+         {_tpi_win(1, 'sum')} AS s3, {_tpi_win(1, 'cnt')} AS c3,
+         {_tpi_win(2, 'sum')} AS s5, {_tpi_win(2, 'cnt')} AS c5,
+         (CAST(FLOOR(j / {TILE}.0) AS BIGINT) * {NPX // TILE}
+          + CAST(FLOOR(i / {TILE}.0) AS BIGINT)) AS tile_id
+  FROM px
+),
+cls AS (
+  SELECT tile_id,
+         3 * ((CASE WHEN v * c3 - s3 > {TPI_THETA} * c3 THEN 1
+                    WHEN v * c3 - s3 < -{TPI_THETA} * c3 THEN -1
+                    ELSE 0 END) + 1)
+         + ((CASE WHEN v * c5 - s5 > {TPI_THETA} * c5 THEN 1
+                  WHEN v * c5 - s5 < -{TPI_THETA} * c5 THEN -1
+                  ELSE 0 END) + 1) AS class_id
+  FROM w
+)
+SELECT class_id, {_TPI_NAMES} AS landform,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(COUNT(DISTINCT tile_id) AS BIGINT) AS n_tiles
+FROM cls GROUP BY class_id ORDER BY class_id
+"""
+
+
+@register("raster_tpi_landforms", _TPI_ORACLE)
+def raster_tpi_landforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-scale TPI landform census over the tiled raster via the
+    radius-2 halo exchange; exact-int sign classification, per-class
+    pixel and tile counts."""
+    tiles = _tiles(spark, n_rasters=1)
+    out = tpi_landform_tiles(tiles)
+    return (
+        out.groupBy("class_id")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.countDistinct("tile_id").cast("long").alias("n_tiles"),
+        )
+        .selectExpr(
+            "class_id", f"{_TPI_NAMES} AS landform", "n_px", "n_tiles"
+        )
+        .orderBy("class_id")
+    )

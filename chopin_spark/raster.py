@@ -1407,3 +1407,153 @@ def aggregate_blocks_tiles(tiles: DataFrame, factor: int = 4) -> DataFrame:
         " sum_bmin long, chk long"
     )
     return tiles.mapInPandas(finish, out_schema)
+
+
+def halo_joined_r(tiles: DataFrame, r: int) -> DataFrame:
+    """Radius-parameterized halo exchange — the generalization of
+    :func:`halo_joined` (r=1) to any stencil radius ≤ TILE (terra::
+    focal(w=matrix(2r+1))).  Neighbors receive r-row/r-column strips
+    and r×r corner blocks, flattened row-major; shuffle volume stays
+    the halo SURFACE (≈ 2r/TILE of tile volume).  Output rows feed
+    :func:`assemble_padded_r` with the same r."""
+    if not (1 <= r <= TILE):
+        raise ValueError(f"halo radius {r} outside 1..{TILE}")
+
+    strip_schema = (
+        "raster_id string, tile_id long, edr int, edc int,"
+        " strip array<long>"
+    )
+
+    def strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, dst, edr, edc, st = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                v = np.asarray(row.values, dtype=np.int64).reshape(
+                    TILE, TILE
+                )
+                for dtr in (-1, 0, 1):
+                    for dtc in (-1, 0, 1):
+                        if dtr == 0 and dtc == 0:
+                            continue
+                        nr, nc = row.tile_row + dtr, row.tile_col + dtc
+                        if not (0 <= nr < TNY and 0 <= nc < TNX):
+                            continue
+                        js = slice(0, r) if dtr == -1 else (
+                            slice(TILE - r, TILE) if dtr == 1
+                            else slice(0, TILE)
+                        )
+                        is_ = slice(0, r) if dtc == -1 else (
+                            slice(TILE - r, TILE) if dtc == 1
+                            else slice(0, TILE)
+                        )
+                        s = v[js, is_]
+                        rid.append(row.raster_id)
+                        dst.append(nr * TNX + nc)
+                        edr.append(-dtr)
+                        edc.append(-dtc)
+                        st.append([int(x) for x in s.ravel()])
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(dst, dtype="int64"),
+                    "edr": pd.Series(edr, dtype="int32"),
+                    "edc": pd.Series(edc, dtype="int32"),
+                    "strip": st,
+                }
+            )
+
+    halo = (
+        tiles.mapInPandas(strips, strip_schema)
+        .groupBy("raster_id", "tile_id")
+        .agg(
+            F.collect_list(F.struct("edr", "edc", "strip")).alias("halos")
+        )
+    )
+    return tiles.select(
+        "raster_id", "tile_id", "tile_row", "tile_col", "values"
+    ).join(halo, ["raster_id", "tile_id"], "left")
+
+
+def assemble_padded_r(row, r: int) -> tuple:
+    """halo_joined_r row → ((TILE+2r)² padded int64 array, mask)."""
+    T = TILE
+    p = np.zeros((T + 2 * r, T + 2 * r), dtype=np.int64)
+    m = np.zeros((T + 2 * r, T + 2 * r), dtype=np.int64)
+    p[r:-r, r:-r] = np.asarray(row.values, dtype=np.int64).reshape(T, T)
+    m[r:-r, r:-r] = 1
+    for h in (row.halos if row.halos is not None else []):
+        edr, edc = h["edr"], h["edc"]
+        s = np.asarray(h["strip"], dtype=np.int64)
+        jj = slice(0, r) if edr == -1 else (
+            slice(T + r, T + 2 * r) if edr == 1 else slice(r, T + r)
+        )
+        ii = slice(0, r) if edc == -1 else (
+            slice(T + r, T + 2 * r) if edc == 1 else slice(r, T + r)
+        )
+        nj = r if edr != 0 else T
+        ni = r if edc != 0 else T
+        p[jj, ii] = s.reshape(nj, ni)
+        m[jj, ii] = 1
+    return p, m
+
+
+TPI_THETA = 100_000  # landform threshold, DN units (V_MOD = 1e6)
+
+
+def tpi_landform_tiles(tiles: DataFrame, theta: int = TPI_THETA) -> DataFrame:
+    """Two-scale Topographic Position Index landform classes (Weiss
+    2001 / GRASS r.tpi / gdaldem TPI, the 3×3-vs-5×5 variant): per
+    pixel, TPI_s = v − mean(3×3), TPI_l = v − mean(5×5), each sign-
+    classified against ±theta, giving the 9 (sgn_s, sgn_l) landform
+    combos (ridge, knob, upper/lower slope, flat/plain, valley, pit…).
+
+    EXACT integer classification: the comparison TPI > θ is carried as
+    v·cnt − sum > θ·cnt (int64 throughout, counts from the in-bounds
+    mask so raster edges are window-truncated) — no division, no float
+    knife-edges, so class counts are engine-exact.  One radius-2 halo
+    exchange feeds both window sizes.  Returns per (raster, tile):
+    9 class counts folded as (class_id, n_px) rows."""
+    import numpy as np
+
+    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T = TILE
+        for pdf in batches:
+            pdf = pdf[pdf["values"].notna()]
+            rid, tid, cid, npx = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                p, m = assemble_padded_r(row, 2)
+                s5 = sum(p[a:a + T, b:b + T]
+                         for a in range(5) for b in range(5))
+                c5 = sum(m[a:a + T, b:b + T]
+                         for a in range(5) for b in range(5))
+                s3 = sum(p[a:a + T, b:b + T]
+                         for a in range(1, 4) for b in range(1, 4))
+                c3 = sum(m[a:a + T, b:b + T]
+                         for a in range(1, 4) for b in range(1, 4))
+                v = p[2:-2, 2:-2]
+                ts = v * c3 - s3
+                tl = v * c5 - s5
+                sgs = np.sign((ts > theta * c3).astype(np.int64)
+                              - (ts < -theta * c3))
+                sgl = np.sign((tl > theta * c5).astype(np.int64)
+                              - (tl < -theta * c5))
+                cls = (3 * (sgs + 1) + (sgl + 1)).ravel()
+                counts = np.bincount(cls, minlength=9)
+                for k in range(9):
+                    if counts[k]:
+                        rid.append(row.raster_id)
+                        tid.append(row.tile_id)
+                        cid.append(k)
+                        npx.append(int(counts[k]))
+            yield pd.DataFrame(
+                {
+                    "raster_id": rid,
+                    "tile_id": pd.Series(tid, dtype="int64"),
+                    "class_id": pd.Series(cid, dtype="int64"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                }
+            )
+
+    out_schema = "raster_id string, tile_id long, class_id long, n_px long"
+    return halo_joined_r(tiles, 2).mapInPandas(classify, out_schema)

@@ -174,3 +174,35 @@ def test_morph_open_matches_whole_raster_numpy(spark):
     assert len(rows) == len(ref)
     for r in rows:
         assert ref[r.tile_id] == (r.open_sum, r.n_lowered), r.tile_id
+
+
+def test_halo_joined_r2_assembles_true_window(spark):
+    """assemble_padded_r(r=2) of an interior tile must equal the
+    ground-truth 36×36 pixel window computed straight from the value
+    function (corners are r×r blocks now — the part radius-1 never
+    exercised); boundary tiles mask out-of-raster pixels."""
+    import numpy as np
+
+    from chopin_spark.queries.zonal import _tiles
+    from chopin_spark.raster import (
+        TILE, TNX, assemble_padded_r, halo_joined_r, tile_values,
+    )
+
+    rows = {
+        r["tile_id"]: r
+        for r in halo_joined_r(_tiles(spark, n_rasters=1), 2).collect()
+    }
+    for tr, tc in [(3, 5), (0, 0), (1, 0)]:
+        row = rows[tr * TNX + tc]
+        p, m = assemble_padded_r(row, 2)
+        gi0, gj0 = tc * TILE - 2, tr * TILE - 2
+        for jj in range(TILE + 4):
+            for ii in range(TILE + 4):
+                gi, gj = gi0 + ii, gj0 + jj
+                inb = 0 <= gi < 1024 and 0 <= gj < 768
+                assert m[jj, ii] == (1 if inb else 0)
+        # interior equality against the direct value function
+        full = tile_values(0, tr, tc)
+        assert np.array_equal(p[2:-2, 2:-2], full)
+        if tr == 3 and tc == 5:
+            assert m.all()  # interior tile: complete halo
