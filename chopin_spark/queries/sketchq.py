@@ -757,3 +757,92 @@ def ams_f2_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_AMS_SQL)
+
+
+# --- KLL-style mergeable quantile sketch ---------------------------------------
+#
+# The quantile member of the sketch family (HLL distinct, Count-Min
+# frequency, Bloom membership, KMV intersection, AMS F2): a two-level
+# compactor in the Karnin–Lang–Liberty mold.  Each of 8 hash groups
+# ("executors") sorts its items and keeps the even ranks at weight 2
+# (level-1 compaction = the per-partition partial state); the merged
+# survivors compact once more to weight 4 (the combiner).  Quantiles
+# read off the cumulative-weight profile.
+#
+# Determinism over unbiasedness, stated honestly: real KLL picks the
+# odd/even offset per compaction with a random bit so rank error is
+# zero-mean; the repo's reproducibility discipline pins the offset,
+# which biases each estimate ≤1 rank per compaction level — and the
+# query REPORTS the realized rank error next to the exact quantile, so
+# the bias is data, not a hidden claim.
+#
+# Scale shape: per-group state after level-1 is n/(2·groups) rows and
+# only survivors shuffle; at 100 TB the same two levels run as
+# partial-sort-per-partition + one merge of Σ survivors (add levels as
+# log(n) grows — each level halves rows and doubles weight, the
+# standard KLL ladder).
+
+_KLL_QS = [(i + 1) / 10.0 for i in range(9)]
+
+_KLL_BODY = f"""
+v AS (
+  SELECT n_chars AS x, doc_id FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+g AS (
+  SELECT x, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                            ORDER BY x, doc_id) AS r
+  FROM v
+),
+l1 AS (
+  SELECT x, doc_id FROM g WHERE r % 2 = 0
+),
+m AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS r2
+  FROM l1
+),
+l2 AS (
+  SELECT x, CAST(4 AS BIGINT) AS w FROM m WHERE r2 % 2 = 0
+),
+prof AS (
+  SELECT x,
+         SUM(w) OVER (ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(w) OVER () AS tw
+  FROM l2
+),
+qs AS (
+  {" UNION ALL ".join(f"SELECT CAST({q!r} AS DOUBLE) AS q" for q in _KLL_QS)}
+),
+est AS (
+  SELECT qs.q, MIN(prof.x) AS est_x
+  FROM qs JOIN prof ON CAST(prof.cw AS DOUBLE) >= qs.q * prof.tw
+  GROUP BY qs.q
+),
+exact AS (
+  SELECT qs.q, MIN(t.x) AS exact_x
+  FROM qs JOIN (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rk FROM v
+  ) t ON t.rk >= CAST(CEIL(qs.q * (SELECT n FROM n)) AS BIGINT)
+  GROUP BY qs.q
+)
+SELECT e.q, e.est_x, x.exact_x,
+       ROUND(ABS(CAST((SELECT COUNT(*) FROM v WHERE v.x <= e.est_x)
+                      AS DOUBLE) / (SELECT n FROM n) - e.q), 6)
+         AS rank_err
+FROM est e JOIN exact x ON x.q = e.q
+ORDER BY e.q
+"""
+
+
+@register("kll_quantile_sketch", f"WITH {_KLL_BODY.strip()}")
+def kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-level KLL-style compactor over document
+    lengths: sketch quantiles at q = 0.1..0.9 next to the exact order
+    statistics and the realized rank error."""
+    from chopin_spark.tables import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(f"WITH {_KLL_BODY.strip()}")
