@@ -2068,3 +2068,88 @@ def bradley_terry_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH " + _bt_wins_sql(_QCLS_SPARK).strip()
     ).localCheckpoint().createOrReplaceTempView("bt_wins")
     return spark.sql("WITH " + _BT_FINAL.strip())
+
+
+# --- SimHash Hamming-ball dedup (Manku block-permutation banding) --------------
+#
+# Manku, Jain & Das Sarma (WWW'07), the Google crawl near-dup design:
+# pairs within Hamming distance ≤ 3 of the 60-bit SimHash must share
+# at least ONE of 4 15-bit blocks exactly (pigeonhole), so candidates
+# come from 4 equi-joins on block values — never an all-pairs XOR.
+# Completes the dedup family's third recall geometry: MinHash bands
+# (Jaccard), prefix filter (containment), Hamming ball (SimHash).
+#
+# Verify = popcount(fp XOR fp') ≤ 3 on candidates only.  The ORACLE is
+# the independent brute force — all-pairs popcount — so the hash match
+# PROVES the pigeonhole banding loses no pair (the road_intersections
+# bucketing contract applied to Hamming space).  Dialect seams: XOR is
+# `^` in Spark / xor() in DuckDB; blocks by shift+mask are common text.
+#
+# Scale shape: 4 equi-joins keyed by (block_idx, block_value) — at
+# crawl scale each block key fans out ~n/2^15 per bucket ceiling (add
+# permuted block tables to push the ball radius, exactly the paper's
+# table ladder); the verify is one popcount per candidate.
+
+_HB_BLOCKS = 4
+_HB_RADIUS = 3
+
+
+def _hb_body(xor_fn) -> str:
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS blk,"
+        f" (simhash >> {15 * k}) % 32768 AS bval FROM fp"
+        for k in range(_HB_BLOCKS)
+    )
+    return f"""
+blocks AS (
+  {blocks}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM blocks a JOIN blocks b
+    ON b.blk = a.blk AND b.bval = a.bval AND b.doc_id > a.doc_id
+),
+pairs AS (
+  SELECT c.d1, c.d2,
+         CAST(bit_count({xor_fn('f1.simhash', 'f2.simhash')}) AS BIGINT)
+           AS ham
+  FROM cand c
+  JOIN fp f1 ON f1.doc_id = c.d1
+  JOIN fp f2 ON f2.doc_id = c.d2
+)
+SELECT d1, d2, ham FROM pairs WHERE ham <= {_HB_RADIUS}
+ORDER BY d1, d2
+"""
+
+
+_HB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+),
+h AS (SELECT doc_id, {token_hash60_duckdb('t')} AS h FROM tok),
+sums AS (
+  SELECT doc_id,
+       {_SIMHASH_SUMS}
+  FROM h GROUP BY 1
+),
+fp AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM sums)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+FROM fp a JOIN fp b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HB_RADIUS}
+ORDER BY d1, d2
+"""
+
+
+@register("simhash_hamming_dedup", _HB_ORACLE)
+def simhash_hamming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance ≤ 3 via Manku 4-block
+    pigeonhole banding (4 equi-joins, popcount verify) — oracle is the
+    independent all-pairs brute force, proving zero recall loss."""
+    from chopin_spark.textops import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    simhash(docs).localCheckpoint().createOrReplaceTempView("fp")
+    return spark.sql(
+        "WITH " + _hb_body(lambda a, b: f"({a} ^ {b})").strip()
+    )
