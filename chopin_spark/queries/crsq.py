@@ -492,3 +492,54 @@ def reproject_utm16_inverse_coords(
         F.round("x", 6).alias("lon_deg"),
         F.round("y", 6).alias("lat_deg"),
     )
+
+
+# --- geodesic DIRECT problem (destination points) -----------------------------
+#
+# The forward twin of geodesic_nearest_city's Andoyer inverse: given
+# (lon, lat, bearing, distance), where do you land?  Spherical direct
+# formulas on the GRS80 mean radius (the closed-form path — the
+# ellipsoidal direct is Vincenty's ITERATIVE series, out of scope for
+# the repo's closed-form-SQL discipline; the ~0.3% sphere error is
+# documented, and the inverse side already carries the ellipsoidal
+# Andoyer correction).  Used for geofence ring construction, synthetic
+# negative sampling around POIs, and "N km along the road bearing"
+# features.  Deterministic: bearings/distances are integer-derived,
+# trig is a fixed expression tree; outputs round at 1e-6 deg (0.1 m).
+
+_GD_R = 6371008.7714  # GRS80 mean radius (a·(2+sqrt(1−e²))/3 class value)
+_GD_DIST = 10_000.0   # 10 km
+
+# per-document bearing: LCG-spread integer degrees 0..359
+_GD_BRG = "(CAST((doc_id * 48271 + 11) % 360 AS DOUBLE))"
+
+_GD_SQL = f"""
+WITH src AS (
+  SELECT doc_id, RADIANS({_LAT}) AS ph1, RADIANS({_LON}) AS la1,
+         RADIANS({_GD_BRG}) AS th,
+         {_GD_DIST / _GD_R!r} AS dr
+  FROM documents
+),
+dst AS (
+  SELECT doc_id,
+         ASIN(SIN(ph1) * COS(dr) + COS(ph1) * SIN(dr) * COS(th)) AS ph2,
+         la1 + ATAN2(SIN(th) * SIN(dr) * COS(ph1),
+                     COS(dr) - SIN(ph1) *
+                       (SIN(ph1) * COS(dr)
+                        + COS(ph1) * SIN(dr) * COS(th))) AS la2
+  FROM src
+)
+SELECT doc_id,
+       ROUND(DEGREES(la2), 6) AS dest_lon,
+       ROUND(DEGREES(ph2), 6) AS dest_lat
+FROM dst
+"""
+
+
+@register("geodesic_destination_points", _GD_SQL)
+def geodesic_destination_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle destination 10 km along a per-document bearing
+    (spherical direct problem); roundtrip closure against the haversine
+    inverse is pinned in tests/test_crs.py."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_GD_SQL)

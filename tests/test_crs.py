@@ -543,3 +543,40 @@ def test_tm_geoframe_registry(spark):
     assert gf.crs == "EPSG:32616"
     back = gf.reproject("EPSG:4326").df.collect()[0]
     assert abs(back["x"] - -86.0) < 1e-7 and abs(back["y"] - 35.0) < 1e-7
+
+
+def test_geodesic_direct_inverse_closure(spark):
+    """Destination points must sit exactly 10 km (haversine, same
+    sphere radius) from their origins, and the initial bearing
+    recovered from the inverse must match the input bearing — the
+    direct/inverse closure identity."""
+    import math
+
+    from chopin_spark.queries.crsq import _GD_R, _GD_SQL, _LAT, _LON
+    from chopin_spark.tables import load
+
+    load(spark, "/root/testdata/sf0.001", "documents").limit(
+        200
+    ).createOrReplaceTempView("documents")
+    rows = spark.sql(
+        f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat,"
+        f" CAST((doc_id * 48271 + 11) % 360 AS DOUBLE) AS brg"
+        " FROM documents"
+    ).collect()
+    dests = {r["doc_id"]: r for r in spark.sql(_GD_SQL).collect()}
+    for r in rows:
+        d = dests[r["doc_id"]]
+        ph1, la1 = math.radians(r["lat"]), math.radians(r["lon"])
+        ph2 = math.radians(d["dest_lat"])
+        la2 = math.radians(d["dest_lon"])
+        h = (math.sin((ph2 - ph1) / 2) ** 2
+             + math.cos(ph1) * math.cos(ph2)
+             * math.sin((la2 - la1) / 2) ** 2)
+        dist = 2 * _GD_R * math.asin(math.sqrt(h))
+        assert abs(dist - 10_000.0) < 0.5  # 1e-6 deg output rounding
+        y = math.sin(la2 - la1) * math.cos(ph2)
+        x = (math.cos(ph1) * math.sin(ph2)
+             - math.sin(ph1) * math.cos(ph2) * math.cos(la2 - la1))
+        brg = math.degrees(math.atan2(y, x)) % 360.0
+        diff = abs(brg - r["brg"]) % 360.0
+        assert min(diff, 360.0 - diff) < 0.01
