@@ -1699,3 +1699,83 @@ def graph_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_MOTIF_SQL)
+
+
+# --- robots.txt WILDCARD rules (Google REP *, $, longest-match) ----------------
+#
+# The full Robots Exclusion Protocol matcher (RFC 9309 / Google REP)
+# on top of the longest-prefix query above: `*` matches any span, `$`
+# anchors the end, precedence = longest RULE TEXT, allow wins exact
+# ties.  Patterns translate to SQL LIKE at plan build ('*'→'%', '$'
+# dropped, unanchored patterns get a trailing '%') — evaluated as a
+# broadcast nested-loop join with a cheap residual predicate, the
+# right plan while the rule set is dimension-sized (every real
+# robots.txt is).  For crawler-scale MERGED rule sets (10⁶ patterns
+# across hosts) the scale path is an equi-join on (host, first literal
+# path segment) before the LIKE residual — same SQL, one more join key.
+
+_WC_RULES = (
+    ("/s0/*", "deny"), ("/s0/*/p7*", "allow"),
+    ("/*.php$", "deny"),
+    ("/s2/t3/*", "deny"),
+    ("/s4/", "deny"), ("/s4/*.html$", "allow"),
+    ("/s5/t*", "deny"),
+)
+
+
+def _wc_like(pat: str) -> str:
+    body = pat[:-1] if pat.endswith("$") else pat
+    like = body.replace("*", "%")
+    if not pat.endswith("$"):
+        like += "%"
+    return like
+
+
+_WC_VALUES = ", ".join(
+    f"('{p}', '{_wc_like(p)}', '{d}', {len(p)})" for p, d in _WC_RULES
+)
+
+_WC_PATH = (
+    f"'/s' || {_SEG_A} || '/t' || {_SEG_B} || '/p' || (doc_id % 100)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '.html' ELSE '.php' END"
+)
+
+_WC_MATCH = f"""
+docs AS (
+  SELECT doc_id, lang, n_chars, {_WC_PATH} AS path FROM documents
+),
+liked AS (
+  SELECT d.doc_id, r.decision,
+         r.plen * 2 + CASE WHEN r.decision = 'allow' THEN 1 ELSE 0 END
+           AS prec
+  FROM docs d JOIN wrules r ON d.path LIKE r.like_pat
+),
+decided AS (
+  SELECT doc_id, MAX_BY(decision, prec) AS decision
+  FROM liked GROUP BY doc_id
+)
+SELECT COALESCE(m.decision, 'allow') AS decision, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM docs d LEFT JOIN decided m ON d.doc_id = m.doc_id
+GROUP BY 1, 2
+"""
+
+_WC_ORACLE = f"""
+WITH wrules(pattern, like_pat, decision, plen) AS (VALUES {_WC_VALUES}),
+{_WC_MATCH.strip()}
+"""
+
+
+@register("robots_wildcard_rules", _WC_ORACLE)
+def robots_wildcard_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google-REP wildcard robots matching (*, $, longest rule wins,
+    allow breaks ties) as a broadcast LIKE join; per (decision, lang)
+    page rollup with default allow."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    rules = spark.createDataFrame(
+        [(p, _wc_like(p), d, len(p)) for p, d in _WC_RULES],
+        "pattern string, like_pat string, decision string, plen int",
+    )
+    F.broadcast(rules).createOrReplaceTempView("wrules")
+    return spark.sql(f"WITH {_WC_MATCH.strip()}")

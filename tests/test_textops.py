@@ -311,3 +311,57 @@ def test_decontam_eval_side_is_broadcast(spark):
     df = benchmark_decontam_13gram(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_robots_wildcard_matches_reference_matcher(spark):
+    """Per-document decisions from the LIKE-join plan must equal an
+    independent regex REP matcher (longest rule wins, allow breaks
+    ties) over the same paths."""
+    import re
+
+    from chopin_spark.queries.webtext import (
+        _WC_MATCH, _WC_RULES, _wc_like,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, "/root/testdata/sf0.001", "documents").limit(300) \
+        .createOrReplaceTempView("documents")
+    rules = spark.createDataFrame(
+        [(p, _wc_like(p), d, len(p)) for p, d in _WC_RULES],
+        "pattern string, like_pat string, decision string, plen int",
+    )
+    rules.createOrReplaceTempView("wrules")
+    got = spark.sql(
+        "WITH "
+        + _WC_MATCH[:_WC_MATCH.index("SELECT COALESCE")].rstrip().rstrip(",")
+        + """
+SELECT d.doc_id, d.path, COALESCE(m.decision, 'allow') AS decision
+FROM docs d LEFT JOIN decided m ON d.doc_id = m.doc_id
+"""
+    ).collect()
+    assert len(got) == 300
+
+    def ref_decide(path: str) -> str:
+        best = None  # (plen, allow_flag, decision)
+        for pat, dec in _WC_RULES:
+            body = pat[:-1] if pat.endswith("$") else pat
+            rx = "".join(".*" if ch == "*" else re.escape(ch)
+                         for ch in body)
+            rx = rx + "$" if pat.endswith("$") else rx + ".*"
+            if re.match(rx, path):
+                key = (len(pat), 1 if dec == "allow" else 0)
+                if best is None or key > best[0]:
+                    best = (key, dec)
+        return best[1] if best else "allow"
+
+    mismatches = [
+        (r["path"], r["decision"], ref_decide(r["path"]))
+        for r in got if r["decision"] != ref_decide(r["path"])
+    ]
+    assert not mismatches, mismatches[:5]
+    # the fixture must exercise both decisions and at least one
+    # tie-breaking allow override
+    decs = {r["decision"] for r in got}
+    assert decs == {"allow", "deny"}
+    assert any(r["decision"] == "allow" and r["path"].startswith("/s4/")
+               and r["path"].endswith(".html") for r in got)
