@@ -353,3 +353,76 @@ def audio_frame_rms(
             )
 
     return df.select(id_col, payload_col).mapInPandas(frames, schema)
+
+
+# boxes for image_box_stats: (top, left, bottom, right) inclusive in
+# logical top-down coordinates; defined as fractions of (h, w) so the
+# same spec works for any decoded size
+IMAGE_BOXES = ("full", "left_half", "center")
+
+
+def image_box_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Integral-image (summed-area table) box sums over REAL decoded
+    BMPs — the O(1)-per-query region primitive behind Viola–Jones box
+    features, thumbnail saliency crops, and tile-brightness heuristics.
+
+    Per image: luminance carrier = B+G+R (int, no weights — keeps the
+    oracle exact), SAT = cumsum along both axes, then each named box
+    (full frame, left half, center with a 1-px margin) answers from 4
+    SAT lookups.  Emits (id, box, n_px, box_sum) rows — integer-exact,
+    so the DuckDB oracle can re-derive every box by direct conditional
+    sums over hex nibbles (an independent, SAT-free formulation).
+
+    Batch shape: one numpy decode + two cumsums per row inside
+    mapInPandas; at fleet scale boxes are O(1) lookups per query
+    regardless of box size — the reason to carry the SAT, not crops."""
+    import numpy as np
+
+    schema = f"{id_col} long, box string, n_px long, box_sum long"
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, boxes, npx, bsum = [], [], [], []
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_bmp(payload).astype(np.int64)
+                h, w = img.shape[:2]
+                lum = img.sum(axis=2)
+                sat = lum.cumsum(axis=0).cumsum(axis=1)
+
+                def box_sum(t, l, b, r):
+                    s = sat[b, r]
+                    if t > 0:
+                        s -= sat[t - 1, r]
+                    if l > 0:
+                        s -= sat[b, l - 1]
+                    if t > 0 and l > 0:
+                        s += sat[t - 1, l - 1]
+                    return int(s)
+
+                specs = {
+                    "full": (0, 0, h - 1, w - 1),
+                    "left_half": (0, 0, h - 1, w // 2 - 1),
+                    "center": (1, 1, h - 2, w - 2),
+                }
+                for name in IMAGE_BOXES:
+                    t, l, b, r = specs[name]
+                    if b < t or r < l:  # degenerate for tiny frames
+                        continue
+                    ids.append(key)
+                    boxes.append(name)
+                    npx.append((b - t + 1) * (r - l + 1))
+                    bsum.append(box_sum(t, l, b, r))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "box": boxes,
+                    "n_px": pd.Series(npx, dtype="int64"),
+                    "box_sum": pd.Series(bsum, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(stats, schema)

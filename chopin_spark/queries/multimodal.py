@@ -339,3 +339,70 @@ def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+# --- integral-image (SAT) box sums over decoded BMPs ---------------------------
+#
+# The Viola–Jones / saliency-crop region primitive: engine builds a
+# summed-area table per decoded image (two cumsums) and answers each
+# named box in 4 lookups; the oracle re-derives every box by DIRECT
+# conditional sums over hex nibbles — an independent SAT-free
+# formulation, so a wrong inclusion-exclusion corner breaks the hash.
+# Degenerate boxes on tiny frames (left half of a 1-px-wide image,
+# center of a ≤2-row image) are skipped by BOTH formulations.
+
+_BOX_LUM = f"({_img_byte(_IMG_OFF)})"
+
+_BOX_PX = f"""
+  SELECT doc_id, w, ht, r.i AS rr, c.i AS cc,
+         CAST(SUM({_BOX_LUM}) AS BIGINT) AS lum
+  FROM hx,
+       generate_series(0, 2) AS r(i),
+       generate_series(0, 5) AS c(i),
+       generate_series(0, 2) AS ch(i)
+  WHERE r.i < ht AND c.i < w
+  GROUP BY doc_id, w, ht, r.i, c.i
+"""
+
+_BOX_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, {_PIX_HEX} AS h,
+         CAST({_IMG_W} AS BIGINT) AS w,
+         CAST({_IMG_H} AS BIGINT) AS ht,
+         CAST((3 * {_IMG_W} + 3) // 4 * 4 AS BIGINT) AS stride
+  FROM documents
+),
+px AS ({_BOX_PX}),
+boxed AS (
+  SELECT doc_id, 'full' AS box,
+         CAST(MIN(w) * MIN(ht) AS BIGINT) AS n_px,
+         CAST(SUM(lum) AS BIGINT) AS box_sum
+  FROM px GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'left_half',
+         CAST(MIN(ht) * CAST(FLOOR(MIN(w) / 2.0) AS BIGINT) AS BIGINT),
+         CAST(SUM(lum) AS BIGINT)
+  FROM px WHERE w >= 2 AND cc <= CAST(FLOOR(w / 2.0) AS BIGINT) - 1
+  GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'center',
+         CAST((MIN(ht) - 2) * (MIN(w) - 2) AS BIGINT),
+         CAST(SUM(lum) AS BIGINT)
+  FROM px
+  WHERE ht >= 3 AND w >= 3
+    AND rr BETWEEN 1 AND ht - 2 AND cc BETWEEN 1 AND w - 2
+  GROUP BY doc_id
+)
+SELECT doc_id, box, n_px, box_sum FROM boxed
+"""
+
+
+@register("image_integral_box_stats", _BOX_ORACLE)
+def image_integral_box_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summed-area-table box sums (full / left half / center margin)
+    over real decoded BMPs; exact-int luminance carrier B+G+R."""
+    from chopin_spark.multimodal import image_box_stats
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = docs.selectExpr("doc_id", f"unhex({_BMP_HEX_SPARK}) AS payload")
+    return image_box_stats(imgs)
