@@ -959,3 +959,79 @@ def road_bearing_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone — sign-comparison octants folded mod 4, integer-lattice
     lengths, one segment-table agg."""
     return spark.sql(_anisotropy_sql(_ANI_SPARK_SEGS))
+
+
+# --- linear referencing: locate events by route measure ------------------------
+#
+# The LRS "dynamic segmentation" verb (ArcGIS locate-features-along-
+# routes / PostGIS ST_LineInterpolatePoint) — the inverse of
+# nearest_road_chainage's point→measure projection: given (route,
+# measure), interpolate the point.  Per route: prefix-sum of segment
+# lengths (one window per route partition, no global sort), then each
+# event range-joins into its containing segment (equi on route + lo ≤
+# m < hi residual) and interpolates linearly.
+#
+# Determinism: segment lengths are SQRTs of exact-int squared lengths
+# and the prefix sum runs in window frame order — identical sequential
+# accumulation in both engines; event measures are integer-derived
+# fractions of the route total; interpolation is a fixed double tree;
+# outputs ROUND(·,4).  Scale: everything partitions by route — the
+# classic transport-agency workload shape (10⁷ routes × telemetry).
+
+_LRS_EV_K = 5
+
+_LRS_BODY = """
+cum AS (
+  SELECT line_id, seg, ax, ay, bx, by,
+         SQRT((bx - ax) * (bx - ax) + (by - ay) * (by - ay)) AS slen,
+         COALESCE(SUM(SQRT((bx - ax) * (bx - ax) + (by - ay) * (by - ay)))
+           OVER (PARTITION BY line_id ORDER BY seg
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0.0) AS lo
+  FROM segs
+),
+tot AS (SELECT line_id, MAX(lo + slen) AS tlen FROM cum GROUP BY line_id),
+ev AS (
+  SELECT t.line_id, ks.k AS ev_id,
+         CAST((t.line_id * 7 + ks.k * 13) % 97 AS DOUBLE) / 97.0 * t.tlen
+           AS m
+  FROM tot t CROSS JOIN ks
+),
+loc AS (
+  SELECT e.line_id, e.ev_id, c.seg, e.m,
+         c.ax + (e.m - c.lo) / c.slen * (c.bx - c.ax) AS px,
+         c.ay + (e.m - c.lo) / c.slen * (c.by - c.ay) AS py
+  FROM ev e JOIN cum c
+    ON c.line_id = e.line_id AND e.m >= c.lo AND e.m < c.lo + c.slen
+)
+SELECT line_id, ev_id, seg,
+       ROUND(m, 4) AS measure,
+       ROUND(px, 4) AS px, ROUND(py, 4) AS py
+FROM loc
+"""
+
+_LRS_KS_DUCK = (
+    f"ks AS (SELECT CAST(UNNEST(generate_series(0, {_LRS_EV_K - 1}))"
+    " AS BIGINT) AS k)"
+)
+_LRS_KS_SPARK = (
+    f"ks AS (SELECT CAST(x AS BIGINT) AS k"
+    f" FROM (SELECT explode(sequence(0, {_LRS_EV_K - 1})) AS x))"
+)
+
+_LRS_ORACLE = (
+    f"WITH segs AS ({_X_SEGS_SQL}),\n{_LRS_KS_DUCK},\n{_LRS_BODY.strip()}"
+)
+
+
+@register("route_locate_by_measure", _LRS_ORACLE)
+def route_locate_by_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing over the 800-road layer: 5 integer-derived
+    measures per route located into their containing segments and
+    interpolated; one route-partitioned prefix-sum window plus an
+    equi+range join."""
+    road_segments(spark, _X_N_ROADS).createOrReplaceTempView("lrs_segs")
+    return spark.sql(
+        f"WITH segs AS (SELECT * FROM lrs_segs),\n{_LRS_KS_SPARK},\n"
+        + _LRS_BODY.strip()
+    )
