@@ -313,3 +313,43 @@ def test_winnowing_no_hof_in_generate_filter(spark):
                 "winnowing: tokenizer HOF inlined into a Filter — the "
                 "129 s pre-Generate blowup is back"
             )
+
+
+def test_ols_scans_lineitem_once_single_partition_agg(spark):
+    """ols_price_normal_eq must be a ONE-PASS plan: a single lineitem
+    scan feeding a partial+final aggregate to one partition (the whole
+    sales pitch vs per-step gradient passes)."""
+    df = entry_mod.queries()["ols_price_normal_eq"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+    assert "SinglePartition" in p
+
+
+def test_ams_f2_sketch_side_has_no_key_shuffle(spark):
+    """ams_f2_host_skew: the sketch arm is an algebraic aggregate —
+    exactly ONE hashpartitioning exchange may appear (the exact-F2
+    ground-truth arm's groupBy); a second would mean the sketch itself
+    shuffles on the key, defeating its point."""
+    df = entry_mod.queries()["ams_f2_host_skew"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert p.count("hashpartitioning") <= 2  # exact arm only (partial+final)
+    assert "SinglePartition" in p
+
+
+def test_robots_wildcard_is_broadcast_nested_loop(spark):
+    """robots_wildcard_rules: the LIKE join has no equi key, so the
+    right plan is a broadcast nested loop against the dimension-sized
+    rule table — never a shuffled cartesian."""
+    df = entry_mod.queries()["robots_wildcard_rules"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_matrix_profile_band_join_is_equi_on_type(spark):
+    """matrix_profile_motif_volume: the pair stage must be an equi-join
+    on event_type with the band as residual range predicates — a
+    cartesian over windows would be O(n²) at any band."""
+    df = entry_mod.queries()["matrix_profile_motif_volume"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
