@@ -396,6 +396,11 @@ def bfs_depths(
     standard Pregel-style BFS plan.
     """
     edges = edges.select("src", "dst").localCheckpoint()
+    # visited = plain union of per-round checkpointed parts: each level
+    # is materialized ONCE; re-checkpointing the growing union every
+    # round would rewrite all prior levels (O(rounds * |V|) extra
+    # block writes) for no lineage benefit — every part is already a
+    # checkpoint root, so the union's plan stays one scan deep.
     visited = (
         seeds.select("node").distinct().withColumn("depth", F.lit(0)).localCheckpoint()
     )
@@ -411,7 +416,7 @@ def bfs_depths(
         )
         if nxt.isEmpty():  # scalar per round, not a data collect
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
 
@@ -449,7 +454,9 @@ def bfs_depths_labeled(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # union of checkpointed parts — see bfs_depths: never
+        # re-materialize prior levels just to grow the visited set
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("s", "node")
     return visited
 
@@ -630,7 +637,7 @@ def _reachable_from(
         )
         if nxt.isEmpty():
             return visited
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     raise RuntimeError(
         f"SCC FW-BW reachability did not close in {max_rounds} BFS"

@@ -1085,7 +1085,10 @@ def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if level.isEmpty():
             break
-        sig = sig.unionByName(level).localCheckpoint()
+        # every level is already a checkpoint root; the accumulator is
+        # only read AFTER the loop (sv/sw lookups), so union lazily —
+        # re-checkpointing it per round rewrites all prior levels
+        sig = sig.unionByName(level)
 
     # backward: quantized dependency accumulation, deepest level first
     maxd = d.agg(F.max("depth")).collect()[0][0]  # scalar round count
@@ -1133,7 +1136,7 @@ def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         delta = term
-        acc = acc.unionByName(term).localCheckpoint()
+        acc = acc.unionByName(term)  # parts checkpointed; read post-loop
 
     return (
         acc.groupBy(F.col("node").alias("host_id"))
