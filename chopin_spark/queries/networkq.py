@@ -259,12 +259,17 @@ def road_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STK_COS = -0.766044443118978  # cos 140° — deviation-from-straight < 40°
 
-_STK_BODY = f"""
+_STK_EIDT = """
 eidt AS (
   SELECT ROW_NUMBER() OVER (ORDER BY line_id, seg, u, v) AS eid,
          u, v, w
   FROM edges
-),
+)"""
+
+# pairing stages read ONLY eidt — on the Spark side that lets the
+# planarize fold (crossing join + split windows + the eid numbering)
+# materialize ONCE and serve both the link graph and the final rollup.
+_STK_PAIR = f"""
 epts AS (
   SELECT eid, u, v, w,
          (u - (u % {_K})) / {_K} AS ux, u % {_K} AS uy,
@@ -297,6 +302,8 @@ links AS (
     ON b.node = a.node AND b.e1 = a.e2 AND b.e2 = a.e1
   WHERE a.e1 < a.e2
 )"""
+
+_STK_BODY = f"{_STK_EIDT},{_STK_PAIR}"
 
 _STK_FINAL = """
 SELECT stroke_id,
@@ -334,14 +341,18 @@ def road_stroke_building(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chopin_spark.components import connected_components
 
     _spark_net_views(spark, sf_dir)
-    base = spark.sql(
-        f"WITH {_SPARK_SRC}, {_FOLD}, {_STK_BODY.strip()}"
-        " SELECT l.s, l.t FROM links l"
-    ).localCheckpoint()
+    # planarize + eid numbering runs ONCE; links derive from the
+    # checkpointed edge table (the old shape re-ran the crossing join
+    # and the split fold a second time just to number the same edges)
     eidt = spark.sql(
-        f"WITH {_SPARK_SRC}, {_FOLD}, {_STK_BODY.strip()}"
-        " SELECT e.eid, e.w FROM eidt e"
+        f"WITH {_SPARK_SRC}, {_FOLD}, {_STK_EIDT.strip()}"
+        " SELECT e.eid, e.u, e.v, e.w FROM eidt e"
     ).localCheckpoint()
+    eidt.createOrReplaceTempView("stk_eidt")
+    base = spark.sql(
+        f"WITH eidt AS (SELECT * FROM stk_eidt), {_STK_PAIR.strip()}"
+        " SELECT l.s, l.t FROM links l"
+    )
     comp = connected_components(base, "s", "t")
     strokes = eidt.join(
         comp.withColumnRenamed("node", "eid"), "eid", "left"
