@@ -1053,78 +1053,62 @@ HAVING SUM(dq) > 0
 @register("betweenness_brandes", _bc_oracle())
 def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-bounded exact Brandes betweenness on the symmetrized host
-    graph: labeled-BFS sigma levels forward, per-term-quantized
-    dependency accumulation backward — all int64 carriers; the
-    undirected double-count divides out in the final scaling."""
-    from chopin_spark.components import bfs_depths_labeled
-
+    graph: ONE forward sweep yields per-level sigma frames (BFS level
+    sets ARE the depth sets, so no separate labeled-BFS distance table
+    and no depth-filter joins); backward rounds carry (sig, dq) in one
+    state frame, so each round is edge-join + state-join + agg — all
+    int64 carriers; the undirected double-count divides out in the
+    final scaling."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     edges = spark.sql(f"SELECT * FROM {_DS_UEDGES}").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    d = bfs_depths_labeled(edges, nodes, max_depth=_BC_CAP).localCheckpoint()
-
-    # forward: sigma per depth level (explicit renames — alias() reuse
-    # of the same checkpointed frame trips Spark's resolver)
-    sig = nodes.select(
-        F.col("node").alias("s"), "node", F.lit(1).cast("long").alias("sig")
-    ).localCheckpoint()
     ev = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
-    level = sig
-    for k in range(1, _BC_CAP + 1):
-        dd = d.filter(F.col("depth") == k).select(
-            F.col("s").alias("dds"), F.col("node").alias("ddnode")
-        )
-        level = (
-            level.join(ev, level.node == ev.esrc)
-            .join(dd, (F.col("dds") == F.col("s"))
-                  & (F.col("ddnode") == F.col("edst")))
-            .groupBy(F.col("s"), F.col("ddnode").alias("node2"))
+
+    # forward: levels[k] = (s, node, sig) for nodes at depth k from s.
+    # sigma(w, k) = SUM over depth-(k-1) predecessors v of sigma(v);
+    # "depth k" enforced by the anti-join against all visited keys
+    # (lazy union of checkpointed level keys — cf. bfs_depths).
+    levels = [
+        nodes.select(
+            F.col("node").alias("s"), "node",
+            F.lit(1).cast("long").alias("sig"),
+        ).localCheckpoint()
+    ]
+    visited = levels[0].select("s", "node")
+    for _k in range(1, _BC_CAP + 1):
+        nxt = (
+            levels[-1].join(ev, levels[-1].node == ev.esrc)
+            .groupBy(F.col("s"), F.col("edst").alias("node"))
             .agg(F.sum("sig").cast("long").alias("sig"))
-            .withColumnRenamed("node2", "node")
+            .join(visited, ["s", "node"], "left_anti")
             .localCheckpoint()
         )
-        if level.isEmpty():
+        if nxt.isEmpty():
             break
-        # every level is already a checkpoint root; the accumulator is
-        # only read AFTER the loop (sv/sw lookups), so union lazily —
-        # re-checkpointing it per round rewrites all prior levels
-        sig = sig.unionByName(level)
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "node"))
 
-    # backward: quantized dependency accumulation, deepest level first
-    maxd = d.agg(F.max("depth")).collect()[0][0]  # scalar round count
-    delta = (
-        d.filter(F.col("depth") == maxd)
-        .select("s", "node", F.lit(0).cast("long").alias("dq"))
-        .localCheckpoint()
-    )
-    acc = delta
-    sv = sig.select(F.col("s").alias("vs"), F.col("node").alias("vnode"),
-                    F.col("sig").alias("vsig"))
-    sw = sig.select(F.col("s").alias("ws"), F.col("node").alias("wnode"),
-                    F.col("sig").alias("wsig"))
+    # backward: state = (s, node, sig, dq) for the level below; each
+    # round: depth-k sigma frame ⟕ edges ⟕ state, quantized-term agg.
+    maxd = len(levels) - 1
+    delta = levels[maxd].withColumn("dq", F.lit(0).cast("long"))
+    acc = delta.select("s", "node", "dq")
     for k in range(maxd - 1, 0, -1):
-        dv = d.filter(F.col("depth") == k).select("s", "node")
-        dn = d.filter(F.col("depth") == k + 1).select(
-            F.col("s").alias("ns"), F.col("node").alias("nnode")
+        dw = delta.select(
+            F.col("s").alias("qs"), F.col("node").alias("qnode"),
+            F.col("sig").alias("wsig"), F.col("dq").alias("qdq"),
         )
-        dw = delta.select(F.col("s").alias("qs"), F.col("node").alias("qnode"),
-                          F.col("dq").alias("qdq"))
-        term = (
-            dv.join(sv, (F.col("vs") == F.col("s"))
-                    & (F.col("vnode") == F.col("node")))
+        delta = (
+            levels[k]
             .join(ev, F.col("esrc") == F.col("node"), "left")
-            .join(dn, (F.col("ns") == F.col("s"))
-                  & (F.col("nnode") == F.col("edst")), "left")
-            .join(sw, (F.col("ws") == F.col("ns"))
-                  & (F.col("wnode") == F.col("nnode")), "left")
-            .join(dw, (F.col("qs") == F.col("ns"))
-                  & (F.col("qnode") == F.col("nnode")), "left")
-            .groupBy("s", "node")
+            .join(dw, (F.col("qs") == F.col("s"))
+                  & (F.col("qnode") == F.col("edst")), "left")
+            .groupBy("s", "node", "sig")
             .agg(
                 F.coalesce(
                     F.sum(
                         F.floor(
-                            F.col("vsig")
+                            F.col("sig")
                             * (F.lit(1000000.0) + F.col("qdq"))
                             / F.col("wsig")
                             + 0.5
@@ -1135,8 +1119,7 @@ def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        delta = term
-        acc = acc.unionByName(term)  # parts checkpointed; read post-loop
+        acc = acc.unionByName(delta.select("s", "node", "dq"))
 
     return (
         acc.groupBy(F.col("node").alias("host_id"))
