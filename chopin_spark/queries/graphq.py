@@ -571,14 +571,18 @@ def modularity_lpa_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ATK_K = 5
 
-_ATK_BASE = f"""
+_ATK_UND = f"""
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
   FROM (
     SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst
     FROM documents WHERE {_TRI_SRC} <> {_TRI_DST}
   ) raw
-),
+)"""
+
+# everything below und is node-sized (host graph, not document-sized) —
+# on the Spark side und materializes ONCE and these derive from the view
+_ATK_REST = f"""
 nodes AS (
   SELECT DISTINCT node FROM
     (SELECT u AS node FROM und UNION ALL SELECT v FROM und) nn
@@ -599,6 +603,8 @@ se AS (
   WHERE u NOT IN (SELECT node FROM hubs)
     AND v NOT IN (SELECT node FROM hubs)
 )"""
+
+_ATK_BASE = f"{_ATK_UND},{_ATK_REST}"
 
 _ATK_FINAL = f"""
 SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
@@ -641,22 +647,25 @@ def attack_robustness_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chopin_spark.components import connected_components
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # the document-sized distinct runs ONCE; every downstream CTE is
+    # host-graph-sized and derives from the checkpointed view
+    spark.sql(
+        f"WITH {_ATK_UND.strip()} SELECT u, v FROM und"
+    ).localCheckpoint().createOrReplaceTempView("atk_und")
+    rest = f"WITH und AS (SELECT * FROM atk_und), {_ATK_REST.strip()}"
     base = spark.sql(
-        f"WITH {_ATK_BASE.strip()} SELECT u AS d1, v AS d2 FROM se"
+        f"{rest} SELECT u AS d1, v AS d2 FROM se"
     ).localCheckpoint()
+    base.createOrReplaceTempView("se_ckpt")
     comp = connected_components(base).select(
         F.col("node"), F.col("comp_id")
     )
     comp.createOrReplaceTempView("comp")
+    spark.sql(f"{rest} SELECT * FROM nodes").createOrReplaceTempView("nodes")
+    spark.sql(f"{rest} SELECT * FROM surv").createOrReplaceTempView("surv")
     spark.sql(
-        f"WITH {_ATK_BASE.strip()} SELECT * FROM nodes"
-    ).localCheckpoint().createOrReplaceTempView("nodes")
-    spark.sql(
-        f"WITH {_ATK_BASE.strip()} SELECT * FROM surv"
-    ).localCheckpoint().createOrReplaceTempView("surv")
-    spark.sql(
-        f"WITH {_ATK_BASE.strip()} SELECT * FROM se"
-    ).localCheckpoint().createOrReplaceTempView("se")
+        "SELECT d1 AS u, d2 AS v FROM se_ckpt"
+    ).createOrReplaceTempView("se")
     return spark.sql(_ATK_FINAL)
 
 
