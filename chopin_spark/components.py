@@ -618,6 +618,47 @@ def sssp_khop(
     return dist.select("node", F.col("d").alias("min_cost"))
 
 
+def sssp_khop_labeled(
+    seeds: DataFrame,
+    edges: DataFrame,
+    k: int,
+) -> DataFrame:
+    """:func:`sssp_khop` carrying a seed label — the ALLOCATION variant
+    (network Voronoi / service areas): each reached node ends up owned
+    by the seed minimizing (cost, label) lexicographically over all
+    ≤k-hop walks.  The pair order is a shortest-path semiring (adding
+    an edge weight preserves it), so per-round retention of the single
+    best (d, lab) per node — one struct-MIN hash-agg, same shuffle
+    shape as the unlabeled operator — reaches the same fixpoint as
+    min-over-all-walks.  Deterministic ties by label, no floats.
+
+    `seeds` = (node, cost, lab); edges = (src, dst, w).  Returns
+    (node, min_cost, lab).
+    """
+    state = seeds.select(
+        "node",
+        F.col("cost").cast("long").alias("d"),
+        F.col("lab").cast("long").alias("lab"),
+    ).localCheckpoint()
+    e = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).localCheckpoint()
+    for _ in range(k):
+        cand = state.join(e, state["node"] == e["src"]).select(
+            e["dst"].alias("node"),
+            (state["d"] + e["w"]).alias("d"),
+            state["lab"].alias("lab"),
+        )
+        state = (
+            state.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min(F.struct("d", "lab")).alias("s"))
+            .select("node", F.col("s.d").alias("d"), F.col("s.lab").alias("lab"))
+            .localCheckpoint()
+        )
+    return state.select("node", F.col("d").alias("min_cost"), "lab")
+
+
 def _reachable_from(
     e: DataFrame, seed: int, forward: bool, max_rounds: int
 ) -> DataFrame:

@@ -184,21 +184,27 @@ SELECT CAST((node - (node % {_K})) / {_K} AS BIGINT) AS node_x_mm,
 FROM best"""
 
 
-def _sssp_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chopin_spark.components import sssp_khop
-
+def _net_e2_seeds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The routable graph: symmetrized sub-edge relation + the junction
+    seed set (cost 0), shared by every network-distance query."""
     _spark_net_views(spark, sf_dir)
     edges = spark.sql(f"WITH {_SPARK_SRC}, {_FOLD} SELECT u, v, w FROM edges")
     e2 = edges.selectExpr("u AS src", "v AS dst", "w").unionByName(
         edges.selectExpr("v AS src", "u AS dst", "w")
     )
-    seeds = (
-        spark.sql(
-            f"WITH {_SPARK_SRC} SELECT DISTINCT "
-            f"{_mq('ix')} * {_K} + {_mq('iy')} AS node FROM x"
-        )
-        .withColumn("cost", F.lit(0))
-    )
+    seeds = spark.sql(
+        f"WITH {_SPARK_SRC} SELECT DISTINCT "
+        f"{_mq('ix')} * {_K} + {_mq('iy')} AS node FROM x"
+    ).withColumn("cost", F.lit(0))
+    return e2, seeds
+
+
+def _sssp_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chopin_spark.components import sssp_khop
+
+    e2, seeds = _net_e2_seeds(spark, sf_dir)
     return sssp_khop(seeds, e2, k=_HOPS)
 
 
@@ -235,6 +241,184 @@ def road_isochrone_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("band_10km")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+# --- network Voronoi (junction service-area allocation) -----------------------
+#
+# The allocation twin of dist_to_crossing: each reachable node is OWNED
+# by the junction minimizing (network distance, junction id) — the
+# service-area partition behind facility siting / catchment rollups
+# (sfnetworks' st_network_blend + nearest-feature idiom).  Engine:
+# components.sssp_khop_labeled — label-carrying Bellman-Ford whose
+# per-round struct-MIN retention is exact because the (cost, label)
+# pair order is a shortest-path semiring.  Oracle: recursive ≤k-hop
+# walk enumeration carrying the seed label, then argmin per node —
+# min distance first, min label among its achievers.
+
+_NV_ORACLE = f"""
+WITH RECURSIVE {_ORACLE_SRC}, {_FOLD},
+e2 AS (
+  SELECT u AS src, v AS dst, w FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst, w FROM edges
+),
+seeds AS (
+  SELECT DISTINCT {_mq('ix')} * {_K} + {_mq('iy')} AS node FROM x
+),
+walk(node, d, lab, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), node, 0 FROM seeds
+  UNION
+  SELECT e2.dst, w.d + e2.w, w.lab, w.hops + 1
+  FROM walk w JOIN e2 ON e2.src = w.node
+  WHERE w.hops < {_HOPS}
+),
+bd AS (SELECT node, MIN(d) AS d FROM walk GROUP BY 1),
+own AS (
+  SELECT w.node, b.d, MIN(w.lab) AS lab
+  FROM walk w JOIN bd b ON b.node = w.node AND w.d = b.d
+  GROUP BY 1, 2
+)
+SELECT CAST((lab - (lab % {_K})) / {_K} AS BIGINT) AS junc_x_mm,
+       lab % {_K} AS junc_y_mm,
+       CAST(COUNT(*) AS BIGINT) AS n_allocated,
+       CAST(SUM(d) AS BIGINT) AS total_dist_mm,
+       CAST(MAX(d) AS BIGINT) AS max_dist_mm
+FROM own GROUP BY 1, 2
+"""
+
+
+@register("road_network_voronoi", _NV_ORACLE)
+def road_network_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junction service areas over the planarized road graph: every
+    reachable node allocated to its (distance, id)-minimal junction;
+    per junction, the allocated-node count and distance rollup."""
+    from chopin_spark.components import sssp_khop_labeled
+
+    e2, seeds = _net_e2_seeds(spark, sf_dir)
+    st = sssp_khop_labeled(
+        seeds.withColumn("lab", F.col("node")), e2, k=_HOPS
+    )
+    return (
+        st.selectExpr(
+            f"CAST((lab - (lab % {_K})) / {_K} AS BIGINT) AS junc_x_mm",
+            f"lab % {_K} AS junc_y_mm",
+            "min_cost",
+        )
+        .groupBy("junc_x_mm", "junc_y_mm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_allocated"),
+            F.sum("min_cost").cast("long").alias("total_dist_mm"),
+            F.max("min_cost").cast("long").alias("max_dist_mm"),
+        )
+    )
+
+
+# --- route trace to the network's worst-served point ---------------------------
+#
+# dist_to_crossing says HOW FAR the worst point is; this says WHERE the
+# path runs: from the node with MAXIMUM network distance to any
+# junction (ties by node id), follow the steepest-descent chain — at
+# each node the upstream neighbor minimizing (neighbor distance + edge
+# weight, neighbor id), taken only while the distance strictly
+# decreases.  Strict integer descent makes the chain finite and
+# deterministic in BOTH engines with no convergence probe, and on a
+# converged distance field it IS the shortest path.  Spark: the parent
+# relation is one node-sized window; the walk joins a 1-row frame per
+# step.  Oracle: same parent relation, recursive follow.
+
+_ROUTE_MAX_STEPS = 64
+
+_ROUTE_ORACLE = _WALK_ORACLE + f""",
+par AS (
+  SELECT v, u FROM (
+    SELECT r.v, r.u, r.ud, bv.d AS vd
+    FROM (
+      SELECT e2.dst AS v, e2.src AS u, bu.d AS ud,
+             ROW_NUMBER() OVER (PARTITION BY e2.dst
+                                ORDER BY bu.d + e2.w, e2.src) AS rn
+      FROM e2 JOIN best bu ON bu.node = e2.src
+    ) r JOIN best bv ON bv.node = r.v
+    WHERE r.rn = 1
+  ) q WHERE ud < vd
+),
+tgt AS (SELECT node FROM best ORDER BY d DESC, node DESC LIMIT 1),
+path(step, node) AS (
+  SELECT 0 AS step, node FROM tgt
+  UNION ALL
+  SELECT p.step + 1, pr.u FROM path p JOIN par pr ON pr.v = p.node
+)
+SELECT CAST(p.step AS BIGINT) AS step,
+       CAST((p.node - (p.node % {_K})) / {_K} AS BIGINT) AS node_x_mm,
+       p.node % {_K} AS node_y_mm,
+       CAST(b.d AS BIGINT) AS dist_mm
+FROM path p JOIN best b ON b.node = p.node
+"""
+
+
+@register("road_route_farthest_trace", _ROUTE_ORACLE)
+def road_route_farthest_trace(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trace the access path from the road network's worst-served node
+    (max network distance to any junction) down the steepest-descent
+    parent chain to the junction system."""
+    from pyspark.sql import Window
+
+    from chopin_spark.components import sssp_khop
+
+    e2, seeds = _net_e2_seeds(spark, sf_dir)
+    e2 = e2.localCheckpoint()
+    best = sssp_khop(seeds, e2, k=_HOPS).localCheckpoint()
+
+    bu = best.select(
+        F.col("node").alias("src"), F.col("min_cost").alias("ud")
+    )
+    bv = best.select(F.col("node").alias("v"), F.col("min_cost").alias("vd"))
+    wnd = Window.partitionBy("v").orderBy("through", "u")
+    par = (
+        e2.join(bu, "src")
+        .select(
+            F.col("dst").alias("v"), F.col("src").alias("u"),
+            (F.col("ud") + F.col("w")).alias("through"), "ud",
+        )
+        .withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") == 1)
+        .join(bv, "v")
+        .filter(F.col("ud") < F.col("vd"))
+        .select("v", "u")
+        .localCheckpoint()
+    )
+
+    cur = (
+        best.orderBy(F.col("min_cost").desc(), F.col("node").desc())
+        .limit(1)
+        .select("node", F.lit(0).cast("long").alias("step"))
+        .localCheckpoint()
+    )
+    parts = [cur]
+    for _ in range(_ROUTE_MAX_STEPS):
+        nxt = (
+            cur.join(par, cur["node"] == par["v"])
+            .select(F.col("u").alias("node"), (F.col("step") + 1).alias("step"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        parts.append(nxt)
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"route trace did not close in {_ROUTE_MAX_STEPS} steps"
+        )
+    path = parts[0]
+    for p in parts[1:]:
+        path = path.unionByName(p)
+    return path.join(best, "node").selectExpr(
+        "CAST(step AS BIGINT) AS step",
+        f"CAST((node - (node % {_K})) / {_K} AS BIGINT) AS node_x_mm",
+        f"node % {_K} AS node_y_mm",
+        "CAST(min_cost AS BIGINT) AS dist_mm",
     )
 
 
