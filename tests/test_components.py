@@ -194,3 +194,70 @@ def test_scc_giant_peel_matches_coloring(spark):
                   7: 7, 9: 9, 10: 10}
     # pivot is node 2 (degree 5); its SCC is {1,2,3,8}
     assert giant == 4
+
+
+# --- label-carrying bounded SSSP (network Voronoi allocation) -----------------
+
+
+def _brute_labeled(seeds, edges, k):
+    """min over all <=k-hop walks of (cost, seed label), lexicographic."""
+    best = {}
+    state = {(n, lab): 0 for n, lab in seeds}
+    for (n, lab), d in state.items():
+        cur = best.get(n)
+        if cur is None or (d, lab) < cur:
+            best[n] = (d, lab)
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    frontier = dict(state)
+    for _ in range(k):
+        nxt = {}
+        for (n, lab), d in frontier.items():
+            for v, w in adj.get(n, []):
+                key = (v, lab)
+                if d + w < nxt.get(key, 1 << 62):
+                    nxt[key] = d + w
+        for (n, lab), d in nxt.items():
+            cur = best.get(n)
+            if cur is None or (d, lab) < cur:
+                best[n] = (d, lab)
+        frontier = nxt
+    return best
+
+
+def test_sssp_khop_labeled_matches_brute(spark):
+    from chopin_spark.components import sssp_khop_labeled
+
+    # two seeds; node 4 is equidistant (cost 3) from both -> label ties
+    # break to the SMALLER seed id; node 6 only reachable from seed 10
+    edges = [(1, 2, 1), (2, 4, 2), (10, 3, 1), (3, 4, 2), (10, 6, 5),
+             (4, 5, 1)]
+    seeds = [(1, 1), (10, 10)]
+    sdf = spark.createDataFrame(
+        [(n, 0, lab) for n, lab in seeds], "node long, cost long, lab long"
+    )
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    e2 = edf.unionByName(
+        edf.selectExpr("dst AS src", "src AS dst", "w")
+    )
+    got = {
+        r["node"]: (r["min_cost"], r["lab"])
+        for r in sssp_khop_labeled(sdf, e2, k=4).collect()
+    }
+    assert got == _brute_labeled(seeds, edges, 4)
+    assert got[4] == (3, 1)  # the deterministic tie-break under test
+
+
+def test_sssp_khop_labeled_hop_bound(spark):
+    from chopin_spark.components import sssp_khop_labeled
+
+    # path 1-2-3-4: with k=2 node 4 is unreached
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, w long"
+    )
+    e2 = edges.unionByName(edges.selectExpr("dst AS src", "src AS dst", "w"))
+    seeds = spark.createDataFrame([(1, 0, 1)], "node long, cost long, lab long")
+    got = {r["node"] for r in sssp_khop_labeled(seeds, e2, k=2).collect()}
+    assert got == {1, 2, 3}
