@@ -2092,3 +2092,62 @@ def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     LCG hypotheses, division-free inlier tests, max-consensus winner."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_ransac_sql(_RS_SEQ_SPARK))
+
+
+# --- residential-segregation indices over the document grid -------------------
+#
+# The classic Duncan & Duncan (1955) evenness/exposure pair, applied to
+# language-over-zones (the webtext analog of group-over-tracts):
+# dissimilarity D_L = Σ_z |a_z·B − b_z·A| / (2AB) with a = lang-L docs,
+# b = all others (exact int64 numerator, ONE division), and isolation
+# P*_L = (1/A)·Σ_z a_z²/t_z with every term floor-quantized to
+# micro-units BEFORE the sum (int64 carrier, reduction-order-free —
+# the repo's quantize-then-SUM discipline).  The lang×zone grid is
+# densified (zones where a lang is absent still contribute b_z·A to
+# D), at |zones|·|langs| rows — metadata-sized at any corpus scale.
+# Cross-product int64 bound: Σ|a·B − b·A| ≤ 2AB ≤ n²/2 — fine to
+# ~10^9 docs; past that the numerator column becomes DECIMAL(38,0),
+# same plan.  Reference kinship: chopin's grouped zonal summaries
+# (R/calculate.R summarize_aw groupwise shares); statistic itself is
+# public-domain demography.
+
+_SEG_SQL = f"""
+WITH zl AS (
+  SELECT {{zone}} AS zone_id, lang, CAST(COUNT(*) AS BIGINT) AS a
+  FROM documents GROUP BY 1, 2
+),
+zt AS (SELECT zone_id, CAST(SUM(a) AS BIGINT) AS t FROM zl GROUP BY 1),
+lt AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS atot FROM zl GROUP BY 1),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM zl),
+grid AS (
+  SELECT l.lang, l.atot, z.zone_id, z.t, n.n,
+         COALESCE(x.a, CAST(0 AS BIGINT)) AS a
+  FROM lt l CROSS JOIN zt z CROSS JOIN tot n
+  LEFT JOIN zl x ON x.lang = l.lang AND x.zone_id = z.zone_id
+),
+terms AS (
+  SELECT lang, atot, n,
+         ABS(a * (n - atot) - (t - a) * atot) AS dnum,
+         CASE WHEN a = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(((a * a * 1000000) - ((a * a * 1000000) % t)) / t
+                        AS BIGINT) END AS iso_q
+  FROM grid
+)
+SELECT lang, CAST(atot AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(dnum) AS DOUBLE)
+             / (2.0 * atot * (n - atot)), 6) AS duncan_d,
+       ROUND(CAST(SUM(iso_q) AS DOUBLE) / (atot * 1000000.0), 6)
+         AS isolation
+FROM terms GROUP BY lang, atot, n
+"""
+
+_SEG_BODY = _SEG_SQL.format(zone=sx.grid_cell_expr(_DOC_X, _DOC_Y, NX, NY))
+
+
+@register("lang_segregation_duncan", _SEG_BODY)
+def lang_segregation_duncan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duncan dissimilarity + isolation index per language over the
+    8×6 document grid: exact cross-product numerators, micro-quantized
+    isolation terms, one division per statistic."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SEG_BODY)
