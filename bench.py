@@ -81,12 +81,18 @@ def main() -> None:
     # noisy-window snapshot is auditable without re-measurement
     # (VERDICT r03 "Next round" #5 — the 5.78 s simhash artifact).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # optional comma-separated subset for targeted re-measurement after
+    # a perf change (full-registry runs stay the default / the record)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    subset = {s.strip() for s in only.split(",") if s.strip()}
     per_query: dict[str, float] = {}
     per_query_median: dict[str, float] = {}
     per_query_spread: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         if name == "oracle_gate_digest":
             continue  # meta-query: re-runs the whole registry inside itself
+        if subset and name not in subset:
+            continue
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -417,16 +417,28 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The outer-join operator class: unmatched views surface as null-click
 # rows once the watermark proves finality.  The drained stream is cut
-# at max(ts) − 3 h (watermark 2 h + gap 30 min + 30 min margin) on
-# BOTH sides — rows past the cut are legitimately withheld in the
-# state store at end-of-stream, so streaming == batch only up to the
-# finality horizon (that cut IS the semantics of an outer stream join;
-# asserting anything later would be asserting unflushed state).
+# at the finality horizon: the terminal GLOBAL watermark is the MIN
+# over both inputs' per-side max event time (each side advances its
+# own watermark from ITS filtered rows — at small SF the click side's
+# max ts can lag the view side's by hours), minus the 2 h delay; a
+# view's null is flushed only once that passes v_ts + 30 min gap.  Cut
+# = LEAST(max view ts, max click ts) − 3 h (2 h watermark + 30 min
+# gap + 30 min margin) in BOTH engines — rows past the cut are
+# legitimately withheld in the state store at end-of-stream, so
+# streaming == batch only up to the horizon (that cut IS the
+# semantics of an outer stream join; asserting anything later would
+# be asserting unflushed state).
 
-_SSOUTER_ORACLE = """
-WITH cut AS (
-  SELECT MAX(ts) - INTERVAL 3 HOUR AS c FROM events
-),
+_SSOUTER_CUT = """
+  SELECT LEAST(
+           MAX(CASE WHEN event_type = 'view' THEN ts END),
+           MAX(CASE WHEN event_type = 'click' THEN ts END)
+         ) - INTERVAL 3 HOUR AS c
+  FROM events
+"""
+
+_SSOUTER_ORACLE = f"""
+WITH cut AS ({_SSOUTER_CUT}),
 v AS (
   SELECT user_id, ts FROM events, cut
   WHERE event_type = 'view' AND ts <= cut.c
@@ -458,7 +470,7 @@ def stream_view_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.view_click_left_outer_join(ev, ev), "stream_ssoj", spark
     )
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    cut = spark.sql("SELECT MAX(ts) - INTERVAL 3 HOUR AS c FROM events")
+    cut = spark.sql(_SSOUTER_CUT)
     return (
         out.crossJoin(F.broadcast(cut))
         .filter(F.col("v_ts") <= F.col("c"))
