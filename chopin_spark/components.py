@@ -32,6 +32,15 @@ from pyspark.sql import functions as F
 # input size.  Driver-side only; no effect on results.
 LAST_ROUNDS: dict[str, int] = {}
 
+# BFS-family visited sets are unions of per-round checkpointed level
+# parts, consolidated (re-checkpointed) every this-many rounds: the
+# per-round anti-join then scans a bounded part count, while prior
+# levels are rewritten ~_CONSOLIDATE-fold less often than the
+# checkpoint-every-round shape (O(rounds·|V|) block writes → O(rounds·
+# |V|/_CONSOLIDATE)).  Accumulators that are only read AFTER a loop
+# (Brandes sigma/delta) stay fully lazy — no consolidation at all.
+_CONSOLIDATE = 2
+
 
 def connected_components(
     pairs: DataFrame,
@@ -396,15 +405,18 @@ def bfs_depths(
     standard Pregel-style BFS plan.
     """
     edges = edges.select("src", "dst").localCheckpoint()
-    # visited = plain union of per-round checkpointed parts: each level
-    # is materialized ONCE; re-checkpointing the growing union every
-    # round would rewrite all prior levels (O(rounds * |V|) extra
-    # block writes) for no lineage benefit — every part is already a
-    # checkpoint root, so the union's plan stays one scan deep.
+    # visited = union of per-round checkpointed parts: each level is
+    # materialized ONCE; re-checkpointing the growing union every round
+    # would rewrite all prior levels (O(rounds * |V|) extra block
+    # writes).  Because visited IS anti-joined every round, the part
+    # count still costs a scan stage per part per round — so the union
+    # is consolidated every _CONSOLIDATE rounds: parts stay bounded,
+    # write amplification drops ~_CONSOLIDATE-fold.
     visited = (
         seeds.select("node").distinct().withColumn("depth", F.lit(0)).localCheckpoint()
     )
     frontier = visited.select("node")
+    parts = 0
     for d in range(1, max_depth + 1):
         nxt = (
             edges.join(frontier.withColumnRenamed("node", "src"), "src")
@@ -417,6 +429,9 @@ def bfs_depths(
         if nxt.isEmpty():  # scalar per round, not a data collect
             break
         visited = visited.unionByName(nxt)
+        parts += 1
+        if parts == _CONSOLIDATE:
+            visited, parts = visited.localCheckpoint(), 0
         frontier = nxt.select("node")
     return visited
 
@@ -443,6 +458,7 @@ def bfs_depths_labeled(
         .localCheckpoint()
     )
     frontier = visited.select("s", "node")
+    parts = 0
     for d in range(1, max_depth + 1):
         nxt = (
             edges.join(frontier.withColumnRenamed("node", "src"), "src")
@@ -454,9 +470,12 @@ def bfs_depths_labeled(
         )
         if nxt.isEmpty():
             break
-        # union of checkpointed parts — see bfs_depths: never
-        # re-materialize prior levels just to grow the visited set
+        # union of checkpointed parts, consolidated every _CONSOLIDATE
+        # rounds — see bfs_depths
         visited = visited.unionByName(nxt)
+        parts += 1
+        if parts == _CONSOLIDATE:
+            visited, parts = visited.localCheckpoint(), 0
         frontier = nxt.select("s", "node")
     return visited
 
@@ -668,6 +687,7 @@ def _reachable_from(
     spark = e.sparkSession
     visited = spark.createDataFrame([(seed,)], "node long").localCheckpoint()
     frontier = visited
+    parts = 0
     for _ in range(max_rounds):
         nxt = (
             e.join(frontier.withColumnRenamed("node", a), a)
@@ -679,6 +699,9 @@ def _reachable_from(
         if nxt.isEmpty():
             return visited
         visited = visited.unionByName(nxt)
+        parts += 1
+        if parts == _CONSOLIDATE:
+            visited, parts = visited.localCheckpoint(), 0
         frontier = nxt
     raise RuntimeError(
         f"SCC FW-BW reachability did not close in {max_rounds} BFS"

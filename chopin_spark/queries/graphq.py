@@ -1084,6 +1084,7 @@ def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     ]
     visited = levels[0].select("s", "node")
+    parts = 0
     for _k in range(1, _BC_CAP + 1):
         nxt = (
             levels[-1].join(ev, levels[-1].node == ev.esrc)
@@ -1096,6 +1097,9 @@ def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         levels.append(nxt)
         visited = visited.unionByName(nxt.select("s", "node"))
+        parts += 1
+        if parts == 6:  # components._CONSOLIDATE — bound the part count
+            visited, parts = visited.localCheckpoint(), 0
 
     # backward: state = (s, node, sig, dq) for the level below; each
     # round: depth-k sigma frame ⟕ edges ⟕ state, quantized-term agg.
