@@ -320,3 +320,32 @@ def test_nearest_road_chainage_brute_force(spark):
         assert abs(r.dist_m - rd) < 1e-6, r.doc_id
         # chainage_m is rounded to 4 decimals; allow the half-step
         assert -1e-9 <= r.chainage_m <= totlen[r.road_id] + 5e-5
+
+
+def test_route_trace_is_contiguous_strict_descent(spark):
+    """The worst-served route trace must be a CONNECTED chain in the
+    planarized graph with strictly decreasing network distance — a
+    semantic property the value-hash oracle can't express directly."""
+    from chopin_spark.queries.networkq import (
+        _net_e2_seeds, road_route_farthest_trace,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        road_route_farthest_trace(spark, sf).collect(),
+        key=lambda r: r.step,
+    )
+    assert rows and rows[0].step == 0
+    assert [r.step for r in rows] == list(range(len(rows)))
+    dists = [r.dist_mm for r in rows]
+    assert all(a > b for a, b in zip(dists, dists[1:]))  # strict descent
+
+    e2, _ = _net_e2_seeds(spark, sf)
+    from chopin_spark.queries.networkq import _K
+    adj = {
+        (r.src, r.dst)
+        for r in e2.select("src", "dst").distinct().collect()
+    }
+    keys = [r.node_x_mm * _K + r.node_y_mm for r in rows]
+    for a, b in zip(keys, keys[1:]):
+        assert (a, b) in adj or (b, a) in adj  # consecutive = adjacent
