@@ -990,7 +990,10 @@ def closeness_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame
 _BC_CAP = 12
 
 
-def _bc_oracle() -> str:
+def _bc_chain() -> list:
+    """The shared forward+backward CTE chain (w/d/sig levels, del
+    rounds) used by BOTH the node-betweenness oracle and the
+    edge-betweenness oracle below — identical text, one builder."""
     parts = [
         f"WITH RECURSIVE e AS MATERIALIZED (SELECT * FROM {_DS_UEDGES})",
         "n AS (SELECT DISTINCT src AS node FROM e)",
@@ -1042,6 +1045,11 @@ def _bc_oracle() -> str:
   WHERE dv.dist = {k}
   GROUP BY 1, 2
 )""")
+    return parts
+
+
+def _bc_oracle() -> str:
+    parts = _bc_chain()
     parts.append(
         "alldel AS ("
         + " UNION ALL ".join(f"SELECT * FROM del{k}"
@@ -1059,21 +1067,54 @@ HAVING SUM(dq) > 0
     return ",\n".join(parts) + tail
 
 
-@register("betweenness_brandes", _bc_oracle())
-def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Depth-bounded exact Brandes betweenness on the symmetrized host
-    graph: ONE forward sweep yields per-level sigma frames (BFS level
-    sets ARE the depth sets, so no separate labeled-BFS distance table
-    and no depth-filter joins); backward rounds carry (sig, dq) in one
-    state frame, so each round is edge-join + state-join + agg — all
-    int64 carriers; the undirected double-count divides out in the
-    final scaling."""
+def _ebc_oracle() -> str:
+    """Edge betweenness from the SAME chain: the per-edge quantized
+    term sig_v·(1e6 + dq_w)/sig_w is exactly the summand of del{k},
+    attributed to the DAG edge (v, w) instead of folded into v; k runs
+    down to 0 because source-incident edges carry shortest paths even
+    though the source node itself gets no credit."""
+    parts = _bc_chain()
+    for k in range(_BC_CAP - 1, -1, -1):
+        parts.append(f"""eterm{k} AS (
+  SELECT dv.s, dv.node AS v, dn.node AS w,
+         CAST(FLOOR(sv.sig * (1000000.0 + dw.dq) / sw.sig + 0.5)
+              AS BIGINT) AS q
+  FROM d dv
+  JOIN sig sv ON sv.s = dv.s AND sv.node = dv.node
+  JOIN e ON e.src = dv.node
+  JOIN d dn ON dn.s = dv.s AND dn.node = e.dst AND dn.dist = {k + 1}
+  JOIN sig sw ON sw.s = dn.s AND sw.node = dn.node
+  JOIN del{k + 1} dw ON dw.s = dn.s AND dw.node = dn.node
+  WHERE dv.dist = {k}
+)""")
+    parts.append(
+        "alleterm AS ("
+        + " UNION ALL ".join(f"SELECT * FROM eterm{k}"
+                             for k in range(_BC_CAP))
+        + ")"
+    )
+    tail = """
+SELECT LEAST(v, w) AS host_a, GREATEST(v, w) AS host_b,
+       CAST(SUM(q) AS BIGINT) AS betweenness_u,
+       ROUND(CAST(SUM(q) AS DOUBLE) / 2000000.0, 4) AS betweenness
+FROM alleterm
+GROUP BY 1, 2
+HAVING SUM(q) > 0
+"""
+    return ",\n".join(parts) + tail
+
+
+def _bc_forward(spark: SparkSession, sf_dir: str):
+    """Shared Brandes forward sweep: levels[k] = (s, node, sig) for
+    nodes at BFS depth k from source s (level sets ARE the depth sets,
+    so no separate labeled-BFS distance table and no depth-filter
+    joins), plus the symmetrized edge frame aliased (esrc, edst).
+    Used by both node betweenness and edge betweenness below."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     edges = spark.sql(f"SELECT * FROM {_DS_UEDGES}").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ev = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
 
-    # forward: levels[k] = (s, node, sig) for nodes at depth k from s.
     # sigma(w, k) = SUM over depth-(k-1) predecessors v of sigma(v);
     # "depth k" enforced by the anti-join against all visited keys
     # (lazy union of checkpointed level keys — cf. bfs_depths).
@@ -1100,6 +1141,17 @@ def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts += 1
         if parts == 6:  # components._CONSOLIDATE — bound the part count
             visited, parts = visited.localCheckpoint(), 0
+    return levels, ev
+
+
+@register("betweenness_brandes", _bc_oracle())
+def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded exact Brandes betweenness on the symmetrized host
+    graph: ONE forward sweep yields per-level sigma frames; backward
+    rounds carry (sig, dq) in one state frame, so each round is
+    edge-join + state-join + agg — all int64 carriers; the undirected
+    double-count divides out in the final scaling."""
+    levels, ev = _bc_forward(spark, sf_dir)
 
     # backward: state = (s, node, sig, dq) for the level below; each
     # round: depth-k sigma frame ⟕ edges ⟕ state, quantized-term agg.
@@ -1140,6 +1192,72 @@ def betweenness_brandes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("betweenness_u") > 0)
         .select(
             "host_id", "betweenness_u",
+            F.round(F.col("betweenness_u").cast("double") / 2000000.0, 4)
+            .alias("betweenness"),
+        )
+    )
+
+
+@register("edge_betweenness_girvan", _ebc_oracle())
+def edge_betweenness_girvan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge betweenness (the Girvan–Newman bridge score) from the SAME
+    Brandes sweeps: the quantized per-term summand
+    FLOOR(sig_v·(1e6+dq_w)/sig_w + 0.5) is attributed to the DAG edge
+    (v, w) instead of folded into v.  Each backward round computes the
+    inner-join edge terms ONCE, then derives the next node state by
+    grouping those terms and left-joining back onto the level frame
+    (zero-successor nodes get dq=0) — so edge credit and node state
+    share one join, and rounds run down to k=0 because source-incident
+    edges carry shortest paths even though the source node gets no
+    credit.  Undirected double-count divides out in the /2e6 scaling
+    after LEAST/GREATEST canonicalization."""
+    levels, ev = _bc_forward(spark, sf_dir)
+    maxd = len(levels) - 1
+    delta = levels[maxd].withColumn("dq", F.lit(0).cast("long"))
+    eacc = None
+    for k in range(maxd - 1, -1, -1):
+        dw = delta.select(
+            F.col("s").alias("qs"), F.col("node").alias("qnode"),
+            F.col("sig").alias("wsig"), F.col("dq").alias("qdq"),
+        )
+        eterm = (
+            levels[k]
+            .join(ev, F.col("esrc") == F.col("node"))
+            .join(dw, (F.col("qs") == F.col("s"))
+                  & (F.col("qnode") == F.col("edst")))
+            .select(
+                "s", F.col("node").alias("v"), F.col("edst").alias("w"),
+                F.floor(
+                    F.col("sig") * (F.lit(1000000.0) + F.col("qdq"))
+                    / F.col("wsig") + 0.5
+                ).cast("long").alias("q"),
+            )
+            .localCheckpoint()
+        )
+        eacc = eterm if eacc is None else eacc.unionByName(eterm)
+        if k > 0:
+            nodedq = eterm.groupBy(
+                F.col("s").alias("dsrc"), F.col("v").alias("dnode")
+            ).agg(F.sum("q").cast("long").alias("dq"))
+            delta = (
+                levels[k]
+                .join(nodedq, (F.col("dsrc") == F.col("s"))
+                      & (F.col("dnode") == F.col("node")), "left")
+                .select(
+                    "s", "node", "sig",
+                    F.coalesce(F.col("dq"), F.lit(0)).cast("long")
+                    .alias("dq"),
+                )
+            )
+    return (
+        eacc.groupBy(
+            F.least("v", "w").alias("host_a"),
+            F.greatest("v", "w").alias("host_b"),
+        )
+        .agg(F.sum("q").cast("long").alias("betweenness_u"))
+        .filter(F.col("betweenness_u") > 0)
+        .select(
+            "host_a", "host_b", "betweenness_u",
             F.round(F.col("betweenness_u").cast("double") / 2000000.0, 4)
             .alias("betweenness"),
         )
