@@ -1105,13 +1105,21 @@ HAVING SUM(q) > 0
 
 
 def _bc_forward(spark: SparkSession, sf_dir: str):
-    """Shared Brandes forward sweep: levels[k] = (s, node, sig) for
-    nodes at BFS depth k from source s (level sets ARE the depth sets,
-    so no separate labeled-BFS distance table and no depth-filter
-    joins), plus the symmetrized edge frame aliased (esrc, edst).
-    Used by both node betweenness and edge betweenness below."""
+    """Fixture wrapper: Brandes forward sweep over the symmetrized
+    97-host link graph."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     edges = spark.sql(f"SELECT * FROM {_DS_UEDGES}").localCheckpoint()
+    return _bc_forward_edges(edges)
+
+
+def _bc_forward_edges(edges: DataFrame):
+    """Shared Brandes forward sweep over an already-symmetrized
+    (src, dst) edge frame: levels[k] = (s, node, sig) for nodes at BFS
+    depth k from source s (level sets ARE the depth sets, so no
+    separate labeled-BFS distance table and no depth-filter joins),
+    plus the edge frame aliased (esrc, edst).  Used by both node
+    betweenness and edge betweenness below, and unit-testable on
+    known graphs."""
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ev = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
 
@@ -1212,6 +1220,13 @@ def edge_betweenness_girvan(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit.  Undirected double-count divides out in the /2e6 scaling
     after LEAST/GREATEST canonicalization."""
     levels, ev = _bc_forward(spark, sf_dir)
+    return _edge_betweenness_frame(levels, ev)
+
+
+def _edge_betweenness_frame(levels: list, ev: DataFrame) -> DataFrame:
+    """Backward pass of edge betweenness over forward-sweep levels —
+    separate from the query so known-graph tests (barbell bridge
+    values) can drive it on an arbitrary symmetrized edge frame."""
     maxd = len(levels) - 1
     delta = levels[maxd].withColumn("dq", F.lit(0).cast("long"))
     eacc = None

@@ -145,3 +145,33 @@ def test_kcore_matches_python_peel(spark):
     got = {r.host_num: r.core_degree for r in host_kcore(spark, SF_CORRECT).collect()}
     assert got == {v: deg[v] for v in nodes}
     assert rounds >= 2 and 0 < len(nodes) < n_start
+
+
+def test_edge_betweenness_barbell_known_values(spark):
+    """Girvan–Newman textbook case: barbell K3–bridge–K3.  Hand-derived
+    unordered-pair edge betweenness — bridge {2,3} carries all 3×3
+    cross pairs (9.0); bridge-adjacent triangle edges {0,2} carry their
+    own pair plus the 3 cross pairs from their far endpoint (4.0); far
+    triangle edges {0,1} carry only themselves (1.0).  Also pins the
+    incidence identity that the node query derives its state from the
+    same terms."""
+    from chopin_spark.queries.graphq import (
+        _bc_forward_edges,
+        _edge_betweenness_frame,
+    )
+
+    tri = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in tri] + [(b, a) for a, b in tri],
+        "src long, dst long",
+    )
+    levels, ev = _bc_forward_edges(edges.localCheckpoint())
+    got = {
+        (r.host_a, r.host_b): r.betweenness
+        for r in _edge_betweenness_frame(levels, ev).collect()
+    }
+    assert got == {
+        (2, 3): 9.0,
+        (0, 2): 4.0, (1, 2): 4.0, (3, 4): 4.0, (3, 5): 4.0,
+        (0, 1): 1.0, (4, 5): 1.0,
+    }
