@@ -172,3 +172,121 @@ def test_mobility_entropy_replay(spark):
         row = got[u]
         assert row.n_moves == tot and row.n_distinct_od == len(od)
         assert _close(row.transition_entropy, h, 1e-4)
+
+
+def test_acf_replay(spark):
+    """Lag-1..5 autocorrelation with n-scaled centering replayed over
+    an explicitly densified 31-day calendar."""
+    from chopin_spark.queries.tsmine import acf_daily_volume
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    daily = collections.Counter()
+    for r in spark.sql(
+        "SELECT event_type, CAST(day(ts) AS BIGINT) AS d FROM events"
+        " WHERE month(ts) = 1"
+    ).collect():
+        daily[(r.event_type, r.d)] += 1
+
+    types = {k[0] for k in daily}
+    got = {}
+    for r in acf_daily_volume(spark, SF_CORRECT).collect():
+        got[(r.event_type, r.lag)] = (r.num_scaled, r.acf)
+    assert {k[0] for k in got} == types and len(got) == 5 * len(types)
+    for et in types:
+        c = [daily.get((et, d), 0) for d in range(1, 32)]
+        n, s = 31, sum(c)
+        z = [n * v - s for v in c]
+        den = sum(v * v for v in z)
+        for k in range(1, 6):
+            num = sum(z[t] * z[t + k] for t in range(31 - k))
+            assert got[(et, k)][0] == num
+            assert _close(got[(et, k)][1], num / den, 1e-6)
+
+
+def test_hill_replay(spark):
+    """Hill power-law exponent replayed from raw in-degree counts."""
+    from chopin_spark.queries.graphq import (
+        _EDGES,
+        _HILL_DMIN,
+        degree_powerlaw_hill,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    deg = collections.Counter()
+    for r in spark.sql(f"SELECT * FROM {_EDGES}").collect():
+        deg[r.dst] += 1
+    tail = [d for d in deg.values() if d >= _HILL_DMIN]
+    alpha = 1 + len(tail) / sum(math.log(d / _HILL_DMIN) for d in tail)
+
+    row = degree_powerlaw_hill(spark, SF_CORRECT).collect()[0]
+    assert row.n_tail == len(tail) >= 3
+    assert row.d_min == min(tail) and row.d_max == max(tail)
+    assert _close(row.alpha, alpha, 1e-4)
+
+
+def test_did_replay(spark):
+    """Difference-in-differences cell means replayed with exact cents
+    accumulators and the fixed-order four-mean chain."""
+    from chopin_spark.queries.temporalq import did_purchase_effect
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    cells = collections.defaultdict(lambda: [0, 0])  # cents, n
+    for r in spark.sql(
+        "SELECT user_id, CAST(day(ts) AS BIGINT) AS d, value FROM events"
+        " WHERE event_type = 'purchase' AND month(ts) = 1"
+    ).collect():
+        key = (1 if r.user_id % 2 == 0 else 0, 1 if r.d >= 16 else 0)
+        cells[key][0] += int(math.floor(float(r.value) * 100 + 0.5))
+        cells[key][1] += 1
+    mean = {k: v[0] / v[1] / 100.0 for k, v in cells.items()}
+
+    row = did_purchase_effect(spark, SF_CORRECT).collect()[0]
+    assert (row.n_treat_post, row.n_treat_pre, row.n_ctrl_post,
+            row.n_ctrl_pre) == (cells[(1, 1)][1], cells[(1, 0)][1],
+                                cells[(0, 1)][1], cells[(0, 0)][1])
+    for col, key in (("treat_post", (1, 1)), ("treat_pre", (1, 0)),
+                     ("ctrl_post", (0, 1)), ("ctrl_pre", (0, 0))):
+        assert _close(getattr(row, col), mean[key], 1e-6)
+    did = mean[(1, 1)] - mean[(1, 0)] - mean[(0, 1)] + mean[(0, 0)]
+    assert _close(row.did_effect, did, 1e-6)
+
+
+def test_label_propagation_replay(spark):
+    """Three synchronous LPA rounds replayed sequentially: majority
+    label among labeled neighbors, ties to the smaller class, seeds
+    pinned, no labeled neighbor this round means unlabeled."""
+    from chopin_spark.queries.graphq import (
+        _EDGES,
+        _SEED_MOD,
+        label_propagation_hosts,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    adj = collections.defaultdict(set)
+    for r in spark.sql(f"SELECT * FROM {_EDGES}").collect():
+        adj[r.src].add(r.dst)
+        adj[r.dst].add(r.src)
+    nodes = set(adj)
+    lbl = {v: (v % 3 if v % _SEED_MOD == 0 else None) for v in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            if v % _SEED_MOD == 0:
+                nxt[v] = v % 3
+                continue
+            cnt = collections.Counter(
+                lbl[u] for u in adj[v] if lbl[u] is not None
+            )
+            nxt[v] = (min((-c, l) for l, c in cnt.items())[1]
+                      if cnt else None)
+        lbl = nxt
+
+    got = {r.host_num: r.label
+           for r in label_propagation_hosts(spark, SF_CORRECT).collect()}
+    expect = {v: (l if l is not None else -1) for v, l in lbl.items()}
+    assert got == expect
+    assert len({v for v, l in expect.items() if l >= 0}) > len(nodes) // 2
