@@ -290,3 +290,186 @@ def test_label_propagation_replay(spark):
     expect = {v: (l if l is not None else -1) for v, l in lbl.items()}
     assert got == expect
     assert len({v for v, l in expect.items() if l >= 0}) > len(nodes) // 2
+
+
+def test_funnel_replay(spark):
+    """Ordered view→signup→purchase funnel replayed with per-user
+    first-timestamp chains over the raw event list."""
+    from chopin_spark.queries.temporalq import funnel_view_signup_purchase
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    ev = collections.defaultdict(list)
+    users = set()
+    for r in spark.sql(
+        "SELECT user_id, event_type, ts FROM events"
+    ).collect():
+        users.add(r.user_id)
+        ev[(r.user_id, r.event_type)].append(r.ts)
+
+    t1 = {u: min(ev[(u, "view")]) for u in users if (u, "view") in ev}
+    t2 = {}
+    for u, t in t1.items():
+        later = [x for x in ev.get((u, "signup"), []) if x > t]
+        if later:
+            t2[u] = min(later)
+    t3 = {}
+    for u, t in t2.items():
+        later = [x for x in ev.get((u, "purchase"), []) if x > t]
+        if later:
+            t3[u] = min(later)
+
+    row = funnel_view_signup_purchase(spark, SF_CORRECT).collect()[0]
+    assert (row.n_users, row.n_view, row.n_view_signup, row.n_full_funnel) \
+        == (len(users), len(t1), len(t2), len(t3))
+    assert _close(row.conv_signup, len(t2) / len(t1), 1e-4)
+    assert _close(row.conv_purchase, len(t3) / len(t2), 1e-4)
+
+
+def test_cohort_retention_replay(spark):
+    """Purchase-cohort retention triangle replayed from per-user first
+    purchase day and distinct activity days."""
+    from chopin_spark.queries.temporalq import cohort_retention
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    first = {}
+    active = collections.defaultdict(set)
+    for r in spark.sql(
+        "SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day"
+        " FROM events WHERE event_type = 'purchase'"
+    ).collect():
+        d = str(r.day)
+        first[r.user_id] = min(first.get(r.user_id, d), d)
+        active[r.user_id].add(d)
+
+    size = collections.Counter(first.values())
+    cell = collections.Counter()
+    for u, cd in first.items():
+        for d in active[u]:
+            cell[(cd, d)] += 1
+
+    rows = cohort_retention(spark, SF_CORRECT).collect()
+    assert {(r.cohort_day, r.day) for r in rows} == set(cell)
+    for r in rows:
+        assert r.n_active == cell[(r.cohort_day, r.day)]
+        assert r.cohort_size == size[r.cohort_day]
+        assert _close(r.retention, r.n_active / r.cohort_size, 1e-4)
+
+
+def test_bearing_coherence_replay(spark):
+    """Mean resultant length per user replayed with an explicit sort
+    and unit-vector accumulation."""
+    from chopin_spark.queries.temporalq import (
+        _TCX,
+        _TCY,
+        trajectory_bearing_coherence,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    traj = collections.defaultdict(list)
+    for r in spark.sql(
+        f"SELECT user_id, ts, event_id, {_TCX} AS x, {_TCY} AS y"
+        " FROM events"
+    ).collect():
+        traj[r.user_id].append((r.ts, r.event_id, r.x, r.y))
+
+    expect = {}
+    for u, pts in traj.items():
+        pts.sort(key=lambda p: (p[0], p[1]))
+        sx = sy = 0.0
+        n = 0
+        for (_, _, x0, y0), (_, _, x1, y1) in zip(pts, pts[1:]):
+            dx, dy = x1 - x0, y1 - y0
+            if dx == 0.0 and dy == 0.0:
+                continue
+            ln = math.sqrt(dx * dx + dy * dy)
+            sx += dx / ln
+            sy += dy / ln
+            n += 1
+        if n:
+            expect[u] = (n, math.sqrt(sx * sx + sy * sy) / n)
+
+    got = {r.user_id: r for r in
+           trajectory_bearing_coherence(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(expect) >= 10
+    for u, (n, rr) in expect.items():
+        assert got[u].n_steps == n
+        assert _close(got[u].resultant_r, rr, 1e-6)
+
+
+def test_k_anonymity_replay(spark):
+    """Equivalence-class k-band audit replayed from raw quasi-
+    identifier tuples."""
+    from chopin_spark.queries.privacyq import _KA_CELL, k_anonymity_audit
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    cls = collections.Counter()
+    for r in spark.sql(
+        f"SELECT event_type, CAST(day(ts) AS BIGINT) AS d, {_KA_CELL} AS cell"
+        " FROM events WHERE month(ts) = 1"
+    ).collect():
+        cls[(r.event_type, r.d, r.cell)] += 1
+
+    def band(k):
+        return ("k=1" if k == 1 else "k=2-4" if k < 5
+                else "k=5-19" if k < 20 else "k>=20")
+
+    n = sum(cls.values())
+    bands = collections.defaultdict(lambda: [0, 0])
+    for k in cls.values():
+        b = bands[band(k)]
+        b[0] += 1
+        b[1] += k
+
+    rows = k_anonymity_audit(spark, SF_CORRECT).collect()
+    assert {r.k_band for r in rows} == set(bands) and len(bands) >= 2
+    for r in rows:
+        nc, nr = bands[r.k_band]
+        assert (r.n_classes, r.n_rows) == (nc, nr)
+        assert _close(r.row_share, nr / n, 1e-6)
+
+
+def test_stl_replay(spark):
+    """Additive 7-day decomposition replayed with explicit centred
+    window sums and day-of-week seasonal means."""
+    from chopin_spark.queries.tsmine import stl_decompose_volume
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    daily = collections.Counter()
+    for r in spark.sql(
+        "SELECT event_type, CAST(day(ts) AS BIGINT) AS d FROM events"
+        " WHERE month(ts) = 1"
+    ).collect():
+        daily[(r.event_type, r.d)] += 1
+
+    types = {k[0] for k in daily}
+    expect = {}
+    for et in types:
+        c = {d: daily.get((et, d), 0) for d in range(1, 32)}
+        det = {d: (c[d], sum(c[x] for x in range(d - 3, d + 4)))
+               for d in range(4, 29)}  # full 7-day windows only
+        dow = collections.defaultdict(lambda: [0, 0])  # snum, sden
+        for d, (cd, t7) in det.items():
+            acc = dow[d % 7]
+            acc[0] += 7 * cd - t7
+            acc[1] += 1
+        for d, (cd, t7) in det.items():
+            snum, sden = dow[d % 7]
+            det7 = 7 * cd - t7
+            expect[(et, d)] = (
+                cd, t7 / 7, snum / (7 * sden),
+                (sden * det7 - snum) / (7 * sden),
+            )
+
+    rows = stl_decompose_volume(spark, SF_CORRECT).collect()
+    assert {(r.event_type, r.d) for r in rows} == set(expect)
+    for r in rows:
+        cd, trend, seas, rem = expect[(r.event_type, r.d)]
+        assert r.c == cd
+        assert _close(r.trend, trend, 1e-4)
+        assert _close(r.seasonal, seas, 1e-4)
+        assert _close(r.remainder, rem, 1e-4)
