@@ -473,3 +473,147 @@ def test_stl_replay(spark):
         assert _close(r.trend, trend, 1e-4)
         assert _close(r.seasonal, seas, 1e-4)
         assert _close(r.remainder, rem, 1e-4)
+
+
+def test_sax_replay(spark):
+    """SAX words replayed with explicit PAA block sums and NTILE(4)
+    tile sizing (3,3,2,2 over the ten 3-day blocks)."""
+    from chopin_spark.queries.tsmine import sax_volume_motifs
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    daily = collections.Counter()
+    for r in spark.sql(
+        "SELECT event_type, CAST(day(ts) AS BIGINT) AS d FROM events"
+        " WHERE month(ts) = 1 AND day(ts) <= 30"
+    ).collect():
+        daily[(r.event_type, r.d)] += 1
+
+    expect = collections.Counter()
+    for et in {k[0] for k in daily}:
+        blocks = [sum(daily.get((et, d), 0) for d in range(b * 3 + 1, b * 3 + 4))
+                  for b in range(10)]
+        order = sorted(range(10), key=lambda b: (blocks[b], b))
+        n, k = 10, 4
+        sym = {}
+        pos = 0
+        for tile in range(k):
+            size = n // k + (1 if tile < n % k else 0)
+            for b in order[pos:pos + size]:
+                sym[b] = "abcd"[tile]
+            pos += size
+        for b in range(8):
+            expect[(et, sym[b] + sym[b + 1] + sym[b + 2])] += 1
+
+    got = {(r.event_type, r.word): r.n_occurrences
+           for r in sax_volume_motifs(spark, SF_CORRECT).collect()}
+    assert got == dict(expect) and len(got) >= 5
+
+
+def test_ewma_replay(spark):
+    """Alpha=1/2 exponential smoothing replayed with the exact dyadic
+    recurrence s_d = (s_{d-1} + c_d)/2 in Fraction arithmetic."""
+    from fractions import Fraction
+
+    from chopin_spark.queries.tsmine import ewma_volume_forecast
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    daily = collections.Counter()
+    for r in spark.sql(
+        "SELECT event_type, CAST(day(ts) AS BIGINT) AS d FROM events"
+        " WHERE month(ts) = 1"
+    ).collect():
+        daily[(r.event_type, r.d)] += 1
+
+    rows = ewma_volume_forecast(spark, SF_CORRECT).collect()
+    assert len(rows) == len({k[0] for k in daily}) >= 3
+    for row in rows:
+        c = [daily.get((row.event_type, d), 0) for d in range(1, 32)]
+        assert row.total == sum(c)
+        # s_1 = c_1; s_d = (s_{d-1} + c_d) / 2 — the EWMA recurrence
+        s = Fraction(c[0])
+        s30 = None
+        for d in range(2, 32):
+            s = (s + c[d - 1]) / 2
+            if d == 30:
+                s30 = s
+        assert Fraction(row.s31_scaled, 2 ** 30) == s
+        assert row.ewma_forecast == float(s)
+        assert row.last_step_error == float(Fraction(c[30]) - s30)
+
+
+def test_mann_whitney_replay(spark):
+    """U statistic, tie term, and z replayed with explicit midranks
+    over the pooled sorted sample."""
+    from chopin_spark.queries.pointpat import (
+        _MWU_L1,
+        _MWU_L2,
+        mann_whitney_u_lang,
+    )
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    vals = {_MWU_L1: [], _MWU_L2: []}
+    for r in docs.select("lang", "n_chars").collect():
+        if r.lang in vals:
+            vals[r.lang].append(r.n_chars)
+
+    pooled = sorted(vals[_MWU_L1] + vals[_MWU_L2])
+    rank = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        rank[pooled[i]] = (i + 1 + j) / 2  # midrank of the tie run
+        i = j
+    n1, n2 = len(vals[_MWU_L1]), len(vals[_MWU_L2])
+    r1 = sum(rank[v] for v in vals[_MWU_L1])
+    u1 = r1 - n1 * (n1 + 1) / 2
+    cnt = collections.Counter(pooled)
+    ties = sum(t ** 3 - t for t in cnt.values())
+    n = n1 + n2
+    z = (u1 - n1 * n2 / 2) / math.sqrt(
+        (n1 * n2 / 12) * ((n + 1) - ties / (n * (n - 1)))
+    )
+
+    row = mann_whitney_u_lang(spark, SF_CORRECT).collect()[0]
+    assert (row.n1, row.n2, row.tie_term) == (n1, n2, ties)
+    assert row.u1 == u1
+    assert _close(row.z_score, z, 1e-6)
+
+
+def test_dp_noisy_counts_replay(spark):
+    """Geometric-mechanism noise replayed from the deterministic LCG
+    draws; released counts must reproduce exactly and true counts must
+    not appear in the output schema."""
+    from chopin_spark.queries.privacyq import (
+        _DP_EPS_ALPHA,
+        _DP_MOD,
+        dp_noisy_counts_release,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    cnt = collections.Counter()
+    for r in spark.sql(
+        "SELECT event_type, CAST(day(ts) AS BIGINT) % 7 AS dow FROM events"
+        " WHERE month(ts) = 1"
+    ).collect():
+        cnt[(r.event_type, r.dow)] += 1
+
+    def geom(key, mult):
+        u = ((key * mult + 12345) % _DP_MOD + 1) / (_DP_MOD + 1)
+        return math.floor(math.log(u) / math.log(_DP_EPS_ALPHA))
+
+    out = dp_noisy_counts_release(spark, SF_CORRECT)
+    assert "c" not in out.columns and "count" not in out.columns
+    rows = out.collect()
+    assert {(r.event_type, r.dow) for r in rows} == set(cnt)
+    for r in rows:
+        key = (ord(r.event_type[0]) * 31 + ord(r.event_type[1])) * 7 + r.dow
+        z = geom(key, 2654435761) - geom(key, 1103515245)
+        assert r.noise == z
+        assert r.released_count == max(0, cnt[(r.event_type, r.dow)] + z)
+        assert r.epsilon_spent == 1.0
