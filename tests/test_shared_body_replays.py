@@ -617,3 +617,103 @@ def test_dp_noisy_counts_replay(spark):
         assert r.noise == z
         assert r.released_count == max(0, cnt[(r.event_type, r.dow)] + z)
         assert r.epsilon_spent == 1.0
+
+
+def _event_cells(spark):
+    """Collect (gx, gy, day) per January event on the tract lattice."""
+    from chopin_spark.queries.spatial import _EVT_X, _EVT_Y
+    from chopin_spark.zones import TRACT_H, TRACT_W
+
+    return spark.sql(
+        f"SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,"
+        " CAST(day(ts) AS BIGINT) AS d"
+        " FROM events WHERE month(ts) = 1"
+    ).collect()
+
+
+def test_mann_kendall_replay(spark):
+    """Per-tract S = Σ sign pairs replayed over the exhaustive
+    cell × 30-day cube (absent days are zero)."""
+    from chopin_spark.queries.spatial import mann_kendall_tract_trend
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_NX, TRACT_NY
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    cnt = collections.Counter()
+    for r in _event_cells(spark):
+        cnt[(r.gx, r.gy, r.d)] += 1
+
+    got = {(r.gx, r.gy): r for r in
+           mann_kendall_tract_trend(spark, SF_CORRECT).collect()}
+    assert len(got) == TRACT_NX * TRACT_NY
+    trends = set()
+    for gx in range(TRACT_NX):
+        for gy in range(TRACT_NY):
+            c = [cnt.get((gx, gy, d), 0) for d in range(1, 31)]
+            s = untied = 0
+            for i in range(30):
+                for j in range(i + 1, 30):
+                    if c[j] != c[i]:
+                        s += 1 if c[j] > c[i] else -1
+                        untied += 1
+            row = got[(gx, gy)]
+            assert (row.mk_s, row.n_untied_pairs) == (s, untied)
+            expect_tr = "up" if s > 0 else "down" if s < 0 else "flat"
+            assert row.trend == expect_tr
+            trends.add(expect_tr)
+    assert len(trends) >= 2  # the fixture must exercise >1 class
+
+
+def test_theil_sen_replay(spark):
+    """Median pairwise slope per tract replayed with an explicit sort
+    over the 435 day pairs."""
+    from chopin_spark.queries.spatial import theil_sen_tract_slope
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_NX, TRACT_NY
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    cnt = collections.Counter()
+    for r in _event_cells(spark):
+        cnt[(r.gx, r.gy, r.d)] += 1
+
+    got = {(r.gx, r.gy): r for r in
+           theil_sen_tract_slope(spark, SF_CORRECT).collect()}
+    assert len(got) == TRACT_NX * TRACT_NY
+    for gx in range(TRACT_NX):
+        for gy in range(TRACT_NY):
+            c = [cnt.get((gx, gy, d), 0) for d in range(1, 31)]
+            slopes = sorted(
+                (c[j] - c[i]) / (j - i)
+                for i in range(30) for j in range(i + 1, 30)
+            )
+            row = got[(gx, gy)]
+            assert row.n_pairs == len(slopes) == 435
+            assert _close(row.ts_slope, slopes[217], 1e-6)
+
+
+def test_ks_two_sample_replay(spark):
+    """Exact KS sup replayed from raw per-language length lists."""
+    from chopin_spark.queries.textops import ks_two_sample_lang
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    en, de = [], []
+    for r in docs.select("lang", "n_chars").collect():
+        if r.lang == "en":
+            en.append(r.n_chars)
+        elif r.lang == "de":
+            de.append(r.n_chars)
+    n1, n2 = len(en), len(de)
+    support = sorted(set(en) | set(de))
+    c1 = c2 = d_num = 0
+    en_cnt, de_cnt = collections.Counter(en), collections.Counter(de)
+    for v in support:
+        c1 += en_cnt[v]
+        c2 += de_cnt[v]
+        d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+
+    row = ks_two_sample_lang(spark, SF_CORRECT).collect()[0]
+    assert (row.n_en, row.n_de, row.d_num) == (n1, n2, d_num)
+    assert d_num > 0
+    assert _close(row.ks_d, d_num / (n1 * n2), 1e-6)
