@@ -1143,7 +1143,11 @@ def spatial_scan_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate (grid.salted_agg's discipline); at tile-budget k the
 # window form is the clearer plan.
 
-_VT_LEVEL = 4
+# level 3 (64 tiles): at the sf0.01 gate scale every tile holds > k
+# docs, so the budget binds corpus-wide; at level 4 the 500-doc
+# fixture never exceeds k per tile and the query was VACUOUS (0 gate
+# rows) — caught by the independent replay test
+_VT_LEVEL = 3
 _VT_K = 3
 _VT_CELL = sx.quad_cell_expr(_DOC_X, _DOC_Y, _VT_LEVEL)
 

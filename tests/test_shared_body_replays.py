@@ -717,3 +717,201 @@ def test_ks_two_sample_replay(spark):
     assert (row.n_en, row.n_de, row.d_num) == (n1, n2, d_num)
     assert d_num > 0
     assert _close(row.ks_d, d_num / (n1 * n2), 1e-6)
+
+
+def test_tile_pyramid_replay(spark):
+    """Zoom-6..0 tile counts replayed with an explicit ix,iy >>1
+    parent cascade from the collected level-6 cells."""
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.queries.spatial import (
+        _DOC_X,
+        _DOC_Y,
+        tile_pyramid_census,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    base = collections.Counter(
+        r.cell for r in spark.sql(
+            f"SELECT {sx.quad_cell_expr(_DOC_X, _DOC_Y, 6)} AS cell"
+            " FROM documents"
+        ).collect()
+    )
+
+    expect = {}
+    cur = dict(base)
+    for lvl in range(6, -1, -1):
+        for cell, n in cur.items():
+            expect[(lvl, cell)] = n
+        if lvl:
+            n_side = 1 << lvl
+            nxt = collections.Counter()
+            for cell, n in cur.items():
+                ix, iy = cell % n_side, cell // n_side
+                nxt[(iy >> 1) * (n_side >> 1) + (ix >> 1)] += n
+            cur = dict(nxt)
+
+    got = {(r.lvl, r.cell): r.n
+           for r in tile_pyramid_census(spark, SF_CORRECT).collect()}
+    assert got == expect
+    assert got[(0, 0)] == sum(base.values())  # root sees every doc
+
+
+def test_vector_tile_topk_replay(spark):
+    """Tile-budget survivors replayed with an explicit per-tile sort
+    by (n_chars desc, doc_id)."""
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.queries.spatial import (
+        _DOC_X,
+        _DOC_Y,
+        _VT_K,
+        _VT_LEVEL,
+        vector_tile_topk,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    tiles = collections.defaultdict(list)
+    for r in spark.sql(
+        f"SELECT doc_id, n_chars,"
+        f" {sx.quad_cell_expr(_DOC_X, _DOC_Y, _VT_LEVEL)} AS tile"
+        " FROM documents"
+    ).collect():
+        tiles[r.tile].append((-r.n_chars, r.doc_id))
+
+    expect = {}
+    for tile, feats in tiles.items():
+        if len(feats) <= _VT_K:
+            continue  # under-budget tiles emit nothing
+        feats.sort()
+        for rnk, (neg, did) in enumerate(feats[:_VT_K], start=1):
+            expect[(tile, rnk)] = (did, -neg, len(feats), len(feats) - _VT_K)
+
+    got = {(r.tile, r.rnk): (r.doc_id, r.n_chars, r.n_in_tile, r.n_dropped)
+           for r in vector_tile_topk(spark, SF_CORRECT).collect()}
+    assert got == expect and len(expect) >= _VT_K
+
+
+def test_readability_replay(spark):
+    """Flesch aggregates replayed with re.findall vowel groups and
+    explicit 10-token pseudo-sentences."""
+    import re
+
+    from chopin_spark.queries.textmine import readability_flesch
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs.select("lang", "text").collect():
+        toks = r.text.split(" ")
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += math.ceil(len(toks) / 10)
+        a[3] += sum(len(re.findall("[aeiou]+", t)) for t in toks)
+
+    rows = readability_flesch(spark, SF_CORRECT).collect()
+    assert {r.lang for r in rows} == set(agg)
+    for r in rows:
+        nd, w, s, syl = agg[r.lang]
+        assert (r.n_docs, r.words, r.sentences, r.syllables) == (nd, w, s, syl)
+        assert _close(r.words_per_sentence, w / s, 1e-4)
+        assert _close(r.syllables_per_word, syl / w, 1e-4)
+        assert _close(r.flesch, 206.835 - 1.015 * (w / s) - 84.6 * (syl / w),
+                      1e-2)
+
+
+def test_naive_bayes_replay(spark):
+    """The multinomial NB confusion matrix replayed with dict counts
+    and the same micro-nat quantization — integer-exact scores, so the
+    argmax must agree row-for-row."""
+    from chopin_spark.queries.mlq import naive_bayes_lang_confusion
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    rows = docs.select("doc_id", "lang", "text").collect()
+
+    def qln(x):
+        return math.floor(math.log(x) * 1000000 + 0.5)
+
+    seen = collections.Counter()   # (lang, tok) -> cnt over train docs
+    ntok = collections.Counter()
+    n_train = collections.Counter()
+    vocab = set()
+    for r in rows:
+        if r.doc_id % 5 == 0:
+            continue
+        toks = r.text.split(" ")
+        n_train[r.lang] += 1
+        ntok[r.lang] += len(toks)
+        for t in toks:
+            seen[(r.lang, t)] += 1
+            vocab.add(t)
+    v = len(vocab)
+    langs = sorted(n_train)
+
+    confusion = collections.Counter()
+    for r in rows:
+        if r.doc_id % 5 != 0:
+            continue
+        cnt = collections.Counter(t for t in r.text.split(" ") if t in vocab)
+        n_iv = sum(cnt.values())
+        best = None
+        for lang in langs:
+            q0 = -qln(ntok[lang] + v)
+            score = qln(n_train[lang]) + n_iv * q0 + sum(
+                c * qln(seen[(lang, t)] + 1)
+                for t, c in cnt.items() if (lang, t) in seen
+            )
+            if best is None or score > best[0]:
+                best = (score, lang)
+        confusion[(r.lang, best[1])] += 1
+
+    got = {(r.true_lang, r.predicted): r.n_docs
+           for r in naive_bayes_lang_confusion(spark, SF_CORRECT).collect()}
+    assert got == dict(confusion)
+    # non-vacuity: the argmax is not constant (several predicted
+    # classes) and some docs are classified correctly — the synthetic
+    # corpus shares vocabulary across languages, so ACCURACY is weak
+    # (en-prior dominated) by construction; the replay pins semantics,
+    # not fixture separability
+    assert len({p for (_, p) in confusion}) >= 3
+    assert sum(n for (t, p), n in confusion.items() if t == p) > 0
+
+
+def test_ips_policy_eval_replay(spark):
+    """Best-arm policy and matched-row IPS value replayed with dict
+    aggregation over the deterministic fold split."""
+    from chopin_spark.queries.mlq import ips_offline_policy_eval
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    train = collections.defaultdict(lambda: [0, 0])  # (lang,src): rs, c
+    ev = collections.defaultdict(list)               # lang: [(src, r)]
+    for r in docs.select("doc_id", "lang", "source", "n_chars").collect():
+        rew = 1 if r.n_chars >= 300 else 0
+        if (r.doc_id // 20) % 2 == 0:
+            t = train[(r.lang, r.source)]
+            t[0] += rew
+            t[1] += 1
+        else:
+            ev[r.lang].append((r.source, rew))
+
+    policy = {}
+    for (lang, src), (rs, c) in train.items():
+        key = (-(rs / c), src)
+        if lang not in policy or key < policy[lang][0]:
+            policy[lang] = (key, src, rs / c)
+
+    rows = ips_offline_policy_eval(spark, SF_CORRECT).collect()
+    assert {r.lang for r in rows} == set(policy) and len(rows) >= 3
+    for r in rows:
+        _, arm, dm = policy[r.lang]
+        matched = [rw for s, rw in ev[r.lang] if s == arm]
+        assert r.target_arm == arm
+        assert (r.n_eval, r.n_matched) == (len(ev[r.lang]), len(matched))
+        assert _close(r.dm_value, dm, 1e-4)
+        if matched:
+            assert _close(r.ips_value, sum(matched) / len(matched), 1e-4)
+        else:
+            assert r.ips_value is None
