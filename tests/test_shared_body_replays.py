@@ -915,3 +915,136 @@ def test_ips_policy_eval_replay(spark):
             assert _close(r.ips_value, sum(matched) / len(matched), 1e-4)
         else:
             assert r.ips_value is None
+
+
+def _round_half_up(x, p):
+    return math.floor(x * 10 ** p + 0.5) / 10 ** p
+
+
+def test_burrows_delta_replay(spark):
+    """Burrows' Delta over the top-20 word profile replayed with dict
+    counts, explicit micro-frequency quantization, and the cleared
+    z-score identity."""
+    from chopin_spark.queries.mlq import _BD_TOP, burrows_delta_sources
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    cnt = collections.Counter()
+    tot = collections.Counter()
+    for r in docs.select("source", "text").collect():
+        for t in r.text.split(" "):
+            cnt[(r.source, t)] += 1
+            tot[r.source] += 1
+    sources = sorted(tot)
+    ns = len(sources)
+
+    word_tot = collections.Counter()
+    for (s, t), n in cnt.items():
+        word_tot[t] += n
+    topw = sorted(word_tot, key=lambda t: (-word_tot[t], t))[:_BD_TOP]
+
+    fq = {(t, s): math.floor(cnt.get((s, t), 0) * 1000000.0 / tot[s] + 0.5)
+          for t in topw for s in sources}
+    var = {}
+    for t in topw:
+        vals = [fq[(t, s)] for s in sources]
+        var[t] = ns * sum(v * v for v in vals) - sum(vals) ** 2
+
+    got = {(r.src1, r.src2): r
+           for r in burrows_delta_sources(spark, SF_CORRECT).collect()}
+    assert len(got) == ns * (ns - 1) // 2
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            l1 = sum(abs(fq[(t, a)] - fq[(t, b)]) for t in topw)
+            delta = sum(
+                ns * abs(fq[(t, a)] - fq[(t, b)]) / math.sqrt(var[t])
+                for t in topw if var[t] > 0
+            ) / _BD_TOP
+            row = got[(a, b)]
+            assert row.fq_l1 == l1
+            assert _close(row.burrows_delta, delta, 1e-4)
+
+
+def test_radiation_model_replay(spark):
+    """Radiation-model flux replayed with an explicit O(Z^3)
+    intervening-opportunity triple loop on the zone table."""
+    from chopin_spark.queries.interactq import (
+        _DX,
+        _DY,
+        _RAD_CH,
+        _RAD_CW,
+        _RAD_NY,
+        radiation_model_flux,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pop = collections.Counter()
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR(({_DX}) / {_RAD_CW}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR(({_DY}) / {_RAD_CH}) AS BIGINT) AS gy FROM documents"
+    ).collect():
+        pop[(r.gx, r.gy)] += 1
+    zones = [
+        (gx * _RAD_NY + gy,
+         gx * _RAD_CW + _RAD_CW // 2, gy * _RAD_CH + _RAD_CH // 2, p)
+        for (gx, gy), p in pop.items()
+    ]
+
+    cand = []
+    for zi, cxi, cyi, mi in zones:
+        for zj, cxj, cyj, nj in zones:
+            if zi == zj:
+                continue
+            d2 = (cxi - cxj) ** 2 + (cyi - cyj) ** 2
+            s = sum(p for zk, cx, cy, p in zones
+                    if zk != zi and zk != zj
+                    and (cx - cxi) ** 2 + (cy - cyi) ** 2 < d2)
+            flux = _round_half_up(mi * nj / ((mi + s) * (mi + nj + s)), 6)
+            cand.append((-flux, zi, zj, mi, nj, s))
+    cand.sort()
+    expect = cand[:30]
+
+    rows = radiation_model_flux(spark, SF_CORRECT).collect()
+    assert [(r.i, r.j, r.mi, r.nj, r.s) for r in rows] \
+        == [(zi, zj, mi, nj, s) for _, zi, zj, mi, nj, s in expect]
+    for r, (negf, *_rest) in zip(rows, expect):
+        assert _close(r.p_flux, -negf, 1e-6)
+
+
+def test_rake_replay(spark):
+    """RAKE degree/frequency scores replayed with explicit stopword
+    run splitting per document."""
+    from chopin_spark.queries.textmine import rake_keywords
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    freq = collections.Counter()
+    degree = collections.Counter()
+    for r in docs.select("doc_id", "text").collect():
+        phrase = []
+        phrases = []
+        for t in r.text.split(" "):
+            if t in ("a", "the"):
+                if phrase:
+                    phrases.append(phrase)
+                phrase = []
+            else:
+                phrase.append(t)
+        if phrase:
+            phrases.append(phrase)
+        for ph in phrases:
+            for t in ph:
+                freq[t] += 1
+                degree[t] += len(ph)
+
+    cand = sorted(
+        (-_round_half_up(degree[t] / freq[t], 4), -degree[t], t)
+        for t in freq if freq[t] >= 5
+    )[:20]
+
+    rows = rake_keywords(spark, SF_CORRECT).collect()
+    assert [(r.word, r.freq, r.degree) for r in rows] \
+        == [(t, freq[t], degree[t]) for _, _, t in cand]
+    for r, (negs, _, _) in zip(rows, cand):
+        assert _close(r.rake_score, -negs, 1e-4)
