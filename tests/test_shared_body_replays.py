@@ -1048,3 +1048,206 @@ def test_rake_replay(spark):
         == [(t, freq[t], degree[t]) for _, _, t in cand]
     for r, (negs, _, _) in zip(rows, cand):
         assert _close(r.rake_score, -negs, 1e-4)
+
+
+def test_quadrat_csr_replay(spark):
+    """Pearson X² and VMR replayed from explicit 8x6 quadrat counts
+    (absent quadrats are zero)."""
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.queries.pointpat import (
+        _DX,
+        _DY,
+        _QK,
+        _QNX,
+        _QNY,
+        quadrat_csr_test,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    cnt = collections.Counter()
+    for r in spark.sql(
+        f"SELECT {sx.grid_ix_expr(_DX, _QNX)} AS gx,"
+        f" {sx.grid_iy_expr(_DY, _QNY)} AS gy FROM documents"
+    ).collect():
+        cnt[(r.gx, r.gy)] += 1
+    n = sum(cnt.values())
+    s2 = sum(v * v for v in cnt.values())
+
+    row = quadrat_csr_test(spark, SF_CORRECT).collect()[0]
+    assert (row.n_points, row.n_quadrats, row.dof) == (n, _QK, _QK - 1)
+    assert _close(row.chi2, (_QK * s2 - n * n) / n, 1e-6)
+    assert _close(row.vmr, (_QK * s2 - n * n) / ((_QK - 1) * n), 1e-6)
+
+
+def test_deviational_ellipse_replay(spark):
+    """Mean center, orientation, and axis sigmas replayed from raw
+    integer-meter moments and the closed-form 2x2 eigenvalues."""
+    from chopin_spark.queries.pointpat import (
+        _DX,
+        _DY,
+        std_deviational_ellipse,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pts = [(int(math.floor(r.x + 0.5)), int(math.floor(r.y + 0.5)))
+           for r in spark.sql(
+               f"SELECT {_DX} AS x, {_DY} AS y FROM documents").collect()]
+    n = len(pts)
+    sx_ = sum(x for x, _ in pts)
+    sy_ = sum(y for _, y in pts)
+    vxx = n * sum(x * x for x, _ in pts) - sx_ * sx_
+    vyy = n * sum(y * y for _, y in pts) - sy_ * sy_
+    vxy = n * sum(x * y for x, y in pts) - sx_ * sy_
+    disc = math.sqrt((vxx - vyy) ** 2 + 4 * vxy * vxy)
+
+    row = std_deviational_ellipse(spark, SF_CORRECT).collect()[0]
+    assert row.n_points == n
+    assert _close(row.mean_x, sx_ / n, 1e-4)
+    assert _close(row.mean_y, sy_ / n, 1e-4)
+    assert _close(row.theta_rad, 0.5 * math.atan2(2 * vxy, vxx - vyy), 1e-6)
+    assert _close(row.sigma_major, math.sqrt((vxx + vyy + disc) / 2) / n, 1e-4)
+    assert _close(row.sigma_minor, math.sqrt((vxx + vyy - disc) / 2) / n, 1e-4)
+    assert row.sigma_major >= row.sigma_minor > 0
+
+
+def test_weiszfeld_replay(spark):
+    """Three Weiszfeld rounds replayed with the same quantized integer
+    weights — centers must agree EXACTLY (they are floor-quantized)."""
+    from chopin_spark.queries.pointpat import (
+        _DX,
+        _DY,
+        _WZ_SOFT,
+        median_center_weiszfeld,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pts = [(int(math.floor(r.x + 0.5)), int(math.floor(r.y + 0.5)))
+           for r in spark.sql(
+               f"SELECT {_DX} AS x, {_DY} AS y FROM documents").collect()]
+    n = len(pts)
+    cx = math.floor(sum(x for x, _ in pts) / n + 0.5)
+    cy = math.floor(sum(y for _, y in pts) / n + 0.5)
+    mean_c = (cx, cy)
+    for _ in range(3):
+        wx = wy = wt = 0
+        for x, y in pts:
+            w = math.floor(
+                1.0e9 / math.sqrt((x - cx) ** 2 + (y - cy) ** 2 + _WZ_SOFT)
+                + 0.5
+            )
+            wx += w * x
+            wy += w * y
+            wt += w
+        cx = math.floor(wx / wt + 0.5)
+        cy = math.floor(wy / wt + 0.5)
+    md = sum(
+        math.floor(math.sqrt((x - cx) ** 2 + (y - cy) ** 2) * 1000 + 0.5)
+        for x, y in pts
+    ) / 1000 / n
+
+    row = median_center_weiszfeld(spark, SF_CORRECT).collect()[0]
+    assert (row.mean_cx, row.mean_cy) == mean_c
+    assert (row.median_cx, row.median_cy) == (cx, cy)
+    assert _close(row.mean_dist_to_median, md, 1e-4)
+    assert (cx, cy) != mean_c  # the iteration actually moves
+
+
+def test_box_counting_replay(spark):
+    """Occupied-cell counts at four dyadic scales and the lattice-log
+    OLS slope replayed explicitly."""
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.queries.pointpat import (
+        _BC_SCALES,
+        _DX,
+        _DY,
+        box_counting_dimension,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    occ = {}
+    for m in _BC_SCALES:
+        cells = {
+            (r.gx, r.gy)
+            for r in spark.sql(
+                f"SELECT {sx.grid_ix_expr(_DX, 8 * m)} AS gx,"
+                f" {sx.grid_iy_expr(_DY, 6 * m)} AS gy FROM documents"
+            ).collect()
+        }
+        occ[m] = len(cells)
+    lat = [
+        (math.floor(math.log(m) * 1000000 + 0.5),
+         math.floor(math.log(occ[m]) * 1000000 + 0.5))
+        for m in _BC_SCALES
+    ]
+    k = len(lat)
+    sx_ = sum(x for x, _ in lat)
+    sy_ = sum(y for _, y in lat)
+    sxy = sum(x * y for x, y in lat)
+    sxx = sum(x * x for x, _ in lat)
+    slope = (k * sxy - sx_ * sy_) / (k * sxx - sx_ * sx_)
+
+    row = box_counting_dimension(spark, SF_CORRECT).collect()[0]
+    assert (row.n_occ_base, row.n_occ_finest) == (occ[1], occ[8])
+    assert occ[8] > occ[1]  # finer grids must resolve more cells
+    assert _close(row.box_dimension, slope, 1e-6)
+
+
+def test_gini_replay(spark):
+    """Host-mass Gini replayed with an explicit (mass, host) rank sort
+    and the cumulative-sum identity."""
+    from chopin_spark.queries.webtext import _TRI_SRC, host_gini_inequality
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    mass = collections.Counter()
+    for r in spark.sql(
+        f"SELECT {_TRI_SRC} AS host_num, n_chars FROM documents"
+    ).collect():
+        mass[r.host_num] += r.n_chars
+    ranked = sorted(mass.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    tot = sum(m for _, m in ranked)
+    wsum = sum(i * m for i, (_, m) in enumerate(ranked, start=1))
+    gini = (2 * wsum - (n + 1) * tot) / (n * tot)
+
+    row = host_gini_inequality(spark, SF_CORRECT).collect()[0]
+    assert (row.n_hosts, row.total_chars) == (n, tot)
+    assert 0 < gini < 1
+    assert _close(row.gini, gini, 1e-6)
+
+
+def test_assortativity_replay(spark):
+    """Newman degree assortativity replayed from the explicit edge
+    list with both directed realizations."""
+    from chopin_spark.queries.graphq import degree_assortativity_hosts
+    from chopin_spark.queries.webtext import _TRI_DST, _TRI_SRC
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    und = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in spark.sql(
+            f"SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst FROM documents"
+            f" WHERE {_TRI_SRC} <> {_TRI_DST}"
+        ).collect()
+    }
+    deg = collections.Counter()
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    ep = [(deg[u], deg[v]) for u, v in und] + [(deg[v], deg[u])
+                                              for u, v in und]
+    m2 = len(ep)
+    sjk = sum(j * k for j, k in ep)
+    sj2 = sum(j + k for j, k in ep)
+    sq2 = sum(j * j + k * k for j, k in ep)
+    mu = sj2 / (2 * m2)
+    r_exp = (sjk / m2 - mu * mu) / (sq2 / (2 * m2) - mu * mu)
+
+    row = degree_assortativity_hosts(spark, SF_CORRECT).collect()[0]
+    assert row.n_edges == len(und)
+    assert _close(row.assortativity_r, r_exp, 1e-6)
