@@ -1251,3 +1251,154 @@ def test_assortativity_replay(spark):
     row = degree_assortativity_hosts(spark, SF_CORRECT).collect()[0]
     assert row.n_edges == len(und)
     assert _close(row.assortativity_r, r_exp, 1e-6)
+
+
+def test_adamic_adar_replay(spark):
+    """Top-20 Adamic-Adar predictions replayed with explicit wedge
+    enumeration, the hub cap, and existing-edge removal."""
+    from chopin_spark.queries.graphq import (
+        _AA_DMAX,
+        _AA_TOPK,
+        adamic_adar_link_pred,
+    )
+    from chopin_spark.queries.webtext import _TRI_DST, _TRI_SRC
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    und = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in spark.sql(
+            f"SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst FROM documents"
+            f" WHERE {_TRI_SRC} <> {_TRI_DST}"
+        ).collect()
+    }
+    adj = collections.defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    cand = collections.defaultdict(lambda: [0, 0.0])  # n_common, score
+    for w, nbs in adj.items():
+        if len(nbs) > _AA_DMAX:
+            continue
+        nl = sorted(nbs)
+        for i, u in enumerate(nl):
+            for v in nl[i + 1:]:
+                if (u, v) in und:
+                    continue
+                c = cand[(u, v)]
+                c[0] += 1
+                c[1] += 1.0 / math.log(len(nbs))
+    ranked = sorted(
+        ((-_round_half_up(s, 4), u, v, nc) for (u, v), (nc, s) in cand.items())
+    )[:_AA_TOPK]
+
+    rows = adamic_adar_link_pred(spark, SF_CORRECT).collect()
+    assert [(r.rank, r.host_u, r.host_v, r.n_common) for r in rows] \
+        == [(i + 1, u, v, nc) for i, (_, u, v, nc) in enumerate(ranked)]
+    for r, (negs, *_rest) in zip(rows, ranked):
+        assert _close(r.aa_score, -negs, 1e-4)
+
+
+def test_chi_square_replay(spark):
+    """Sparse-safe chi-square identity replayed from the explicit
+    lang x source contingency table with per-cell micro quantization."""
+    from chopin_spark.queries.textops import chi_square_lang_source
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    cells = collections.Counter()
+    for r in docs.select("lang", "source").collect():
+        cells[(r.lang, r.source)] += 1
+    rowsum = collections.Counter()
+    colsum = collections.Counter()
+    for (lg, src), o in cells.items():
+        rowsum[lg] += o
+        colsum[src] += o
+    n = sum(cells.values())
+    terms = sum(
+        math.floor((n * o * o) / (rowsum[lg] * colsum[src]) * 1000000 + 0.5)
+        for (lg, src), o in cells.items()
+    )
+    chi2_micro = terms - n * 1000000
+
+    row = chi_square_lang_source(spark, SF_CORRECT).collect()[0]
+    assert (row.n_docs, row.n_langs, row.n_sources) == \
+        (n, len(rowsum), len(colsum))
+    assert row.dof == (len(rowsum) - 1) * (len(colsum) - 1)
+    assert row.chi2_micro == chi2_micro
+    assert _close(row.chi2, chi2_micro / 1000000, 1e-6)
+
+
+def test_cuped_replay(spark):
+    """CUPED theta, raw/adjusted effects, and variance reduction
+    replayed from per-user integer (x, y) aggregates."""
+    from chopin_spark.queries.temporalq import cuped_adjusted_effect
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    users = collections.defaultdict(lambda: [0, 0])  # x, y
+    for r in spark.sql(
+        "SELECT user_id, CAST(day(ts) AS BIGINT) AS d, event_type"
+        " FROM events WHERE month(ts) = 1"
+    ).collect():
+        u = users[r.user_id]
+        if r.d <= 15:
+            u[0] += 1
+        elif r.event_type == "purchase":
+            u[1] += 1
+
+    n = len(users)
+    sx = sum(x for x, _ in users.values())
+    sy = sum(y for _, y in users.values())
+    sxy = sum(x * y for x, y in users.values())
+    sxx = sum(x * x for x, _ in users.values())
+    syy = sum(y * y for _, y in users.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, sy, sx per arm
+    for uid, (x, y) in users.items():
+        arm = a[uid % 2]
+        arm[0] += 1
+        arm[1] += y
+        arm[2] += x
+    raw = a[1][1] / a[1][0] - a[0][1] / a[0][0]
+    cuped = raw - theta * (a[1][2] / a[1][0] - a[0][2] / a[0][0])
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+
+    row = cuped_adjusted_effect(spark, SF_CORRECT).collect()[0]
+    assert row.n_users == n
+    assert _close(row.theta, theta, 1e-6)
+    assert _close(row.effect_raw, raw, 1e-6)
+    assert _close(row.effect_cuped, cuped, 1e-6)
+    assert _close(row.variance_reduction, r2, 1e-6)
+    assert 0 < r2 < 1
+
+
+def test_opic_replay(spark):
+    """Three OPIC cash-distribution rounds replayed sequentially with
+    integer floor division — every output is exact int64."""
+    from chopin_spark.queries.graphq import _EDGES, opic_crawl_priority
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    edges = [(r.src, r.dst)
+             for r in spark.sql(f"SELECT * FROM {_EDGES}").collect()]
+    nodes = {v for e in edges for v in e}
+    outdeg = collections.Counter(s for s, _ in edges)
+    cash = {v: 1_000_000 for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(3):
+        got = collections.Counter()
+        for s, d in edges:
+            if cash[s] > 0:
+                got[d] += int(cash[s] // outdeg[s])
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = {v: got.get(v, 0) for v in nodes}
+
+    got_rows = {r.host_num: r
+                for r in opic_crawl_priority(spark, SF_CORRECT).collect()}
+    assert set(got_rows) == nodes
+    for v in nodes:
+        r = got_rows[v]
+        assert (r.cash_micro, r.hist_micro, r.priority_micro) \
+            == (cash[v], hist[v], cash[v] + hist[v])
