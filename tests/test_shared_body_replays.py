@@ -1402,3 +1402,91 @@ def test_opic_replay(spark):
         r = got_rows[v]
         assert (r.cash_micro, r.hist_micro, r.priority_micro) \
             == (cash[v], hist[v], cash[v] + hist[v])
+
+
+def test_winnowing_replay(spark):
+    """Robust winnowing (k=5, w=4, rightmost-min rule) replayed with
+    explicit char-fold hashes, shingle folds, and window argmins —
+    every checksum is exact int64."""
+    from chopin_spark.queries.textmine import _POS_M, _WIN_W, \
+        winnowing_fingerprints
+    from chopin_spark.tables import load
+    from chopin_spark.textops import P30, _SHINGLE_B
+
+    docs = load(spark, SF_CORRECT, "documents")
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        uh = []
+        for t in r.text.split(" "):
+            h = 0
+            for c in t:
+                h = (h * 31 + ord(c)) % P30
+            uh.append(h)
+        sh = []
+        for i in range(len(uh) - 4):
+            s = 0
+            for k in range(5):
+                s = (s * _SHINGLE_B + uh[i + k]) % P30
+            sh.append(s)
+        if len(sh) < _WIN_W:
+            continue
+        keys = [s * _POS_M + (_POS_M - 1 - (i + 1))
+                for i, s in enumerate(sh)]
+        sel = set()
+        for pos in range(_WIN_W, len(sh) + 1):  # 1-based window end
+            wkey = min(keys[pos - _WIN_W:pos])
+            sel.add((wkey // _POS_M, _POS_M - 1 - wkey % _POS_M))
+        fps = [fp for fp, _ in sel]
+        expect[r.doc_id] = (len(sh), len(sel), sum(fps), min(fps))
+
+    rows = winnowing_fingerprints(spark, SF_CORRECT).collect()
+    assert {r.doc_id for r in rows} == set(expect)
+    for r in rows:
+        k, nfp, fsum, fmin = expect[r.doc_id]
+        assert (r.n_kgrams, r.n_fp, r.fp_sum, r.fp_min) \
+            == (k, nfp, fsum, fmin)
+        assert _close(r.density, nfp / k, 1e-4)
+        # the MOSS density guarantee: ~2/(w+1), never above 1
+        assert 0 < r.density <= 1
+
+
+def test_typosquat_replay(spark):
+    """Blocked edit-distance pairs replayed with an independent
+    Wagner-Fischer DP over the full (cc, length) blocks."""
+    from chopin_spark.queries.webtext import (
+        _CCTLD,
+        _HOST,
+        host_typosquat_pairs,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    hosts = {(r.host, r.cc) for r in spark.sql(
+        f"SELECT DISTINCT {_HOST} AS host, {_CCTLD} AS cc FROM documents"
+    ).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, start=1):
+            cur = [i]
+            for j, cb in enumerate(b, start=1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    blocks = collections.defaultdict(list)
+    for host, cc in hosts:
+        blocks[(cc, len(host))].append(host)
+    expect = {}
+    for hs in blocks.values():
+        hs.sort()
+        for i, a in enumerate(hs):
+            for b in hs[i + 1:]:
+                d = lev(a, b)
+                if d <= 2:
+                    expect[(a, b)] = d
+
+    got = {(r.host_a, r.host_b): r.edit_dist
+           for r in host_typosquat_pairs(spark, SF_CORRECT).collect()}
+    assert got == expect and len(got) >= 1
