@@ -502,7 +502,12 @@ def trajectory_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the n(n−1)/2 closed form — no all-pairs join anywhere.
 
 _KNOX_DS = 30000.0                 # 30 km
-_KNOX_DT_US = 6 * 3600 * 1000000   # 6 h in µs
+# 12 h: the LCG fixture anti-correlates space and time (the minimum
+# Δt among 30 km-close pairs is ~9.5 h), so a 6 h cutoff made
+# pairs_both STRUCTURALLY zero and the Knox ratio degenerate at every
+# scale — caught by the brute-force numpy replay test; at 12 h the
+# gate fixture yields ~5k joint pairs
+_KNOX_DT_US = 12 * 3600 * 1000000  # 12 h in µs
 # cell width == the space cutoff: the 3×3 probe is complete at any
 # cell >= ds, and ds-sized cells minimize candidate density (a 50 km
 # cell carried 2.6× the candidates for the same 30 km answer)

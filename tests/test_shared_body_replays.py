@@ -1490,3 +1490,126 @@ def test_typosquat_replay(spark):
     got = {(r.host_a, r.host_b): r.edit_dist
            for r in host_typosquat_pairs(spark, SF_CORRECT).collect()}
     assert got == expect and len(got) >= 1
+
+
+def test_knox_replay(spark):
+    """Knox space-time counts replayed BRUTE-FORCE over all n(n-1)/2
+    event pairs with numpy — an independent check that the bounded
+    3x3-cell and time-bin probe joins count every qualifying pair
+    exactly once."""
+    import numpy as np
+
+    from chopin_spark.queries.temporalq import (
+        _KNOX_DS,
+        _KNOX_DT_US,
+        _TCX,
+        _TCY,
+        knox_space_time,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        f"SELECT {_TCX} AS x, {_TCY} AS y,"
+        " unix_micros(CAST(ts AS TIMESTAMP)) AS t FROM events"
+    ).collect()
+    x = np.array([r.x for r in rows])
+    y = np.array([r.y for r in rows])
+    t = np.array([r.t for r in rows], dtype=np.int64)
+    n = len(rows)
+    ds2 = _KNOX_DS * _KNOX_DS
+    s = st = tc = 0
+    blk = 1024
+    for i0 in range(0, n, blk):
+        i1 = min(i0 + blk, n)
+        dx = x[i0:i1, None] - x[None, :]
+        dy = y[i0:i1, None] - y[None, :]
+        dt = np.abs(t[i0:i1, None] - t[None, :])
+        close_s = dx * dx + dy * dy < ds2
+        close_t = dt < _KNOX_DT_US
+        upper = np.arange(i0, i1)[:, None] < np.arange(n)[None, :]
+        s += int(np.sum(close_s & upper))
+        st += int(np.sum(close_s & close_t & upper))
+        tc += int(np.sum(close_t & upper))
+
+    row = knox_space_time(spark, SF_CORRECT).collect()[0]
+    assert (row.n_events, row.n_pairs) == (n, n * (n - 1) // 2)
+    assert (row.pairs_space, row.pairs_time, row.pairs_both) == (s, tc, st)
+    assert row.knox_ratio_micro == math.floor(
+        st * (n * (n - 1) // 2) / s / tc * 1000000 + 0.5
+    )
+    assert s > 0 and tc > 0 and st > 0
+
+
+def test_general_g_replay(spark):
+    """Global General G replayed with explicit rook-link enumeration
+    over the densified tract lattice."""
+    from chopin_spark.queries.pointpat import _DX, _DY, general_g_tracts
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    mass = collections.Counter()
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_DX} / {TRACT_W!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_DY} / {TRACT_H!r}) AS BIGINT) AS gy, n_chars"
+        " FROM documents"
+    ).collect():
+        mass[(r.gx, r.gy)] += r.n_chars
+
+    x = {(gx, gy): mass.get((gx, gy), 0)
+         for gx in range(TRACT_NX) for gy in range(TRACT_NY)}
+    num = links = 0
+    for (gx, gy), v in x.items():
+        for dx_, dy_ in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (gx + dx_, gy + dy_)
+            if nb in x:
+                num += v * x[nb]
+                links += 1
+    tot = sum(x.values())
+    den = tot * tot - sum(v * v for v in x.values())
+
+    row = general_g_tracts(spark, SF_CORRECT).collect()[0]
+    assert (row.n_zones, row.w_links, row.num, row.den) == \
+        (TRACT_NX * TRACT_NY, links, num, den)
+    assert _close(row.general_g, num / den, 1e-8)
+
+
+def test_luhn_replay(spark):
+    """Luhn best-frame selection replayed with an explicit top-20
+    significant lexicon and the cleared integer argmax."""
+    from chopin_spark.queries.textmine import (
+        _LUHN_FRAME,
+        _LUHN_TOP,
+        luhn_extract_summary,
+    )
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    texts = {r.doc_id: r.text.split(" ")
+             for r in docs.select("doc_id", "text").collect()}
+    gcnt = collections.Counter()
+    for toks in texts.values():
+        for t in toks:
+            if t not in ("a", "the"):
+                gcnt[t] += 1
+    sig = set(sorted(gcnt, key=lambda t: (-gcnt[t], t))[:_LUHN_TOP])
+
+    expect = {}
+    for did, toks in texts.items():
+        frames = collections.defaultdict(lambda: [0, 0])  # flen, nsig
+        for i, t in enumerate(toks):
+            fr = frames[i // _LUHN_FRAME]
+            fr[0] += 1
+            fr[1] += 1 if t in sig else 0
+        # integer argmax of nsig^2/flen, ties -> earliest frame
+        best = min(
+            frames.items(),
+            key=lambda kv: (-(kv[1][1] ** 2 / kv[1][0]), kv[0]),
+        )
+        expect[did] = (best[0], best[1][0], best[1][1])
+
+    got = {r.doc_id: (r.best_frame, r.flen, r.nsig)
+           for r in luhn_extract_summary(spark, SF_CORRECT).collect()}
+    assert got == expect
+    assert any(nsig > 0 for _, _, nsig in expect.values())
