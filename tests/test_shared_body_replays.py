@@ -1613,3 +1613,127 @@ def test_luhn_replay(spark):
            for r in luhn_extract_summary(spark, SF_CORRECT).collect()}
     assert got == expect
     assert any(nsig > 0 for _, _, nsig in expect.values())
+
+
+def test_bivariate_moran_replay(spark):
+    """Bivariate Moran's I (page mass vs rook-lagged event mass)
+    replayed with explicit lattice densification and the n*x - S
+    centering identity."""
+    from chopin_spark.queries.pointpat import (
+        _DX,
+        _DY,
+        _EX,
+        _EY,
+        moran_i_bivariate,
+    )
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    xs = collections.Counter()
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_DX} / {TRACT_W!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_DY} / {TRACT_H!r}) AS BIGINT) AS gy, n_chars"
+        " FROM documents"
+    ).collect():
+        xs[(r.gx, r.gy)] += r.n_chars
+    ys = collections.Counter()
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_EX} / {TRACT_W!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_EY} / {TRACT_H!r}) AS BIGINT) AS gy FROM events"
+    ).collect():
+        ys[(r.gx, r.gy)] += 1
+
+    nz = TRACT_NX * TRACT_NY
+    cells = [(gx, gy) for gx in range(TRACT_NX) for gy in range(TRACT_NY)]
+    sx_tot = sum(xs.get(c, 0) for c in cells)
+    sy_tot = sum(ys.get(c, 0) for c in cells)
+    ddx = {c: nz * xs.get(c, 0) - sx_tot for c in cells}
+    ddy = {c: nz * ys.get(c, 0) - sy_tot for c in cells}
+    num = links = 0
+    for (gx, gy) in cells:
+        for dx_, dy_ in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (gx + dx_, gy + dy_)
+            if nb in ddy:
+                num += ddx[(gx, gy)] * ddy[nb]
+                links += 1
+    denx = sum(v * v for v in ddx.values())
+    deny = sum(v * v for v in ddy.values())
+
+    row = moran_i_bivariate(spark, SF_CORRECT).collect()[0]
+    assert (row.n_zones, row.w_links, row.num, row.denx, row.deny) \
+        == (nz, links, num, denx, deny)
+    assert _close(
+        row.moran_bv,
+        nz * num / (links * math.sqrt(denx) * math.sqrt(deny)),
+        1e-6,
+    )
+
+
+def _py_simhash_drift(spark):
+    """Shared replay of the SimHash drift chain: per-host consecutive-
+    capture Hamming distances from explicit char folds."""
+    from chopin_spark.tables import load
+    from chopin_spark.textops import P30, SIMHASH_BITS
+
+    docs = load(spark, SF_CORRECT, "documents")
+    per_host = collections.defaultdict(list)
+    for r in docs.select("doc_id", "text").collect():
+        sums = [0] * SIMHASH_BITS
+        for t in r.text.split(" "):
+            h31 = h131 = 0
+            for c in t:
+                h31 = (h31 * 31 + ord(c)) % P30
+                h131 = (h131 * 131 + ord(c)) % P30
+            h = h31 + (h131 << 30)
+            for k in range(SIMHASH_BITS):
+                sums[k] += 1 if (h >> k) & 1 else -1
+        fp = sum(1 << k for k in range(SIMHASH_BITS) if sums[k] > 0)
+        epoch = 1704067200 + (r.doc_id * 48271) % 31536000
+        per_host[r.doc_id % 97].append((epoch, r.doc_id, fp))
+
+    drift = {}
+    for host, snaps in per_host.items():
+        snaps.sort()
+        hams = [bin(a[2] ^ b[2]).count("1")
+                for a, b in zip(snaps, snaps[1:])]
+        if hams:
+            drift[host] = (len(hams), sum(hams), max(hams),
+                           sum(1 for h in hams if h > 12))
+    return drift
+
+
+def test_url_content_drift_replay(spark):
+    """Per-host SimHash drift replayed token-by-token — fingerprints,
+    Hamming deltas, and rewrite counts are exact integers."""
+    from chopin_spark.queries.sketchq import url_content_drift
+
+    drift = _py_simhash_drift(spark)
+    got = {r.host_num: (r.n_transitions, r.total_drift_bits,
+                        r.max_drift_bits, r.n_major_rewrites)
+           for r in url_content_drift(spark, SF_CORRECT).collect()}
+    assert got == drift and len(drift) >= 50
+
+
+def test_recrawl_tiers_replay(spark):
+    """Tier rollup replayed from the drift replay with the integer
+    cross-product tier rule."""
+    from chopin_spark.queries.sketchq import recrawl_schedule_tiers
+
+    drift = _py_simhash_drift(spark)
+    tiers = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for host, (nt, _tot, _mx, nmr) in drift.items():
+        tier = ("hourly" if nmr * 2 >= nt else
+                "daily" if nmr * 5 >= nt else
+                "weekly" if nmr * 20 >= nt else "monthly")
+        t = tiers[tier]
+        t[0] += 1
+        t[1] += nt
+        t[2] += nmr
+        t[3] += host
+
+    got = {r.tier: (r.n_hosts, r.transitions, r.rewrites, r.host_set_sum)
+           for r in recrawl_schedule_tiers(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in tiers.items()}
+    assert len(got) >= 2
