@@ -1737,3 +1737,150 @@ def test_recrawl_tiers_replay(spark):
            for r in recrawl_schedule_tiers(spark, SF_CORRECT).collect()}
     assert got == {k: tuple(v) for k, v in tiers.items()}
     assert len(got) >= 2
+
+
+def test_matrix_profile_replay(spark):
+    """Banded z-normalized matrix profile replayed with an explicit
+    O(n·L) double loop over the densified hourly series — exact
+    integer Pearson carriers, same argmax tie rule."""
+    from chopin_spark.queries.tsmine import matrix_profile_motif_volume
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    hourly = collections.Counter()
+    for r in spark.sql(
+        "SELECT event_type,"
+        " CAST((day(ts) - 1) * 24 + hour(ts) AS BIGINT) AS h FROM events"
+        " WHERE month(ts) = 1"
+    ).collect():
+        hourly[(r.event_type, r.h)] += 1
+
+    expect = {}
+    for et in {k[0] for k in hourly}:
+        c = [hourly.get((et, h), 0) for h in range(744)]
+        feat = {}
+        for h in range(741):
+            w = c[h:h + 4]
+            s = sum(w)
+            q = sum(v * v for v in w)
+            if 4 * q - s * s > 0:
+                feat[h] = (w, s, q)
+        best = None
+        n_pairs = 0
+        for i, (wa, sa, qa) in feat.items():
+            for j in range(i + 4, min(i + 49, 741)):
+                if j not in feat:
+                    continue
+                wb, sb, qb = feat[j]
+                n_pairs += 1
+                p = 4 * sum(a * b for a, b in zip(wa, wb)) - sa * sb
+                va = 4 * qa - sa * sa
+                vb = 4 * qb - sb * sb
+                r_ = p / math.sqrt(float(va) * float(vb))
+                key = (-r_, i, j)
+                if best is None or key < best[0]:
+                    best = (key, i, j, r_)
+        expect[et] = (best[1], best[2], best[3], n_pairs)
+
+    rows = matrix_profile_motif_volume(spark, SF_CORRECT).collect()
+    assert {r.event_type for r in rows} == set(expect)
+    for r in rows:
+        i, j, r_, np_ = expect[r.event_type]
+        assert (r.motif_i, r.motif_j, r.n_pairs) == (i, j, np_)
+        assert _close(r.pearson_r, r_, 1e-9)
+        assert _close(r.znorm_dist, math.sqrt(max(0.0, 8 * (1 - r_))), 1e-9)
+
+
+def test_texttiling_replay(spark):
+    """Hearst gap profile replayed with explicit block vectors and the
+    cleared integer boundary predicate."""
+    from chopin_spark.queries.textmine import _TT_BLK, texttiling_segments
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    expect = {}
+    for rr in docs.select("doc_id", "text").collect():
+        toks = rr.text.split(" ")
+        blocks = collections.defaultdict(collections.Counter)
+        for i, t in enumerate(toks):
+            blocks[i // _TT_BLK][t] += 1
+        nb = max(blocks) + 1
+        qs = []
+        for b in range(nb - 1):
+            nrm1 = sum(v * v for v in blocks[b].values())
+            nrm2 = sum(v * v for v in blocks[b + 1].values())
+            dot = sum(blocks[b][t] * blocks[b + 1][t] for t in blocks[b])
+            qs.append(math.floor(
+                dot / math.sqrt(float(nrm1) * float(nrm2)) * 1000000 + 0.5
+            ))
+        if not qs:
+            continue
+        n = len(qs)
+        s = sum(qs)
+        v = n * sum(q * q for q in qs) - s * s
+        bounds = sum(
+            1 for q in qs
+            if 2 * s - 2 * n * q > 0 and (2 * s - 2 * n * q) ** 2 > v
+        )
+        expect[rr.doc_id] = (n, s, min(qs), bounds)
+
+    got = {r.doc_id: (r.n_gaps, r.sum_simq, r.min_simq, r.n_boundaries)
+           for r in texttiling_segments(spark, SF_CORRECT).collect()}
+    assert got == expect
+    assert any(b > 0 for *_x, b in expect.values())
+
+
+def test_gravity_ipf_replay(spark):
+    """Eight IPF balancing rounds replayed sequentially with the same
+    per-step integer re-quantization — all sums and residuals exact."""
+    from chopin_spark.queries.interactq import (
+        _IPF_GRID,
+        _IPF_ROUNDS,
+        _IPF_ZONE,
+        gravity_ipf_od_balance,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    o = collections.Counter()
+    for r in spark.sql(
+        f"SELECT {_IPF_ZONE} AS z, n_chars FROM documents"
+    ).collect():
+        o[r.z] += r.n_chars
+    zones = sorted(o)
+    d = {z: o[(z - 5) % (_IPF_GRID * _IPF_GRID)] for z in zones}
+
+    t = {}
+    for i in zones:
+        for j in zones:
+            dr = i // _IPF_GRID - j // _IPF_GRID
+            dc = i % _IPF_GRID - j % _IPF_GRID
+            t[(i, j)] = math.floor(1000000.0 / (1.0 + float(dr * dr + dc * dc))
+                                   + 0.5)
+    for _ in range(_IPF_ROUNDS):
+        rs = collections.Counter()
+        for (i, _j), v in t.items():
+            rs[i] += v
+        t = {(i, j): math.floor(v * (float(o[i]) / float(rs[i])) + 0.5)
+             for (i, j), v in t.items()}
+        cs = collections.Counter()
+        for (_i, j), v in t.items():
+            cs[j] += v
+        t = {(i, j): math.floor(v * (float(d[j]) / float(cs[j])) + 0.5)
+             for (i, j), v in t.items()}
+
+    rs = collections.Counter()
+    cs = collections.Counter()
+    for (i, j), v in t.items():
+        rs[i] += v
+        cs[j] += v
+
+    rows = gravity_ipf_od_balance(spark, SF_CORRECT).collect()
+    assert [r.zone for r in rows] == zones
+    for r in rows:
+        assert (r.target_o, r.row_sum, r.target_d, r.col_sum) \
+            == (o[r.zone], rs[r.zone], d[r.zone], cs[r.zone])
+        assert (r.row_resid, r.col_resid) \
+            == (abs(rs[r.zone] - o[r.zone]), abs(cs[r.zone] - d[r.zone]))
+    # IPF must have converged to small residuals relative to targets
+    assert all(r.row_resid * 100 <= r.target_o for r in rows)
