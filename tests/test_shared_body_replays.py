@@ -1884,3 +1884,148 @@ def test_gravity_ipf_replay(spark):
             == (abs(rs[r.zone] - o[r.zone]), abs(cs[r.zone] - d[r.zone]))
     # IPF must have converged to small residuals relative to targets
     assert all(r.row_resid * 100 <= r.target_o for r in rows)
+
+
+def test_emerging_hotspots_replay(spark):
+    """ESRI emerging-hot-spot analysis replayed end-to-end: daily Gi*
+    surfaces from explicit rook+self neighborhoods, Mann-Kendall over
+    each tract's u series, the 9-class pattern rule."""
+    from chopin_spark.queries.spatial import _MK_DAYS, emerging_hotspots
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_NX, TRACT_NY
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    cnt = collections.Counter()
+    for r in _event_cells(spark):
+        if r.d <= _MK_DAYS:
+            cnt[(r.gx, r.gy, r.d)] += 1
+
+    nz = TRACT_NX * TRACT_NY
+    cells = [(gx, gy) for gx in range(TRACT_NX) for gy in range(TRACT_NY)]
+    u = {}       # (cell, d) -> u
+    a_v_w = {}   # (cell, d) -> (a_i, v, w)
+    for d in range(1, _MK_DAYS + 1):
+        c = {cell: cnt.get((cell[0], cell[1], d), 0) for cell in cells}
+        s = sum(c.values())
+        v = nz * sum(x * x for x in c.values()) - s * s
+        for (gx, gy) in cells:
+            hood = [(gx + dx_, gy + dy_)
+                    for dx_, dy_ in ((0, 0), (1, 0), (-1, 0), (0, 1),
+                                     (0, -1))]
+            hood = [h for h in hood if h in c]
+            nsum = sum(c[h] for h in hood)
+            w = len(hood)
+            a_i = nz * nsum - s * w
+            u[((gx, gy), d)] = a_i / math.sqrt(float(v))
+            a_v_w[((gx, gy), d)] = (a_i, v, w)
+
+    expect = {}
+    for cell in cells:
+        series = [u[(cell, d)] for d in range(1, _MK_DAYS + 1)]
+        mk = sum(
+            1 if series[j] > series[i] else -1 if series[j] < series[i]
+            else 0
+            for i in range(len(series)) for j in range(i + 1, len(series))
+        )
+        a_i, v, w = a_v_w[(cell, _MK_DAYS)]
+        z = a_i / math.sqrt(float(v) * (nz * w - w * w) / (nz - 1.0))
+        if z > 1.645:
+            pat = ("intensifying-hot" if mk > 0 else
+                   "diminishing-hot" if mk < 0 else "persistent-hot")
+        elif z < -1.645:
+            pat = ("intensifying-cold" if mk < 0 else
+                   "diminishing-cold" if mk > 0 else "persistent-cold")
+        else:
+            pat = ("warming" if mk > 0 else "cooling" if mk < 0
+                   else "no-pattern")
+        expect[cell] = (mk, z, pat)
+
+    rows = emerging_hotspots(spark, SF_CORRECT).collect()
+    assert len(rows) == nz
+    pats = set()
+    for r in rows:
+        mk, z, pat = expect[(r.gx, r.gy)]
+        assert r.mk_s == mk and r.pattern == pat
+        assert _close(r.z_final, z, 1e-6)
+        pats.add(pat)
+    assert len(pats) >= 4  # the fixture exercises several classes
+
+
+def test_survival_hazard_replay(spark):
+    """Kaplan-Meier at-risk/death counts replayed from per-host
+    first/last active quarters."""
+    from chopin_spark.queries.webtext import _HOST, host_survival_hazard
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    span = {}
+    for r in spark.sql(
+        f"SELECT {_HOST} AS host,"
+        " CAST(FLOOR(((doc_id * 48271) % 31536000) / 7884000.0) AS BIGINT)"
+        " AS q FROM documents"
+    ).collect():
+        if r.host in span:
+            f, l = span[r.host]
+            span[r.host] = (min(f, r.q), max(l, r.q))
+        else:
+            span[r.host] = (r.q, r.q)
+
+    rows = {r.quarter: r
+            for r in host_survival_hazard(spark, SF_CORRECT).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for q in range(4):
+        at_risk = sum(1 for f, l in span.values() if f <= q <= l)
+        deaths = sum(1 for f, l in span.values() if l == q and q < 3)
+        r = rows[q]
+        assert (r.n_at_risk, r.n_deaths) == (at_risk, deaths)
+        assert r.hazard_micro == math.floor(
+            deaths * 1000000.0 / at_risk + 0.5
+        )
+    assert rows[3].n_deaths == 0  # horizon-censored, never "dead"
+
+
+def test_duncan_segregation_replay(spark):
+    """Duncan dissimilarity and isolation replayed from the raw
+    lang x zone counts with the exact quantized terms."""
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.queries.spatial import (
+        _DOC_X,
+        _DOC_Y,
+        NX,
+        NY,
+        lang_segregation_duncan,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    zl = collections.Counter()
+    for r in spark.sql(
+        f"SELECT {sx.grid_cell_expr(_DOC_X, _DOC_Y, NX, NY)} AS z, lang"
+        " FROM documents"
+    ).collect():
+        zl[(r.z, r.lang)] += 1
+    zones = {z for z, _ in zl}
+    langs = {lg for _, lg in zl}
+    zt = collections.Counter()
+    lt = collections.Counter()
+    for (z, lg), a in zl.items():
+        zt[z] += a
+        lt[lg] += a
+    n = sum(zl.values())
+
+    got = {r.lang: r for r in
+           lang_segregation_duncan(spark, SF_CORRECT).collect()}
+    assert set(got) == langs
+    for lg in langs:
+        atot = lt[lg]
+        dnum = iso_q = 0
+        for z in zones:
+            a = zl.get((z, lg), 0)
+            t = zt[z]
+            dnum += abs(a * (n - atot) - (t - a) * atot)
+            if a:
+                iso_q += (a * a * 1000000) // t
+        row = got[lg]
+        assert row.n_docs == atot
+        assert _close(row.duncan_d, dnum / (2 * atot * (n - atot)), 1e-6)
+        assert _close(row.isolation, iso_q / (atot * 1000000.0), 1e-6)
