@@ -2029,3 +2029,117 @@ def test_duncan_segregation_replay(spark):
         assert row.n_docs == atot
         assert _close(row.duncan_d, dnum / (2 * atot * (n - atot)), 1e-6)
         assert _close(row.isolation, iso_q / (atot * 1000000.0), 1e-6)
+
+
+def test_bm25_replay(spark):
+    """Okapi BM25 top-20 (Lucene IDF) replayed with explicit postings,
+    df, and the round-before-rank ordering."""
+    from chopin_spark.queries.textops import (
+        _BM_B,
+        _BM_K,
+        _BM_K1,
+        _BM_TERMS,
+        bm25_topk,
+    )
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    dl = {}
+    post = collections.Counter()
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        dl[r.doc_id] = len(toks)
+        for t in toks:
+            if t in _BM_TERMS:
+                post[(r.doc_id, t)] += 1
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df = collections.Counter(t for _, t in post)
+
+    scores = collections.defaultdict(lambda: [0.0, 0])
+    for (did, t), tf in post.items():
+        idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        w = idf * (tf * (_BM_K1 + 1.0)) / (
+            tf + _BM_K1 * (1.0 - _BM_B + _BM_B * dl[did] / avgdl)
+        )
+        s = scores[did]
+        s[0] += w
+        s[1] += 1
+    ranked = sorted(
+        ((-_round_half_up(s, 4), did, nt) for did, (s, nt) in scores.items())
+    )[:_BM_K]
+
+    rows = bm25_topk(spark, SF_CORRECT).collect()
+    assert [(r.rank, r.doc_id, r.n_terms) for r in rows] \
+        == [(i + 1, did, nt) for i, (_, did, nt) in enumerate(ranked)]
+    for r, (negs, *_x) in zip(rows, ranked):
+        assert _close(r.score_bm25, -negs, 1e-4)
+
+
+def test_tfidf_replay(spark):
+    """Per-source top-3 TF-IDF signature terms replayed with dict
+    counts and the smoothed inverse source frequency."""
+    from chopin_spark.queries.textops import tfidf_source_terms
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    tf = collections.Counter()
+    for r in docs.select("source", "text").collect():
+        for t in r.text.split(" "):
+            tf[(r.source, t)] += 1
+    sdf = collections.Counter(t for _, t in tf)
+    sources = {s for s, _ in tf}
+    ns = len(sources)
+
+    expect = {}
+    for s in sources:
+        cand = sorted(
+            (-_round_half_up(
+                tf[(s, t)] * math.log((ns + 1.0) / (sdf[t] + 1.0)), 4
+            ), t)
+            for (s2, t) in tf if s2 == s
+        )[:3]
+        for rank, (negs, t) in enumerate(cand, start=1):
+            expect[(s, rank)] = (t, tf[(s, t)], -negs)
+
+    got = {(r.source, r.rank): (r.term, r.tf, r.tfidf)
+           for r in tfidf_source_terms(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for k, (t, tfv, sc) in expect.items():
+        gt, gtf, gsc = got[k]
+        assert (gt, gtf) == (t, tfv)
+        assert _close(gsc, sc, 1e-4)
+
+
+def test_zipf_replay(spark):
+    """Zipf rank-frequency OLS replayed over the explicit top-200
+    frequency table with lattice-quantized logs."""
+    from chopin_spark.queries.lmq import zipf_slope_terms
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    cnt = collections.Counter()
+    for r in docs.select("text").collect():
+        for t in r.text.split(" "):
+            cnt[t] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    lat = [
+        (math.floor(math.log(rk) * 1000000 + 0.5),
+         math.floor(math.log(c) * 1000000 + 0.5))
+        for rk, (_, c) in enumerate(ranked, start=1)
+    ]
+    n = len(lat)
+    sx = sum(x for x, _ in lat)
+    sy = sum(y for _, y in lat)
+    sxy = sum(x * y for x, y in lat)
+    sxx = sum(x * x for x, _ in lat)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    row = zipf_slope_terms(spark, SF_CORRECT).collect()[0]
+    # the synthetic corpus vocabulary (31 terms at sf0.01) is smaller
+    # than the top-200 cut, so n = |vocab|
+    assert row.n_terms == n == min(200, len(cnt)) and n >= 20
+    assert _close(row.zipf_slope, slope, 1e-6)
+    assert _close(row.ln_c_at_rank1,
+                  (sy - slope * sx) / n / 1000000.0, 1e-4)
+    assert slope < 0  # a frequency curve must fall with rank
