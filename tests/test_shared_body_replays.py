@@ -2143,3 +2143,50 @@ def test_zipf_replay(spark):
     assert _close(row.ln_c_at_rank1,
                   (sy - slope * sx) / n / 1000000.0, 1e-4)
     assert slope < 0  # a frequency curve must fall with rank
+
+
+def test_top_bigrams_replay(spark):
+    """Corpus top-25 bigram table replayed with a plain Counter over
+    adjacent token pairs."""
+    from chopin_spark.queries.coverage2 import corpus_top_bigrams
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    cnt = collections.Counter()
+    for r in docs.select("text").collect():
+        w = r.text.split(" ")
+        for a, b in zip(w, w[1:]):
+            cnt[a + " " + b] += 1
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+
+    rows = corpus_top_bigrams(spark, SF_CORRECT).collect()
+    assert [(r.rank, r.bigram, r.n) for r in rows] \
+        == [(i + 1, bg, n) for i, (bg, n) in enumerate(expect)]
+
+
+def test_lang_quantiles_replay(spark):
+    """Exact interpolated median/p90 per language replayed with the
+    textbook (n-1)*q linear-interpolation rule."""
+    from chopin_spark.queries.coverage2 import lang_char_quantiles
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    by_lang = collections.defaultdict(list)
+    for r in docs.select("lang", "n_chars").collect():
+        by_lang[r.lang].append(r.n_chars)
+
+    def qcont(vals, q):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * q
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (pos - lo) * (vals[hi] - vals[lo])
+
+    got = {r.lang: r for r in
+           lang_char_quantiles(spark, SF_CORRECT).collect()}
+    assert set(got) == set(by_lang)
+    for lang, vals in by_lang.items():
+        row = got[lang]
+        assert row.n_docs == len(vals)
+        assert _close(row.median_chars, qcont(vals, 0.5), 1e-4)
+        assert _close(row.p90_chars, qcont(vals, 0.9), 1e-4)
