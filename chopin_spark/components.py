@@ -758,9 +758,13 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Node universe from the UNFILTERED endpoints: a node whose only
+    # edges are self-loops is a singleton SCC (same contract as
+    # connected_components' singleton emission) — it carries no
+    # non-loop edge, so the trim phase assigns it trivially.
     remaining = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -888,11 +892,15 @@ def strongly_connected_components(
             .localCheckpoint()
         )
     else:
-        raise RuntimeError(
-            f"strongly_connected_components did not finish in {max_outer}"
-            " outer rounds (condensation color-chain depth exceeds"
-            " max_outer); raise max_outer"
-        )
+        # The loop exhausts even when the max_outer-th round finished
+        # the decomposition (remaining only empties AFTER the round
+        # body) — only raise if vertices are genuinely left over.
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"strongly_connected_components did not finish in"
+                f" {max_outer} outer rounds (condensation color-chain"
+                " depth exceeds max_outer); raise max_outer"
+            )
     LAST_ROUNDS["scc_outer"] = outer_rounds
     # canonicalize: scc_id = MIN member id (the coloring rep is the MAX
     # id that reaches the SCC, which is engine-internal; min-member is

@@ -1147,7 +1147,11 @@ def _bc_forward_edges(edges: DataFrame):
         levels.append(nxt)
         visited = visited.unionByName(nxt.select("s", "node"))
         parts += 1
-        if parts == 6:  # components._CONSOLIDATE — bound the part count
+        # Intentionally a wider stride than components._CONSOLIDATE
+        # (=2): the BFS visited set here is keys-only (s, node), so the
+        # per-round rewrite is cheap and a 6-round consolidation cadence
+        # bounds part counts with less write amplification.
+        if parts == 6:
             visited, parts = visited.localCheckpoint(), 0
     return levels, ev
 
@@ -1228,6 +1232,16 @@ def _edge_betweenness_frame(levels: list, ev: DataFrame) -> DataFrame:
     separate from the query so known-graph tests (barbell bridge
     values) can drive it on an arbitrary symmetrized edge frame."""
     maxd = len(levels) - 1
+    if maxd == 0:
+        # Edgeless graph: the forward sweep produced only the source
+        # level, no shortest path crosses any edge, and the backward
+        # loop below would never populate eacc — return an empty frame
+        # with the output schema instead of dereferencing None.
+        return ev.sparkSession.createDataFrame(
+            [],
+            "host_a long, host_b long, betweenness_u long,"
+            " betweenness double",
+        )
     delta = levels[maxd].withColumn("dq", F.lit(0).cast("long"))
     eacc = None
     for k in range(maxd - 1, -1, -1):

@@ -2109,9 +2109,11 @@ def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the repo's quantize-then-SUM discipline).  The lang×zone grid is
 # densified (zones where a lang is absent still contribute b_z·A to
 # D), at |zones|·|langs| rows — metadata-sized at any corpus scale.
-# Cross-product int64 bound: Σ|a·B − b·A| ≤ 2AB ≤ n²/2 — fine to
-# ~10^9 docs; past that the numerator column becomes DECIMAL(38,0),
-# same plan.  Reference kinship: chopin's grouped zonal summaries
+# int64 bounds: the D numerator Σ|a·B − b·A| ≤ 2AB ≤ n²/2 holds to
+# ~10^9 docs, but iso_q's a_z²·10^6 carrier binds FIRST — it overflows
+# once a single lang×zone cell exceeds ~3.0×10^6 docs (sqrt(2^63/10^6)).
+# Past either bound the affected column becomes DECIMAL(38,0), same
+# plan; iso_q hits its switch at a much lower n than the D numerator.  Reference kinship: chopin's grouped zonal summaries
 # (R/calculate.R summarize_aw groupwise shares); statistic itself is
 # public-domain demography.
 

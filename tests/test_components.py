@@ -261,3 +261,39 @@ def test_sssp_khop_labeled_hop_bound(spark):
     seeds = spark.createDataFrame([(1, 0, 1)], "node long, cost long, lab long")
     got = {r["node"] for r in sssp_khop_labeled(seeds, e2, k=2).collect()}
     assert got == {1, 2, 3}
+
+
+def test_scc_self_loop_only_nodes_are_singletons(spark):
+    """A node whose only edges are self-loops is a size-1 SCC and must
+    appear in the output (the connected_components singleton contract);
+    a self-loop on a cycle member must not perturb its class."""
+    from chopin_spark.components import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 1), (2, 2), (9, 9), (9, 9)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_scc_finishes_on_exact_max_outer_boundary(spark):
+    """Two cycles in series need exactly 2 outer rounds; max_outer=2
+    must SUCCEED (remaining empties after the final allowed round —
+    the for-else must not raise when the loop exhausts having
+    finished the decomposition)."""
+    from chopin_spark.components import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [(8, 9), (9, 8), (9, 1), (1, 2), (2, 1)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(
+            edges, max_outer=2, giant_peel=False).collect()
+    }
+    assert got == {8: 8, 9: 8, 1: 1, 2: 1}

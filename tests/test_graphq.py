@@ -175,3 +175,22 @@ def test_edge_betweenness_barbell_known_values(spark):
         (0, 2): 4.0, (1, 2): 4.0, (3, 4): 4.0, (3, 5): 4.0,
         (0, 1): 1.0, (4, 5): 1.0,
     }
+
+
+def test_edge_betweenness_edgeless_graph_empty_frame(spark):
+    """Self-loop-only (and fully empty) edge frames yield a single
+    forward level; the backward pass must return an EMPTY frame with
+    the output schema, not dereference an unset accumulator."""
+    from chopin_spark.queries.graphq import (
+        _bc_forward_edges,
+        _edge_betweenness_frame,
+    )
+
+    for rows in ([], [(1, 1), (2, 2)]):
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        levels, ev = _bc_forward_edges(edges.localCheckpoint())
+        out = _edge_betweenness_frame(levels, ev)
+        assert out.columns == [
+            "host_a", "host_b", "betweenness_u", "betweenness"
+        ]
+        assert out.count() == 0
