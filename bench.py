@@ -105,18 +105,47 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "queries_median": per_query_median,
+        "queries_spread": per_query_spread,
+        "sf": sf,
+        "cpus": cpus,
+        "reps": reps,
+    }
+    # Full per-query detail goes to a sidecar file: at 400+ registered
+    # queries the all-queries JSON line is >10 KB, and the driver only
+    # retains (and parses) the LAST 2000 chars of stdout — rounds 3/4
+    # recorded `parsed: null` because the line outgrew that window.
+    # The printed line stays the spec'd one-JSON-line shape but carries
+    # only the slowest queries, so it is both parseable and auditable;
+    # `detail` points at the committed full record.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH", "bench_full_latest.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        detail_path = ""  # read-only checkout: the printed line stands alone
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:12])
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
-                "queries_median": per_query_median,
-                "queries_spread": per_query_spread,
+                "queries": slowest,
+                "queries_total_n": len(per_query),
                 "sf": sf,
                 "cpus": cpus,
                 "reps": reps,
+                "detail": detail_path,
             }
         )
     )
