@@ -2190,3 +2190,149 @@ def test_lang_quantiles_replay(spark):
         assert row.n_docs == len(vals)
         assert _close(row.median_chars, qcont(vals, 0.5), 1e-4)
         assert _close(row.p90_chars, qcont(vals, 0.9), 1e-4)
+
+
+def test_pareto_skyline_replay(spark):
+    """2-D skyline replayed by brute-force pair domination: keep a doc
+    unless some other doc has strictly more chars AND at-least-as-many
+    distinct tokens (the sort-scan SQL's exact rule); tokenization
+    re-derived with a plain split(' ')."""
+    from chopin_spark.queries.textops import pareto_skyline_docs
+    from chopin_spark.tables import load
+
+    docs = load(spark, SF_CORRECT, "documents")
+    pts = [
+        (r.doc_id, int(r.n_chars), len(set(r.text.split(" "))))
+        for r in docs.select("doc_id", "n_chars", "text").collect()
+    ]
+    expect = {
+        (i, a, b)
+        for (i, a, b) in pts
+        if not any(a2 > a and b2 >= b for (_, a2, b2) in pts)
+    }
+    got = {
+        (r.doc_id, r.n_chars, r.n_distinct_tokens)
+        for r in pareto_skyline_docs(spark, SF_CORRECT).collect()
+    }
+    assert got == expect and 0 < len(got) < len(pts)
+
+
+def test_corridor_cross_track_replay(spark):
+    """Signed great-circle cross-track bands replayed with plain
+    math: n = a x b normalized, dxt = asin(p . n) * R; integer band
+    counts must match exactly, rounded extrema within half a grain."""
+    from chopin_spark.queries.s2knn import _XT_A, _XT_B, corridor_cross_track
+    from chopin_spark.queries.s2q import _LAT, _LON
+    from chopin_spark.s2 import EARTH_RADIUS_M
+    from chopin_spark.tables import load
+
+    def unit(lon, lat):
+        rl, rp = math.radians(lon), math.radians(lat)
+        return (math.cos(rp) * math.cos(rl),
+                math.cos(rp) * math.sin(rl), math.sin(rp))
+
+    a, b = unit(*_XT_A), unit(*_XT_B)
+    n = (a[1] * b[2] - a[2] * b[1],
+         a[2] * b[0] - a[0] * b[2],
+         a[0] * b[1] - a[1] * b[0])
+    nn = math.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2)
+    n = (n[0] / nn, n[1] / nn, n[2] / nn)
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    bands = collections.defaultdict(lambda: [0, 0, math.inf, -math.inf])
+    for r in spark.sql(
+        f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents"
+    ).collect():
+        p = unit(r.lon, r.lat)
+        dxt = math.asin(p[0] * n[0] + p[1] * n[1] + p[2] * n[2]) \
+            * EARTH_RADIUS_M
+        st = bands[int(math.floor(abs(dxt) / 100000.0))]
+        st[0 if dxt >= 0 else 1] += 1
+        st[2] = min(st[2], abs(dxt))
+        st[3] = max(st[3], abs(dxt))
+
+    got = {r.band_100km: r for r in
+           corridor_cross_track(spark, SF_CORRECT).collect()}
+    assert set(got) == set(bands) and len(got) >= 3
+    for band, (nl, nr, mn, mx) in bands.items():
+        row = got[band]
+        assert (row.n_left, row.n_right) == (nl, nr)
+        assert _close(row.min_abs_m, mn, 1e-4)
+        assert _close(row.max_abs_m, mx, 1e-4)
+
+
+def test_ransac_line_fit_replay(spark):
+    """The 64 LCG hypotheses, the division-free inlier predicate, and
+    the (max inliers, min h) winner replayed in plain Python over the
+    collected integer point set."""
+    from chopin_spark.queries.spatial import (
+        _DOC_X, _DOC_Y, _RS_NHYP, _RS_TOL, ransac_line_fit,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pts = {
+        r.id: (r.x, r.y)
+        for r in spark.sql(
+            f"SELECT CAST(doc_id AS BIGINT) AS id,"
+            f" CAST(FLOOR({_DOC_X}) AS BIGINT) AS x,"
+            f" CAST(FLOOR({_DOC_Y}) AS BIGINT) AS y FROM documents"
+        ).collect()
+    }
+    c = len(pts)
+    best = None
+    for h in range(_RS_NHYP):
+        x1, y1 = pts[(h * 69069 + 7) % c]
+        x2, y2 = pts[(h * 48271 + 13) % c]
+        if (x1, y1) == (x2, y2):
+            continue
+        dx, dy, l2 = x2 - x1, y2 - y1, float((x2 - x1) ** 2 + (y2 - y1) ** 2)
+        n_in = sum(
+            1 for (px, py) in pts.values()
+            if float(dx * (py - y1) - dy * (px - x1)) ** 2
+            <= _RS_TOL * _RS_TOL * l2
+        )
+        if best is None or n_in > best[0]:
+            best = (n_in, h, x1, y1, x2, y2)
+
+    row = ransac_line_fit(spark, SF_CORRECT).collect()[0]
+    assert (row.n_inliers, row.best_hypothesis, row.x1, row.y1,
+            row.x2, row.y2) == best
+    assert _close(row.inlier_share, best[0] / c, 1e-4)
+    assert 0 < best[0] < c
+
+
+def test_graph_motif_census_replay(spark):
+    """Wedges / 3-stars from degree combinatorics, triangles by a
+    brute-force adjacency scan, Newman transitivity — all re-derived
+    from the raw (src, dst) pairs with dicts and sets."""
+    from chopin_spark.queries.webtext import (
+        _TRI_DST, _TRI_SRC, graph_motif_census,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    und = set()
+    for r in spark.sql(
+        f"SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst FROM documents"
+    ).collect():
+        if r.src != r.dst:
+            und.add((min(r.src, r.dst), max(r.src, r.dst)))
+    adj = collections.defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {v: len(a) for v, a in adj.items()}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    stars = sum(d * (d - 1) * (d - 2) // 6 for d in deg.values())
+    # each unordered triangle is seen once per edge with the third
+    # vertex in both endpoints' adjacencies — divide the edge scan by 3
+    tri = sum(len(adj[u] & adj[v]) for (u, v) in und) // 3
+
+    row = graph_motif_census(spark, SF_CORRECT).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.max_degree) \
+        == (len(deg), len(und), max(deg.values()))
+    assert (row.wedges, row.three_stars, row.triangles) \
+        == (wedges, stars, tri)
+    assert _close(row.transitivity, 3 * tri / wedges, 1e-6)
+    assert tri > 0 and stars > 0
