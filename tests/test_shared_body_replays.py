@@ -2336,3 +2336,178 @@ def test_graph_motif_census_replay(spark):
         == (wedges, stars, tri)
     assert _close(row.transitivity, 3 * tri / wedges, 1e-6)
     assert tri > 0 and stars > 0
+
+
+def test_moran_correlogram_replay(spark):
+    """Moran's I at Chebyshev ring lags 1-4 replayed from raw per-cell
+    character sums: dd = n*x - S centering, ordered ring pairs via a
+    dict lookup, one exact integer num/den per lag."""
+    from chopin_spark.queries.spatial import (
+        _CORR_MAXLAG, _DOC_X, _DOC_Y, _NZ, moran_correlogram,
+    )
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    x = {(gx, gy): 0 for gx in range(TRACT_NX) for gy in range(TRACT_NY)}
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,"
+        f" CAST(SUM(n_chars) AS BIGINT) AS s FROM documents GROUP BY 1, 2"
+    ).collect():
+        x[(r.gx, r.gy)] = r.s
+    sx_tot = sum(x.values())
+    dd = {c: _NZ * v - sx_tot for c, v in x.items()}
+    den = sum(d * d for d in dd.values())
+
+    stats = {lag: [0, 0] for lag in range(1, _CORR_MAXLAG + 1)}
+    for (gx, gy), d1 in dd.items():
+        for ox in range(-_CORR_MAXLAG, _CORR_MAXLAG + 1):
+            for oy in range(-_CORR_MAXLAG, _CORR_MAXLAG + 1):
+                if ox == 0 and oy == 0:
+                    continue
+                nb = (gx + ox, gy + oy)
+                if nb in dd:
+                    st = stats[max(abs(ox), abs(oy))]
+                    st[0] += 1
+                    st[1] += d1 * dd[nb]
+
+    got = {r.lag: r for r in moran_correlogram(spark, SF_CORRECT).collect()}
+    assert set(got) == set(stats)
+    for lag, (w, num) in stats.items():
+        row = got[lag]
+        assert (row.w_links, row.num, row.den) == (w, num, den)
+        assert _close(row.moran_i, _NZ * num / (w * den), 1e-6)
+
+
+def test_lisa_markov_transitions_replay(spark):
+    """Local-Moran quadrant per tract in two event epochs and the
+    quadrant-transition counts replayed with dict arithmetic: rook
+    neighbor sums over the densified grid, HH/HL/LH/LL by sign pairs."""
+    from chopin_spark.queries.spatial import (
+        _EVT_X, _EVT_Y, _NZ, lisa_markov_transitions,
+    )
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    counts = collections.Counter()
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_EVT_X} / {TRACT_W!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_EVT_Y} / {TRACT_H!r}) AS BIGINT) AS gy,"
+        " CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS ep"
+        " FROM events WHERE month(ts) = 1"
+    ).collect():
+        counts[(r.ep, r.gx, r.gy)] += 1
+
+    quad = {}
+    for ep in (0, 1):
+        x = {(gx, gy): counts.get((ep, gx, gy), 0)
+             for gx in range(TRACT_NX) for gy in range(TRACT_NY)}
+        s = sum(x.values())
+        dd = {c: _NZ * v - s for c, v in x.items()}
+        for (gx, gy), d in dd.items():
+            nsum = sum(dd.get(nb, 0) for nb in
+                       ((gx + 1, gy), (gx - 1, gy), (gx, gy + 1),
+                        (gx, gy - 1)) if nb in dd)
+            quad[(ep, gx, gy)] = (
+                "HH" if d >= 0 and nsum >= 0 else
+                "LL" if d < 0 and nsum < 0 else
+                "HL" if d >= 0 else "LH"
+            )
+    expect = collections.Counter(
+        (quad[(0, gx, gy)], quad[(1, gx, gy)])
+        for gx in range(TRACT_NX) for gy in range(TRACT_NY)
+    )
+    got = {(r.q_from, r.q_to): r.n_tracts for r in
+           lisa_markov_transitions(spark, SF_CORRECT).collect()}
+    assert got == dict(expect) and len(got) >= 4
+
+
+def test_kmv_epoch_intersect_replay(spark):
+    """Bottom-64 KMV sketches and the direct union-sample intersection
+    estimator replayed with sorted lists over the collected shingle
+    stream: Lehmer rehash, per-group and union kth-order statistics,
+    match counting, exact-overlap audit."""
+    from chopin_spark.queries.sketchq import (
+        _EPOCH_MID, _KMV_K, _KMV_M, _OV_TOKS_SPARK, kmv_epoch_intersect,
+    )
+    from chopin_spark.pages import epoch_sql
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    grp_toks = collections.defaultdict(set)
+    for r in spark.sql(
+        f"SELECT CASE WHEN {epoch_sql('doc_id')} < {_EPOCH_MID}"
+        f" THEN 'a' ELSE 'b' END AS grp, tok FROM ({_OV_TOKS_SPARK})"
+    ).collect():
+        grp_toks[r.grp].add(r.tok)
+
+    def rehash(t):
+        return (t * 1103515245 + 12345) % 2147483647
+
+    hashes = {g: sorted({rehash(t) for t in toks})
+              for g, toks in grp_toks.items()}
+    bot = {g: h[:_KMV_K] for g, h in hashes.items()}
+
+    def est(bk):
+        return (float(len(bk)) if len(bk) < _KMV_K
+                else (_KMV_K - 1) * _KMV_M / bk[-1])
+
+    union_bk = sorted(set(bot["a"]) | set(bot["b"]))[:_KMV_K]
+    n_both = sum(1 for h in union_bk
+                 if h in set(hashes["a"]) and h in set(hashes["b"]))
+    est_u = est(union_bk)
+    exact_i = len(grp_toks["a"] & grp_toks["b"])
+    est_int = n_both / _KMV_K * est_u
+
+    row = kmv_epoch_intersect(spark, SF_CORRECT).collect()[0]
+    assert (row.n_both, row.exact_intersect) == (n_both, exact_i)
+    assert _close(row.est_a, est(bot["a"]), 1e-4)
+    assert _close(row.est_b, est(bot["b"]), 1e-4)
+    assert _close(row.est_union, est_u, 1e-4)
+    assert _close(row.est_intersect, est_int, 1e-4)
+    assert _close(row.intersect_rel_err, (est_int - exact_i) / exact_i, 1e-4)
+    assert exact_i > 0
+
+
+def test_market_basket_rules_replay(spark):
+    """A-priori pair supports, directional confidence, and lift
+    replayed from the raw (order, item) baskets with Counters."""
+    from chopin_spark.queries.relational import (
+        _MB_MINSUP, market_basket_rules,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "lineitem").createOrReplaceTempView("lineitem")
+    baskets = collections.defaultdict(set)
+    for r in spark.sql(
+        "SELECT DISTINCT l_orderkey AS oid,"
+        " CAST(l_partkey AS BIGINT) AS item FROM lineitem"
+    ).collect():
+        baskets[r.oid].add(r.item)
+    ntx = len(baskets)
+    supp = collections.Counter(
+        i for items in baskets.values() for i in items)
+    freq = {i for i, s in supp.items() if s >= _MB_MINSUP}
+    psup = collections.Counter()
+    for items in baskets.values():
+        f = sorted(i for i in items if i in freq)
+        for ai in range(len(f)):
+            for bi in range(ai + 1, len(f)):
+                psup[(f[ai], f[bi])] += 1
+    expect = {}
+    for (i1, i2), sab in psup.items():
+        if sab < _MB_MINSUP:
+            continue
+        for a, c in ((i1, i2), (i2, i1)):
+            expect[(a, c)] = (sab, supp[a])
+
+    rows = market_basket_rules(spark, SF_CORRECT).collect()
+    got = {(r.antecedent, r.consequent): (r.pair_support, r.ante_support)
+           for r in rows}
+    assert got == expect and len(got) >= 2
+    for r in rows:
+        sab, sa = expect[(r.antecedent, r.consequent)]
+        assert _close(r.confidence, sab / sa, 1e-4)
+        assert _close(r.lift, sab * ntx / (sa * supp[r.consequent]), 1e-4)
