@@ -2511,3 +2511,219 @@ def test_market_basket_rules_replay(spark):
         sab, sa = expect[(r.antecedent, r.consequent)]
         assert _close(r.confidence, sab / sa, 1e-4)
         assert _close(r.lift, sab * ntx / (sa * supp[r.consequent]), 1e-4)
+
+
+def _round_half_away(x, nd=4):
+    g = 10 ** nd
+    return math.copysign(math.floor(abs(x) * g + 0.5), x) / g
+
+
+def test_pq_adc_recall_replay(spark):
+    """PQ(M=8, K=4) encode, the 32-row ADC distance table, and the
+    exact-top-10 audit replayed with integer loops over the collected
+    embedding arrays (int8 half-up quantization re-derived inline)."""
+    from chopin_spark.queries.simsearch import (
+        _DIM, _PQ_K, _PQ_M, _PQ_SUB, pq_adc_recall,
+    )
+    from chopin_spark.tables import load
+
+    emb = {
+        r.vec_id: [math.floor(float(v) * 127 + 0.5) for v in r.embedding]
+        for r in load(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", "embedding").collect()
+    }
+    q = emb[0]
+    cb = {c: emb[c] for c in range(1, _PQ_K + 1)}
+
+    def sub_d2(a, b, m):
+        lo = (m - 1) * _PQ_SUB
+        return sum((a[lo + i] - b[lo + i]) ** 2 for i in range(_PQ_SUB))
+
+    dt = {(m, c): sub_d2(q, cb[c], m)
+          for m in range(1, _PQ_M + 1) for c in range(1, _PQ_K + 1)}
+    approx, exact = {}, {}
+    for vid, e in emb.items():
+        if vid <= _PQ_K:
+            continue
+        total = 0
+        for m in range(1, _PQ_M + 1):
+            code = min(
+                (sub_d2(e, cb[c], m) * _PQ_K + (c - 1), c)
+                for c in range(1, _PQ_K + 1)
+            )[0] % _PQ_K + 1
+            total += dt[(m, code)]
+        approx[vid] = total
+        exact[vid] = sum((e[i] - q[i]) ** 2 for i in range(_DIM))
+
+    ar = sorted(approx.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    top_exact = {v for v, _ in
+                 sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))[:10]}
+    expect = [(rk + 1, vid, d2, int(vid in top_exact))
+              for rk, (vid, d2) in enumerate(ar)]
+    got = [(r.rank, r.vec_id, r.approx_d2, r.in_exact_top10)
+           for r in pq_adc_recall(spark, SF_CORRECT)
+           .orderBy("rank").collect()]
+    assert got == expect and any(f for (_, _, _, f) in expect)
+
+
+def test_jl_projection_recall_replay(spark):
+    """JL ±1 projection (hash signs, odd-prime parity), exact int64
+    projected L2² top-10, and the float-cosine audit replayed with
+    plain loops in the SQL's fold order."""
+    from chopin_spark.queries.simsearch import (
+        _DIM, _JL_K, jl_projection_recall,
+    )
+    from chopin_spark.tables import load
+
+    raw = {
+        r.vec_id: list(r.embedding)
+        for r in load(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", "embedding").collect()
+    }
+
+    def sign(j, i):
+        return 1 - 2 * (((j * 2654435761 + i * 40503) % 97) % 2)
+
+    def proj(e):
+        return [
+            sum(sign(j, i) * math.floor(float(e[i - 1]) * 127 + 0.5)
+                for i in range(1, _DIM + 1))
+            for j in range(1, _JL_K + 1)
+        ]
+
+    pj = {vid: proj(e) for vid, e in raw.items()}
+    qp, qe = pj[0], raw[0]
+    l2 = {vid: sum((p[j] - qp[j]) ** 2 for j in range(_JL_K))
+          for vid, p in pj.items() if vid != 0}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    cos = {
+        vid: _round_half_away(
+            fold_dot(e, qe)
+            / (math.sqrt(fold_dot(e, e)) * math.sqrt(fold_dot(qe, qe))))
+        for vid, e in raw.items() if vid != 0
+    }
+    float_top = {v for v, _ in
+                 sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+    jr = sorted(l2.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    expect = [(rk + 1, vid, d, int(vid in float_top))
+              for rk, (vid, d) in enumerate(jr)]
+    got = [(r.rank, r.vec_id, r.l2sq, r.in_float_top10)
+           for r in jl_projection_recall(spark, SF_CORRECT)
+           .orderBy("rank").collect()]
+    assert got == expect and any(f for (_, _, _, f) in expect)
+
+
+def test_query_likelihood_replay(spark):
+    """Dirichlet-smoothed query likelihood replayed with Counters:
+    collection LM from total token mass, absent-term smoothing terms
+    included, round-then-rank with the doc_id tie-break."""
+    from chopin_spark.queries.textops import (
+        _BM_K, _BM_TERMS, _QL_MU, query_likelihood_topk,
+    )
+    from chopin_spark.tables import load
+
+    docs = {r.doc_id: r.text.split(" ") for r in
+            load(spark, SF_CORRECT, "documents")
+            .select("doc_id", "text").collect()}
+    ct = sum(len(t) for t in docs.values())
+    cf = {t: sum(toks.count(t) for toks in docs.values())
+          for t in _BM_TERMS}
+    scored = {}
+    for did, toks in docs.items():
+        tfs = {t: toks.count(t) for t in _BM_TERMS}
+        if not any(tfs.values()):
+            continue
+        s = sum(math.log((tfs[t] + _QL_MU * (cf[t] / ct))
+                         / (len(toks) + _QL_MU)) for t in _BM_TERMS)
+        scored[did] = (_round_half_away(s), sum(1 for t in _BM_TERMS
+                                                if tfs[t] > 0))
+    ranked = sorted(scored.items(),
+                    key=lambda kv: (-kv[1][0], kv[0]))[:_BM_K]
+    expect = [(rk + 1, did, sc, nm)
+              for rk, (did, (sc, nm)) in enumerate(ranked)]
+    got = [(r.rank, r.doc_id, r.score_ql, r.n_matched)
+           for r in query_likelihood_topk(spark, SF_CORRECT).collect()]
+    assert got == expect and len(got) == _BM_K
+
+
+def test_toponym_gazetteer_geocode_replay(spark):
+    """The full gazetteer pipeline — vocab, two hash senses,
+    language-prior disambiguation, population-weighted micro-degree
+    centroid — replayed with dicts; the S2 level-8/4 rollup re-derived
+    through the numpy Hilbert chain (itself pinned to the SQL twin and
+    to published tokens in test_s2)."""
+    from chopin_spark import s2
+    from chopin_spark.queries.pagespipe import (
+        _TOPO_LANGS, _TOPO_MIN_C, toponym_gazetteer_geocode,
+    )
+    from chopin_spark.tables import load
+
+    P30 = 1_000_000_007
+    rows = load(spark, SF_CORRECT, "documents") \
+        .select("doc_id", "lang", "text").collect()
+    vocab = collections.Counter(
+        t for r in rows for t in r.text.split(" "))
+
+    def fold(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % P30
+        return h
+
+    gaz = {}
+    for t, c in vocab.items():
+        if c < _TOPO_MIN_C:
+            continue
+        f = fold(t)
+        senses = []
+        for s in (0, 1):
+            pop = ((f * (s * 2 + 3) + 17) % 99991) + c
+            lang = _TOPO_LANGS[(f * (s + 2)) % 5]
+            h2 = (f * 7 + s * 31) % 999983
+            lon = -125.0 + 58.0 * (((h2 * 2654435761) % 999983) / 999983.0)
+            lat = 25.0 + 16.0 * (((h2 * 1103515245 + 12345) % 999983)
+                                 / 999983.0)
+            senses.append((s, pop, lang,
+                           math.floor(lon * 1e6 + 0.5),
+                           math.floor(lat * 1e6 + 0.5)))
+        gaz[t] = senses
+
+    cent = {}
+    for r in rows:
+        mention = collections.Counter(
+            t for t in r.text.split(" ") if t in gaz)
+        if not mention:
+            continue
+        wsum = lx = ly = nm = 0
+        for t, m in mention.items():
+            s, pop, _, lon_u, lat_u = max(
+                gaz[t],
+                key=lambda sn: (int(sn[2] == r.lang), sn[1], -sn[0]))
+            wsum += m * pop
+            lx += m * pop * lon_u
+            ly += m * pop * lat_u
+            nm += m
+        cent[r.doc_id] = (float(lx) / wsum / 1e6, float(ly) / wsum / 1e6, nm)
+
+    import numpy as np
+    dids = sorted(cent)
+    lon = np.array([cent[d][0] for d in dids])
+    lat = np.array([cent[d][1] for d in dids])
+    f, u, v = s2.xyz_to_face_uv(*s2.lonlat_to_xyz(lon, lat))
+    i = s2.st_to_ij(s2.uv_to_st(u), 8)
+    j = s2.st_to_ij(s2.uv_to_st(v), 8)
+    pref = s2.prefix_from_cell_id(s2.cell_id(f, i, j, 8), 8)
+    expect = {}
+    for d, p in zip(dids, pref):
+        cell4 = int(p) >> 8
+        n, m, first = expect.get(cell4, (0, 0, d))
+        expect[cell4] = (n + 1, m + cent[d][2], min(first, d))
+    got = {r.s2_cell4: (r.n_docs, r.n_mentions, r.first_doc)
+           for r in toponym_gazetteer_geocode(spark, SF_CORRECT).collect()}
+    assert got == expect and len(got) >= 3
