@@ -2727,3 +2727,111 @@ def test_toponym_gazetteer_geocode_replay(spark):
     got = {r.s2_cell4: (r.n_docs, r.n_mentions, r.first_doc)
            for r in toponym_gazetteer_geocode(spark, SF_CORRECT).collect()}
     assert got == expect and len(got) >= 3
+
+
+def test_bitext_mining_pairs_replay(spark):
+    """Rare-shingle anchor blocking, the 2:1 length gate, and anchor
+    Jaccard replayed with sets: per-token 31-poly hashes, 5-gram
+    polynomial shingles, df-capped inverted index, cross-language
+    pair counting."""
+    from chopin_spark.queries.textmine import (
+        _BT_DF_CAP, _BT_MIN_ANCHORS, bitext_mining_pairs,
+    )
+    from chopin_spark.tables import load
+
+    P30, B = 1_000_000_007, 1_000_003
+    rows = load(spark, SF_CORRECT, "documents") \
+        .select("doc_id", "lang", "text").collect()
+
+    def tokhash(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % P30
+        return h
+
+    sh, n_tok = {}, {}
+    for r in rows:
+        toks = r.text.split(" ")
+        n_tok[r.doc_id] = len(toks)
+        uh = [tokhash(t) for t in toks]
+        ss = set()
+        for i in range(len(uh) - 4):
+            h = 0
+            for k in range(5):
+                h = (h * B + uh[i + k]) % P30
+            ss.add(h)
+        sh[r.doc_id] = (r.lang, ss)
+
+    df = collections.Counter(s for (_, ss) in sh.values() for s in ss)
+    anchors = {d: (lang, {s for s in ss if df[s] <= _BT_DF_CAP})
+               for d, (lang, ss) in sh.items()}
+    expect = {}
+    docs = sorted(anchors)
+    for x in docs:
+        lx, ax = anchors[x]
+        for y in docs:
+            ly, ay = anchors[y]
+            if not lx < ly:
+                continue
+            shared = len(ax & ay)
+            if shared < _BT_MIN_ANCHORS:
+                continue
+            t1, t2 = n_tok[x], n_tok[y]
+            if 2 * min(t1, t2) < max(t1, t2):
+                continue
+            jac = shared / (len(ax) + len(ay) - shared)
+            expect[(x, y)] = (lx, ly, shared, t1, t2)
+            expect[(x, y)] += (jac,)
+
+    out = bitext_mining_pairs(spark, SF_CORRECT).collect()
+    got = {(r.d1, r.d2): (r.lang1, r.lang2, r.n_shared, r.tok1, r.tok2)
+           for r in out}
+    assert got == {k: v[:5] for k, v in expect.items()} and len(got) >= 2
+    for r in out:
+        assert _close(r.anchor_jaccard, expect[(r.d1, r.d2)][5], 1e-4)
+
+
+def test_soundex_blocking_audit_replay(spark):
+    """The h/w-less soundex CASE-chain encoding, the corrupted-twin
+    recall audit, and the (code, nation) block-size stats replayed with
+    a plain character loop."""
+    from chopin_spark.queries.relational import (
+        _FS_T, _SDX_LEN, soundex_blocking_audit,
+    )
+    from chopin_spark.tables import load
+
+    def digit(ch):
+        return ("1" if ch in "bfpv" else "2" if ch in "cgjkqsxz"
+                else "3" if ch in "dt" else "4" if ch == "l"
+                else "5" if ch in "mn" else "6" if ch == "r" else "0")
+
+    def sdx(nm):
+        digs, prev = [], None
+        for pos, ch in enumerate(nm[:_SDX_LEN].lower(), start=1):
+            d = digit(ch)
+            if pos > 1 and d != "0" and d != prev:
+                digs.append(d)
+            prev = d
+        return nm[0].upper() + "".join((digs + ["0", "0", "0"])[:3])
+
+    cust = [(r.c_custkey, r.c_name, r.c_nationkey) for r in
+            load(spark, SF_CORRECT, "customer")
+            .select("c_custkey", "c_name", "c_nationkey").collect()]
+    n = len(cust)
+    name_eq = sdx_eq = 0
+    blocks = collections.Counter()
+    for k, nm, nat in cust:
+        tnm = "Cust0mer" + nm[8:] if (k * _FS_T) % 100 < 30 else nm
+        name_eq += int(nm == tnm)
+        sdx_eq += int(sdx(nm) == sdx(tnm))
+        blocks[(sdx(nm), nat)] += 1
+
+    row = soundex_blocking_audit(spark, SF_CORRECT).collect()[0]
+    assert (row.n_true_pairs, row.exact_name_matches,
+            row.soundex_matches) == (n, name_eq, sdx_eq)
+    assert (row.n_blocks, row.max_block, row.sum_block_sq) == (
+        len(blocks), max(blocks.values()),
+        sum(v * v for v in blocks.values()))
+    assert _close(row.exact_recall, name_eq / n, 1e-4)
+    assert _close(row.soundex_recall, sdx_eq / n, 1e-4)
+    assert 0 < name_eq < n and sdx_eq > name_eq
