@@ -123,9 +123,11 @@ def main() -> None:
     # The printed line stays the spec'd one-JSON-line shape but carries
     # only the slowest queries, so it is both parseable and auditable;
     # `detail` points at the committed full record.
+    # subset re-measurements must not clobber the committed full-run
+    # record — they land in their own sidecar
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH", "bench_full_latest.json",
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "bench_subset_latest.json" if subset else "bench_full_latest.json",
     )
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
