@@ -131,8 +131,12 @@ def main() -> None:
     )
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
-        with open(detail_path, "w") as f:
+        # atomic: a mid-dump failure (disk full) must not leave a
+        # truncated record where a committed/audited artifact lives
+        tmp_path = detail_path + ".tmp"
+        with open(tmp_path, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
+        os.replace(tmp_path, detail_path)
     except OSError:
         detail_path = ""  # read-only checkout: the printed line stands alone
     slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:12])

@@ -2461,6 +2461,8 @@ def test_kmv_epoch_intersect_replay(spark):
     exact_i = len(grp_toks["a"] & grp_toks["b"])
     est_int = n_both / _KMV_K * est_u
 
+    assert exact_i > 0  # before the rel-err division below can raise
+
     row = kmv_epoch_intersect(spark, SF_CORRECT).collect()[0]
     assert (row.n_both, row.exact_intersect) == (n_both, exact_i)
     assert _close(row.est_a, est(bot["a"]), 1e-4)
@@ -2468,7 +2470,6 @@ def test_kmv_epoch_intersect_replay(spark):
     assert _close(row.est_union, est_u, 1e-4)
     assert _close(row.est_intersect, est_int, 1e-4)
     assert _close(row.intersect_rel_err, (est_int - exact_i) / exact_i, 1e-4)
-    assert exact_i > 0
 
 
 def test_market_basket_rules_replay(spark):
