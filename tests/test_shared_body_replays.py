@@ -2836,3 +2836,160 @@ def test_soundex_blocking_audit_replay(spark):
     assert _close(row.exact_recall, name_eq / n, 1e-4)
     assert _close(row.soundex_recall, sdx_eq / n, 1e-4)
     assert 0 < name_eq < n and sdx_eq > name_eq
+
+
+def test_ndcg_bm25_eval_replay(spark):
+    """NDCG@10 per query term replayed with plain loops: BM25 scores,
+    round-then-rank, the 7/3/1 gain ladder, and the ideal reordering
+    by (gain desc, bm25-rank asc)."""
+    from chopin_spark.queries.textops import (
+        _BM_B, _BM_K1, _BM_TERMS, _NDCG_K, ndcg_bm25_eval,
+    )
+    from chopin_spark.tables import load
+
+    docs = {r.doc_id: r.text.split(" ") for r in
+            load(spark, SF_CORRECT, "documents")
+            .select("doc_id", "text").collect()}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    expect = {}
+    for t in _BM_TERMS:
+        post = {d: toks.count(t) for d, toks in docs.items()
+                if t in toks}
+        df = len(post)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        scored = []
+        for d, tf in post.items():
+            s = idf * (tf * (_BM_K1 + 1.0)) / (
+                tf + _BM_K1 * (1.0 - _BM_B + _BM_B * len(docs[d]) / avgdl))
+            scored.append((_round_half_away(s), d, min(tf, 3)))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        gains = [7 if rel >= 3 else 3 if rel == 2 else 1
+                 for (_, _, rel) in scored]
+        dcg = sum(g / math.log2(rnk + 2)
+                  for rnk, g in enumerate(gains[:_NDCG_K]))
+        ideal = sorted(range(len(gains)), key=lambda i: (-gains[i], i))
+        idcg = sum(gains[i] / math.log2(irnk + 2)
+                   for irnk, i in enumerate(ideal[:_NDCG_K]))
+        expect[t] = (df, dcg, idcg, dcg / idcg)
+
+    got = {r.term: r for r in ndcg_bm25_eval(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for t, (nrel, dcg, idcg, ndcg) in expect.items():
+        row = got[t]
+        assert row.n_rel == nrel
+        assert _close(row.dcg_at10, dcg, 1e-4)
+        assert _close(row.idcg_at10, idcg, 1e-4)
+        assert _close(row.ndcg_at10, ndcg, 1e-4)
+        assert 0 < ndcg <= 1
+
+
+def test_fellegi_sunter_linkage_replay(spark):
+    """FS agreement-weight scoring over nation blocks replayed with a
+    double loop: the three corrupted-twin rules, fixed ln(m/u)
+    weights, link/possible/non-link bands, per-band precision."""
+    from chopin_spark.queries.relational import (
+        _FS_B, _FS_S, _FS_T, fellegi_sunter_linkage,
+    )
+    from chopin_spark.tables import load
+
+    cust = [
+        (r.c_custkey, r.c_nationkey, r.c_name, r.c_mktsegment,
+         math.floor(float(r.c_acctbal) * 100 + 0.5))
+        for r in load(spark, SF_CORRECT, "customer")
+        .select("c_custkey", "c_nationkey", "c_name", "c_mktsegment",
+                "c_acctbal").collect()
+    ]
+    twin = [
+        (k, nat,
+         "Cust0mer" + nm[8:] if (k * _FS_T) % 100 < 30 else nm,
+         "CORRUPTED" if (k * _FS_S) % 100 < 20 else seg,
+         cents + (k * _FS_B) % 2001 - 1000)
+        for (k, nat, nm, seg, cents) in cust
+    ]
+    by_nat = collections.defaultdict(list)
+    for t in twin:
+        by_nat[t[1]].append(t)
+    bands = collections.defaultdict(lambda: [0, 0])
+    for k, nat, nm, seg, cents in cust:
+        for tk, _, tnm, tseg, tcents in by_nat[nat]:
+            score = (6.551080335043404 if nm == tnm
+                     else -1.2029723039923526)
+            score += (1.3862943611198906 if seg == tseg
+                      else -1.3862943611198906)
+            score += (3.912023005428146 if abs(cents - tcents) <= 500
+                      else -0.6830968447064438)
+            dec = ("link" if score >= 6.0
+                   else "possible" if score >= 0.0 else "non-link")
+            bands[dec][0] += 1
+            bands[dec][1] += int(k == tk)
+
+    got = {r.decision: r for r in
+           fellegi_sunter_linkage(spark, SF_CORRECT).collect()}
+    assert set(got) == set(bands) and "link" in bands
+    for dec, (n, true) in bands.items():
+        row = got[dec]
+        assert (row.n_pairs, row.n_true_matches) == (n, true)
+        assert _close(row.precision_band, true / n, 1e-6)
+
+
+def test_weighted_priority_sample_replay(spark):
+    """Efraimidis–Spirakis keys −ln(u)/w replayed per doc with the
+    LCG draw; round-to-1e-6 then rank, doc_id ties."""
+    from chopin_spark.queries.trainprep import (
+        _AES_K, weighted_priority_sample,
+    )
+    from chopin_spark.tables import load
+
+    keyed = []
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "lang", "n_chars").collect():
+        if r.n_chars <= 0:
+            continue
+        u = (r.doc_id * 2654435761 + 40503) % 999983 + 1
+        k = _round_half_away(-math.log(u / 999983.0) / float(r.n_chars), 6)
+        keyed.append((k, r.doc_id, r.lang, r.n_chars))
+    keyed.sort()
+    expect = [(d, lang, nc, k, rnk + 1)
+              for rnk, (k, d, lang, nc) in enumerate(keyed[:_AES_K])]
+    got = [(r.doc_id, r.lang, r.n_chars, r.aes_key, r.rank)
+           for r in weighted_priority_sample(spark, SF_CORRECT)
+           .orderBy("rank").collect()]
+    assert [g[:3] + g[4:] for g in got] == \
+        [e[:3] + e[4:] for e in expect]
+    for g, e in zip(got, expect):
+        assert _close(g[3], e[3], 1e-6)
+
+
+def test_crawl_politeness_schedule_replay(spark):
+    """The prefix-max window formulation replayed with the DIRECT
+    Lindley recurrence start_k = max(arr_k, start_{k-1} + D) — the
+    sequential form the window scan closes over."""
+    from chopin_spark.queries.webtext import (
+        _POL_D_S, crawl_politeness_schedule,
+    )
+    from chopin_spark.tables import load
+
+    arrs = collections.defaultdict(list)
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id").collect():
+        d = r.doc_id
+        arr = (1704067200 + (d * 48271) % 31536000) % 86400
+        arrs[d % 97].append((arr, d))
+
+    got = {r.host_num: r for r in
+           crawl_politeness_schedule(spark, SF_CORRECT).collect()}
+    assert set(got) == set(arrs)
+    for host, q in arrs.items():
+        q.sort()
+        start = None
+        waits, starts = [], []
+        for arr, _ in q:
+            start = arr if start is None else max(arr, start + _POL_D_S)
+            starts.append(start)
+            waits.append(start - arr)
+        row = got[host]
+        assert row.n_fetches == len(q)
+        assert row.makespan_s == starts[-1] - q[0][0]
+        assert row.total_wait_s == sum(waits)
+        assert row.max_wait_s == max(waits)
