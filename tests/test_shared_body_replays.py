@@ -2993,3 +2993,177 @@ def test_crawl_politeness_schedule_replay(spark):
         assert row.makespan_s == starts[-1] - q[0][0]
         assert row.total_wait_s == sum(waits)
         assert row.max_wait_s == max(waits)
+
+
+def test_geary_c_replay(spark):
+    """Geary's C numerator Σw(d1−d2)², den Σdd², and the (n−1)/2W·den
+    scaling replayed with the same dict arithmetic as the Moran
+    replay — squared DIFFERENCES, not products."""
+    from chopin_spark.queries.spatial import (
+        _DOC_X, _DOC_Y, _NZ, geary_c_tracts,
+    )
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    x = {(gx, gy): 0 for gx in range(TRACT_NX) for gy in range(TRACT_NY)}
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,"
+        f" CAST(SUM(n_chars) AS BIGINT) AS s FROM documents GROUP BY 1, 2"
+    ).collect():
+        x[(r.gx, r.gy)] = r.s
+    s = sum(x.values())
+    dd = {c: _NZ * v - s for c, v in x.items()}
+    w = num = 0
+    for (gx, gy), d1 in dd.items():
+        for nb in ((gx + 1, gy), (gx - 1, gy), (gx, gy + 1), (gx, gy - 1)):
+            if nb in dd:
+                w += 1
+                num += (d1 - dd[nb]) ** 2
+    den = sum(d * d for d in dd.values())
+
+    row = geary_c_tracts(spark, SF_CORRECT).collect()[0]
+    assert (row.n_zones, row.w_links, row.num, row.den) == (_NZ, w, num, den)
+    assert _close(row.geary_c, (_NZ - 1) * num / (2.0 * w * den), 1e-6)
+    assert row.geary_c > 0
+
+
+def test_join_count_replay(spark):
+    """BB/BW/WW rook join counts over the above-mean indicator and
+    their free-sampling expectations replayed with sets."""
+    from chopin_spark.queries.spatial import (
+        _DOC_X, _DOC_Y, _NZ, join_count_tracts,
+    )
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    x = {(gx, gy): 0 for gx in range(TRACT_NX) for gy in range(TRACT_NY)}
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) AS gy,"
+        f" CAST(SUM(n_chars) AS BIGINT) AS s FROM documents GROUP BY 1, 2"
+    ).collect():
+        x[(r.gx, r.gy)] = r.s
+    s = sum(x.values())
+    b = {c: int(_NZ * v > s) for c, v in x.items()}
+    wdir = bb = bw = ww = 0
+    for (gx, gy), b1 in b.items():
+        for nb in ((gx + 1, gy), (gx - 1, gy), (gx, gy + 1), (gx, gy - 1)):
+            if nb in b:
+                b2 = b[nb]
+                wdir += 1
+                bb += b1 * b2
+                ww += (1 - b1) * (1 - b2)
+                bw += b1 + b2 - 2 * b1 * b2
+    nb_black, n = sum(b.values()), _NZ
+
+    row = join_count_tracts(spark, SF_CORRECT).collect()[0]
+    assert (row.n_zones, row.n_black, row.w_links) == (n, nb_black, wdir // 2)
+    assert (row.bb, row.bw, row.ww) == (bb // 2, bw // 2, ww // 2)
+    assert _close(row.e_bb,
+                  wdir / 2.0 * nb_black * (nb_black - 1) / (n * (n - 1.0)),
+                  1e-6)
+    assert _close(row.e_bw,
+                  float(wdir) * nb_black * (n - nb_black) / (n * (n - 1.0)),
+                  1e-6)
+    assert _close(row.e_ww,
+                  wdir / 2.0 * (n - nb_black) * (n - nb_black - 1)
+                  / (n * (n - 1.0)), 1e-6)
+    assert bb > 0 and bw > 0
+
+
+def test_stkde_events_replay(spark):
+    """Space-time kernel density replayed with loops: 4096-lattice
+    quantized Gaussian factors, both cutoffs, per-node integer sums."""
+    from chopin_spark.queries.temporalq import (
+        _STK_HS, _STK_HT, _STK_NT, _STK_NX, _STK_NY, _STK_RS, _STK_RT,
+        stkde_events,
+    )
+    from chopin_spark import sqlexpr as _sx
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    ev = [(r.x, r.y, r.day) for r in spark.sql(
+        f"SELECT {_sx.x_expr('event_id')} AS x, {_sx.y_expr('event_id')} AS y,"
+        " CAST(FLOOR(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE)"
+        " / 86400000000.0)"
+        " AS BIGINT) AS day FROM events"
+    ).collect()]
+    d0 = min(d for (_, _, d) in ev)
+    cw, ch = 800_000.0 / _STK_NX, 600_000.0 / _STK_NY
+    expect = {}
+    for gi in range(_STK_NX):
+        for gj in range(_STK_NY):
+            for tb in range(_STK_NT):
+                cx, cy = (gi + 0.5) * cw, (gj + 0.5) * ch
+                tc = 2.5 + 5.0 * tb
+                n_w = wsum = 0
+                for (x, y, day) in ev:
+                    d2 = (x - cx) ** 2 + (y - cy) ** 2
+                    td = (day - d0 + 0.5) - tc
+                    if d2 <= _STK_RS * _STK_RS and abs(td) <= _STK_RT:
+                        ws = math.floor(
+                            4096 * math.exp(-d2 / (2.0 * _STK_HS ** 2))
+                            + 0.5)
+                        wt = math.floor(
+                            4096 * math.exp(-td * td / (2.0 * _STK_HT ** 2))
+                            + 0.5)
+                        n_w += 1
+                        wsum += ws * wt
+                if n_w:
+                    expect[(gi, gj, tb)] = (n_w, wsum / (4096.0 * 4096.0))
+
+    got = {(r.gi, r.gj, r.tb): r for r in
+           stkde_events(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 20
+    for k, (n_w, inten) in expect.items():
+        assert got[k].n_within == n_w
+        assert _close(got[k].intensity, inten, 1e-4)
+
+
+def test_spatial_scan_llr_replay(spark):
+    """Kulldorff circular-window Poisson LLR replayed with loops over
+    the per-tract (pop, cases) table; the injected SW cluster must
+    surface as the max-LLR window."""
+    from chopin_spark.queries.spatial import (
+        _CV_TX, _CV_TY, spatial_scan_llr,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    t = {}
+    for r in spark.sql(
+        f"SELECT {_CV_TX} AS tx, {_CV_TY} AS ty, COUNT(*) AS pop,"
+        f" SUM(CASE WHEN doc_id % 7 = 0 OR ({_CV_TX} < 4 AND {_CV_TY} < 4)"
+        " THEN 1 ELSE 0 END) AS cases FROM documents GROUP BY 1, 2"
+    ).collect():
+        t[(r.tx, r.ty)] = (r.pop, r.cases)
+    mm = float(sum(p for p, _ in t.values()))
+    nn = float(sum(c for _, c in t.values()))
+    expect = {}
+    for (ctx, cty) in t:
+        for rr in (1, 2, 3):
+            wp = wc = 0
+            for (ox, oy), (p, c) in t.items():
+                if (ox - ctx) ** 2 + (oy - cty) ** 2 <= rr * rr:
+                    wp += p
+                    wc += c
+            llr = 0.0
+            if wc * mm > nn * wp:
+                if wc > 0:
+                    llr += wc * math.log(wc / (nn * wp / mm))
+                if nn - wc > 0:
+                    llr += (nn - wc) * math.log(
+                        (nn - wc) / (nn - nn * wp / mm))
+            expect[(ctx, cty, rr)] = (wp, wc, llr)
+
+    got = {(r.ctx, r.cty, r.r): r for r in
+           spatial_scan_llr(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for k, (wp, wc, llr) in expect.items():
+        assert (got[k].w_pop, got[k].w_cases) == (wp, wc)
+        assert _close(got[k].llr, llr, 1e-6)
+    best = max(got.values(), key=lambda r: r.llr)
+    assert best.ctx < 4 and best.cty < 4 and best.llr > 0
