@@ -3167,3 +3167,111 @@ def test_spatial_scan_llr_replay(spark):
         assert _close(got[k].llr, llr, 1e-6)
     best = max(got.values(), key=lambda r: r.llr)
     assert best.ctx < 4 and best.cty < 4 and best.llr > 0
+
+
+def test_event_volume_anomalies_replay(spark):
+    """The division-free z²>4 integer flag and the reported z replayed
+    from raw (type, day) counts."""
+    from chopin_spark.queries.temporalq import event_volume_anomalies
+    from chopin_spark.tables import load
+
+    daily = collections.Counter()
+    for r in load(spark, SF_CORRECT, "events") \
+            .selectExpr("event_type", "CAST(ts AS DATE) AS day").collect():
+        daily[(r.event_type, str(r.day))] += 1
+    stats = {}
+    for (et, _), c in daily.items():
+        n, s, q = stats.get(et, (0, 0, 0))
+        stats[et] = (n + 1, s + c, q + c * c)
+    expect = {}
+    for (et, day), c in daily.items():
+        n, s, q = stats[et]
+        if (c * n - s) ** 2 > 4 * (n * q - s * s):
+            expect[(et, day)] = (c, (c * n - s) / math.sqrt(n * q - s * s))
+
+    got = {(r.event_type, r.day): r for r in
+           event_volume_anomalies(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 2
+    for k, (c, z) in expect.items():
+        assert got[k].n_events == c
+        assert _close(got[k].z, z, 1e-4)
+
+
+def test_rolling_7day_user_volume_replay(spark):
+    """The RANGE-frame 7-day window replayed with an explicit
+    day-interval filter over each user's (day, count, cents) rows."""
+    from chopin_spark.queries.temporalq import rolling_7day_user_volume
+    from chopin_spark.tables import load
+
+    per = collections.defaultdict(lambda: collections.defaultdict(
+        lambda: [0, 0]))
+    for r in load(spark, SF_CORRECT, "events").selectExpr(
+        "user_id",
+        "CAST(FLOOR(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE)"
+        " / 86400000000.0) AS BIGINT) AS day",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).collect():
+        st = per[r.user_id][r.day]
+        st[0] += 1
+        st[1] += r.cents
+
+    expect = {}
+    for uid, days in per.items():
+        for day, (n, _) in days.items():
+            win = [days[d] for d in days if day - 6 <= d <= day]
+            expect[(uid, day)] = (
+                n, sum(w[0] for w in win),
+                round(sum(w[1] for w in win) / 100.0, 2))
+
+    got = {(r.user_id, r.day): (r.n_events, r.n_7day, r.value_7day)
+           for r in rolling_7day_user_volume(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for k, (n, n7, v7) in expect.items():
+        assert got[k][0] == n and got[k][1] == n7
+        assert abs(got[k][2] - v7) < 0.011  # both round cents/100 to 2dp
+    assert any(g[1] > g[0] for g in got.values())
+
+
+def test_conjunctive_term_search_replay(spark):
+    """AND-retrieval replayed with set logic: docs containing all
+    three query terms, with per-doc hit counts."""
+    from chopin_spark.queries.textops import (
+        _AND_TERMS, conjunctive_term_search,
+    )
+    from chopin_spark.tables import load
+
+    expect = {}
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        hits = [t for t in toks if t in _AND_TERMS]
+        if len(set(hits)) == len(_AND_TERMS):
+            expect[r.doc_id] = (len(hits), len(_AND_TERMS))
+    got = {r.doc_id: (r.n_hits, r.n_terms) for r in
+           conjunctive_term_search(spark, SF_CORRECT).collect()}
+    assert got == expect and 0 < len(got)
+
+
+def test_quality_percentile_norm_replay(spark):
+    """Histogram-cumulative percentile replayed with a sorted scan:
+    pctl = |docs with n_chars <= v| / n."""
+    from chopin_spark.queries.webtext import quality_percentile_norm
+    from chopin_spark.tables import load
+
+    vals = [(r.doc_id, r.n_chars) for r in
+            load(spark, SF_CORRECT, "documents")
+            .select("doc_id", "n_chars").collect()]
+    n = len(vals)
+    counts = collections.Counter(v for _, v in vals)
+    cum, cle = {}, 0
+    for v in sorted(counts):
+        cle += counts[v]
+        cum[v] = cle
+
+    got = {r.doc_id: (r.n_chars, r.len_pctl) for r in
+           quality_percentile_norm(spark, SF_CORRECT).collect()}
+    assert set(got) == {d for d, _ in vals}
+    for d, v in vals:
+        assert got[d][0] == v
+        assert _close(got[d][1], cum[v] / n, 1e-4)
+    assert max(p for _, p in got.values()) == 1.0
