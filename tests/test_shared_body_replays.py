@@ -3275,3 +3275,87 @@ def test_quality_percentile_norm_replay(spark):
         assert got[d][0] == v
         assert _close(got[d][1], cum[v] / n, 1e-4)
     assert max(p for _, p in got.values()) == 1.0
+
+
+def test_forecast_revenue_q6_replay(spark):
+    """Q6 scan-filter-agg replayed row-by-row with the quantized
+    revenue-delta cents discipline."""
+    from chopin_spark.queries.relational import forecast_revenue_q6
+    from chopin_spark.tables import load
+
+    n = rev = 0
+    for r in load(spark, SF_CORRECT, "lineitem").selectExpr(
+        "l_shipdate", "CAST(l_discount AS DOUBLE) AS disc",
+        "CAST(l_quantity AS DOUBLE) AS qty",
+        "CAST(l_extendedprice AS DOUBLE) AS price",
+    ).collect():
+        if (str(r.l_shipdate) >= "1996-01-01"
+                and str(r.l_shipdate) < "1997-01-01"
+                and 0.05 <= r.disc <= 0.07 and r.qty < 24):
+            n += 1
+            rev += math.floor(r.price * r.disc * 10000 + 0.5)
+    row = forecast_revenue_q6(spark, SF_CORRECT).collect()[0]
+    assert row.n_lines == n and n > 0
+    assert _close(row.revenue_delta, rev / 10000.0, 1e-4)
+
+
+def test_cube_lang_source_replay(spark):
+    """All four CUBE grouping sets replayed with explicit Counters and
+    GROUPING-flag bookkeeping."""
+    from chopin_spark.queries.relational import cube_lang_source
+    from chopin_spark.tables import load
+
+    base = [(r.lang, r.source, int(r.n_chars)) for r in
+            load(spark, SF_CORRECT, "documents")
+            .select("lang", "source", "n_chars").collect()]
+    expect = collections.defaultdict(lambda: [0, 0])
+    for lang, src, nc in base:
+        for key in ((lang, src, 0, 0), (lang, "ALL", 0, 1),
+                    ("ALL", src, 1, 0), ("ALL", "ALL", 1, 1)):
+            st = expect[key]
+            st[0] += 1
+            st[1] += nc
+    got = {(r.lang, r.source, r.g_lang, r.g_source):
+           (r.n_docs, r.sum_chars)
+           for r in cube_lang_source(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_shipmode_priority_q12_replay(spark):
+    """Q12 join + conditional split replayed with a dict join."""
+    from chopin_spark.queries.relational import shipmode_priority_q12
+    from chopin_spark.tables import load
+
+    prio = {r.o_orderkey: r.o_orderpriority for r in
+            load(spark, SF_CORRECT, "orders")
+            .select("o_orderkey", "o_orderpriority").collect()}
+    expect = collections.defaultdict(lambda: [0, 0])
+    for r in load(spark, SF_CORRECT, "lineitem").selectExpr(
+        "l_orderkey", "l_linestatus", "CAST(l_shipdate AS STRING) AS sd"
+    ).collect():
+        if "1997-01-01" <= r.sd < "1998-01-01" and r.l_orderkey in prio:
+            hi = prio[r.l_orderkey] in ("1-URGENT", "2-HIGH")
+            expect[r.l_linestatus][0 if hi else 1] += 1
+    got = {r.ship_class: (r.high_line_count, r.low_line_count)
+           for r in shipmode_priority_q12(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in expect.items()} and len(got) >= 1
+
+
+def test_customer_distribution_q13_replay(spark):
+    """Q13 count-of-counts replayed with two Counters; zero-order
+    customers must appear in the c_count=0 bucket."""
+    from chopin_spark.queries.relational import customer_distribution_q13
+    from chopin_spark.tables import load
+
+    per_cust = collections.Counter()
+    for r in load(spark, SF_CORRECT, "orders") \
+            .select("o_custkey", "o_orderpriority").collect():
+        if r.o_orderpriority != "1-URGENT":
+            per_cust[r.o_custkey] += 1
+    dist = collections.Counter(
+        per_cust.get(r.c_custkey, 0)
+        for r in load(spark, SF_CORRECT, "customer")
+        .select("c_custkey").collect())
+    got = {r.c_count: r.custdist for r in
+           customer_distribution_q13(spark, SF_CORRECT).collect()}
+    assert got == dict(dist) and 0 in got
