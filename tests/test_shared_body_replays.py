@@ -3359,3 +3359,132 @@ def test_customer_distribution_q13_replay(spark):
     got = {r.c_count: r.custdist for r in
            customer_distribution_q13(spark, SF_CORRECT).collect()}
     assert got == dict(dist) and 0 in got
+
+
+def _li_rows(spark, cols):
+    from chopin_spark.tables import load
+
+    return load(spark, SF_CORRECT, "lineitem").selectExpr(*cols).collect()
+
+
+def test_order_priority_q4_replay(spark):
+    """Q4 EXISTS decorrelation replayed with a set of late-shipping
+    orderkeys."""
+    from chopin_spark.queries.relational import order_priority_q4
+    from chopin_spark.tables import load
+
+    odate = {r.o_orderkey: (str(r.o_orderdate), r.o_orderpriority)
+             for r in load(spark, SF_CORRECT, "orders")
+             .select("o_orderkey", "o_orderdate", "o_orderpriority")
+             .collect()}
+    late = set()
+    for r in _li_rows(spark, ["l_orderkey",
+                              "CAST(l_shipdate AS STRING) AS sd"]):
+        od = odate.get(r.l_orderkey)
+        if od and r.sd > od[0]:
+            late.add(r.l_orderkey)
+    expect = collections.Counter(
+        pr for ok, (od, pr) in odate.items()
+        if "1996-01-01" <= od < "1996-04-01" and ok in late)
+    got = {r.o_orderpriority: r.order_count for r in
+           order_priority_q4(spark, SF_CORRECT).collect()}
+    assert got == dict(expect) and len(got) >= 3
+
+
+def test_returned_items_q10_replay(spark):
+    """Q10 grouped top-20 replayed with dict joins and the quantized
+    revenue order (revenue desc, custkey)."""
+    from chopin_spark.queries.relational import returned_items_q10
+    from chopin_spark.tables import load
+
+    cust = {r.c_custkey: (r.c_name, r.c_nationkey) for r in
+            load(spark, SF_CORRECT, "customer")
+            .select("c_custkey", "c_name", "c_nationkey").collect()}
+    nat = {r.n_nationkey: r.n_name for r in
+           load(spark, SF_CORRECT, "nation")
+           .select("n_nationkey", "n_name").collect()}
+    owin = {r.o_orderkey: r.o_custkey for r in
+            load(spark, SF_CORRECT, "orders")
+            .selectExpr("o_orderkey", "o_custkey",
+                        "CAST(o_orderdate AS STRING) AS od").collect()
+            if "1996-01-01" <= r.od < "1996-07-01"}
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in _li_rows(spark, [
+            "l_orderkey", "l_returnflag",
+            "CAST(l_extendedprice AS DOUBLE) AS price",
+            "CAST(l_discount AS DOUBLE) AS disc"]):
+        ck = owin.get(r.l_orderkey)
+        if ck is not None and r.l_returnflag == "R":
+            st = agg[ck]
+            st[0] += 1
+            st[1] += math.floor(r.price * (1 - r.disc) * 10000 + 0.5)
+    ranked = sorted(
+        ((ck, n, rev) for ck, (n, rev) in agg.items()),
+        key=lambda t: (-t[2], t[0]))[:20]
+    expect = [(ck, cust[ck][0], nat[cust[ck][1]], n, rev / 10000.0)
+              for ck, n, rev in ranked]
+    got = [(r.c_custkey, r.c_name, r.n_name, r.n_lines, r.revenue)
+           for r in returned_items_q10(spark, SF_CORRECT).collect()]
+    assert [g[:4] for g in got] == [e[:4] for e in expect] and len(got) == 20
+    for g, e in zip(got, expect):
+        assert _close(g[4], e[4], 1e-4)
+
+
+def test_disjunctive_parts_q19_replay(spark):
+    """Q19 disjunction-of-conjunctions replayed with a literal
+    three-branch predicate."""
+    from chopin_spark.queries.relational import disjunctive_parts_q19
+    from chopin_spark.tables import load
+
+    part = {r.p_partkey: (r.p_brand, int(r.p_size)) for r in
+            load(spark, SF_CORRECT, "part")
+            .select("p_partkey", "p_brand", "p_size").collect()}
+    n = rev = 0
+    for r in _li_rows(spark, [
+            "l_partkey", "CAST(l_quantity AS DOUBLE) AS qty",
+            "CAST(l_extendedprice AS DOUBLE) AS price",
+            "CAST(l_discount AS DOUBLE) AS disc"]):
+        p = part.get(r.l_partkey)
+        if p is None:
+            continue
+        brand, size = p
+        q = r.qty
+        if ((brand == "Brand#11" and 1 <= size <= 10 and 1 <= q <= 15)
+                or (brand == "Brand#22" and 10 <= size <= 25
+                    and 10 <= q <= 30)
+                or (brand == "Brand#33" and 20 <= size <= 40
+                    and 20 <= q <= 45)):
+            n += 1
+            rev += math.floor(r.price * (1 - r.disc) * 10000 + 0.5)
+    row = disjunctive_parts_q19(spark, SF_CORRECT).collect()[0]
+    assert row.n_lines == n and n > 0
+    assert _close(row.revenue, rev / 10000.0, 1e-4)
+
+
+def test_small_qty_revenue_q17_replay(spark):
+    """Q17's integer cross-multiplied 20%-of-mean test replayed with
+    per-part count/sum dicts."""
+    from chopin_spark.queries.relational import small_qty_revenue_q17
+    from chopin_spark.tables import load
+
+    brand7 = {r.p_partkey for r in
+              load(spark, SF_CORRECT, "part")
+              .select("p_partkey", "p_brand").collect()
+              if r.p_brand == "Brand#7"}
+    cnt, qsum = collections.Counter(), collections.Counter()
+    rows = _li_rows(spark, [
+        "l_partkey", "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(l_extendedprice AS DOUBLE) AS price",
+        "CAST(l_discount AS DOUBLE) AS disc"])
+    for r in rows:
+        cnt[r.l_partkey] += 1
+        qsum[r.l_partkey] += r.qty
+    n = rev = 0
+    for r in rows:
+        if (r.l_partkey in brand7
+                and 5 * r.qty * cnt[r.l_partkey] < qsum[r.l_partkey]):
+            n += 1
+            rev += math.floor(r.price * (1 - r.disc) * 10000 + 0.5)
+    row = small_qty_revenue_q17(spark, SF_CORRECT).collect()[0]
+    assert row.n_lines == n and n > 0
+    assert _close(row.avg_yearly, rev / 10000.0 / 7.0, 1e-4)
