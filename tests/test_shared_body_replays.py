@@ -3488,3 +3488,157 @@ def test_small_qty_revenue_q17_replay(spark):
     row = small_qty_revenue_q17(spark, SF_CORRECT).collect()[0]
     assert row.n_lines == n and n > 0
     assert _close(row.avg_yearly, rev / 10000.0 / 7.0, 1e-4)
+
+
+def test_volume_shipping_q7_replay(spark):
+    """Q7 two-role nation pair replayed with dict joins; revenue per
+    (supp_nation, cust_nation, ship year)."""
+    from chopin_spark.queries.relational import volume_shipping_q7
+    from chopin_spark.tables import load
+
+    nat = {r.n_nationkey: r.n_name for r in
+           load(spark, SF_CORRECT, "nation")
+           .select("n_nationkey", "n_name").collect()}
+    snat = {r.s_suppkey: nat[r.s_nationkey] for r in
+            load(spark, SF_CORRECT, "supplier")
+            .select("s_suppkey", "s_nationkey").collect()}
+    cnat = {r.c_custkey: nat[r.c_nationkey] for r in
+            load(spark, SF_CORRECT, "customer")
+            .select("c_custkey", "c_nationkey").collect()}
+    ocust = {r.o_orderkey: r.o_custkey for r in
+             load(spark, SF_CORRECT, "orders")
+             .select("o_orderkey", "o_custkey").collect()}
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in _li_rows(spark, [
+            "l_orderkey", "l_suppkey",
+            "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr",
+            "CAST(l_extendedprice AS DOUBLE) AS price",
+            "CAST(l_discount AS DOUBLE) AS disc"]):
+        sn = snat.get(r.l_suppkey)
+        cn = cnat.get(ocust.get(r.l_orderkey))
+        if {sn, cn} == {"NATION_3", "NATION_7"}:
+            st = agg[(sn, cn, r.yr)]
+            st[0] += 1
+            st[1] += math.floor(r.price * (1 - r.disc) * 10000 + 0.5)
+    got = {(r.supp_nation, r.cust_nation, r.l_year): (r.n_lines, r.revenue)
+           for r in volume_shipping_q7(spark, SF_CORRECT).collect()}
+    assert set(got) == set(agg) and len(got) >= 2
+    for k, (n, rev) in agg.items():
+        assert got[k][0] == n
+        assert _close(got[k][1], rev / 10000.0, 1e-4)
+
+
+def test_national_market_share_q8_replay(spark):
+    """Q8 market share replayed through the six-dict snowflake walk."""
+    from chopin_spark.queries.relational import national_market_share_q8
+    from chopin_spark.tables import load
+
+    nat = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in
+           load(spark, SF_CORRECT, "nation")
+           .select("n_nationkey", "n_name", "n_regionkey").collect()}
+    europe = {r.r_regionkey for r in
+              load(spark, SF_CORRECT, "region")
+              .select("r_regionkey", "r_name").collect()
+              if r.r_name == "EUROPE"}
+    cust_eu = {r.c_custkey for r in
+               load(spark, SF_CORRECT, "customer")
+               .select("c_custkey", "c_nationkey").collect()
+               if nat[r.c_nationkey][1] in europe}
+    econ = {r.p_partkey for r in
+            load(spark, SF_CORRECT, "part")
+            .select("p_partkey", "p_type").collect()
+            if r.p_type == "ECONOMY"}
+    snat = {r.s_suppkey: nat[r.s_nationkey][0] for r in
+            load(spark, SF_CORRECT, "supplier")
+            .select("s_suppkey", "s_nationkey").collect()}
+    orders = {r.o_orderkey: (r.o_custkey, r.yr) for r in
+              load(spark, SF_CORRECT, "orders")
+              .selectExpr("o_orderkey", "o_custkey",
+                          "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)"
+                          " AS yr").collect()}
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in _li_rows(spark, [
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "CAST(l_extendedprice AS DOUBLE) AS price",
+            "CAST(l_discount AS DOUBLE) AS disc"]):
+        o = orders.get(r.l_orderkey)
+        if (o and o[0] in cust_eu and r.l_partkey in econ
+                and r.l_suppkey in snat):
+            rev = math.floor(r.price * (1 - r.disc) * 10000 + 0.5)
+            st = agg[o[1]]
+            st[1] += rev
+            if snat[r.l_suppkey] == "NATION_3":
+                st[0] += rev
+    got = {r.o_year: (r.nation_rev_1e4, r.total_rev_1e4, r.mkt_share)
+           for r in national_market_share_q8(spark, SF_CORRECT).collect()}
+    assert set(got) == set(agg) and len(got) >= 2
+    for yr, (nrev, trev) in agg.items():
+        assert got[yr][:2] == (nrev, trev)
+        assert _close(got[yr][2], nrev / trev, 1e-6)
+
+
+def test_product_profit_q9_replay(spark):
+    """Q9 profit replayed with quantized revenue minus quantized cost
+    per (supplier nation, ship year)."""
+    from chopin_spark.queries.relational import product_profit_q9
+    from chopin_spark.tables import load
+
+    nat = {r.n_nationkey: r.n_name for r in
+           load(spark, SF_CORRECT, "nation")
+           .select("n_nationkey", "n_name").collect()}
+    snat = {r.s_suppkey: nat[r.s_nationkey] for r in
+            load(spark, SF_CORRECT, "supplier")
+            .select("s_suppkey", "s_nationkey").collect()}
+    red = {r.p_partkey: math.floor(float(r.p_retailprice) * 100 + 0.5)
+           for r in load(spark, SF_CORRECT, "part")
+           .select("p_partkey", "p_name", "p_retailprice").collect()
+           if "red" in r.p_name}
+    agg = collections.defaultdict(lambda: [0, 0])
+    for r in _li_rows(spark, [
+            "l_partkey", "l_suppkey",
+            "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr",
+            "CAST(l_quantity AS BIGINT) AS qty",
+            "CAST(l_extendedprice AS DOUBLE) AS price",
+            "CAST(l_discount AS DOUBLE) AS disc"]):
+        if r.l_partkey in red and r.l_suppkey in snat:
+            rev = math.floor(r.price * (1 - r.disc) * 10000 + 0.5)
+            cost = red[r.l_partkey] * 100 * r.qty
+            st = agg[(snat[r.l_suppkey], r.yr)]
+            st[0] += 1
+            st[1] += rev - cost
+    got = {(r.supp_nation, r.o_year): (r.n_lines, r.profit)
+           for r in product_profit_q9(spark, SF_CORRECT).collect()}
+    assert set(got) == set(agg) and len(got) >= 3
+    for k, (n, prof) in agg.items():
+        assert got[k][0] == n
+        assert _close(got[k][1], prof / 10000.0, 1e-4)
+
+
+def test_important_parts_q11_replay(spark):
+    """Q11's grouped-agg-vs-own-total 1/600 fraction test replayed
+    with one Counter and exact integer cross-multiplication."""
+    from chopin_spark.queries.relational import important_parts_q11
+    from chopin_spark.tables import load
+
+    nat = {r.n_nationkey: r.n_name for r in
+           load(spark, SF_CORRECT, "nation")
+           .select("n_nationkey", "n_name").collect()}
+    s5 = {r.s_suppkey for r in
+          load(spark, SF_CORRECT, "supplier")
+          .select("s_suppkey", "s_nationkey").collect()
+          if nat[r.s_nationkey] == "NATION_5"}
+    v = collections.Counter()
+    for r in _li_rows(spark, [
+            "l_partkey", "l_suppkey",
+            "CAST(l_extendedprice AS DOUBLE) AS price",
+            "CAST(l_discount AS DOUBLE) AS disc"]):
+        if r.l_suppkey in s5:
+            v[r.l_partkey] += math.floor(
+                r.price * (1 - r.disc) * 10000 + 0.5)
+    tot = sum(v.values())
+    expect = {pk: val for pk, val in v.items() if 600 * val > tot}
+    got = {r.l_partkey: (r.value_1e4, r.value) for r in
+           important_parts_q11(spark, SF_CORRECT).collect()}
+    assert {k: g[0] for k, g in got.items()} == expect and len(got) >= 2
+    for pk, (v4, val) in got.items():
+        assert _close(val, v4 / 10000.0, 1e-4)
