@@ -3642,3 +3642,114 @@ def test_important_parts_q11_replay(spark):
     assert {k: g[0] for k, g in got.items()} == expect and len(got) >= 2
     for pk, (v4, val) in got.items():
         assert _close(val, v4 / 10000.0, 1e-4)
+
+
+def test_top_supplier_q15_replay(spark):
+    """Q15 view + scalar MAX replayed with one Counter; exact integer
+    equality against the max, possibly multiple winners."""
+    from chopin_spark.queries.relational import top_supplier_q15
+    from chopin_spark.tables import load
+
+    rev = collections.Counter()
+    for r in _li_rows(spark, [
+            "l_suppkey", "CAST(l_shipdate AS STRING) AS sd",
+            "CAST(l_extendedprice AS DOUBLE) AS price",
+            "CAST(l_discount AS DOUBLE) AS disc"]):
+        if "1996-01-01" <= r.sd < "1996-04-01":
+            rev[r.l_suppkey] += math.floor(
+                r.price * (1 - r.disc) * 10000 + 0.5)
+    mx = max(rev.values())
+    sname = {r.s_suppkey: r.s_name for r in
+             load(spark, SF_CORRECT, "supplier")
+             .select("s_suppkey", "s_name").collect()}
+    expect = {sk: sname[sk] for sk, v in rev.items() if v == mx}
+    got = {r.s_suppkey: (r.s_name, r.total_revenue) for r in
+           top_supplier_q15(spark, SF_CORRECT).collect()}
+    assert {k: v[0] for k, v in got.items()} == expect
+    for v in got.values():
+        assert _close(v[1], mx / 10000.0, 1e-4)
+
+
+def test_parts_supplier_variety_q16_replay(spark):
+    """Q16 distinct-supplier counts with the NOT IN exclusion replayed
+    with sets."""
+    from chopin_spark.queries.relational import parts_supplier_variety_q16
+    from chopin_spark.tables import load
+
+    part = {r.p_partkey: (r.p_brand, r.p_type, int(r.p_size)) for r in
+            load(spark, SF_CORRECT, "part")
+            .select("p_partkey", "p_brand", "p_type", "p_size").collect()}
+    bad = {r.s_suppkey for r in
+           load(spark, SF_CORRECT, "supplier")
+           .select("s_suppkey", "s_acctbal").collect()
+           if float(r.s_acctbal) < 0}
+    per = collections.defaultdict(set)
+    for r in _li_rows(spark, ["l_partkey", "l_suppkey"]):
+        p = part.get(r.l_partkey)
+        if (p and p[0] != "Brand#3" and p[1] != "ECONOMY"
+                and p[2] in (1, 2, 5, 11, 28, 37)
+                and r.l_suppkey not in bad):
+            per[p].add(r.l_suppkey)
+    expect = {k: len(v) for k, v in per.items()}
+    got = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in
+           parts_supplier_variety_q16(spark, SF_CORRECT).collect()}
+    assert got == expect and len(got) >= 3
+
+
+def test_waiting_orders_q21_replay(spark):
+    """Q21 sole-returner logic replayed with per-order supplier sets."""
+    from chopin_spark.queries.relational import waiting_orders_q21
+    from chopin_spark.tables import load
+
+    finished = {r.o_orderkey for r in
+                load(spark, SF_CORRECT, "orders")
+                .select("o_orderkey", "o_orderstatus").collect()
+                if r.o_orderstatus == "F"}
+    supps = collections.defaultdict(set)
+    rsupps = collections.defaultdict(set)
+    rows = _li_rows(spark, ["l_orderkey", "l_suppkey", "l_returnflag"])
+    for r in rows:
+        supps[r.l_orderkey].add(r.l_suppkey)
+        if r.l_returnflag == "R":
+            rsupps[r.l_orderkey].add(r.l_suppkey)
+    expect = collections.Counter()
+    for r in rows:
+        ok, sk = r.l_orderkey, r.l_suppkey
+        if (r.l_returnflag == "R" and ok in finished
+                and len(supps[ok] - {sk}) > 0
+                and len(rsupps[ok] - {sk}) == 0):
+            expect[sk] += 1
+    got = {r.suppkey: r.numwait for r in
+           waiting_orders_q21(spark, SF_CORRECT).collect()}
+    assert got == dict(expect) and len(got) >= 2
+
+
+def test_lapsed_customers_q22_replay(spark):
+    """Q22 above-average-balance + no-recent-orders replayed with the
+    exact cents average and an anti set."""
+    from chopin_spark.queries.relational import lapsed_customers_q22
+    from chopin_spark.tables import load
+
+    cust = [(r.c_custkey, r.c_nationkey,
+             math.floor(float(r.c_acctbal) * 100 + 0.5),
+             float(r.c_acctbal))
+            for r in load(spark, SF_CORRECT, "customer")
+            .select("c_custkey", "c_nationkey", "c_acctbal").collect()]
+    pos = [c for c in cust if c[3] > 0.0]
+    ab = sum(c[2] for c in pos) / (100.0 * len(pos))
+    recent = {r.o_custkey for r in
+              load(spark, SF_CORRECT, "orders")
+              .selectExpr("o_custkey",
+                          "CAST(o_orderdate AS STRING) AS od").collect()
+              if r.od >= "1999-01-01"}
+    agg = collections.defaultdict(lambda: [0, 0])
+    for ck, nk, cents, bal in cust:
+        if bal > ab and ck not in recent:
+            agg[nk][0] += 1
+            agg[nk][1] += cents
+    got = {r.c_nationkey: (r.numcust, r.totacctbal) for r in
+           lapsed_customers_q22(spark, SF_CORRECT).collect()}
+    assert set(got) == set(agg) and len(got) >= 3
+    for nk, (n, cents) in agg.items():
+        assert got[nk][0] == n
+        assert abs(got[nk][1] - cents / 100.0) < 0.005 + 1e-9
