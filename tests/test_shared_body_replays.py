@@ -3753,3 +3753,179 @@ def test_lapsed_customers_q22_replay(spark):
     for nk, (n, cents) in agg.items():
         assert got[nk][0] == n
         assert abs(got[nk][1] - cents / 100.0) < 0.005 + 1e-9
+
+
+def test_utm_zone_rollup_replay(spark):
+    """UTM grid-zone designators (incl. 32V and Svalbard X-band
+    exceptions) replayed with a from-scratch implementation of the
+    public MGRS zone rules over the collected remapped lon/lat."""
+    from chopin_spark.queries.crsq import _LAT_UTM, _LON_EU, utm_zone_rollup
+    from chopin_spark.tables import load
+
+    bands = "CDEFGHJKLMNPQRSTUVWX"
+
+    def designator(lon, lat):
+        if lat < -80.0 or lat > 84.0:
+            return None
+        band = bands[min(int(math.floor((lat + 80.0) / 8.0)), 19)]
+        zone = min(max(int(math.floor((lon + 180.0) / 6.0)) + 1, 1), 60)
+        if band == "V" and 3.0 <= lon < 12.0:
+            zone = 32
+        elif band == "X":
+            if 0.0 <= lon < 9.0:
+                zone = 31
+            elif 9.0 <= lon < 21.0:
+                zone = 33
+            elif 21.0 <= lon < 33.0:
+                zone = 35
+            elif 33.0 <= lon < 42.0:
+                zone = 37
+        return f"{zone}{band}"
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    expect = collections.defaultdict(lambda: [0, 0])
+    for r in spark.sql(
+        f"SELECT {_LON_EU} AS lon, {_LAT_UTM} AS lat, n_chars"
+        " FROM documents"
+    ).collect():
+        st = expect[designator(r.lon, r.lat)]
+        st[0] += 1
+        st[1] += r.n_chars
+    got = {r.utm_zone: (r.n_docs, r.sum_chars) for r in
+           utm_zone_rollup(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    assert any(z and z.endswith("V") for z in got) \
+        and any(z and z.endswith("X") for z in got)
+
+
+def test_geohash_cell_rollup_replay(spark):
+    """Precision-5 geohashes replayed with the canonical public
+    bisection algorithm (interval halving + base32), independent of
+    the engine's floor-quantized bit expressions."""
+    from chopin_spark.queries.s2q import _LAT, _LON, geohash_cell_rollup
+    from chopin_spark.tables import load
+
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def geohash(lon, lat, p=5):
+        lo = [-180.0, 180.0]
+        la = [-90.0, 90.0]
+        out, bit, ch, even = [], 0, 0, True
+        while len(out) < p:
+            if even:
+                mid = (lo[0] + lo[1]) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lo[0] = mid
+                else:
+                    ch *= 2
+                    lo[1] = mid
+            else:
+                mid = (la[0] + la[1]) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    la[0] = mid
+                else:
+                    ch *= 2
+                    la[1] = mid
+            even = not even
+            bit += 1
+            if bit == 5:
+                out.append(b32[ch])
+                bit, ch = 0, 0
+        return "".join(out)
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    expect = collections.defaultdict(lambda: [0, 0])
+    for r in spark.sql(
+        f"SELECT {_LON} AS lon, {_LAT} AS lat, n_chars FROM documents"
+    ).collect():
+        st = expect[geohash(r.lon, r.lat)]
+        st[0] += 1
+        st[1] += r.n_chars
+    got = {r.geohash: (r.parent2, r.n_docs, r.sum_chars) for r in
+           geohash_cell_rollup(spark, SF_CORRECT).collect()}
+    assert {k: v[1:] for k, v in got.items()} \
+        == {k: tuple(v) for k, v in expect.items()}
+    for gh, (p2, _, _) in got.items():
+        assert p2 == gh[:2]
+
+
+def test_geodesic_nearest_city_replay(spark):
+    """Andoyer-Lambert geodesic argmin replayed with plain math over
+    the four anchors."""
+    from chopin_spark.queries.crsq import (
+        _GRS80_A, _GRS80_F, geodesic_nearest_city,
+    )
+    from chopin_spark.queries.s2q import _LAT, _LON
+    from chopin_spark.tables import load
+
+    anchors = [(1, -74.0060, 40.7128), (2, -118.2437, 34.0522),
+               (3, -87.6298, 41.8781), (4, -104.9903, 39.7392)]
+
+    def andoyer(dlon, dlat, alon, alat):
+        sf = math.sin(math.radians((dlat + alat) / 2))
+        cf = math.cos(math.radians((dlat + alat) / 2))
+        sg = math.sin(math.radians((dlat - alat) / 2))
+        cg = math.cos(math.radians((dlat - alat) / 2))
+        sl = math.sin(math.radians((dlon - alon) / 2))
+        cl = math.cos(math.radians((dlon - alon) / 2))
+        s = sg * sg * cl * cl + cf * cf * sl * sl
+        c = cg * cg * cl * cl + sf * sf * sl * sl
+        if not (s > 0 and c > 0):
+            return None
+        om = math.atan(math.sqrt(s / c))
+        return 2 * om * _GRS80_A * (
+            1 + _GRS80_F * ((3 * math.sqrt(s * c) / om - 1) / (2 * c)
+                            * sf * sf * cg * cg
+                            - (3 * math.sqrt(s * c) / om + 1) / (2 * s)
+                            * cf * cf * sg * sg))
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    expect = {}
+    for r in spark.sql(
+        f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents"
+    ).collect():
+        ds = [(andoyer(r.lon, r.lat, alon, alat), aid)
+              for aid, alon, alat in anchors]
+        ds = [(d, a) for d, a in ds if d is not None]
+        d, aid = min(ds)
+        expect[r.doc_id] = (aid, d)
+
+    got = {r.doc_id: (r.nearest_city, r.dist_km) for r in
+           geodesic_nearest_city(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for d, (aid, dist) in expect.items():
+        assert got[d][0] == aid
+        assert _close(got[d][1], dist / 1000.0, 1e-3)
+    assert len({a for a, _ in got.values()}) >= 3
+
+
+def test_zone_geodesic_areas_replay(spark):
+    """Spherical rect areas R²Δλ(sinφ2−sinφ1) and doc densities
+    replayed directly."""
+    from chopin_spark.queries.s2q import (
+        _LAT, _LON, _R_EARTH_KM, _ZONES, zone_geodesic_areas,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pts = [(r.lon, r.lat) for r in spark.sql(
+        f"SELECT {_LON} AS lon, {_LAT} AS lat FROM documents").collect()]
+    expect = {}
+    for zid, lon1, lon2, lat1, lat2 in _ZONES:
+        area = (_R_EARTH_KM ** 2 * ((lon2 - lon1) * math.pi / 180.0)
+                * (math.sin(lat2 * math.pi / 180.0)
+                   - math.sin(lat1 * math.pi / 180.0)))
+        n = sum(1 for (lo, la) in pts
+                if lon1 <= lo < lon2 and lat1 <= la < lat2)
+        if n:
+            expect[zid] = (area, n, n / area * 1000.0)
+
+    got = {r.zone_id: r for r in
+           zone_geodesic_areas(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 5
+    for zid, (area, n, dens) in expect.items():
+        assert got[zid].n_docs == n
+        assert abs(got[zid].area_km2 - area) < 1e-6
+        assert _close(got[zid].docs_per_1000km2, dens, 1e-4)
