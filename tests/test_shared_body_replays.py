@@ -3929,3 +3929,174 @@ def test_zone_geodesic_areas_replay(spark):
         assert got[zid].n_docs == n
         assert abs(got[zid].area_km2 - area) < 1e-6
         assert _close(got[zid].docs_per_1000km2, dens, 1e-4)
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_dedup_sorted_neighborhood_replay(spark):
+    """Sorted-neighborhood candidate pairs replayed with per-block
+    sorts and a from-scratch Levenshtein DP."""
+    from chopin_spark.queries.textops import (
+        _SNM_MAXLEV, dedup_sorted_neighborhood,
+    )
+    from chopin_spark.tables import load
+
+    blocks = collections.defaultdict(list)
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "lang", "text").collect():
+        blocks[(r.lang, r.text[:8])].append((r.text, r.doc_id))
+    expect = {}
+    for rows in blocks.values():
+        rows.sort()
+        for i, (ta, da) in enumerate(rows):
+            for k in (1, 2):
+                if i + k < len(rows):
+                    tb, db = rows[i + k]
+                    l48 = _lev(ta[:48], tb[:48])
+                    if l48 <= _SNM_MAXLEV:
+                        expect[(da, db, k)] = (l48, _lev(ta[:96], tb[:96]))
+    got = {(r.doc_a, r.doc_b, r.win_offset): (r.lev48, r.lev96)
+           for r in dedup_sorted_neighborhood(spark, SF_CORRECT).collect()}
+    assert got == expect and len(got) >= 2
+
+
+def test_shingle_novelty_by_epoch_replay(spark):
+    """First-seen shingle novelty per quarter replayed with sets."""
+    from chopin_spark.queries.webtext import shingle_novelty_by_epoch
+    from chopin_spark.tables import load
+
+    per_epoch = collections.defaultdict(set)
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "text").collect():
+        w = r.text.split(" ")
+        if len(w) < 5:
+            continue
+        eq = int(((r.doc_id * 48271) % 31536000) // 7884000.0)
+        for i in range(len(w) - 4):
+            per_epoch[eq].add(" ".join(w[i:i + 5]))
+    first = {}
+    for eq in sorted(per_epoch):
+        for s in per_epoch[eq]:
+            first.setdefault(s, eq)
+    got = {r.epoch_q: (r.n_shingles, r.n_novel, r.novelty_ratio)
+           for r in shingle_novelty_by_epoch(spark, SF_CORRECT).collect()}
+    assert set(got) == set(per_epoch) and len(got) == 4
+    for eq, sh in per_epoch.items():
+        novel = sum(1 for s in sh if first[s] == eq)
+        assert got[eq][:2] == (len(sh), novel)
+        assert _close(got[eq][2], novel / len(sh), 1e-6)
+    assert got[min(got)][2] == 1.0  # first epoch: everything novel
+
+
+def test_hard_negative_mining_replay(spark):
+    """BM25-over-bigrams hard negatives replayed with Counters: rare
+    anchor terms (df*10 <= n), cross-source negatives, round-then-rank
+    top-5 per anchor."""
+    from chopin_spark.queries.textops import (
+        _HN_B, _HN_K, _HN_K1, _HN_MOD, _HN_RES, hard_negative_mining,
+    )
+    from chopin_spark.tables import load
+
+    docs = {}
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "source", "text").collect():
+        w = r.text.split(" ")
+        if len(w) >= 2:
+            docs[r.doc_id] = (r.source,
+                              [" ".join(w[i:i + 2])
+                               for i in range(len(w) - 1)])
+    n_docs = len(docs)
+    avgdl = sum(len(bg) for (_, bg) in docs.values()) / n_docs
+    post = {d: collections.Counter(bg) for d, (_, bg) in docs.items()}
+    df = collections.Counter(
+        t for tc in post.values() for t in tc)
+    expect = {}
+    for q, (qsrc, _) in docs.items():
+        if q % _HN_MOD != _HN_RES:
+            continue
+        qt = [t for t in post[q] if df[t] * 10 <= n_docs]
+        scored = {}
+        for d, (src, bg) in docs.items():
+            if d == q or src == qsrc:
+                continue
+            shared = [t for t in qt if t in post[d]]
+            if not shared:
+                continue
+            s = 0.0
+            for t in shared:
+                tf = post[d][t]
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                dl = len(bg)
+                s += idf * (tf * (_HN_K1 + 1.0)) / (
+                    tf + _HN_K1 * (1.0 - _HN_B + _HN_B * dl / avgdl))
+            scored[d] = (_round_half_away(s), len(shared))
+        ranked = sorted(scored.items(),
+                        key=lambda kv: (-kv[1][0], kv[0]))[:_HN_K]
+        for rk, (d, (sc, ns)) in enumerate(ranked, 1):
+            expect[(q, d)] = (rk, sc, ns)
+
+    got = {(r.q_id, r.neg_id): (r.rank, r.score_bm25, r.n_shared_terms)
+           for r in hard_negative_mining(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 3
+    for k, (rk, sc, ns) in expect.items():
+        assert got[k][0] == rk and got[k][2] == ns
+        assert _close(got[k][1], sc, 1e-4)
+
+
+def test_ann_mmr_rerank_replay(spark):
+    """The 3-step greedy MMR replayed with plain loops: rounded
+    cosines, lambda-tradeoff scores, max-sim-to-selected."""
+    from chopin_spark.queries.simsearch import (
+        _MMR_K0, _MMR_LAMBDA, ann_mmr_rerank,
+    )
+    from chopin_spark.tables import load
+
+    raw = {r.vec_id: list(r.embedding) for r in
+           load(spark, SF_CORRECT, "embeddings")
+           .select("vec_id", "embedding").collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def cos(a, b):
+        return _round_half_away(
+            fold_dot(a, b)
+            / (math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))))
+
+    q = raw[0]
+    rel = {v: cos(e, q) for v, e in raw.items() if v != 0}
+    pool = [v for v, _ in sorted(rel.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:_MMR_K0]]
+    sim = {(a, b): cos(raw[a], raw[b])
+           for a in pool for b in pool if a != b}
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    s1 = min(pool, key=lambda v: (-rel[v], v))
+    r2 = {v: _round_half_away(lam * rel[v] - mu * sim[(v, s1)], 6)
+          for v in pool if v != s1}
+    s2 = min(r2, key=lambda v: (-r2[v], v))
+    r3 = {v: _round_half_away(
+        lam * rel[v] - mu * max(sim[(v, s1)], sim[(v, s2)]), 6)
+        for v in pool if v not in (s1, s2)}
+    s3 = min(r3, key=lambda v: (-r3[v], v))
+    expect = [(1, s1, rel[s1], rel[s1]), (2, s2, rel[s2], r2[s2]),
+              (3, s3, rel[s3], r3[s3])]
+
+    got = [(r.mmr_rank, r.vec_id, r.rel, r.mmr_score) for r in
+           ann_mmr_rerank(spark, SF_CORRECT).orderBy("mmr_rank").collect()]
+    assert [g[:2] for g in got] == [e[:2] for e in expect]
+    for g, e in zip(got, expect):
+        assert _close(g[2], e[2], 1e-4) and _close(g[3], e[3], 1e-6)
