@@ -4100,3 +4100,149 @@ def test_ann_mmr_rerank_replay(spark):
     assert [g[:2] for g in got] == [e[:2] for e in expect]
     for g, e in zip(got, expect):
         assert _close(g[2], e[2], 1e-4) and _close(g[3], e[3], 1e-6)
+
+
+def test_trajectory_stay_points_replay(spark):
+    """Li et al. stay-point segmentation replayed sequentially: break
+    on >150 km jumps, keep runs of >= 2 pings, centroid + dwell."""
+    from chopin_spark.queries.temporalq import (
+        _STAY_R2, trajectory_stay_points,
+    )
+    from chopin_spark import sqlexpr as _sx
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "events").createOrReplaceTempView("events")
+    rows = spark.sql(
+        f"SELECT user_id, ts, event_id, {_sx.x_expr('event_id')} AS x,"
+        f" {_sx.y_expr('event_id')} AS y,"
+        " unix_micros(CAST(ts AS TIMESTAMP)) AS us FROM events"
+    ).collect()
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.user_id].append((r.ts, r.event_id, r.x, r.y, r.us))
+    expect = {}
+    for uid, pings in per.items():
+        pings.sort(key=lambda p: (p[0], p[1]))
+        seg_id, px, py = 0, None, None
+        segs = collections.defaultdict(list)
+        for (_, eid, x, y, us) in pings:
+            if px is None or (x - px) ** 2 + (y - py) ** 2 > _STAY_R2:
+                seg_id += 1
+            segs[seg_id].append((eid, x, y, us))
+            px, py = x, y
+        for sid, g in segs.items():
+            if len(g) >= 2:
+                expect[(uid, sid)] = (
+                    len(g), min(e for e, _, _, _ in g),
+                    max(u for _, _, _, u in g) - min(u for _, _, _, u in g),
+                    sum(x for _, x, _, _ in g) / len(g),
+                    sum(y for _, _, y, _ in g) / len(g))
+    got = {(r.user_id, r.seg_id): r for r in
+           trajectory_stay_points(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 3
+    for k, (n, fe, dw, cx, cy) in expect.items():
+        row = got[k]
+        assert (row.n_pings, row.first_event, row.dwell_us) == (n, fe, dw)
+        assert _close(row.cx, cx, 1e-4) and _close(row.cy, cy, 1e-4)
+
+
+def test_voronoi_seed_regions_replay(spark):
+    """Discrete nearest-seed tessellation replayed with the encoded
+    integer argmin and a dict doc rollup."""
+    from chopin_spark.queries.spatial import (
+        _DOC_X, _DOC_Y, _VOR_CH, _VOR_CW, _VOR_NX, _VOR_NY,
+        voronoi_seed_regions,
+    )
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "supplier").createOrReplaceTempView("supplier")
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    seeds = [(r.s_suppkey, r.sx, r.sy) for r in spark.sql(
+        f"SELECT s_suppkey, {sx.x_expr('s_suppkey')} AS sx,"
+        f" {sx.y_expr('s_suppkey')} AS sy FROM supplier"
+        " WHERE s_suppkey % 17 = 3").collect()]
+    per_cell = collections.defaultdict(lambda: [0, 0])
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_DOC_X} / {_VOR_CW!r}) AS BIGINT) AS gx,"
+        f" CAST(FLOOR({_DOC_Y} / {_VOR_CH!r}) AS BIGINT) AS gy, n_chars"
+        " FROM documents").collect():
+        st = per_cell[(r.gx, r.gy)]
+        st[0] += 1
+        st[1] += r.n_chars
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for gx in range(_VOR_NX):
+        for gy in range(_VOR_NY):
+            cx, cy = (gx + 0.5) * _VOR_CW, (gy + 0.5) * _VOR_CH
+            seed = min(
+                math.floor((cx - sx_) ** 2 + (cy - sy_) ** 2 + 0.5)
+                * 16384 + sk
+                for sk, sx_, sy_ in seeds) % 16384
+            st = agg[seed]
+            st[0] += 1
+            pc = per_cell.get((gx, gy))
+            if pc:
+                st[1] += pc[0]
+                st[2] += pc[1]
+    got = {r.seed: r for r in
+           voronoi_seed_regions(spark, SF_CORRECT).collect()}
+    assert set(got) == set(agg) and len(got) == len(seeds)
+    for seed, (nc, nd, ch) in agg.items():
+        row = got[seed]
+        assert (row.n_cells, row.n_docs, row.sum_chars) == (nc, nd, ch)
+        assert _close(row.area_km2, nc * _VOR_CW * _VOR_CH / 1e6, 1e-4)
+
+
+def test_ffunction_empty_space_replay(spark):
+    """F-function (probe-to-pattern NN ECDF at 48 fixed probes)
+    replayed with a double loop."""
+    from chopin_spark.queries.pointpat import (
+        _DX, _DY, _GF_RADII, ffunction_empty_space,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pts = [(r.x, r.y) for r in spark.sql(
+        f"SELECT {_DX} AS x, {_DY} AS y FROM documents").collect()]
+    nn = []
+    for pi in range(8):
+        for pj in range(6):
+            px, py = (pi + 0.5) * 100000.0, (pj + 0.5) * 100000.0
+            nn.append(min(math.sqrt((x - px) ** 2 + (y - py) ** 2)
+                          for (x, y) in pts))
+    row = ffunction_empty_space(spark, SF_CORRECT).collect()[0]
+    for r in _GF_RADII:
+        expect = sum(1 for d in nn if d <= r) / 48.0
+        assert _close(getattr(row, f"ecdf_{int(r // 1000)}km"),
+                      expect, 1e-6)
+    assert row.ecdf_30km > row.ecdf_5km
+
+
+def test_min_cost_supplier_q2_replay(spark):
+    """Q2 correlated scalar MIN replayed with a per-part min dict;
+    all min-price lines for size-5 parts survive."""
+    from chopin_spark.queries.relational import min_cost_supplier_q2
+    from chopin_spark.tables import load
+
+    size5 = {r.p_partkey: r.p_brand for r in
+             load(spark, SF_CORRECT, "part")
+             .select("p_partkey", "p_brand", "p_size").collect()
+             if int(r.p_size) == 5}
+    rows = _li_rows(spark, [
+        "l_partkey", "l_suppkey",
+        "CAST(l_extendedprice AS DOUBLE) AS price"])
+    pmin = {}
+    for r in rows:
+        if r.l_partkey not in pmin or r.price < pmin[r.l_partkey]:
+            pmin[r.l_partkey] = r.price
+    expect = {}
+    for r in rows:
+        if r.l_partkey in size5 and r.price == pmin[r.l_partkey]:
+            expect[(r.l_partkey, r.l_suppkey)] = (
+                size5[r.l_partkey], round(r.price, 2))
+    got = {(r.p_partkey, r.l_suppkey): (r.p_brand, r.best_price)
+           for r in min_cost_supplier_q2(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 2
+    for k, (brand, price) in expect.items():
+        assert got[k][0] == brand
+        assert abs(got[k][1] - price) < 0.005 + 1e-9
