@@ -4246,3 +4246,162 @@ def test_min_cost_supplier_q2_replay(spark):
     for k, (brand, price) in expect.items():
         assert got[k][0] == brand
         assert abs(got[k][1] - price) < 0.005 + 1e-9
+
+
+def test_promo_part_suppliers_q20_replay(spark):
+    """Q20 nested-IN majority test replayed with two Counter levels."""
+    from chopin_spark.queries.relational import promo_part_suppliers_q20
+    from chopin_spark.tables import load
+
+    red = {r.p_partkey for r in
+           load(spark, SF_CORRECT, "part")
+           .select("p_partkey", "p_name").collect()
+           if r.p_name.startswith("red")}
+    w = collections.Counter()
+    for r in _li_rows(spark, [
+            "l_suppkey", "l_partkey", "CAST(l_shipdate AS STRING) AS sd",
+            "CAST(l_quantity AS BIGINT) AS qty"]):
+        if r.l_partkey in red and "1996-01-01" <= r.sd < "1997-01-01":
+            w[(r.l_suppkey, r.l_partkey)] += r.qty
+    tot = collections.Counter()
+    for (sk, pk), sq in w.items():
+        tot[pk] += sq
+    winners = {sk for (sk, pk), sq in w.items() if 2 * sq > tot[pk]}
+    sname = {r.s_suppkey: r.s_name for r in
+             load(spark, SF_CORRECT, "supplier")
+             .select("s_suppkey", "s_name").collect()}
+    expect = {sk: sname[sk] for sk in winners}
+    got = {r.s_suppkey: r.s_name for r in
+           promo_part_suppliers_q20(spark, SF_CORRECT).collect()}
+    assert got == expect and len(got) >= 1
+
+
+def test_modularity_lpa_hosts_replay(spark):
+    """Three synchronous LPA rounds (encoded majority tie-break) and
+    Newman-Girvan Q replayed with dicts over the derived host graph."""
+    from chopin_spark.queries.graphq import (
+        _LP_ROUNDS, _SEED_MOD, modularity_lpa_hosts,
+    )
+    from chopin_spark.tables import load
+
+    und = set()
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id").collect():
+        s = (r.doc_id * 69069) % 97
+        d = ((r.doc_id * 48271) + 17) % 97
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nodes = {s for s, _ in und}
+    adj = collections.defaultdict(list)
+    for s, d in und:
+        adj[s].append(d)
+
+    lbl = {v: (v % 3 if v % _SEED_MOD == 0 else None) for v in nodes}
+    for _ in range(_LP_ROUNDS):
+        cnt = collections.defaultdict(collections.Counter)
+        for s, d in und:
+            if lbl[s] is not None:
+                cnt[d][lbl[s]] += 1
+        new = {}
+        for v in nodes:
+            if v % _SEED_MOD == 0:
+                new[v] = v % 3
+            elif cnt[v]:
+                enc = max(c * 4 + (3 - lb) for lb, c in cnt[v].items())
+                new[v] = 3 - (enc % 4)
+            else:
+                new[v] = None
+        lbl = new
+    comm = {v: (1000 + v if lb is None else lb) for v, lb in lbl.items()}
+    m2 = len(und)
+    intra = sum(1 for s, d in und if comm[s] == comm[d])
+    dc = collections.Counter(comm[s] for s, _ in und)
+    sd2 = sum(d * d for d in dc.values())
+    q = intra / m2 - sd2 / (m2 * m2)
+
+    row = modularity_lpa_hosts(spark, SF_CORRECT).collect()[0]
+    assert (row.n_edges, row.n_comms, row.intra_edges) \
+        == (m2 // 2, len(set(comm.values())), intra // 2)
+    assert _close(row.modularity_q, q, 1e-6)
+    assert row.modularity_q > 0
+
+
+def test_raster_hillshade_replay(spark):
+    """Trig-free hillshade (normal dot baked sun vector) replayed over
+    the synthetic elevation formula."""
+    from chopin_spark.queries.costdistq import (
+        _HS_SX, _HS_SY, _HS_SZ, H, W, raster_hillshade,
+    )
+
+    def z(x, y):
+        return ((x + y * W) * 389) % (W * H)
+
+    expect = {}
+    for x in range(1, W - 1):
+        for y in range(1, H - 1):
+            gx = (z(x + 1, y) - z(x - 1, y)) / 2.0
+            gy = (z(x, y + 1) - z(x, y - 1)) / 2.0
+            dot = (0.0 - gx) * _HS_SX + (0.0 - gy) * _HS_SY + _HS_SZ
+            norm = math.sqrt(gx * gx + gy * gy + 1.0)
+            expect[(x, y)] = max(dot / norm, 0.0)
+
+    got = {(r.x, r.y): r.shade for r in
+           raster_hillshade(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert _close(got[k], v, 1e-4)
+    # the synthetic surface's 389-step jumps keep normals far from the
+    # sun: both clipped-dark and lit cells must occur, peaks stay < 0.9
+    assert any(v == 0.0 for v in got.values()) \
+        and any(v > 0.05 for v in got.values())
+
+
+def test_str_pack_partition_replay(spark):
+    """Sort-tile-recursive packing replayed with explicit rank
+    statistics: LCG sample, x-quartile bounds, per-slab y-bounds,
+    leaf assignment and extents."""
+    from chopin_spark.queries.spatial import (
+        _DOC_X, _DOC_Y, _STR_SX, _STR_SY, str_pack_partition,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pts = [(r.doc_id, r.x, r.y) for r in spark.sql(
+        f"SELECT doc_id, {_DOC_X} AS x, {_DOC_Y} AS y FROM documents"
+    ).collect()]
+    smp = sorted(
+        ((x, y) for d, x, y in pts
+         if (d * 2654435761) % 1000003 < 50000))
+    n = len(smp)
+    bx = [smp[int(math.floor(i * n / float(_STR_SX))) - 1][0]
+          for i in (1, 2, 3)]
+
+    def xslab(x):
+        return sum(1 for b in bx if x > b)
+
+    slabs = collections.defaultdict(list)
+    for (x, y) in smp:
+        slabs[xslab(x)].append((y, x))
+    by = {}
+    for xs, rows in slabs.items():
+        rows.sort()
+        m = len(rows)
+        by[xs] = [rows[int(math.floor(j * m / float(_STR_SY))) - 1][0]
+                  for j in (1, 2, 3)]
+
+    leafs = collections.defaultdict(list)
+    for d, x, y in pts:
+        xs = xslab(x)
+        ys = sum(1 for b in by.get(xs, []) if y > b)
+        leafs[xs * _STR_SY + ys].append((x, y))
+    got = {r.leaf_id: r for r in
+           str_pack_partition(spark, SF_CORRECT).collect()}
+    assert set(got) == set(leafs) and len(got) >= 8
+    for lid, rows in leafs.items():
+        r = got[lid]
+        assert r.n_points == len(rows)
+        assert _close(r.xmin, min(x for x, _ in rows), 1e-4)
+        assert _close(r.xmax, max(x for x, _ in rows), 1e-4)
+        assert _close(r.ymin, min(y for _, y in rows), 1e-4)
+        assert _close(r.ymax, max(y for _, y in rows), 1e-4)
