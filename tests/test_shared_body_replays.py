@@ -4405,3 +4405,152 @@ def test_str_pack_partition_replay(spark):
         assert _close(r.xmax, max(x for x, _ in rows), 1e-4)
         assert _close(r.ymin, min(y for _, y in rows), 1e-4)
         assert _close(r.ymax, max(y for _, y in rows), 1e-4)
+
+
+def test_gwr_local_slope_replay(spark):
+    """Geographically weighted WLS slope/intercept replayed with
+    integer moment sums over quantized Gaussian weights."""
+    from chopin_spark.queries.interactq import (
+        _GWR_CH, _GWR_CW, _GWR_H, _GWR_NX, _GWR_NY, _GWR_R,
+        gwr_local_slope,
+    )
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pts = [(r.x, r.y, r.v) for r in spark.sql(
+        f"SELECT {sx.x_expr('doc_id')} AS x, {sx.y_expr('doc_id')} AS y,"
+        " CAST(n_chars AS BIGINT) AS v FROM documents").collect()]
+    expect = {}
+    for gi in range(_GWR_NX):
+        for gj in range(_GWR_NY):
+            cx, cy = (gi + 0.5) * _GWR_CW, (gj + 0.5) * _GWR_CH
+            n = sw = swu = swv = swuu = swuv = 0
+            for (x, y, v) in pts:
+                d2 = (x - cx) ** 2 + (y - cy) ** 2
+                if d2 > _GWR_R * _GWR_R:
+                    continue
+                u = math.floor(x / 1000.0)
+                wq = math.floor(
+                    4096 * math.exp(-d2 / (2.0 * _GWR_H ** 2)) + 0.5)
+                n += 1
+                sw += wq
+                swu += wq * u
+                swv += wq * v
+                swuu += wq * u * u
+                swuv += wq * u * v
+            slope = (sw * swuv - swu * swv) / (sw * swuu - swu * swu)
+            expect[(gi, gj)] = (n, slope, (swv - slope * swu) / sw)
+    got = {(r.gi, r.gj): r for r in
+           gwr_local_slope(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for k, (n, slope, icpt) in expect.items():
+        assert got[k].n_pts == n
+        assert _close(got[k].slope_chars_per_km, slope, 1e-6)
+        assert _close(got[k].intercept_chars, icpt, 1e-4)
+
+
+def test_road_bearing_anisotropy_replay(spark):
+    """Octant sign classification folded mod 4 and lattice lengths
+    replayed over the collected segment endpoints."""
+    from chopin_spark.queries.roads import (
+        _ANI_SPARK_SEGS, road_bearing_anisotropy,
+    )
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_W
+
+    segs = [(r.ax, r.ay, r.bx2, r.by2) for r in
+            spark.sql(_ANI_SPARK_SEGS).collect()]
+    agg = collections.defaultdict(lambda: [0, 0])
+    for ax, ay, bx, by in segs:
+        zone = (int(math.floor(((ay + by) / 2) / TRACT_H)) * TRACT_NX
+                + int(math.floor(((ax + bx) / 2) / TRACT_W)))
+        gx, gy = bx - ax, by - ay
+        axx, ayy = abs(gx), abs(gy)
+        if axx >= ayy and gx > 0 and gy >= 0:
+            oct_ = 0
+        elif axx < ayy and gy > 0 and gx >= 0:
+            oct_ = 1
+        elif axx < ayy and gy > 0 and gx < 0:
+            oct_ = 2
+        elif axx >= ayy and gx < 0 and gy >= 0:
+            oct_ = 3
+        elif axx >= ayy and gx < 0 and gy < 0:
+            oct_ = 4
+        elif axx < ayy and gy < 0 and gx <= 0:
+            oct_ = 5
+        elif axx < ayy and gy < 0 and gx > 0:
+            oct_ = 6
+        else:
+            oct_ = 7
+        st = agg[(zone, oct_ % 4)]
+        st[0] += 1
+        st[1] += math.floor(
+            math.sqrt(gx * gx + gy * gy) * 1024 + 0.5)
+    got = {(r.zone_num, r.sector): (r.n_segs, r.len_mm) for r in
+           road_bearing_anisotropy(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in agg.items()} and len(got) >= 10
+
+
+def test_concave_hull_cells_replay(spark):
+    """Occupied-cell complex statistics (area, boundary perimeter,
+    Euler characteristic) replayed with sets of packed keys."""
+    from chopin_spark.queries.polygons import (
+        _CH_CH, _CH_CW, _X, _Y, concave_hull_cells,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    cells = {(int(math.floor(r.x / _CH_CW)), int(math.floor(r.y / _CH_CH)))
+             for r in spark.sql(
+                 f"SELECT ({_X}) AS x, ({_Y}) AS y FROM documents"
+             ).collect()}
+    f = len(cells)
+    eh = len({(cx, cy + b) for (cx, cy) in cells for b in (0, 1)})
+    ev = len({(cx + a, cy) for (cx, cy) in cells for a in (0, 1)})
+    vv = len({(cx + a, cy + b) for (cx, cy) in cells
+              for a in (0, 1) for b in (0, 1)})
+    row = concave_hull_cells(spark, SF_CORRECT).collect()[0]
+    assert row.n_cells == f
+    assert _close(row.area_km2, f * _CH_CW * _CH_CH / 1e6, 1e-4)
+    assert _close(row.perim_km,
+                  (2 * eh - 2 * f) * _CH_CW / 1000.0
+                  + (2 * ev - 2 * f) * _CH_CH / 1000.0, 1e-4)
+    assert row.euler_chi == vv - eh - ev + f
+
+
+def test_spatial_cv_folds_replay(spark):
+    """Buffered spatial CV fold sizes replayed with dict arithmetic:
+    hash fold per tract, 8-adjacent buffer membership."""
+    from chopin_spark.queries.spatial import (
+        _CV_K, _CV_NX, _CV_NY, _CV_TX, _CV_TY, spatial_cv_folds,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    pts = [(r.tx, r.ty) for r in spark.sql(
+        f"SELECT {_CV_TX} AS tx, {_CV_TY} AS ty FROM documents").collect()]
+    n = len(pts)
+
+    def fold(tx, ty):
+        return (tx * 7 + ty * 13) % _CV_K
+
+    expect = {}
+    for k in range(_CV_K):
+        test = buf = 0
+        for (tx, ty) in pts:
+            own = fold(tx, ty)
+            if own == k:
+                test += 1
+            else:
+                touch = any(
+                    0 <= tx + dx < _CV_NX and 0 <= ty + dy < _CV_NY
+                    and fold(tx + dx, ty + dy) == k
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                    if (dx, dy) != (0, 0))
+                if touch:
+                    buf += 1
+        expect[k] = (test, buf, n - test - buf)
+    got = {r.fold: (r.n_test, r.n_buffer, r.n_train) for r in
+           spatial_cv_folds(spark, SF_CORRECT).collect()}
+    assert got == expect and len(got) == _CV_K
+    assert all(v[1] > 0 for v in got.values())
