@@ -4554,3 +4554,242 @@ def test_spatial_cv_folds_replay(spark):
            spatial_cv_folds(spark, SF_CORRECT).collect()}
     assert got == expect and len(got) == _CV_K
     assert all(v[1] > 0 for v in got.values())
+
+
+def test_route_locate_by_measure_replay(spark):
+    """Linear referencing replayed with per-route running sums: 5
+    hash measures located into segments and interpolated."""
+    from chopin_spark.queries.roads import (
+        _LRS_EV_K, road_segments, route_locate_by_measure,
+    )
+
+    segs = collections.defaultdict(list)
+    for r in road_segments(spark, 800).collect():
+        segs[r.line_id].append((r.seg, r.ax, r.ay, r.bx, r.by))
+    expect = {}
+    for lid, ss in segs.items():
+        ss.sort()
+        lo, cum = 0.0, []
+        for (seg, ax, ay, bx, by) in ss:
+            sl = math.sqrt((bx - ax) ** 2 + (by - ay) ** 2)
+            cum.append((seg, ax, ay, bx, by, sl, lo))
+            lo += sl
+        tlen = lo
+        for k in range(_LRS_EV_K):
+            m = (lid * 7 + k * 13) % 97 / 97.0 * tlen
+            for (seg, ax, ay, bx, by, sl, lo_) in cum:
+                if lo_ <= m < lo_ + sl:
+                    t = (m - lo_) / sl
+                    expect[(lid, k)] = (seg, m, ax + t * (bx - ax),
+                                        ay + t * (by - ay))
+                    break
+    got = {(r.line_id, r.ev_id): r for r in
+           route_locate_by_measure(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for k, (seg, m, px, py) in expect.items():
+        row = got[k]
+        assert row.seg == seg
+        assert _close(row.measure, m, 1e-4)
+        assert _close(row.px, px, 1e-4) and _close(row.py, py, 1e-4)
+
+
+def test_s2_write_layout_plan_replay(spark):
+    """Hilbert-ordered bin packing replayed: per-cell aggregates from
+    the numpy S2 chain, running-sum file assignment, contiguous
+    [range_min, range_max] intervals."""
+    import numpy as np
+    from chopin_spark import s2
+    from chopin_spark.queries.s2q import (
+        _LAT, _LEVEL, _LON, s2_write_layout_plan,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    rows = spark.sql(
+        f"SELECT {_LON} AS lon, {_LAT} AS lat, n_chars FROM documents"
+    ).collect()
+    lon = np.array([r.lon for r in rows])
+    lat = np.array([r.lat for r in rows])
+    f, u, v = s2.xyz_to_face_uv(*s2.lonlat_to_xyz(lon, lat))
+    i = s2.st_to_ij(s2.uv_to_st(u), _LEVEL)
+    j = s2.st_to_ij(s2.uv_to_st(v), _LEVEL)
+    pref = s2.prefix_from_cell_id(s2.cell_id(f, i, j, _LEVEL), _LEVEL)
+    cells = collections.defaultdict(lambda: [0, 0])
+    for p, r in zip(pref, rows):
+        st = cells[int(p)]
+        st[0] += 1
+        st[1] += r.n_chars
+    files = collections.defaultdict(lambda: [None, None, 0, 0])
+    prev = 0
+    for p in sorted(cells):
+        nd, by = cells[p]
+        fid = int(math.floor(prev / 20000.0))
+        st = files[fid]
+        st[0] = p if st[0] is None else min(st[0], p)
+        st[1] = p if st[1] is None else max(st[1], p)
+        st[2] += nd
+        st[3] += by
+        prev += by
+    got = {r.file_id: (r.range_min, r.range_max, r.n_docs, r.sum_bytes)
+           for r in s2_write_layout_plan(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in files.items()} and len(got) >= 5
+    ordered = [got[k] for k in sorted(got)]
+    assert all(a[1] < b[0] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_hilbert_write_layout_plan_replay(spark):
+    """Planar Hilbert xy2d (from-scratch loop) + bin packing replayed
+    over the per-cell aggregates."""
+    from chopin_spark import sqlexpr as sx
+    from chopin_spark.queries.s2q import hilbert_write_layout_plan
+    from chopin_spark.tables import load
+
+    def xy2d(order, x, y):
+        rx = ry = 0
+        d = 0
+        s = (1 << order) >> 1
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    n = 1 << 6
+    cells = collections.defaultdict(lambda: [0, 0])
+    for r in spark.sql(
+        f"SELECT {sx.grid_ix_expr(sx.x_expr('doc_id'), n)} AS hx,"
+        f" {sx.grid_iy_expr(sx.y_expr('doc_id'), n)} AS hy, n_chars"
+        " FROM documents"
+    ).collect():
+        st = cells[xy2d(6, int(r.hx), int(r.hy))]
+        st[0] += 1
+        st[1] += r.n_chars
+    files = collections.defaultdict(lambda: [None, None, 0, 0, 0])
+    prev = 0
+    for hd in sorted(cells):
+        nd, by = cells[hd]
+        fid = int(math.floor(prev / 20000.0))
+        st = files[fid]
+        st[0] = hd if st[0] is None else min(st[0], hd)
+        st[1] = hd if st[1] is None else max(st[1], hd)
+        st[2] += 1
+        st[3] += nd
+        st[4] += by
+        prev += by
+    got = {r.file_id: (r.range_min, r.range_max, r.n_cells, r.n_docs,
+                       r.sum_bytes)
+           for r in hilbert_write_layout_plan(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in files.items()} and len(got) >= 5
+
+
+def test_pycnophylactic_smooth_replay(spark):
+    """Tobler's mass-preserving smoothing replayed with two explicit
+    rounds on the micro-unit lattice: self+rook average, half-up
+    requantize, zone renormalization."""
+    from chopin_spark.queries.spatial import (
+        _DOC_X, _DOC_Y, _PYC_CPZ, _PYC_NX, _PYC_NY, pycnophylactic_smooth,
+    )
+    from chopin_spark.tables import load
+    from chopin_spark.zones import TRACT_H, TRACT_NX, TRACT_NY, TRACT_W
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    mass = collections.Counter()
+    for r in spark.sql(
+        f"SELECT CAST(FLOOR({_DOC_Y} / {TRACT_H!r}) AS BIGINT) * {TRACT_NX}"
+        f" + CAST(FLOOR({_DOC_X} / {TRACT_W!r}) AS BIGINT) AS zone,"
+        " CAST(SUM(n_chars) AS BIGINT) AS m FROM documents GROUP BY 1"
+    ).collect():
+        mass[r.zone] = r.m * 1000000
+
+    kx, ky = _PYC_NX // TRACT_NX, _PYC_NY // TRACT_NY
+    zone_of = {(gx, gy): (gy // ky) * TRACT_NX + (gx // kx)
+               for gx in range(_PYC_NX) for gy in range(_PYC_NY)}
+    g = {c: math.floor(mass[z] / float(_PYC_CPZ) + 0.5)
+         for c, z in zone_of.items()}
+    for _ in range(2):
+        s = {}
+        for (gx, gy), _v in g.items():
+            nb = [g[(nx_, ny_)] for (nx_, ny_) in
+                  ((gx, gy), (gx + 1, gy), (gx - 1, gy),
+                   (gx, gy + 1), (gx, gy - 1)) if (nx_, ny_) in g]
+            s[(gx, gy)] = math.floor(sum(nb) / float(len(nb)) + 0.5)
+        zv = collections.Counter()
+        for c, v in s.items():
+            zv[zone_of[c]] += v
+        g = {c: (math.floor(v * (mass[zone_of[c]] / float(zv[zone_of[c]]))
+                            + 0.5) if zv[zone_of[c]] > 0 else 0)
+             for c, v in s.items()}
+    expect = {}
+    for c, v in g.items():
+        z = zone_of[c]
+        st = expect.setdefault(z, [0, 0, None, None])
+        st[0] += 1
+        st[1] += v
+        st[2] = v if st[2] is None else min(st[2], v)
+        st[3] = v if st[3] is None else max(st[3], v)
+    got = {r.zone: r for r in
+           pycnophylactic_smooth(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for z, (nc, sv, mn, mx) in expect.items():
+        row = got[z]
+        assert row.n_cells == nc
+        assert _close(row.zone_mass_check, sv / 1e6, 1e-4)
+        assert _close(row.v_range, (mx - mn) / 1e6, 1e-4)
+        assert _close(row.v_max, mx / 1e6, 1e-4)
+
+
+def test_chaikin_smooth_roads_replay(spark):
+    """Two Chaikin corner-cut rounds on the 4^k integer lattice
+    replayed as list transforms; length and dyadic roughness stats."""
+    from chopin_spark.queries.simplifyq import (
+        _M, _NL, chaikin_smooth_roads,
+    )
+
+    def verts(l):
+        out = []
+        for i in range(_M):
+            x = i * 500 + ((l * 7 + i * 13) % 41) - 20
+            y = (l * 10000 + abs((i * 125 + l * 237) % 4000 - 2000)
+                 - 1000 + ((l * 13 + i * 29) % 41) - 20)
+            out.append((x, y))
+        return out
+
+    def chaikin(vs):
+        out = [(vs[0][0] * 4, vs[0][1] * 4)]
+        for (ax, ay), (bx, by) in zip(vs, vs[1:]):
+            out.append((3 * ax + bx, 3 * ay + by))
+            out.append((ax + 3 * bx, ay + 3 * by))
+        out.append((vs[-1][0] * 4, vs[-1][1] * 4))
+        # emitted idx order: 0, then 2i+1 / 2i+2 interleaved, then tail
+        return out
+
+    def stats(vs):
+        n = len(vs)
+        s = sum(math.sqrt((bx - ax) ** 2 + (by - ay) ** 2)
+                for (ax, ay), (bx, by) in zip(vs, vs[1:]))
+        rough = sum((cx - 2 * bx + ax) ** 2 + (cy - 2 * by + ay) ** 2
+                    for (ax, ay), (bx, by), (cx, cy)
+                    in zip(vs, vs[1:], vs[2:]))
+        return n, s, rough
+
+    got = {r.line_id: r for r in
+           chaikin_smooth_roads(spark, SF_CORRECT).collect()}
+    assert len(got) == _NL
+    for l in range(_NL):
+        v0 = verts(l)
+        v2 = chaikin(chaikin(v0))
+        n0, s0, r0 = stats(v0)
+        n2, s2, r2 = stats(v2)
+        row = got[l]
+        assert (row.n_before, row.n_after) == (n0, n2)
+        assert row.rough_before == r0
+        assert _close(row.len_before, s0, 1e-4)
+        assert _close(row.len_after, s2 / 16.0, 1e-4)
+        assert _close(row.rough_after, r2 / 256.0, 1e-4)
+        assert row.rough_after < row.rough_before
