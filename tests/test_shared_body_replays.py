@@ -4793,3 +4793,152 @@ def test_chaikin_smooth_roads_replay(spark):
         assert _close(row.len_after, s2 / 16.0, 1e-4)
         assert _close(row.rough_after, r2 / 256.0, 1e-4)
         assert row.rough_after < row.rough_before
+
+
+_P30 = 1_000_000_007
+
+
+def _cf(s, mult=31):
+    h = 0
+    for ch in s:
+        h = (h * mult + ord(ch)) % _P30
+    return h
+
+
+def test_hll_distinct_urls_replay(spark):
+    """The from-scratch HLL (64 registers, BIN-length rank, dyadic
+    inverse-power fold, linear-counting correction) replayed with
+    dicts over re-derived URLs."""
+    from chopin_spark.pages import CCTLDS
+    from chopin_spark.queries.sketchq import hll_distinct_urls
+    from chopin_spark.tables import load
+
+    urls = set()
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id").collect():
+        d = r.doc_id
+        url = (f"https://h{(d * 69069) % 99991}.example."
+               f"{CCTLDS[(d * 2654435761) % len(CCTLDS)]}/p/{d}")
+        urls.add(url)
+    regs = collections.defaultdict(int)
+    for u in urls:
+        h1, h2 = _cf(u, 31), _cf(u, 37)
+        rank = 31 if h2 == 0 else 31 - h2.bit_length()
+        regs[h1 % 64] = max(regs[h1 % 64], rank)
+    m_j = [regs.get(i, 0) for i in range(64)]
+    sum_inv = sum(2.0 ** -m for m in m_j)
+    n_zero = sum(1 for m in m_j if m == 0)
+    reg_chk = sum(m * ((i * 13) % 31) for i, m in enumerate(m_j))
+    est_raw = 0.709 * 64 * 64 / sum_inv
+    est_cor = (64 * math.log(64.0 / n_zero)
+               if est_raw <= 2.5 * 64 and n_zero > 0 else est_raw)
+
+    row = hll_distinct_urls(spark, SF_CORRECT).collect()[0]
+    assert (row.m, row.n_zero, row.reg_chk, row.n_exact) \
+        == (64, n_zero, reg_chk, len(urls))
+    assert _close(row.est_raw, est_raw, 1e-4)
+    assert _close(row.est_corrected, est_cor, 1e-4)
+    assert _close(row.rel_err, (est_raw - len(urls)) / len(urls), 1e-4)
+
+
+def test_countmin_heavy_hitters_replay(spark):
+    """The 4x256 Count-Min grid replayed with Counters; min-over-rows
+    estimates can only overcount."""
+    from chopin_spark.queries.sketchq import (
+        _CM_HASHES, _CM_P, _CM_PROBES, _CM_W, countmin_heavy_hitters,
+    )
+    from chopin_spark.tables import load
+
+    tf = collections.Counter()
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("text").collect():
+        tf.update(r.text.split(" "))
+    sketch = collections.Counter()
+    for tok, cnt in tf.items():
+        f = _cf(tok)
+        for hrow, ha, hb in _CM_HASHES:
+            sketch[(hrow, (f * ha + hb) % _CM_P % _CM_W)] += cnt
+    expect = {}
+    for term in _CM_PROBES:
+        f = _cf(term)
+        # inner-join semantics: cells no token hashed into do not
+        # exist in the sketch CTE, so they cannot win the MIN
+        est = min(sketch[c] for c in
+                  ((hrow, (f * ha + hb) % _CM_P % _CM_W)
+                   for hrow, ha, hb in _CM_HASHES) if c in sketch)
+        expect[term] = (est, tf.get(term, 0), est - tf.get(term, 0))
+    got = {r.term: (r.est_count, r.exact_count, r.overestimate)
+           for r in countmin_heavy_hitters(spark, SF_CORRECT).collect()}
+    assert got == expect
+    assert all(v[2] >= 0 for v in got.values())
+    assert got["zorro"][1] == 0  # the absent probe is pure collision mass
+
+
+def test_ams_f2_host_skew_replay(spark):
+    """AMS F2 (12 cubic-residue sign functions, median-of-3 group
+    means) replayed with integer sums."""
+    from chopin_spark.queries.sketchq import _AMS_COEFS, ams_f2_host_skew
+    from chopin_spark.tables import load
+
+    hosts = [int(math.floor(97.0 / ((r.doc_id % 97) + 1))) for r in
+             load(spark, SF_CORRECT, "documents")
+             .select("doc_id").collect()]
+    n = len(hosts)
+    z = []
+    for a, b in _AMS_COEFS:
+        tot = 0
+        for h in hosts:
+            s = (h * a + b) % 9973
+            tot += 1 if (s * s * s % 9973) % 2 == 0 else -1
+        z.append(tot)
+    groups = [sum(z[g * 4 + i] ** 2 for i in range(4)) / 4.0
+              for g in range(3)]
+    est = sum(groups) - max(groups) - min(groups)
+    f2 = sum(c * c for c in collections.Counter(hosts).values())
+
+    row = ams_f2_host_skew(spark, SF_CORRECT).collect()[0]
+    assert (row.n_docs, row.exact_f2) == (n, f2)
+    assert _close(row.est_f2, est, 1e-9)
+    assert _close(row.rel_err, est / f2 - 1.0, 1e-6)
+
+
+def test_kll_quantile_sketch_replay(spark):
+    """The two-level KLL ladder (per-partition halving, global
+    halving at weight 4) and its rank errors replayed with sorts."""
+    from chopin_spark.queries.sketchq import _KLL_QS, kll_quantile_sketch
+    from chopin_spark.tables import load
+
+    v = [(r.n_chars, r.doc_id) for r in
+         load(spark, SF_CORRECT, "documents")
+         .select("doc_id", "n_chars").collect()]
+    n = len(v)
+    l1 = []
+    parts = collections.defaultdict(list)
+    for x, d in v:
+        parts[d % 8].append((x, d))
+    for rows in parts.values():
+        rows.sort()
+        l1.extend(r for i, r in enumerate(rows, 1) if i % 2 == 0)
+    l1.sort()
+    l2 = [x for i, (x, _) in enumerate(l1, 1) if i % 2 == 0]
+    tw = 4 * len(l2)
+    xs_sorted = sorted(x for x, _ in v)
+    expect = {}
+    for q in _KLL_QS:
+        cw = 0
+        est = None
+        for x in l2:
+            cw += 4
+            if cw >= q * tw:
+                est = x
+                break
+        exact = xs_sorted[int(math.ceil(q * n)) - 1]
+        rank_err = abs(sum(1 for x, _ in v if x <= est) / n - q)
+        expect[q] = (est, exact, rank_err)
+    got = {r.q: (r.est_x, r.exact_x, r.rank_err) for r in
+           kll_quantile_sketch(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for q, (est, exact, rerr) in expect.items():
+        assert got[q][:2] == (est, exact)
+        assert _close(got[q][2], rerr, 1e-6)
+    assert max(v[2] for v in got.values()) < 0.1
