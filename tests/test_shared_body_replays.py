@@ -4942,3 +4942,140 @@ def test_kll_quantile_sketch_replay(spark):
         assert got[q][:2] == (est, exact)
         assert _close(got[q][2], rerr, 1e-6)
     assert max(v[2] for v in got.values()) < 0.1
+
+
+def test_pages_geocode_s2_rollup_replay(spark):
+    """URL-host geocode (char-fold LCG draws) + level-8/4 S2 rollup
+    replayed with dicts and the numpy Hilbert chain."""
+    import numpy as np
+    from chopin_spark import s2
+    from chopin_spark.pages import CCTLDS
+    from chopin_spark.queries.pagespipe import pages_geocode_s2_rollup
+    from chopin_spark.tables import load
+
+    rows = []
+    for r in load(spark, SF_CORRECT, "orders") \
+            .select("o_orderkey").collect():
+        k = r.o_orderkey
+        host = (f"h{(k * 69069) % 99991}.example."
+                f"{CCTLDS[(k * 2654435761) % len(CCTLDS)]}")
+        f = _cf(host)
+        lon = -125.0 + 58.0 * (((f * 2654435761) % 999983) / 999983.0)
+        lat = 25.0 + 16.0 * (((f * 1103515245 + 12345) % 999983)
+                             / 999983.0)
+        rows.append((k, lon, lat))
+    lon = np.array([x for _, x, _ in rows])
+    lat = np.array([y for _, _, y in rows])
+    fc, u, v = s2.xyz_to_face_uv(*s2.lonlat_to_xyz(lon, lat))
+    i = s2.st_to_ij(s2.uv_to_st(u), 8)
+    j = s2.st_to_ij(s2.uv_to_st(v), 8)
+    pref = s2.prefix_from_cell_id(s2.cell_id(fc, i, j, 8), 8)
+    agg = {}
+    for (k, _, _), p in zip(rows, pref):
+        c4 = int(p) >> 8
+        st = agg.setdefault(c4, [0, set(), k])
+        st[0] += 1
+        st[1].add(int(p))
+        st[2] = min(st[2], k)
+    got = {r.s2_cell4: (r.n_pages, r.n_cells8, r.first_page) for r in
+           pages_geocode_s2_rollup(spark, SF_CORRECT).collect()}
+    assert got == {c: (n, len(cs), fp) for c, (n, cs, fp) in agg.items()}
+    assert len(got) >= 3
+
+
+def test_bootstrap_mean_chars_replay(spark):
+    """The 32 closed-form multiplier-bootstrap replicates replayed
+    with the exact {0,1,2} LCG weight draw."""
+    from chopin_spark.queries.relational import (
+        _BOOT_B, bootstrap_mean_chars,
+    )
+    from chopin_spark.tables import load
+
+    docs = [(r.doc_id, r.n_chars) for r in
+            load(spark, SF_CORRECT, "documents")
+            .select("doc_id", "n_chars").collect()]
+    expect = {}
+    for b in range(_BOOT_B):
+        neff = wsum = 0
+        for d, nc in docs:
+            w = (d * 2654435761 + b * 40503) % 4
+            w = 0 if w == 0 else 2 if w == 3 else 1
+            neff += w
+            wsum += w * nc
+        expect[b] = (neff, wsum / neff)
+    got = {r.replicate: (r.n_eff, r.boot_mean) for r in
+           bootstrap_mean_chars(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) == _BOOT_B
+    for b, (neff, mean) in expect.items():
+        assert got[b][0] == neff
+        assert _close(got[b][1], mean, 1e-4)
+
+
+def test_host_pagerank_personalized_replay(spark):
+    """Three integer micro-rank restart rounds replayed with dicts:
+    floor quotients per edge, seed-only restart mass, zero support
+    outside the frontier."""
+    from chopin_spark.queries.webtext import (
+        _PPR_SEEDS, _PR_BASE, _PR_ITERS, host_pagerank_personalized,
+    )
+    from chopin_spark.tables import load
+
+    # multigraph: duplicate (src, dst) rows each carry one share and
+    # each count toward outdeg — keep the list, do NOT dedup
+    edges = []
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id").collect():
+        s = (r.doc_id * 69069) % 97
+        d = (r.doc_id * 48271) % 97
+        if s != d:
+            edges.append((s, d))
+    nodes = {s for e in edges for s in e}
+    deg = collections.Counter(s for s, _ in edges)
+    rank = {v: (1000000 if v in _PPR_SEEDS else 0) for v in nodes}
+    for _ in range(_PR_ITERS):
+        inb = collections.Counter()
+        for s, d in edges:
+            inb[d] += rank[s] // deg[s]
+        rank = {v: (_PR_BASE if v in _PPR_SEEDS else 0)
+                + math.floor(0.85 * inb.get(v, 0) + 0.5)
+                for v in nodes}
+    expect = {v: rk for v, rk in rank.items() if rk > 0}
+    got = {r.host_num: r.rank_micro for r in
+           host_pagerank_personalized(spark, SF_CORRECT).collect()}
+    assert got == expect
+    assert set(_PPR_SEEDS) <= set(got) and len(got) < len(nodes)
+
+
+def test_dedup_ngram_jaccard_capped_replay(spark):
+    """df-capped exact 5-gram Jaccard pairs replayed with sets; the
+    cap must not change which pairs clear the threshold here."""
+    from chopin_spark.queries.textops import (
+        _MAX_DF, dedup_ngram_jaccard_capped,
+    )
+    from chopin_spark.tables import load
+
+    sh0 = {}
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "text").collect():
+        w = r.text.split(" ")
+        if len(w) >= 5:
+            sh0[r.doc_id] = {" ".join(w[i:i + 5])
+                             for i in range(len(w) - 4)}
+    df = collections.Counter(s for ss in sh0.values() for s in ss)
+    sh = {d: {s for s in ss if df[s] <= _MAX_DF}
+          for d, ss in sh0.items()}
+    expect = {}
+    docs = sorted(sh)
+    for ai, a in enumerate(docs):
+        for b in docs[ai + 1:]:
+            i = len(sh[a] & sh[b])
+            if i == 0:
+                continue
+            jac = _round_half_away(i / (len(sh[a]) + len(sh[b]) - i))
+            if jac >= 0.5:
+                expect[(a, b)] = jac
+    got = {(r.d1, r.d2): r.jaccard for r in
+           dedup_ngram_jaccard_capped(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 2
+    for k, jac in expect.items():
+        assert _close(got[k], jac, 1e-4)
