@@ -5079,3 +5079,168 @@ def test_dedup_ngram_jaccard_capped_replay(spark):
     assert set(got) == set(expect) and len(got) >= 2
     for k, jac in expect.items():
         assert _close(got[k], jac, 1e-4)
+
+
+def test_host_triangle_counts_replay(spark):
+    """Per-node triangle participation replayed with adjacency sets
+    (each triangle credits its three corners once)."""
+    from chopin_spark.queries.webtext import (
+        _TRI_DST, _TRI_SRC, host_triangle_counts,
+    )
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    und = set()
+    for r in spark.sql(
+        f"SELECT {_TRI_SRC} AS src, {_TRI_DST} AS dst FROM documents"
+    ).collect():
+        if r.src != r.dst:
+            und.add((min(r.src, r.dst), max(r.src, r.dst)))
+    adj = collections.defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    cnt = collections.Counter()
+    for (u, v) in und:
+        for w in adj[u] & adj[v]:
+            if w > v:  # canonical u < v < w: count each triangle once
+                cnt[u] += 1
+                cnt[v] += 1
+                cnt[w] += 1
+    got = {r.host_id: r.tri_cnt for r in
+           host_triangle_counts(spark, SF_CORRECT).collect()}
+    assert got == dict(cnt) and sum(got.values()) % 3 == 0
+    assert sum(got.values()) // 3 >= 100
+
+
+def test_dedup_containment_pairs_replay(spark):
+    """Asymmetric containment (subset-copy detection) replayed with
+    sets: forward/reverse overlap ratios, GREATEST gate."""
+    from chopin_spark.queries.textops import (
+        _CONT_MAX_DF, _CONT_THRESHOLD, dedup_containment_pairs,
+    )
+    from chopin_spark.tables import load
+
+    sh0 = {}
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "text").collect():
+        w = r.text.split(" ")
+        if len(w) >= 5:
+            sh0[r.doc_id] = {" ".join(w[i:i + 5])
+                             for i in range(len(w) - 4)}
+    df = collections.Counter(s for ss in sh0.values() for s in ss)
+    sh = {d: {s for s in ss if df[s] <= _CONT_MAX_DF}
+          for d, ss in sh0.items()}
+    expect = {}
+    docs = sorted(sh)
+    for ai, a in enumerate(docs):
+        for b in docs[ai + 1:]:
+            i = len(sh[a] & sh[b])
+            if i == 0:
+                continue
+            cf = _round_half_away(i / len(sh[a]))
+            cr = _round_half_away(i / len(sh[b]))
+            if max(cf, cr) >= _CONT_THRESHOLD:
+                expect[(a, b)] = (i, cf, cr)
+    got = {(r.d1, r.d2): (r.i, r.c_fwd, r.c_rev) for r in
+           dedup_containment_pairs(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 2
+    for k, (i, cf, cr) in expect.items():
+        assert got[k][0] == i
+        assert _close(got[k][1], cf, 1e-4) and _close(got[k][2], cr, 1e-4)
+
+
+def test_alpha_mix_by_lang_replay(spark):
+    """Temperature-scaled language rebalancing replayed: sqrt rates in
+    basis points, hash-threshold keeps, per-language rollups."""
+    from chopin_spark.queries.trainprep import alpha_mix_by_lang
+    from chopin_spark.tables import load
+
+    docs = [(r.doc_id, r.lang) for r in
+            load(spark, SF_CORRECT, "documents")
+            .select("doc_id", "lang").collect()]
+    counts = collections.Counter(lang for _, lang in docs)
+    nmin = min(counts.values())
+    rate = {lang: int(math.floor(10000 * math.sqrt(nmin / n)))
+            for lang, n in counts.items()}
+    agg = collections.defaultdict(lambda: [0, 0])
+    for d, lang in docs:
+        if ((d * 48271) % 10007) % 10000 < rate[lang]:
+            agg[lang][0] += 1
+            agg[lang][1] += d
+    got = {r.lang: (r.n_total, r.rate_bp, r.n_kept, r.kept_id_sum)
+           for r in alpha_mix_by_lang(spark, SF_CORRECT).collect()}
+    assert set(got) == set(counts)
+    for lang in counts:
+        assert got[lang] == (counts[lang], rate[lang],
+                             agg[lang][0], agg[lang][1])
+    assert rate[max(counts, key=counts.get)] < 10000
+
+
+def test_rrf_hybrid_topk_replay(spark):
+    """Reciprocal-rank fusion replayed over from-scratch BM25 and
+    cosine rankings (both round-then-rank, doc_id ties)."""
+    from chopin_spark.queries.simsearch import rrf_hybrid_topk
+    from chopin_spark.queries.textops import (
+        _BM_B, _BM_K, _BM_K1, _BM_TERMS,
+    )
+    from chopin_spark.tables import load
+
+    docs = {r.doc_id: r.text.split(" ") for r in
+            load(spark, SF_CORRECT, "documents")
+            .select("doc_id", "text").collect()}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    post = {t: {d: toks.count(t) for d, toks in docs.items()
+                if t in toks} for t in _BM_TERMS}
+    scored = collections.defaultdict(float)
+    for t, ps in post.items():
+        df = len(ps)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for d, tf in ps.items():
+            scored[d] += idf * (tf * (_BM_K1 + 1.0)) / (
+                tf + _BM_K1 * (1.0 - _BM_B + _BM_B * len(docs[d]) / avgdl))
+    lex = {d: rk + 1 for rk, (d, _) in enumerate(sorted(
+        ((d, _round_half_away(s)) for d, s in scored.items()),
+        key=lambda kv: (-kv[1], kv[0]))[:_BM_K])}
+
+    raw = {r.vec_id: list(r.embedding) for r in
+           load(spark, SF_CORRECT, "embeddings")
+           .select("vec_id", "embedding").collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    q = raw[0]
+    cos = {v: _round_half_away(
+        fold_dot(e, q) / (math.sqrt(fold_dot(e, e))
+                          * math.sqrt(fold_dot(q, q))))
+        for v, e in raw.items() if v != 0}
+    sem = {v: rk + 1 for rk, (v, _) in enumerate(sorted(
+        cos.items(), key=lambda kv: (-kv[1], kv[0]))[:10])}
+
+    fused = {}
+    for item in set(lex) | set(sem):
+        sc = 0.0
+        if item in lex:
+            sc += 1.0 / (60.0 + lex[item])
+        if item in sem:
+            sc += 1.0 / (60.0 + sem[item])
+        fused[item] = (_round_half_away(sc, 6),
+                       lex.get(item, -1), sem.get(item, -1))
+    ranked = sorted(fused.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    expect = [(rk + 1, item, sc, lr, sr)
+              for rk, (item, (sc, lr, sr)) in enumerate(ranked)]
+    got = [(r.rrf_rank, r.item_id, r.rrf_score, r.lex_rank, r.sem_rank)
+           for r in rrf_hybrid_topk(spark, SF_CORRECT)
+           .orderBy("rrf_rank").collect()]
+    assert [(g[0], g[1], g[3], g[4]) for g in got] \
+        == [(e[0], e[1], e[3], e[4]) for e in expect]
+    for g, e in zip(got, expect):
+        assert _close(g[2], e[2], 1e-6)
+    # lex ids are doc_ids, sem ids are vec_ids (disjoint id spaces at
+    # this sf): both single-list sources must contribute to the fusion
+    assert any(g[3] > 0 for g in got) and any(g[4] > 0 for g in got)
