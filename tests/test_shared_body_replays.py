@@ -5244,3 +5244,224 @@ def test_rrf_hybrid_topk_replay(spark):
     # lex ids are doc_ids, sem ids are vec_ids (disjoint id spaces at
     # this sf): both single-list sources must contribute to the fusion
     assert any(g[3] > 0 for g in got) and any(g[4] > 0 for g in got)
+
+
+def test_betweenness_brandes_replay(spark):
+    """Node betweenness replayed with a per-source BFS + the exact
+    quantized backward recurrence (floor(sig_v*(1e6+dq_w)/sig_w+0.5))
+    the engine accumulates."""
+    from chopin_spark.queries.graphq import _BC_CAP, betweenness_brandes
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    und = set()
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id").collect():
+        s = (r.doc_id * 69069) % 97
+        d = ((r.doc_id * 48271) + 17) % 97
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    adj = collections.defaultdict(set)
+    for s, d in und:
+        adj[s].add(d)
+    nodes = sorted(adj)
+
+    bu = collections.Counter()
+    for src in nodes:
+        depth = {src: 0}
+        sig = {src: 1}
+        frontier = [src]
+        levels = [[src]]
+        # the engine's sweep is DEPTH-BOUNDED at _BC_CAP hops: paths
+        # longer than the horizon carry no credit
+        while frontier and len(levels) <= _BC_CAP:
+            nxt = collections.Counter()
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in depth:
+                        nxt[w] += sig[v]
+            for w in nxt:
+                depth[w] = len(levels)
+                sig[w] = nxt[w]
+            frontier = sorted(nxt)
+            if frontier:
+                levels.append(frontier)
+        dq = {v: 0 for v in levels[-1]}
+        for k in range(len(levels) - 2, 0, -1):
+            ndq = {}
+            for v in levels[k]:
+                acc = 0
+                for w in adj[v]:
+                    if depth.get(w) == k + 1:
+                        acc += math.floor(
+                            sig[v] * (1000000.0 + dq[w]) / sig[w] + 0.5)
+                ndq[v] = acc
+                bu[v] += acc
+            dq = ndq
+
+    got = {r.host_id: (r.betweenness_u, r.betweenness) for r in
+           betweenness_brandes(spark, SF_CORRECT).collect()}
+    expect = {v: u for v, u in bu.items() if u > 0}
+    assert {k: v[0] for k, v in got.items()} == expect and len(got) >= 20
+    for v, (u, b) in got.items():
+        assert _close(b, u / 2000000.0, 1e-4)
+
+
+def test_attribution_markov_removal_replay(spark):
+    """Markov removal-effect attribution replayed: journey splitting
+    at purchases, transition row-normalization, 12 fixed-point rounds
+    per removal variant, shares."""
+    from chopin_spark.queries.temporalq import (
+        _MK_ROUNDS, attribution_markov_removal,
+    )
+    from chopin_spark.tables import load
+
+    rows = load(spark, SF_CORRECT, "events") \
+        .select("user_id", "ts", "event_id", "event_type").collect()
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.user_id].append((r.ts, r.event_id, r.event_type))
+    cnt = collections.Counter()
+    for evs in per.values():
+        evs.sort()
+        seqs = collections.defaultdict(list)
+        purchases = 0
+        for (_, _, et) in evs:
+            seqs[purchases].append(et)
+            if et == "purchase":
+                purchases += 1
+        for seq in seqs.values():
+            first = seq[0]
+            cnt[("start", "conv" if first == "purchase" else first)] += 1
+            for a, b in zip(seq, seq[1:] + [None]):
+                if a == "purchase":
+                    continue
+                cnt[(a, "end" if b is None else
+                     "conv" if b == "purchase" else b)] += 1
+
+    states = ["start", "view", "click", "signup", "error"]
+    tos = ["view", "click", "signup", "error", "conv"]
+    p = {}
+    for f in states:
+        tot = max(sum(c for (ff, _), c in cnt.items() if ff == f), 1)
+        for t in tos:
+            p[(f, t)] = cnt[(f, t)] / tot
+
+    def solve(removed):
+        x = {f: 0.0 for f in states}
+        for _ in range(_MK_ROUNDS):
+            nx = {}
+            for f in states:
+                if removed is not None and f == removed:
+                    nx[f] = 0.0
+                    continue
+                v = p[(f, "conv")]
+                for t in ("view", "click", "signup", "error"):
+                    if t != removed:
+                        v += p[(f, t)] * x[t]
+                nx[f] = v
+            x = nx
+        return x["start"]
+
+    base = solve(None)
+    effects = {t: 1.0 - solve(t) / base
+               for t in ("view", "click", "signup", "error")}
+    tot_eff = sum(effects.values())
+    chan_name = {"view": "view", "click": "click", "signup": "signup",
+                 "error": "error"}
+    got = {r.channel: r for r in
+           attribution_markov_removal(spark, SF_CORRECT).collect()}
+    assert set(got) == set(chan_name)
+    for t, eff in effects.items():
+        row = got[t]
+        assert _close(row.base_conv, base, 1e-6)
+        assert _close(row.removal_conv, solve(t), 1e-6)
+        assert _close(row.removal_effect, eff, 1e-6)
+        assert _close(row.attribution_share, eff / tot_eff, 1e-6)
+    assert 0 < base < 1
+
+
+def test_simplify_vw_roads_replay(spark):
+    """Eight Visvalingam rounds replayed per line: doubled triangle
+    areas over the alive chain, drop the single (a2, idx) minimum."""
+    from chopin_spark.queries.simplifyq import (
+        _M, _NL, _VW_ROUNDS, simplify_vw_roads,
+    )
+
+    expect = {}
+    for l in range(_NL):
+        pts = []
+        for i in range(_M):
+            x = i * 500 + ((l * 7 + i * 13) % 41) - 20
+            y = (l * 10000 + abs((i * 125 + l * 237) % 4000 - 2000)
+                 - 1000 + ((l * 13 + i * 29) % 41) - 20)
+            pts.append([i, x, y])
+        removed_area = 0
+        for _ in range(_VW_ROUNDS):
+            best = None
+            for ix in range(1, len(pts) - 1):
+                (_, ax, ay), (i1, bx, by), (_, cx, cy) = \
+                    pts[ix - 1], pts[ix], pts[ix + 1]
+                a2 = abs((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+                if best is None or (a2, i1) < best[:2]:
+                    best = (a2, i1, ix)
+            removed_area += best[0]
+            pts.pop(best[2])
+        expect[l] = (len(pts), sum(x for _, x, _ in pts),
+                     sum(y for _, _, y in pts), _VW_ROUNDS, removed_area)
+    got = {r.line_id: (r.n_kept, r.sum_x, r.sum_y, r.n_removed,
+                       r.removed_area2)
+           for r in simplify_vw_roads(spark, SF_CORRECT).collect()}
+    assert got == expect and len(got) == _NL
+
+
+def test_exact_substring_removal_replay(spark):
+    """ExactSubstr removal accounting replayed: strided window hashes,
+    corpus-wide df >= 2, gaps-and-islands merge, removed-token spans."""
+    from chopin_spark.queries.trainprep import (
+        _XS_STRIDE, _XS_W, exact_substring_removal,
+    )
+    from chopin_spark.tables import load
+
+    P = 1_000_000_007
+    docs = {}
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "text").collect():
+        uh = [_cf(t) for t in r.text.split(" ")]
+        docs[r.doc_id] = uh
+    windows = []
+    for d, uh in docs.items():
+        maxi = max(int(math.floor((len(uh) - _XS_W) / float(_XS_STRIDE))), 0)
+        for si in range(maxi + 1):
+            h = 0
+            for x in uh[si * _XS_STRIDE: si * _XS_STRIDE + _XS_W]:
+                h = (h * 31 + x) % P
+            windows.append((d, si * _XS_STRIDE, len(uh), h))
+    dfc = collections.Counter(h for (_, _, _, h) in windows)
+    starts = collections.defaultdict(list)
+    for (d, s, n, h) in windows:
+        if dfc[h] >= 2:
+            starts[d].append((s, n))
+    expect = {}
+    for d, ss in starts.items():
+        ss.sort()
+        # gaps-and-islands: new island when s > max(prev s + W)
+        isl, prev_end = [], None
+        for (s, n) in ss:
+            if prev_end is None or s > prev_end:
+                isl.append([s, s, n])
+            else:
+                isl[-1][1] = s
+                isl[-1][2] = min(isl[-1][2], n)
+            prev_end = max(prev_end or -1, s + _XS_W)
+        n_isl = len(isl)
+        removed = sum(min(mx + _XS_W, n) - a for (a, mx, n) in isl)
+        ntok = ss[0][1]
+        expect[d] = (n_isl, removed, removed / ntok)
+    got = {r.doc_id: (r.n_islands, r.removed_tokens, r.removed_frac)
+           for r in exact_substring_removal(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 3
+    for d, (ni, rt, rf) in expect.items():
+        assert got[d][:2] == (ni, rt)
+        assert _close(got[d][2], rf, 1e-4)
