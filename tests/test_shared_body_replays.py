@@ -5465,3 +5465,118 @@ def test_exact_substring_removal_replay(spark):
     for d, (ni, rt, rf) in expect.items():
         assert got[d][:2] == (ni, rt)
         assert _close(got[d][2], rf, 1e-4)
+
+
+def test_spearman_len_vs_score_replay(spark):
+    """Spearman rho replayed from scratch INCLUDING the hashed-feature
+    scorer: token char-folds, 16k-bucket closed-form weights, rank
+    vectors with the (value, doc_id) tie convention."""
+    from chopin_spark.queries.textops import spearman_len_vs_score
+    from chopin_spark.tables import load
+
+    scored = []
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "text").collect():
+        uh = [_cf(t) for t in r.text.split(" ")]
+        w_sum = sum(((u % 16384) * 2654435761) % 1999 - 999 for u in uh)
+        scored.append((r.doc_id, len(uh), w_sum))
+    n = len(scored)
+    r_len = {d: rk + 1 for rk, (d, _, _) in enumerate(
+        sorted(scored, key=lambda t: (t[1], t[0])))}
+    r_q = {d: rk + 1 for rk, (d, _, _) in enumerate(
+        sorted(scored, key=lambda t: (t[2], t[0])))}
+    d2 = sum((r_len[d] - r_q[d]) ** 2 for (d, _, _) in scored)
+    row = spearman_len_vs_score(spark, SF_CORRECT).collect()[0]
+    assert (row.n, row.d2) == (n, d2)
+    assert _close(row.spearman_rho,
+                  1.0 - 6.0 * d2 / (n * (float(n) * n - 1.0)), 1e-6)
+    assert 0 < row.spearman_rho < 1
+
+
+def test_consistent_hash_shards_replay(spark):
+    """The 256-vnode hash ring replayed with loops: clockwise distance
+    encoded MIN, vnode-to-shard fold, per-shard host/mass rollup."""
+    from chopin_spark.pages import CCTLDS
+    from chopin_spark.queries.webtext import (
+        _CH_SHARDS, _CH_VNODES, consistent_hash_shards,
+    )
+    from chopin_spark.tables import load
+
+    P30 = 1_000_000_007
+    mass = collections.Counter()
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "n_chars").collect():
+        d = r.doc_id
+        host = (f"h{(d * 69069) % 99991}.example."
+                f"{CCTLDS[(d * 2654435761) % len(CCTLDS)]}")
+        mass[host] += r.n_chars
+    vnodes = [(s * _CH_VNODES + v, _cf(f"s{s}#{v}"))
+              for s in range(_CH_SHARDS) for v in range(_CH_VNODES)]
+    agg = {s: [0, 0] for s in range(_CH_SHARDS)}
+    for host, m in mass.items():
+        hpos = _cf(host)
+        enc = min(((vpos - hpos + P30) % P30) * 512 + vid
+                  for vid, vpos in vnodes)
+        shard = (enc % 512) // _CH_VNODES
+        agg[shard][0] += 1
+        agg[shard][1] += m
+    got = {r.shard: (r.n_hosts, r.mass_chars) for r in
+           consistent_hash_shards(spark, SF_CORRECT).collect()}
+    assert got == {s: tuple(v) for s, v in agg.items()}
+    assert len(got) == _CH_SHARDS and sum(v[0] for v in got.values()) \
+        == len(mass)
+
+
+def test_url_template_mining_replay(spark):
+    """Digit-run template folding replayed with re.sub over the
+    collected messy-URL fixture strings."""
+    import re
+    from chopin_spark.queries.webtext import _MESSY, url_template_mining
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    agg = {}
+    for r in spark.sql(
+        f"SELECT doc_id, {_MESSY} AS u FROM documents"
+    ).collect():
+        m = re.match(r"^[a-zA-Z]+://([^/?#]+)(.*)$", r.u)
+        tmpl = m.group(1).lower() + re.sub(r"[0-9]+", "(n)", m.group(2))
+        st = agg.setdefault(tmpl, [0, set(), r.doc_id])
+        st[0] += 1
+        st[1].add(r.u)
+        st[2] = min(st[2], r.doc_id)
+    got = {r.template: (r.n_fetches, r.n_urls, r.first_doc) for r in
+           url_template_mining(spark, SF_CORRECT).collect()}
+    assert got == {t: (n, len(us), fd) for t, (n, us, fd) in agg.items()}
+    assert any("(n)" in t for t in got)
+
+
+def test_embedding_epoch_drift_replay(spark):
+    """Per-label mean-vector cosine between parity epochs replayed
+    with integer component sums on the 1/1024 lattice."""
+    from chopin_spark.queries.simsearch import embedding_epoch_drift
+    from chopin_spark.tables import load
+
+    sums = collections.defaultdict(lambda: [0, None])
+    for r in load(spark, SF_CORRECT, "embeddings") \
+            .select("vec_id", "label", "embedding").collect():
+        q = [math.floor(float(x) * 1024 + 0.5) for x in r.embedding]
+        st = sums[(r.label, r.vec_id % 2)]
+        st[0] += 1
+        st[1] = q if st[1] is None else [a + b for a, b in zip(st[1], q)]
+    expect = {}
+    for (label, ep), (n0, s0) in sums.items():
+        if ep != 0 or (label, 1) not in sums:
+            continue
+        n1, s1 = sums[(label, 1)]
+        dot = sum(a * b for a, b in zip(s0, s1))
+        na2 = sum(a * a for a in s0)
+        nb2 = sum(b * b for b in s1)
+        expect[label] = (n0, n1,
+                         dot / (math.sqrt(na2) * math.sqrt(nb2)))
+    got = {r.label: (r.n0, r.n1, r.mean_cosine) for r in
+           embedding_epoch_drift(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 3
+    for lab, (n0, n1, cosv) in expect.items():
+        assert got[lab][:2] == (n0, n1)
+        assert _close(got[lab][2], cosv, 1e-6)
