@@ -5580,3 +5580,183 @@ def test_embedding_epoch_drift_replay(spark):
     for lab, (n0, n1, cosv) in expect.items():
         assert got[lab][:2] == (n0, n1)
         assert _close(got[lab][2], cosv, 1e-6)
+
+
+def test_qscore_lang_bias_audit_replay(spark):
+    """Language share per quality decile replayed with the scorer
+    re-derived from scratch and an explicit NTILE(10) assignment."""
+    from chopin_spark.queries.textops import qscore_lang_bias_audit
+    from chopin_spark.tables import load
+
+    scored = []
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "lang", "text").collect():
+        uh = [_cf(t) for t in r.text.split(" ")]
+        w_sum = sum(((u % 16384) * 2654435761) % 1999 - 999 for u in uh)
+        scored.append((_round_half_away(w_sum / len(uh)), r.doc_id, r.lang))
+    scored.sort()
+    n = len(scored)
+    base, rem = n // 10, n % 10
+    agg = collections.Counter()
+    ntot = collections.Counter()
+    for rk, (_, _, lang) in enumerate(scored, 1):
+        if rk <= rem * (base + 1):
+            dec = (rk - 1) // (base + 1) + 1
+        else:
+            dec = rem + (rk - rem * (base + 1) - 1) // base + 1
+        agg[(dec, lang)] += 1
+        ntot[dec] += 1
+    got = {(r.decile, r.lang): (r.n_docs, r.share) for r in
+           qscore_lang_bias_audit(spark, SF_CORRECT).collect()}
+    assert set(got) == set(agg)
+    for k, c in agg.items():
+        assert got[k][0] == c
+        assert _close(got[k][1], c / ntot[k[0]], 1e-6)
+    assert len(ntot) == 10
+
+
+def test_ccnet_perplexity_buckets_replay(spark):
+    """The bigram LM (train slice, add-1 smoothing, OOV path) and the
+    head/middle/tail tercile histogram replayed with dicts."""
+    from chopin_spark.queries.lmq import ccnet_perplexity_buckets
+    from chopin_spark.tables import load
+
+    docs = [(r.doc_id, r.lang, r.text.split(" ")) for r in
+            load(spark, SF_CORRECT, "documents")
+            .select("doc_id", "lang", "text").collect()]
+    c2, c1 = collections.Counter(), collections.Counter()
+    vocab = set()
+    for d, _, w in docs:
+        if d % 10 == 0:
+            vocab.update(w)
+            if len(w) >= 2:
+                for a, b in zip(w, w[1:]):
+                    c2[(a, b)] += 1
+                    c1[a] += 1
+    V = len(vocab)
+    scored = []
+    for d, lang, w in docs:
+        if d % 10 == 0 or len(w) < 2:
+            continue
+        s = 0.0
+        nb = len(w) - 1
+        for a, b in zip(w, w[1:]):
+            s += (math.log(c1.get(a, 0) + V)
+                  - math.log(c2.get((a, b), 0) + 1))
+        scored.append((lang, _round_half_away(s / nb), nb))
+    hist = collections.defaultdict(lambda: [0, 0])
+    for lang, nll, nb in scored:
+        st = hist[(lang, math.floor(nll * 10000 + 0.5))]
+        st[0] += 1
+        st[1] += nb
+    expect = collections.defaultdict(lambda: [0, 0])
+    langs = {k[0] for k in hist}
+    for lang in langs:
+        bins = sorted((s, c, m) for (lg, s), (c, m) in hist.items()
+                      if lg == lang)
+        tot = sum(c for _, c, _ in bins)
+        cc = 0
+        for s, c, m in bins:
+            bucket = ("head" if 3 * cc < tot
+                      else "middle" if 3 * cc < 2 * tot else "tail")
+            cc += c
+            st = expect[(lang, bucket)]
+            st[0] += c
+            st[1] += m
+    got = {(r.lang, r.bucket): (r.n_docs, r.n_bigrams) for r in
+           ccnet_perplexity_buckets(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    assert len({k[1] for k in got}) == 3
+
+
+def test_cdc_chunk_dedup_replay(spark):
+    """Content-defined chunking replayed sequentially: rolling 3-token
+    gear boundary (mod 8), per-chunk integer signatures, corpus-wide
+    duplicate accounting per source."""
+    from chopin_spark.queries.textops import cdc_chunk_dedup
+    from chopin_spark.tables import load
+
+    P, B = 1_000_000_007, 1_000_003
+    chunks = []
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "source", "text").collect():
+        uh = [_cf(t) for t in r.text.split(" ")]
+        cur = []
+        doc_chunks = []
+        for pos, u in enumerate(uh, 1):
+            brk = 0
+            if pos >= 3:
+                roll = ((uh[pos - 3] * B + uh[pos - 2]) % P * B
+                        + u) % P
+                brk = 1 if roll % 8 == 0 else 0
+            if brk and cur:
+                doc_chunks.append(cur)
+                cur = []
+            cur.append(u)
+        if cur:
+            doc_chunks.append(cur)
+        for ch in doc_chunks:
+            s1 = sum(ch) % P
+            swt = sum(u * rk % P for rk, u in enumerate(ch, 1)) % P
+            chunks.append((r.source, (len(ch), s1, swt)))
+    occ = collections.Counter(sig for _, sig in chunks)
+    expect = collections.defaultdict(lambda: [0, 0, 0])
+    for src, sig in chunks:
+        st = expect[src]
+        st[0] += 1
+        if occ[sig] > 1:
+            st[1] += 1
+            st[2] += sig[0]
+    got = {r.source: (r.n_chunks, r.n_dup_chunks, r.dup_token_mass)
+           for r in cdc_chunk_dedup(spark, SF_CORRECT).collect()}
+    assert got == {k: tuple(v) for k, v in expect.items()}
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_hll_epoch_overlap_replay(spark):
+    """HLL set algebra between crawl epochs replayed: register MAX
+    merge for the union, inclusion-exclusion intersection, exact
+    audit."""
+    from chopin_spark.queries.sketchq import (
+        _EPOCH_MID, _OV_TOKS_SPARK, hll_epoch_overlap,
+    )
+    from chopin_spark.pages import epoch_sql
+    from chopin_spark.tables import load
+
+    load(spark, SF_CORRECT, "documents").createOrReplaceTempView("documents")
+    toks = collections.defaultdict(set)
+    for r in spark.sql(
+        f"SELECT CASE WHEN {epoch_sql('doc_id')} < {_EPOCH_MID}"
+        f" THEN 'a' ELSE 'b' END AS grp, tok FROM ({_OV_TOKS_SPARK})"
+    ).collect():
+        toks[r.grp].add(r.tok)
+
+    def sketch(items):
+        regs = [0] * 64
+        for t in items:
+            h2 = (t * 48271) % 2147483647
+            rank = 31 if h2 == 0 else 31 - h2.bit_length()
+            reg = t % 64
+            regs[reg] = max(regs[reg], rank)
+        return regs
+
+    def est(regs):
+        sum_inv = sum(2.0 ** -m for m in regs)
+        n_zero = sum(1 for m in regs if m == 0)
+        raw = 0.709 * 64 * 64 / sum_inv
+        return (64 * math.log(64.0 / n_zero)
+                if raw <= 2.5 * 64 and n_zero > 0 else raw)
+
+    ra, rb = sketch(toks["a"]), sketch(toks["b"])
+    ru = [max(a, b) for a, b in zip(ra, rb)]
+    ea, eb, eu = est(ra), est(rb), est(ru)
+    exact_i = len(toks["a"] & toks["b"])
+
+    row = hll_epoch_overlap(spark, SF_CORRECT).collect()[0]
+    assert (row.exact_a, row.exact_b, row.exact_intersect) \
+        == (len(toks["a"]), len(toks["b"]), exact_i)
+    assert _close(row.est_a, ea, 1e-4) and _close(row.est_b, eb, 1e-4)
+    assert _close(row.est_union, eu, 1e-4)
+    assert _close(row.est_intersect, ea + eb - eu, 1e-4)
+    assert _close(row.intersect_rel_err,
+                  (ea + eb - eu - exact_i) / exact_i, 1e-4)
