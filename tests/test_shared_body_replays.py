@@ -5760,3 +5760,129 @@ def test_hll_epoch_overlap_replay(spark):
     assert _close(row.est_intersect, ea + eb - eu, 1e-4)
     assert _close(row.intersect_rel_err,
                   (ea + eb - eu - exact_i) / exact_i, 1e-4)
+
+
+def test_dedup_ngram_jaccard_replay(spark):
+    """Uncapped exact 5-gram Jaccard pairs (threshold 0.5) replayed
+    with brute-force set overlap — the MinHash family's exact
+    baseline."""
+    from chopin_spark.queries.textops import dedup_ngram_jaccard
+    from chopin_spark.tables import load
+
+    sh = {}
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id", "text").collect():
+        w = r.text.split(" ")
+        if len(w) >= 5:
+            sh[r.doc_id] = {" ".join(w[i:i + 5])
+                            for i in range(len(w) - 4)}
+    expect = {}
+    docs = sorted(sh)
+    for ai, a in enumerate(docs):
+        for b in docs[ai + 1:]:
+            i = len(sh[a] & sh[b])
+            if not i:
+                continue
+            jac = _round_half_away(i / (len(sh[a]) + len(sh[b]) - i))
+            if jac >= 0.5:
+                expect[(a, b)] = jac
+    got = {(r.d1, r.d2): r.jaccard for r in
+           dedup_ngram_jaccard(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) >= 2
+    for k, jac in expect.items():
+        assert _close(got[k], jac, 1e-4)
+
+
+def test_hll_per_host_audit_replay(spark):
+    """Per-host HLL sketches replayed with dicts — grouped register
+    MAX, linear-counting branch, per-host exact audit."""
+    from chopin_spark.pages import CCTLDS
+    from chopin_spark.queries.sketchq import hll_per_host_audit
+    from chopin_spark.tables import load
+
+    per = collections.defaultdict(set)
+    for r in load(spark, SF_CORRECT, "documents") \
+            .select("doc_id").collect():
+        d = r.doc_id
+        host = f"h{(d * 40503) % 97}.example.com"
+        url = (f"https://h{(d * 69069) % 99991}.example."
+               f"{CCTLDS[(d * 2654435761) % len(CCTLDS)]}/p/{d}")
+        per[host].add(url)
+    expect = {}
+    for host, urls in per.items():
+        regs = [0] * 64
+        for u in urls:
+            h1, h2 = _cf(u, 31), _cf(u, 37)
+            rank = 31 if h2 == 0 else 31 - h2.bit_length()
+            regs[h1 % 64] = max(regs[h1 % 64], rank)
+        sum_inv = sum(2.0 ** -m for m in regs)
+        n_zero = sum(1 for m in regs if m == 0)
+        raw = 0.709 * 64 * 64 / sum_inv
+        est = (64 * math.log(64.0 / n_zero)
+               if raw <= 2.5 * 64 and n_zero > 0 else raw)
+        expect[host] = (len(urls), est)
+    got = {r.host: (r.n_exact, r.est, r.rel_err) for r in
+           hll_per_host_audit(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect) and len(got) == 97
+    for host, (nx, est) in expect.items():
+        assert got[host][0] == nx
+        assert _close(got[host][1], est, 1e-4)
+        assert _close(got[host][2], (est - nx) / nx, 1e-4)
+
+
+def _net_replay_best(spark):
+    """Shared helper: collect the planarized road graph and run the
+    hop-bounded multi-source Bellman-Ford in plain Python."""
+    from chopin_spark.queries.networkq import (
+        _FOLD, _HOPS, _K, _SPARK_SRC, _mq, _spark_net_views,
+    )
+
+    _spark_net_views(spark, SF_CORRECT)
+    edges = [(r.u, r.v, r.w) for r in spark.sql(
+        f"WITH {_SPARK_SRC}, {_FOLD} SELECT u, v, w FROM edges").collect()]
+    seeds = {r.node for r in spark.sql(
+        f"WITH {_SPARK_SRC} SELECT DISTINCT "
+        f"{_mq('ix')} * {_K} + {_mq('iy')} AS node FROM x").collect()}
+    adj = collections.defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+    best = {s: 0 for s in seeds}
+    frontier = dict(best)
+    for _ in range(_HOPS):
+        nxt = {}
+        for v, d in frontier.items():
+            for (w_, c) in adj[v]:
+                nd = d + c
+                if nd < best.get(w_, float("inf")) \
+                        and nd < nxt.get(w_, float("inf")):
+                    nxt[w_] = nd
+        frontier = {v: d for v, d in nxt.items()
+                    if d < best.get(v, float("inf"))}
+        best.update(frontier)
+    return best, _K
+
+
+def test_road_network_dist_to_crossing_replay(spark):
+    """Junction-distance SSSP replayed with an explicit 6-round
+    Bellman-Ford over the collected planarized graph."""
+    from chopin_spark.queries.networkq import road_network_dist_to_crossing
+
+    best, K = _net_replay_best(spark)
+    got = {(r.node_x_mm, r.node_y_mm): r.net_dist_mm for r in
+           road_network_dist_to_crossing(spark, SF_CORRECT).collect()}
+    expect = {((n - n % K) // K, n % K): d for n, d in best.items()}
+    assert got == expect and len(got) > 100
+    assert any(d > 0 for d in got.values())
+
+
+def test_road_isochrone_bands_replay(spark):
+    """10 km isochrone band census over the same replayed SSSP."""
+    from chopin_spark.queries.networkq import _BAND_MM, road_isochrone_bands
+
+    best, _ = _net_replay_best(spark)
+    expect = collections.Counter(
+        (d - d % _BAND_MM) // _BAND_MM for d in best.values())
+    got = {r.band_10km: r.n_nodes for r in
+           road_isochrone_bands(spark, SF_CORRECT).collect()}
+    assert got == dict(expect) and len(got) >= 2
