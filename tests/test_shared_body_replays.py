@@ -5886,3 +5886,180 @@ def test_road_isochrone_bands_replay(spark):
     got = {r.band_10km: r.n_nodes for r in
            road_isochrone_bands(spark, SF_CORRECT).collect()}
     assert got == dict(expect) and len(got) >= 2
+
+
+def _d8_replay():
+    """Shared D8 downstream map for the 32x24 synthetic DEM: first-max
+    weighted-drop rule, None at pits — re-derived from the published
+    neighbor table, not the engine's encoded argmax."""
+    from chopin_spark.queries.costdistq import H, W
+
+    D8 = ((1, 0, 7), (1, 1, 5), (0, 1, 7), (-1, 1, 5),
+          (-1, 0, 7), (-1, -1, 5), (0, -1, 7), (1, -1, 5))
+
+    def z(x, y):
+        return ((x + y * W) * 389) % (W * H)
+
+    flow = {}
+    for x in range(W):
+        for y in range(H):
+            best = None
+            for i, (dx, dy, wt) in enumerate(D8):
+                nx_, ny_ = x + dx, y + dy
+                if not (0 <= nx_ < W and 0 <= ny_ < H):
+                    continue
+                drop = z(x, y) - z(nx_, ny_)
+                if drop > 0 and (best is None or drop * wt > best[0]):
+                    best = (drop * wt, nx_, ny_)
+            flow[(x, y)] = (best[1], best[2]) if best else None
+    return flow, z, W, H
+
+
+def test_basin_zonal_stats_replay(spark):
+    """Watershed basins by walking D8 chains to their pits, then the
+    per-basin area/relief/longest-path rollup."""
+    from chopin_spark.queries.costdistq import basin_zonal_stats
+
+    flow, z, W, H = _d8_replay()
+    agg = {}
+    for x in range(W):
+        for y in range(H):
+            cx, cy, h = x, y, 0
+            while flow[(cx, cy)] is not None:
+                cx, cy = flow[(cx, cy)]
+                h += 1
+            bid = cx + cy * W
+            st = agg.setdefault(bid, [0, 0, None, None, 0])
+            st[0] += 1
+            st[1] += z(x, y)
+            zv = z(x, y)
+            st[2] = zv if st[2] is None else min(st[2], zv)
+            st[3] = zv if st[3] is None else max(st[3], zv)
+            st[4] = max(st[4], h)
+    got = {r.basin_id: (r.n_cells, r.sum_z, r.relief, r.longest_path)
+           for r in basin_zonal_stats(spark, SF_CORRECT).collect()}
+    assert got == {b: (n, s, mx - mn, lp)
+                   for b, (n, s, mn, mx, lp) in agg.items()}
+    assert len(got) >= 5
+
+
+def test_raster_twi_replay(spark):
+    """Topographic wetness index replayed: walk-through-cell flow
+    accumulation plus the interior gradient formula."""
+    from chopin_spark.queries.costdistq import raster_twi
+
+    flow, z, W, H = _d8_replay()
+    acc = collections.Counter()
+    for x in range(W):
+        for y in range(H):
+            cx, cy = x, y
+            acc[(cx, cy)] += 1
+            while flow[(cx, cy)] is not None:
+                cx, cy = flow[(cx, cy)]
+                acc[(cx, cy)] += 1
+    expect = {}
+    for x in range(1, W - 1):
+        for y in range(1, H - 1):
+            gx = z(x + 1, y) - z(x - 1, y)
+            gy = z(x, y + 1) - z(x, y - 1)
+            expect[(x, y)] = (
+                acc[(x, y)],
+                math.log(acc[(x, y)]
+                         / math.sqrt(gx * gx + gy * gy + 1)))
+    got = {(r.x, r.y): (r.acc, r.twi) for r in
+           raster_twi(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expect)
+    for k, (a, twi) in expect.items():
+        assert got[k][0] == a
+        assert _close(got[k][1], twi, 1e-4)
+
+
+def test_road_route_farthest_trace_replay(spark):
+    """The worst-served route replayed: strict-descent parent relation
+    by encoded argmin, recursive follow from the (d, node)-max
+    target."""
+    from chopin_spark.queries.networkq import (
+        _FOLD, _K, _SPARK_SRC, road_route_farthest_trace,
+    )
+
+    best, K = _net_replay_best(spark)
+    edges = [(r.u, r.v, r.w) for r in spark.sql(
+        f"WITH {_SPARK_SRC}, {_FOLD} SELECT u, v, w FROM edges").collect()]
+    e2 = edges + [(v, u, w) for (u, v, w) in edges]
+    par = {}
+    inc = collections.defaultdict(list)
+    for u, v, w in e2:
+        if u in best:
+            inc[v].append((best[u] + w, u))
+    for v, cands in inc.items():
+        if v not in best:
+            continue
+        ud_w, u = min(cands)
+        if best[u] < best[v]:
+            par[v] = u
+    tgt = max(best, key=lambda n: (best[n], n))
+    path, node = [(0, tgt)], tgt
+    while node in par:
+        node = par[node]
+        path.append((len(path), node))
+    expect = {(s, (n - n % K) // K, n % K): best[n] for s, n in path}
+    got = {(r.step, r.node_x_mm, r.node_y_mm): r.dist_mm for r in
+           road_route_farthest_trace(spark, SF_CORRECT).collect()}
+    assert got == expect and len(got) >= 3
+    ds = [best[n] for _, n in path]
+    assert all(a > b for a, b in zip(ds, ds[1:]))
+
+
+def test_ann_multiprobe_lsh_replay(spark):
+    """Multiprobe hyperplane LSH replayed: sin-sign plane weights,
+    16-bit signatures, Hamming-1/2 probe flips, candidate cosine
+    ranking with the exact-top-10 audit."""
+    from chopin_spark.queries.simsearch import (
+        _DIM, _MP_PLANES, ann_multiprobe_lsh,
+    )
+    from chopin_spark.tables import load
+
+    raw = {r.vec_id: list(r.embedding) for r in
+           load(spark, SF_CORRECT, "embeddings")
+           .select("vec_id", "embedding").collect()}
+    planes = [[1.0 if math.sin(float(i) + float(p * _DIM)) >= 0 else -1.0
+               for i in range(_DIM)] for p in range(_MP_PLANES)]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    sig = {}
+    for v, e in raw.items():
+        s = 0
+        for p in range(_MP_PLANES):
+            if fold_dot(e, planes[p]) >= 0:
+                s += 1 << p
+        sig[v] = s
+    qs = sig[0]
+    probes = {qs}
+    for b1 in range(_MP_PLANES):
+        probes.add(qs ^ (1 << b1))
+        for b2 in range(b1 + 1, _MP_PLANES):
+            probes.add(qs ^ (1 << b1) ^ (1 << b2))
+    cand = {v for v, s in sig.items() if v != 0 and s in probes}
+    q = raw[0]
+    cos = {v: _round_half_away(
+        fold_dot(raw[v], q) / (math.sqrt(fold_dot(raw[v], raw[v]))
+                               * math.sqrt(fold_dot(q, q))))
+        for v in raw if v != 0}
+    exact10 = {v for v, _ in sorted(
+        cos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+    ranked = sorted(((cos[v], v) for v in cand),
+                    key=lambda t: (-t[0], t[1]))[:10]
+    expect = [(rk + 1, v, c, int(v in exact10))
+              for rk, (c, v) in enumerate(ranked)]
+    got = [(r.rank, r.vec_id, r.cos_sim, r.in_exact_top10) for r in
+           ann_multiprobe_lsh(spark, SF_CORRECT).orderBy("rank").collect()]
+    assert [(g[0], g[1], g[3]) for g in got] \
+        == [(e[0], e[1], e[3]) for e in expect]
+    for g, e in zip(got, expect):
+        assert _close(g[2], e[2], 1e-4)
+    assert len(got) >= 5 and any(f for *_, f in got)
