@@ -256,12 +256,12 @@ def pagerank_int(
     """
     edges = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     base = rank_scale - rank_scale * damping_ppm // 1_000_000
@@ -272,7 +272,7 @@ def pagerank_int(
         )
         nodes = nodes.join(seed_marked, "node", "left").select(
             "node", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         r = nodes.select(
             "node",
             (F.col("is_seed").cast("long") * rank_scale).alias("rank"),
@@ -308,7 +308,9 @@ def pagerank_int(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # fixed-round loop, no probe: lazy cut — the caller's one
+            # action executes the whole chain (guide §1.2, fewer jobs)
+            .localCheckpoint(eager=False)
         )
     return r
 
@@ -338,12 +340,12 @@ def hits_int(
     """
     edges = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
@@ -364,13 +366,13 @@ def hits_int(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("raw"))
         )
-        a = _normalize(a_raw, "auth").localCheckpoint()
+        a = _normalize(a_raw, "auth").localCheckpoint(eager=False)
         h_raw = (
             edges.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("raw"))
         )
-        h = _normalize(h_raw, "hub").localCheckpoint()
+        h = _normalize(h_raw, "hub").localCheckpoint(eager=False)
     return (
         nodes.join(a, "node", "left")
         .join(h, "node", "left")
@@ -395,45 +397,46 @@ def bfs_depths(
     layer, so this extends SURVEY.md §2's runner family the same way
     pagerank_int does.
 
-    Shape per round: frontier ⋈ edges (equi-join on src) → distinct →
-    anti-join against the visited set → that IS the next frontier.  The
-    anti-join makes first-touch == minimum depth, so no min-combine
-    pass is needed.  Rounds = max_depth (a constant, not a data-driven
-    fixpoint), each one shuffle on the node key; lineage is cut per
-    round (localCheckpoint) so the plan never stacks.  At 10^9 hosts
-    every structure here is node-keyed and partial-aggregable — the
-    standard Pregel-style BFS plan.
+    Shape per round (min-combine, the sssp_khop shape): frontier =
+    rows first reached last round → frontier ⋈ edges → union into the
+    state table → one (node)-keyed MIN aggregation.  First-touch ==
+    minimum depth because depths only ever arrive in round order, so
+    the min-combine fixpoint equals the anti-join BFS row-for-row
+    (pinned in tests/test_components.py).  Two exchanges per round
+    (join + agg) versus the former join+distinct+anti-join chain — at
+    bench scale that halves the per-round Spark-job count (guide §2.4:
+    remove shuffles outright), and at 10^9 hosts both structures are
+    node-keyed and partial-aggregable; the state rewrite per round is
+    bounded by the former shape's every-other-round visited-set
+    consolidation.  Rounds = max_depth (a constant, not a data-driven
+    fixpoint); lineage is cut per round with a LAZY localCheckpoint
+    whose materializing action IS the convergence probe (one scalar
+    count per round, no separate checkpoint job).
     """
-    edges = edges.select("src", "dst").localCheckpoint()
-    # visited = union of per-round checkpointed parts: each level is
-    # materialized ONCE; re-checkpointing the growing union every round
-    # would rewrite all prior levels (O(rounds * |V|) extra block
-    # writes).  Because visited IS anti-joined every round, the part
-    # count still costs a scan stage per part per round — so the union
-    # is consolidated every _CONSOLIDATE rounds: parts stay bounded,
-    # write amplification drops ~_CONSOLIDATE-fold.
-    visited = (
-        seeds.select("node").distinct().withColumn("depth", F.lit(0)).localCheckpoint()
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    state = (
+        seeds.select("node").distinct().withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=False)
     )
-    frontier = visited.select("node")
-    parts = 0
+    # No per-round convergence probe: max_depth is the SEMANTIC bound
+    # (capped BFS), a post-closure round is a no-op under min-combine,
+    # and a probe costs a scalar job per round that on long-diameter
+    # graphs (the bench's near-cycle host graph, diameter 48) never
+    # fires.  The per-round lazy checkpoint is still mandatory — state
+    # is referenced twice per round (frontier filter + union), so an
+    # uncut plan doubles each round.
     for d in range(1, max_depth + 1):
-        nxt = (
-            edges.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("depth", F.lit(d))
-            .localCheckpoint()
+        frontier = state.filter(F.col("depth") == d - 1).select("node")
+        cand = edges.join(
+            frontier.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), F.lit(d).alias("depth"))
+        state = (
+            state.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():  # scalar per round, not a data collect
-            break
-        visited = visited.unionByName(nxt)
-        parts += 1
-        if parts == _CONSOLIDATE:
-            visited, parts = visited.localCheckpoint(), 0
-        frontier = nxt.select("node")
-    return visited
+    return state
 
 
 def bfs_depths_labeled(
@@ -449,35 +452,28 @@ def bfs_depths_labeled(
     worst case — the centrality regime where |sources| is a chosen
     pivot set (here: all 97 hosts; at web scale the standard practice
     is a sampled pivot set, same plan)."""
-    edges = edges.select("src", "dst").localCheckpoint()
-    visited = (
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    state = (
         sources.select(F.col("node").alias("s"))
         .distinct()
         .withColumn("node", F.col("s"))
         .withColumn("depth", F.lit(0))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    frontier = visited.select("s", "node")
-    parts = 0
+    # min-combine rounds keyed on (s, node), probe-free to the depth
+    # cap — see bfs_depths
     for d in range(1, max_depth + 1):
-        nxt = (
-            edges.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select("s", F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("s", "node"), ["s", "node"], "left_anti")
-            .withColumn("depth", F.lit(d))
-            .localCheckpoint()
+        frontier = state.filter(F.col("depth") == d - 1).select("s", "node")
+        cand = edges.join(
+            frontier.withColumnRenamed("node", "src"), "src"
+        ).select("s", F.col("dst").alias("node"), F.lit(d).alias("depth"))
+        state = (
+            state.unionByName(cand)
+            .groupBy("s", "node")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
-            break
-        # union of checkpointed parts, consolidated every _CONSOLIDATE
-        # rounds — see bfs_depths
-        visited = visited.unionByName(nxt)
-        parts += 1
-        if parts == _CONSOLIDATE:
-            visited, parts = visited.localCheckpoint(), 0
-        frontier = nxt.select("s", "node")
-    return visited
+    return state
 
 
 def pointer_jump(
@@ -617,12 +613,12 @@ def sssp_khop(
     """
     dist = seeds.select(
         F.col(node).alias("node"), F.col("cost").cast("long").alias("d")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(w).cast("long").alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(k):
         cand = (
             dist.join(e, dist["node"] == e["src"])
@@ -632,7 +628,8 @@ def sssp_khop(
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+            # fixed-round, probe-free: lazy cut (see pagerank_int)
+            .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("d").alias("min_cost"))
 
@@ -658,10 +655,10 @@ def sssp_khop_labeled(
         "node",
         F.col("cost").cast("long").alias("d"),
         F.col("lab").cast("long").alias("lab"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(k):
         cand = state.join(e, state["node"] == e["src"]).select(
             e["dst"].alias("node"),
@@ -673,7 +670,8 @@ def sssp_khop_labeled(
             .groupBy("node")
             .agg(F.min(F.struct("d", "lab")).alias("s"))
             .select("node", F.col("s.d").alias("d"), F.col("s.lab").alias("lab"))
-            .localCheckpoint()
+            # fixed-round, probe-free: lazy cut (see pagerank_int)
+            .localCheckpoint(eager=False)
         )
     return state.select("node", F.col("d").alias("min_cost"), "lab")
 
