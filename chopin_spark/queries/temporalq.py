@@ -713,6 +713,80 @@ _STK_GEN_DUCK = f"""(
 ) g"""
 
 
+def _stkde_spark_stencil(epoch_us: str, gen3: str) -> str:
+    """The engine-side plan: the node table explodes to its exact cell
+    stencil and equi-joins the event scan on (cell_x, cell_y, time_bin)
+    instead of the broadcast nested-loop with residual cutoffs (guide
+    §3: avoid exploding joins; the huff_gravity_share pattern the
+    module header already names as the dense-grid switch).
+
+    Stencil exactness (cells are cw=100 km, ch=100 km, 5-day bins):
+    * spatial: a pair passing the cutoff has |x-cx| ≤ 150 km = 1.5·cw,
+      so x/cw ∈ [gi+0.5−1.5, gi+0.5+1.5] and FLOOR(x/cw) ∈
+      {gi−1..gi+2} ⊂ the ±2 stencil (same for y);
+    * temporal: |((day−d0)+0.5) − (2.5+5·tb)| ≤ 5 gives day−d0 ∈
+      [5·tb−3, 5·tb+7], so FLOOR((day−d0)/5) ∈ {tb−1, tb, tb+1}.
+    Every surviving pair therefore appears in exactly one stencil row
+    (the offsets address distinct cells), and the UNCHANGED residual
+    cutoffs drop the stencil's false candidates — the pair set, kernel
+    arithmetic, and aggregation are identical to the oracle's.  28.8M
+    nested-loop filter evaluations become ~5M hash probes.
+    """
+    cw = 800_000.0 / _STK_NX
+    ch = 600_000.0 / _STK_NY
+    return f"""
+WITH ev AS (
+  SELECT {_sx.x_expr('event_id')} AS x, {_sx.y_expr('event_id')} AS y,
+         CAST(FLOOR(CAST({epoch_us} AS DOUBLE) / 86400000000.0) AS BIGINT)
+           AS day
+  FROM events
+),
+d0 AS (SELECT MIN(day) AS d0 FROM ev),
+nodes AS (
+  SELECT gi, gj, tb,
+         (gi + 0.5) * {cw!r} AS cx,
+         (gj + 0.5) * {ch!r} AS cy,
+         2.5 + 5.0 * tb AS tc
+  FROM {gen3}
+),
+stencil AS (
+  SELECT n.gi, n.gj, n.tb, n.cx, n.cy, n.tc,
+         n.gi + di AS ci, n.gj + dj AS cj, n.tb + dt AS ub
+  FROM nodes n
+  CROSS JOIN (SELECT explode(sequence(-2, 2)) AS di)
+  CROSS JOIN (SELECT explode(sequence(-2, 2)) AS dj)
+  CROSS JOIN (SELECT explode(sequence(-1, 1)) AS dt)
+),
+evk AS (
+  SELECT e.x, e.y, e.day, d0.d0,
+         CAST(FLOOR(e.x / {cw!r}) AS BIGINT) AS ci,
+         CAST(FLOOR(e.y / {ch!r}) AS BIGINT) AS cj,
+         CAST(FLOOR((e.day - d0.d0) / 5.0) AS BIGINT) AS ub
+  FROM ev e CROSS JOIN d0
+),
+pairs AS (
+  SELECT s.gi, s.gj, s.tb,
+         CAST(FLOOR(4096 * EXP(-((e.x - s.cx) * (e.x - s.cx)
+                                 + (e.y - s.cy) * (e.y - s.cy))
+                               / {2.0 * _STK_HS * _STK_HS!r}) + 0.5)
+              AS BIGINT)
+         * CAST(FLOOR(4096 * EXP(-((e.day - e.d0 + 0.5) - s.tc)
+                                  * ((e.day - e.d0 + 0.5) - s.tc)
+                                / {2.0 * _STK_HT * _STK_HT!r}) + 0.5)
+                AS BIGINT) AS w
+  FROM evk e JOIN stencil s
+    ON s.ci = e.ci AND s.cj = e.cj AND s.ub = e.ub
+  WHERE (e.x - s.cx) * (e.x - s.cx) + (e.y - s.cy) * (e.y - s.cy)
+          <= {_STK_RS * _STK_RS!r}
+    AND ABS((e.day - e.d0 + 0.5) - s.tc) <= {_STK_RT!r}
+)
+SELECT gi, gj, tb, COUNT(*) AS n_within,
+       ROUND(CAST(SUM(w) AS DOUBLE) / (4096.0 * 4096.0), 4) AS intensity
+FROM pairs
+GROUP BY 1, 2, 3
+"""
+
+
 @register(
     "stkde_events",
     _stkde_sql("epoch_us(ts)", _STK_GEN_DUCK),
@@ -720,10 +794,14 @@ _STK_GEN_DUCK = f"""(
 def stkde_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-time kernel density of the event pattern at 288 nodes —
     separable Gaussian kernels on the 2^12 lattice, exact int64 node
-    sums, min-day anchored time axis."""
+    sums, min-day anchored time axis.  Engine plan: exact cell-stencil
+    equi-join (see _stkde_spark_stencil) instead of the 288×n
+    broadcast nested-loop; the oracle keeps the brute-force form."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
-        _stkde_sql("unix_micros(CAST(ts AS TIMESTAMP))", _STK_GEN_SPARK)
+        _stkde_spark_stencil(
+            "unix_micros(CAST(ts AS TIMESTAMP))", _STK_GEN_SPARK
+        )
     )
 
 
