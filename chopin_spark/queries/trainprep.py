@@ -115,8 +115,18 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     override autoBroadcastJoinThreshold and force-broadcast an
     over-threshold benchmark universe — the opposite of the documented
     shuffle fallback.  The count probe is one aggregation over the
-    (small) benchmark subset."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    (small) benchmark subset.
+
+    The registered view is spread across the scheduler's parallelism
+    first (textops.spread_input — the guide §2.5 unsplittable-input
+    guard): the 8-gram char-fold projection is the dominant cost and
+    otherwise runs on the single scan task of a one-row-group file,
+    three separate times (bench CTE, train CTE, probe)."""
+    from chopin_spark.textops import spread_input
+
+    spread_input(load(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "documents"
+    )
     n_bench = spark.sql(
         f"SELECT COUNT(DISTINCT v) FROM (SELECT"
         f" explode(array_distinct({shingles_from_uh_spark(_NGRAM)})) AS v"

@@ -1297,9 +1297,39 @@ WHERE levenshtein(a.host, b.host) <= 2
 @register("host_typosquat_pairs", _TYPO_SQL)
 def host_typosquat_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-≤2 same-length host pairs under (ccTLD, length)
-    blocking — Σ|block|² bounded candidates, integer DP distance."""
+    blocking — Σ|block|² bounded candidates, integer DP distance.
+
+    Engine plan: the distinct host table is a few hundred KB, so AQE
+    coalesces its shuffle to ~1 partition — but the expensive part is
+    the DP that EXPLODES after the join (Σ|block|² levenshtein cells),
+    which AQE cannot see from shuffle bytes (guide §2.5: cheap rows,
+    expensive downstream compute).  An explicit repartition on exactly
+    the join's block key, width = defaultParallelism (core-count
+    parameterised, never a constant), spreads the DP across the
+    cluster; because both self-join sides carry that same partitioning
+    the join adds no exchange.  Same SQL text as the oracle otherwise."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_TYPO_SQL)
+    p = spark.sparkContext.defaultParallelism
+    h = spark.sql(f"""
+      SELECT DISTINCT {_HOST} AS host, {_CCTLD} AS cc
+      FROM documents
+    """).withColumn("hl", F.length("host")).repartition(p, "cc", "hl")
+    a = h.select(
+        F.col("host").alias("host_a"), F.col("cc"), F.col("hl")
+    )
+    b = h.select(
+        F.col("host").alias("host_b"), F.col("cc"), F.col("hl")
+    )
+    return (
+        a.join(b, ["cc", "hl"])
+        .filter(F.col("host_a") < F.col("host_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("host_a", "host_b").cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("host_a", "host_b", "edit_dist")
+    )
 
 
 # --- Gini coefficient of host content inequality -------------------------------

@@ -145,6 +145,27 @@ def packed_chunk_hashes_duckdb(n: int = 4, arr: str = "_uh") -> str:
     )
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Unsplittable-input guard (guide §2.5 input skew): a single-row-
+    group parquet file scans as ONE task, serializing every expensive
+    per-row projection that follows (char-fold token hashing, shingle
+    explosion — the dominant map-side cost of the dedup family).  When
+    the scan is narrower than the scheduler's parallelism, redistribute
+    rows round-robin BEFORE the heavy projection: the raw text crosses
+    the wire once, which is ~an order of magnitude fewer bytes than the
+    shingle explosion the next exchange would otherwise carry from one
+    writer.  On properly split production input (splits ≥ cores) this
+    is a NO-OP — the partition count is read from the actual scan, so
+    the behavior is scale-adaptive, not tuned to local mode.  Callers
+    pass base-table projections only (the .rdd partition probe plans
+    but does not execute a bare scan)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def tokens_col(text: str = "text"):
     return F.split(F.col(text), " ")
 
@@ -163,7 +184,8 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 5) -> DataFrame:
         ),
     )
     return (
-        docs.select(id_col, w.alias("w"))
+        spread_input(docs.select(id_col, F.col("text")))
+        .select(id_col, w.alias("w"))
         .filter(F.size("w") >= n)
         .select(id_col, F.explode(sh).alias("shingle"))
         .distinct()
@@ -296,7 +318,8 @@ def hashed_shingles(
     per token, polynomial combine across the n tokens — SQL text shared
     with the DuckDB oracles via :func:`shingles_from_uh_duckdb`)."""
     return (
-        docs.select(id_col, F.expr(token_hashes_spark()).alias("_uh"))
+        spread_input(docs.select(id_col, F.col("text")))
+        .select(id_col, F.expr(token_hashes_spark()).alias("_uh"))
         .filter(F.size("_uh") >= n)
         .select(
             id_col,
@@ -307,13 +330,17 @@ def hashed_shingles(
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", n: int = 5, num_hashes: int = 32
+    docs: DataFrame, id_col: str = "doc_id", n: int = 5, num_hashes: int = 32,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: per doc, min over hashed shingles of H
     universal hashes ((a·v + b) mod p).  One groupBy with H
     min-aggregates — fully JVM-side, constant output per doc; v < 2^30
-    and a < 2^31 keep a·v + b inside int64 under ANSI arithmetic."""
-    sh = hashed_shingles(docs, id_col, n)
+    and a < 2^31 keep a·v + b inside int64 under ANSI arithmetic.
+    ``sh`` lets the verified-dedup path pass its already-materialized
+    shingle table instead of re-deriving it."""
+    if sh is None:
+        sh = hashed_shingles(docs, id_col, n)
     aggs = [
         F.min(
             F.pmod(F.col("v") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
@@ -329,6 +356,7 @@ def minhash_lsh_pairs(
     n: int = 5,
     num_hashes: int = 32,
     bands: int = 8,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` rows of
     num_hashes/bands values; docs sharing any band bucket become
@@ -341,7 +369,7 @@ def minhash_lsh_pairs(
             " (trailing hash functions would be silently dropped)"
         )
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, n, num_hashes)
+    sig = minhash_signatures(docs, id_col, n, num_hashes, sh=sh)
     # bucket key = the band's signature values joined as a string — an
     # equi-join key both engines compute identically (hashing it again
     # would only re-bucket the same partitions)
@@ -418,7 +446,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash fingerprint: per-token 60-bit polynomial hash; bit
     k of the fingerprint = sign of Σ(±1 per token at bit k). Pure column
     math — 60 conditional-sum aggregates in one groupBy."""
-    tok = docs.select(
+    tok = spread_input(docs.select(id_col, F.col("text"))).select(
         id_col, F.explode(tokens_col()).alias("t")
     ).withColumn("h", F.expr(token_hash60_spark("t")))
     aggs = [
