@@ -573,27 +573,32 @@ def nearest_poi_sphere_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: POI cores expanded 2 wrapped rings (the 5×5 disk) via
     # the same distributed mapInPandas used by the ring rounds
     def expand2(batches):
+        # disks are computed once per UNIQUE cell (POIs cluster into a
+        # few dozen level-5 cells), then attached to rows with one
+        # np.repeat — the former per-POI python loop spent ~3.4 s of
+        # pure interpreter/numpy-call overhead on a single task for
+        # 1000 POIs (guide §4.2: vectorize inside the UDF)
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = {k: [] for k in ("poi_id", "plon", "plat", "s2_prefix")}
-            for row in pdf.itertuples(index=False):
-                d = _prefix_to_cell_id(
-                    np.array([row.s2_prefix]), _LEVEL
-                )
+            prefs = pdf["s2_prefix"].to_numpy()
+            disks = {}
+            for p in np.unique(prefs):
+                d = _prefix_to_cell_id(np.array([p]), _LEVEL)
                 for _ in range(2):
                     d = np.unique(s2.expand_covering(d, wrap=True))
-                pref = s2.prefix_from_cell_id(d, _LEVEL)
-                rows["poi_id"].extend([row.poi_id] * len(pref))
-                rows["plon"].extend([row.plon] * len(pref))
-                rows["plat"].extend([row.plat] * len(pref))
-                rows["s2_prefix"].extend(pref.tolist())
+                disks[int(p)] = s2.prefix_from_cell_id(d, _LEVEL)
+            per_row = [disks[int(p)] for p in prefs]
+            sizes = np.array([len(d) for d in per_row])
+            idx = np.repeat(np.arange(len(pdf)), sizes)
             yield pd.DataFrame(
                 {
-                    "poi_id": pd.Series(rows["poi_id"], dtype="int64"),
-                    "plon": pd.Series(rows["plon"], dtype="float64"),
-                    "plat": pd.Series(rows["plat"], dtype="float64"),
-                    "s2_prefix": pd.Series(rows["s2_prefix"], dtype="int64"),
+                    "poi_id": pdf["poi_id"].to_numpy()[idx],
+                    "plon": pdf["plon"].to_numpy()[idx],
+                    "plat": pdf["plat"].to_numpy()[idx],
+                    "s2_prefix": pd.Series(
+                        np.concatenate(per_row), dtype="int64"
+                    ),
                 }
             )
 
