@@ -624,6 +624,33 @@ def road_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # TOUCHED-cell filter: the bbox-range double explode registers a
+    # diagonal segment in every cell of its bounding RECTANGLE (a×b
+    # cells) though it touches only ~a+b of them — the pair join then
+    # squares that inflation per cell (guide §3: avoid exploding
+    # joins).  A cell is kept unless all four of its corners lie
+    # STRICTLY on one side of the segment's line (with slack ≫ the
+    # double rounding error, so a true crossing near a cell wall can
+    # never be dropped): a conservative, lossless prune — a pair whose
+    # true crossing lies in a cell both segments touch still meets
+    # there; false candidates die in the exact intersection test
+    # exactly as before.
+    x0, y0 = float(g.xbreaks[0]), float(g.ybreaks[0])
+    cw = float(g.xbreaks[1] - g.xbreaks[0])
+    ch = float(g.ybreaks[1] - g.ybreaks[0])
+    eps = 1.0  # m² units; cross terms are ~1e11, fp error ≲ 1e-4
+    cross = (
+        f"((bx - ax) * (%s - ay) - (by - ay) * (%s - ax))"
+    )
+    cxlo, cxhi = f"({x0!r} + _cix * {cw!r})", f"({x0!r} + (_cix + 1) * {cw!r})"
+    cylo, cyhi = f"({y0!r} + _ciy * {ch!r})", f"({y0!r} + (_ciy + 1) * {ch!r})"
+    corners = [
+        cross % (cylo, cxlo), cross % (cylo, cxhi),
+        cross % (cyhi, cxlo), cross % (cyhi, cxhi),
+    ]
+    all_pos = " AND ".join(f"({c}) > {eps!r}" for c in corners)
+    all_neg = " AND ".join(f"({c}) < -{eps!r}" for c in corners)
+    reg = reg.filter(F.expr(f"NOT (({all_pos}) OR ({all_neg}))"))
     a = reg.select(
         "_cix", "_ciy",
         F.col("line_id").alias("la"), F.col("seg").alias("sa"),
