@@ -683,7 +683,9 @@ def _reachable_from(
     forward=False walks reversed edges.  One equi-join per BFS level."""
     a, b = ("u", "v") if forward else ("v", "u")
     spark = e.sparkSession
-    visited = spark.createDataFrame([(seed,)], "node long").localCheckpoint()
+    from chopin_spark.tables import values_df
+
+    visited = values_df(spark, [(seed,)], "node long").localCheckpoint()
     frontier = visited
     parts = 0
     for _ in range(max_rounds):

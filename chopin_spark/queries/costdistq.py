@@ -926,7 +926,9 @@ def least_cost_path_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jump = par.union(selfloop).localCheckpoint()
     tidx = _TGY * W + _TGX
-    anc = spark.createDataFrame([(tidx, 0)], "cell long, step long")
+    from chopin_spark.tables import values_df
+
+    anc = values_df(spark, [(tidx, 0)], "cell long, step long")
     # closure rounds stop as soon as the ancestor set stops growing
     # (source reached) — worst case _LCP_K+1 rounds, typically ~log(L)
     n_prev = 1

@@ -886,14 +886,17 @@ def graph_diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     far1 = d1.orderBy(F.col("depth").desc(), F.col("node").asc()).limit(1)
     r1 = far1.collect()[0]  # metadata-sized: one (node, depth) row
     n_reached = d1.count()
+    from chopin_spark.tables import values_df
+
     d2 = bfs_depths(
-        edges, seed.sparkSession.createDataFrame([(r1["node"],)], "node long"),
+        edges, values_df(spark, [(int(r1["node"]),)], "node long"),
         max_depth=_DS_CAP,
     )
     far2 = d2.orderBy(F.col("depth").desc(), F.col("node").asc()).limit(1)
     r2 = far2.collect()[0]
     seed_val = seed.collect()[0]["node"]
-    return edges.sparkSession.createDataFrame(
+    return values_df(
+        edges.sparkSession,
         [(
             int(seed_val), int(r1["depth"]), int(r1["node"]),
             int(r2["depth"]), int(r2["node"]), int(n_reached),

@@ -146,9 +146,12 @@ def s2_covering_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tests/test_s2.py, so the oracle hash still must match.
         .withColumn("s2_prefix", s2_prefix_udf(F.col("lon"), F.col("lat")))
     )
-    cov = spark.createDataFrame(
+    from chopin_spark.tables import values_df
+
+    cov = values_df(
+        spark,
         [(zid, p) for zid, prefixes in _zone_covering() for p in prefixes],
-        "zone_id INT, s2_prefix BIGINT",
+        "zone_id int, s2_prefix long",
     )
     exact = " OR ".join(
         f"(zone_id = {zid} AND {p})" for zid, p in _ZONE_PRED.items()

@@ -587,30 +587,47 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def renorm(df):
-        m = df.agg(F.max(F.abs(F.col("val"))).alias("m"))
-        return df.crossJoin(F.broadcast(m)).selectExpr(
-            "a", "b", _PCA_RENORM.format(x="val", m="m") + " AS val"
-        )
+    # The d×d Gram is DIMENSION-sized metadata (4096 rows at d=64,
+    # independent of corpus size) — the spectral squarings formerly ran
+    # as 9 Spark join+agg+renorm rounds (~70 jobs of pure driver/round
+    # overhead at any scale).  They now run on the collected matrix in
+    # numpy with the IDENTICAL exact arithmetic — int64 products/sums
+    # (≤2^46, exact) and the same FLOOR(x/m·2^20 + 0.5) correctly-
+    # rounded double renorm, so the walked matrices are bit-identical
+    # to the oracle's (same discipline as the kmeans centroid collect,
+    # kmeans.py:101: metadata to the driver, facts stay distributed).
+    import numpy as np
 
-    cur = renorm(gram).localCheckpoint()
+    rows = gram.collect()
+    G = np.zeros((_PCA_D, _PCA_D), dtype=np.int64)
+    for r in rows:
+        G[r["a"], r["b"]] = r["val"]
+
+    def renorm_np(M: "np.ndarray") -> "np.ndarray":
+        m = float(np.max(np.abs(M)))
+        return np.floor(
+            M.astype(np.float64) / m * _PCA_VS + 0.5
+        ).astype(np.int64)
+
+    cur = renorm_np(G)
     for _ in range(_PCA_SQUARINGS):
-        x, y = cur.alias("x"), cur.alias("y")
-        sq = (
-            x.join(y, F.col("x.b") == F.col("y.a"))
-            .groupBy(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
-            .agg(
-                F.sum(F.col("x.val") * F.col("y.val"))
-                .cast("long")
-                .alias("val")
-            )
-        )
-        cur = renorm(sq).localCheckpoint()
-    vv = cur.groupBy("a").agg(F.sum("val").cast("long").alias("s"))
-    mv = vv.agg(F.max(F.abs(F.col("s"))).alias("m"))
-    v = vv.crossJoin(F.broadcast(mv)).selectExpr(
-        "a", _PCA_RENORM.format(x="s", m="m") + " AS v"
-    ).localCheckpoint()
+        cur = renorm_np(cur @ cur)
+    s = cur.sum(axis=1, dtype=np.int64)
+    ms = float(np.max(np.abs(s)))
+    v_arr = np.floor(
+        s.astype(np.float64) / ms * _PCA_VS + 0.5
+    ).astype(np.int64)
+    # VALUES literal → a JVM LocalRelation: createDataFrame over python
+    # tuples would be a pickled python-RDD re-evaluated once per
+    # reference (this view is referenced 4× in the final SQL — measured
+    # 128 python-worker round trips for 64 rows)
+    vals = ", ".join(
+        f"({a}, {int(v_arr[a])})" for a in range(_PCA_D)
+    )
+    v = spark.sql(
+        f"SELECT CAST(col1 AS BIGINT) AS a, CAST(col2 AS BIGINT) AS v"
+        f" FROM VALUES {vals}"
+    )
     gram.createOrReplaceTempView("pca_gram")
     v.createOrReplaceTempView("pca_v")
     return spark.sql(

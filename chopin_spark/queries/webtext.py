@@ -532,7 +532,9 @@ def robots_prefix_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'/s' || {_SEG_A} AS pre1",
         f"'/s' || {_SEG_A} || '/t' || {_SEG_B} AS pre2",
     )
-    rules = spark.createDataFrame(list(_RULES), "prefix string, decision string")
+    from chopin_spark.tables import values_df
+
+    rules = values_df(spark, list(_RULES), "prefix string, decision string")
     cand = docs.select(
         "doc_id", F.explode(F.array("pre1", "pre2")).alias("prefix")
     )
@@ -1513,9 +1515,9 @@ def host_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     edges = spark.sql(f"SELECT * FROM {_PR_EDGES}")
-    seeds = spark.createDataFrame(
-        [(s,) for s in _PPR_SEEDS], "node long"
-    )
+    from chopin_spark.tables import values_df
+
+    seeds = values_df(spark, [(s,) for s in _PPR_SEEDS], "node long")
     return (
         pagerank_int(edges, iters=_PR_ITERS, seeds=seeds)
         .filter(F.col("rank") > 0)
@@ -1803,7 +1805,10 @@ def robots_wildcard_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     allow breaks ties) as a broadcast LIKE join; per (decision, lang)
     page rollup with default allow."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    rules = spark.createDataFrame(
+    from chopin_spark.tables import values_df
+
+    rules = values_df(
+        spark,
         [(p, _wc_like(p), d, len(p)) for p, d in _WC_RULES],
         "pattern string, like_pat string, decision string, plen int",
     )
