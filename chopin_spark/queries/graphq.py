@@ -1129,11 +1129,21 @@ def _bc_forward_edges(edges: DataFrame):
     # sigma(w, k) = SUM over depth-(k-1) predecessors v of sigma(v);
     # "depth k" enforced by the anti-join against all visited keys
     # (lazy union of checkpointed level keys — cf. bfs_depths).
+    #
+    # PROBE-FREE to the cap (the bfs_depths argument): _BC_CAP is the
+    # semantic horizon, and on the bench host graph (a near-cycle,
+    # diameter 48 > cap 12) the frontier never empties, so the former
+    # per-level isEmpty probe and eager checkpoint job were pure
+    # driver overhead.  Levels past the graph's true depth are EMPTY
+    # frames; the backward pass is unaffected by them — an empty level
+    # contributes no successors, which is exactly the Brandes base
+    # case (deepest occupied level has delta 0) — pinned by the
+    # known-graph tests in tests/test_graphq.py.
     levels = [
         nodes.select(
             F.col("node").alias("s"), "node",
             F.lit(1).cast("long").alias("sig"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     ]
     visited = levels[0].select("s", "node")
     parts = 0
@@ -1143,10 +1153,8 @@ def _bc_forward_edges(edges: DataFrame):
             .groupBy(F.col("s"), F.col("edst").alias("node"))
             .agg(F.sum("sig").cast("long").alias("sig"))
             .join(visited, ["s", "node"], "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
-            break
         levels.append(nxt)
         visited = visited.unionByName(nxt.select("s", "node"))
         parts += 1
@@ -1155,7 +1163,7 @@ def _bc_forward_edges(edges: DataFrame):
         # per-round rewrite is cheap and a 6-round consolidation cadence
         # bounds part counts with less write amplification.
         if parts == 6:
-            visited, parts = visited.localCheckpoint(), 0
+            visited, parts = visited.localCheckpoint(eager=False), 0
     return levels, ev
 
 
@@ -1264,7 +1272,7 @@ def _edge_betweenness_frame(levels: list, ev: DataFrame) -> DataFrame:
                     / F.col("wsig") + 0.5
                 ).cast("long").alias("q"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         eacc = eterm if eacc is None else eacc.unionByName(eterm)
         if k > 0:
