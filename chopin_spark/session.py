@@ -37,6 +37,16 @@ def get_session(
         # production scale partitions dwarf this and behavior is default.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Plan-STRING rendering is synchronous driver work charged to
+        # every query execution and every AQE stage update (the SQL
+        # listener event carries physicalPlanDescription).  The closed-
+        # form raster/D8 queries build ~100 KB expression trees, and
+        # rendering them repeatedly cost ~0.5 s/query at bench scale —
+        # at any scale it is pure observability overhead.  32 KB keeps
+        # complete plans for every normal query (test_plans' pinned
+        # fragments included) while truncating only the giant literal
+        # chains.  Display-only: cannot affect results.
+        .config("spark.sql.maxPlanStringLength", "32768")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
