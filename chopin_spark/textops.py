@@ -444,27 +444,65 @@ def token_hash60_duckdb(var: str) -> str:
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash fingerprint: per-token 60-bit polynomial hash; bit
-    k of the fingerprint = sign of Σ(±1 per token at bit k). Pure column
-    math — 60 conditional-sum aggregates in one groupBy."""
-    tok = spread_input(docs.select(id_col, F.col("text"))).select(
-        id_col, F.explode(tokens_col()).alias("t")
-    ).withColumn("h", F.expr(token_hash60_spark("t")))
-    aggs = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), k).bitwiseAND(1) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{k}")
-        for k in range(SIMHASH_BITS)
-    ]
-    sums = tok.groupBy(id_col).agg(*aggs)
-    fp = None
-    for k in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{k}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, k)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return sums.select(id_col, fp.alias("simhash"))
+    k of the fingerprint = sign of Σ(±1 per token at bit k).
+
+    Engine path: ONE vectorized mapInPandas over (id, text) batches —
+    the interpreted higher-order-function char fold was the measured
+    dominant cost of every SimHash query (~10 s of executor CPU per
+    pass at sf0.1; Spark does not codegen `aggregate`/`transform`
+    lambdas), and the explode + 60 conditional-sum aggregates added a
+    fact-sized shuffle.  The numpy fold replays the IDENTICAL integer
+    recurrence ((h·31 + codepoint) mod P30, and the 131 twin) on int64
+    — every intermediate < 2^40, exact — and sums the ±1 bit votes per
+    document, so the fingerprints are bit-identical to the SQL twin
+    (pinned by the brute-force oracles and test_textops).  Map-only
+    stage, no shuffle; scan parallelism via spread_input.  Guide §4.2:
+    hand whole batches to vectorized native code instead of
+    per-element interpreted JVM lambdas."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            tok_lists = [t.split(" ") for t in pdf["text"].tolist()]
+            n_tok = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+            doc_idx = np.repeat(np.arange(len(pdf)), n_tok)
+            toks = [t for ts in tok_lists for t in ts]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            starts = np.zeros(len(toks), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            blob = "".join(toks)
+            codes = (
+                np.frombuffer(
+                    blob.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if blob
+                else np.zeros(0, dtype=np.int64)
+            )
+            h31 = np.zeros(len(toks), dtype=np.int64)
+            h131 = np.zeros(len(toks), dtype=np.int64)
+            maxlen = int(lens.max()) if len(lens) else 0
+            for p in range(maxlen):
+                m = lens > p
+                c = codes[starts[m] + p]
+                h31[m] = (h31[m] * 31 + c) % P30
+                h131[m] = (h131[m] * 131 + c) % P30
+            h60 = h31 + h131 * (1 << 30)
+            fp = np.zeros(len(pdf), dtype=np.int64)
+            for k in range(SIMHASH_BITS):
+                votes = 2 * ((h60 >> k) & 1) - 1
+                b = np.bincount(
+                    doc_idx, weights=votes, minlength=len(pdf)
+                )
+                fp |= (b > 0).astype(np.int64) << k
+            yield pd.DataFrame({id_col: ids, "simhash": fp})
+
+    return spread_input(docs.select(id_col, F.col("text"))).mapInPandas(
+        fold, f"{id_col} long, simhash long"
+    )
 
 
 def jaccard_prefix_pairs(
