@@ -315,16 +315,69 @@ def hashed_shingles(
     docs: DataFrame, id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
     """Distinct n-gram shingle HASHES per document (polynomial char fold
-    per token, polynomial combine across the n tokens — SQL text shared
-    with the DuckDB oracles via :func:`shingles_from_uh_duckdb`)."""
+    per token, polynomial combine across the n tokens — the values the
+    DuckDB oracles rebuild via :func:`shingles_from_uh_duckdb`).
+
+    Engine path: one vectorized mapInPandas (the simhash() argument —
+    Spark interprets HOF lambdas per element, and this fold dominated
+    every MinHash/Jaccard query's map side).  The numpy fold replays
+    the identical int64 recurrences — (h·31 + codepoint) mod P30 per
+    token, then s = (s·B + u) mod P30 across the n tokens — every
+    intermediate < 2^51, exact, so the shingle values are bit-identical
+    to the SQL twin (oracle-pinned).  The trailing .distinct() is
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            tok_lists = [t.split(" ") for t in pdf["text"].tolist()]
+            n_tok = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+            toks = [t for ts in tok_lists for t in ts]
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            tstarts = np.zeros(len(toks), dtype=np.int64)
+            np.cumsum(lens[:-1], out=tstarts[1:])
+            blob = "".join(toks)
+            codes = (
+                np.frombuffer(
+                    blob.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if blob
+                else np.zeros(0, dtype=np.int64)
+            )
+            uh = np.zeros(len(toks), dtype=np.int64)
+            maxlen = int(lens.max()) if len(lens) else 0
+            for p in range(maxlen):
+                m = lens > p
+                uh[m] = (uh[m] * 31 + codes[tstarts[m] + p]) % P30
+            # shingle windows: docs with < n tokens yield none
+            cnt = np.where(n_tok >= n, n_tok - n + 1, 0)
+            if int(cnt.sum()) == 0:
+                yield pd.DataFrame(
+                    {id_col: ids[:0], "v": np.zeros(0, dtype=np.int64)}
+                )
+                continue
+            doc_starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(n_tok[:-1], out=doc_starts[1:])
+            sh_doc = np.repeat(np.arange(len(pdf)), cnt)
+            cnt_starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(cnt[:-1], out=cnt_starts[1:])
+            within = (
+                np.arange(int(cnt.sum()), dtype=np.int64)
+                - np.repeat(cnt_starts, cnt)
+            )
+            base = np.repeat(doc_starts, cnt) + within
+            sh = np.zeros(int(cnt.sum()), dtype=np.int64)
+            for k in range(n):
+                sh = (sh * _SHINGLE_B + uh[base + k]) % P30
+            yield pd.DataFrame({id_col: ids[sh_doc], "v": sh})
+
     return (
         spread_input(docs.select(id_col, F.col("text")))
-        .select(id_col, F.expr(token_hashes_spark()).alias("_uh"))
-        .filter(F.size("_uh") >= n)
-        .select(
-            id_col,
-            F.explode(F.expr(shingles_from_uh_spark(n))).alias("v"),
-        )
+        .mapInPandas(fold, f"{id_col} long, v long")
         .distinct()
     )
 
