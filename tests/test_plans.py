@@ -63,7 +63,7 @@ JVM_ONLY = [
     "par_pad_grid_membership", "nearest_poi", "knn3_poi",
     "summarize_sedc_poi", "dedup_exact", "text_quality", "doc_fingerprint",
     "dedup_ngram_jaccard", "ann_cosine_topk", "kernel_functions",
-    "json_props_rollup", "minhash_lsh_candidates", "simhash_fingerprints",
+    "json_props_rollup",
     "par_merge_grid_coalesce", "get_clip_ext",
     # round-4 additions: all pure column math / window / join plans
     "hilbert_write_layout_plan", "geary_c_tracts", "ks_two_sample_lang",
@@ -109,6 +109,26 @@ def test_no_python_in_jvm_path_queries(spark, name):
     assert "ArrowEvalPython" not in p, name
     assert "MapInPandas" not in p, name
     assert "FlatMapGroupsInPandas" not in p, name
+
+
+# Round 6: the token-hash char fold moved from interpreted HOF lambdas
+# to ONE Arrow-vectorized map-only MapInPandas per fingerprint pass
+# (bit-identical int64 recurrence; see textops.simhash /
+# hashed_shingles).  These plans are pinned to exactly that shape —
+# one declared MapInPandas per fingerprint derivation (the LSH
+# candidate self-join renders the shared shingle subtree on both join
+# sides, hence 2 there), still zero row-at-a-time Python.
+ARROW_FOLD = {"minhash_lsh_candidates": 2, "simhash_fingerprints": 1}
+
+
+@pytest.mark.parametrize("name", sorted(ARROW_FOLD))
+def test_vectorized_fold_queries_single_mapinpandas(spark, name):
+    df = entry_mod.queries()[name](spark, SF_SMOKE)
+    p = plan_of(df, "simple")
+    assert "BatchEvalPython" not in p, name
+    assert "ArrowEvalPython" not in p, name
+    assert "FlatMapGroupsInPandas" not in p, name
+    assert p.count("MapInPandas") == ARROW_FOLD[name], name
 
 
 def test_blocklist_filter_is_broadcast_anti_join(spark):
